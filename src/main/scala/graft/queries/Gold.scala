@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Exact._
+import graft.core.Tables
+
+/** Gold-layer analytical queries — the Spark-native rebuild of the reference's
+  * gold marts (reference: DEMO.md:73-87 `customer_metrics`, `product_performance`,
+  * `daily_sales`; plus TPC-H-flavored scan/agg/star-join workloads over the driver
+  * test tables).
+  *
+  * Scale notes (100 TB thinking):
+  *  - dimension sides (region/nation/customer at TPC-H ratios, first-order dates)
+  *    are broadcast — no shuffle of the fact table for them;
+  *  - fact-side aggregations are plain hash aggregates with map-side partials;
+  *  - top-k goes through `orderBy(...).limit(k)` which Spark plans as
+  *    TakeOrderedAndProject (per-partition heaps, no full sort).
+  */
+object Gold {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-style pricing summary (scan → filter → wide hash agg). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1999-06-30").cast("date"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("sum_disc_price"),
+        dsum3(col("l_extendedprice"), lit(1.0) - col("l_discount"),
+          lit(1.0) + col("l_tax")).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Per-day sales rollup with new-customer counts (reference DEMO.md:85-87).
+    * First-order dates per customer are a small aggregate → broadcast back. */
+  def dailySales(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("order_date", to_date(col("o_orderdate")))
+    val newCust = o.groupBy(col("o_custkey"))
+      .agg(min(col("order_date")).as("order_date"))
+      .groupBy(col("order_date"))
+      .agg(count(lit(1)).as("new_customers"))
+    val daily = o.groupBy(col("order_date"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        davg(col("o_totalprice")).as("avg_order_value"))
+    daily
+      .join(broadcast(newCust), Seq("order_date"), "left")
+      .withColumn("new_customers", coalesce(col("new_customers"), lit(0L)))
+  }
+
+  /** Per-customer lifetime metrics + churn flag (reference DEMO.md:73-77).
+    * Return rate comes from lineitem return flags joined through orders. */
+  def customerMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val orderCust = o.select(col("o_orderkey"), col("o_custkey"))
+    val itemStats = li
+      .join(orderCust, li("l_orderkey") === orderCust("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        count(when(col("l_returnflag") === "R", lit(1))).as("n_returned"))
+      .withColumn("return_rate",
+        col("n_returned").cast("double") / col("n_items").cast("double"))
+    val orderStats = o.groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_spend"),
+        davg(col("o_totalprice")).as("avg_order_value"),
+        min(to_date(col("o_orderdate"))).as("first_order_date"),
+        max(to_date(col("o_orderdate"))).as("last_order_date"))
+      .withColumn("churned",
+        datediff(lit("2002-01-01").cast("date"), col("last_order_date")) > 90)
+    orderStats.join(itemStats, Seq("o_custkey"), "left")
+      .select(col("o_custkey"), col("n_orders"), col("total_spend"),
+        col("avg_order_value"), col("first_order_date"), col("last_order_date"),
+        col("churned"), col("n_items"), col("n_returned"), col("return_rate"))
+  }
+
+  /** Per-product sales metrics (reference DEMO.md:79-83). */
+  def productPerformance(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val sales = li.groupBy(col("l_partkey"))
+      .agg(
+        dsum(col("l_quantity")).as("units_sold"),
+        dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_line_items"),
+        count(when(col("l_returnflag") === "R", lit(1))).as("n_returns"))
+      .withColumn("return_rate",
+        col("n_returns").cast("double") / col("n_line_items").cast("double"))
+    // part is the small dimension at TPC-H ratios → broadcast.
+    sales.join(broadcast(p), sales("l_partkey") === p("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("units_sold"), col("revenue"), col("n_line_items"),
+        col("n_returns"), col("return_rate"),
+        (col("revenue") / col("units_sold")).as("avg_sale_price"))
+  }
+
+  /** Revenue by region: 5-table star join (TPC-H Q5 flavor).
+    * region→nation→customer chain is broadcast; only orders⋈lineitem shuffles. */
+  def regionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val dim = c
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(dim), o("o_custkey") === dim("c_custkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+  }
+
+  /** Top-k parts by revenue — TakeOrderedAndProject, deterministic tie-break. */
+  def topPartsByRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_partkey"))
+      .agg(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_partkey").asc)
+      .limit(10)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "gold_q1_pricing_summary"    -> (q1Agg _),
+    "gold_daily_sales"           -> (dailySales _),
+    "gold_customer_metrics"      -> (customerMetrics _),
+    "gold_product_performance"   -> (productPerformance _),
+    "gold_regional_revenue"      -> (regionalRevenue _),
+    "gold_top_parts_by_revenue"  -> (topPartsByRevenue _))
+
+  val oracle: Map[String, String] = Map(
+    "gold_q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2)) * CAST(1.0 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= DATE '1999-06-30'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "gold_daily_sales" ->
+      """WITH o AS (SELECT *, CAST(o_orderdate AS DATE) AS order_date FROM orders),
+        |nc AS (SELECT first_date AS order_date, COUNT(*) AS new_customers FROM
+        |  (SELECT o_custkey, MIN(order_date) AS first_date FROM o GROUP BY 1) GROUP BY 1),
+        |d AS (SELECT order_date, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_order_value
+        |  FROM o GROUP BY 1)
+        |SELECT d.order_date, d.n_orders, d.revenue, d.n_customers, d.avg_order_value,
+        |  COALESCE(nc.new_customers, 0) AS new_customers
+        |FROM d LEFT JOIN nc USING (order_date)""".stripMargin,
+    "gold_customer_metrics" ->
+      """WITH item_stats AS (
+        |  SELECT o_custkey, COUNT(*) AS n_items,
+        |    COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
+        |order_stats AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_order_value,
+        |    MIN(CAST(o_orderdate AS DATE)) AS first_order_date,
+        |    MAX(CAST(o_orderdate AS DATE)) AS last_order_date
+        |  FROM orders GROUP BY 1)
+        |SELECT s.o_custkey, s.n_orders, s.total_spend, s.avg_order_value,
+        |  s.first_order_date, s.last_order_date,
+        |  DATE_DIFF('day', s.last_order_date, DATE '2002-01-01') > 90 AS churned,
+        |  i.n_items, i.n_returned,
+        |  CAST(i.n_returned AS DOUBLE) / CAST(i.n_items AS DOUBLE) AS return_rate
+        |FROM order_stats s LEFT JOIN item_stats i USING (o_custkey)""".stripMargin,
+    "gold_product_performance" ->
+      """WITH sales AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS units_sold,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |    COUNT(*) AS n_line_items,
+        |    COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returns
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_partkey, p_name, p_brand, units_sold, revenue, n_line_items,
+        |  n_returns,
+        |  CAST(n_returns AS DOUBLE) / CAST(n_line_items AS DOUBLE) AS return_rate,
+        |  revenue / units_sold AS avg_sale_price
+        |FROM sales JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "gold_regional_revenue" ->
+      """SELECT r_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items,
+        |  COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "gold_top_parts_by_revenue" ->
+      """SELECT l_partkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY revenue DESC, l_partkey ASC LIMIT 10""".stripMargin)
+}
