@@ -1,0 +1,121 @@
+package graft.functions
+
+/** Cross-engine-deterministic expression builders.
+  *
+  * The driver's correctness gate hash-compares Spark results against DuckDB
+  * bit-for-bit, so every numeric path in an oracle-checked query must evaluate
+  * identically in both engines. This object is the single source of truth: each
+  * primitive has a Spark-SQL text form and a DuckDB-SQL text form generated from
+  * the same Scala code (same constants, same association order), so the query
+  * and its oracle cannot drift apart.
+  *
+  * Verified bitwise-equal on this corpus (see tools/parity.py history):
+  * polynomial codepoint hash, fixed-order float→double dot products,
+  * single-space tokenization, Spark `percentile` vs DuckDB `quantile_cont`,
+  * and JSON field extraction.
+  *
+  * Scale note: the polynomial hash is a Spark higher-order `aggregate` (not
+  * codegen'd). That is fine for shingle-level hashing at bench scale; a 100 TB
+  * deployment that does not need a DuckDB oracle should swap `phashSpark` for
+  * the codegen'd `xxhash64` — every operator in [[graft.operators]] takes the
+  * hash as a plugged expression for exactly that reason.
+  */
+object Portable {
+  /** Modulus: largest common prime < 2^30 keeps every intermediate product
+    * (mult * acc, a * h + b) far below 2^63 in BOTH engines — DuckDB BIGINT
+    * overflow *throws*, it does not wrap. */
+  val P    = 1000000007L
+  val Mult = 131L
+  val Seed = 7L
+  /** Second independent 30-bit hash for the 60-bit simhash: h2 = (a*h1+b) mod P. */
+  val H2A = 479L
+  val H2B = 88007L
+  /** Embedding dimension of the test corpus (embeddings.parquet). */
+  val Dim = 64
+  /** Bits taken from each 30-bit hash for the simhash fingerprint halves. */
+  val SimBits = 30
+
+  // ---- tokenization --------------------------------------------------------
+  /** Single-space split, empties dropped. Deliberately NOT a regex: Java and
+    * RE2 regex dialects differ; a literal split is identical everywhere. */
+  def tokensSpark(c: String): String = s"filter(split($c, ' '), x -> x <> '')"
+  def tokensDuck(c: String): String  = s"list_filter(string_split($c, ' '), x -> x <> '')"
+
+  // ---- polynomial rolling hash over codepoints -----------------------------
+  def phashSpark(s: String): String =
+    s"aggregate(transform(sequence(1, length($s)), i -> ascii(substr($s, i, 1))), " +
+      s"cast($Seed as bigint), (acc, c) -> (acc * $Mult + c) % $P)"
+  def phashDuck(s: String): String =
+    s"list_reduce(list_prepend($Seed::BIGINT, [unicode($s[i:i]) for i in range(1, length($s)+1)]), " +
+      s"(acc, c) -> (acc * $Mult + c) % $P)"
+
+  // ---- word n-gram shingles (array of space-joined n-grams) ----------------
+  def shinglesSpark(toks: String, n: Int): String =
+    s"CASE WHEN size($toks) >= $n THEN transform(sequence(1, size($toks) - ${n - 1}), " +
+      s"i -> concat_ws(' ', slice($toks, i, $n))) ELSE slice($toks, 1, 0) END"
+  def shinglesDuck(toks: String, n: Int): String =
+    s"[array_to_string($toks[i:i+${n - 1}], ' ') for i in range(1, len($toks) - ${n - 2})]"
+
+  // ---- fixed-order vector math (left-assoc chain => identical fp rounding) -
+  def dotSpark(a: String, b: String): String =
+    (1 to Dim).map(i => s"cast(element_at($a, $i) as double) * cast(element_at($b, $i) as double)")
+      .mkString(" + ")
+  def dotDuck(a: String, b: String): String =
+    (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+  def normSpark(a: String): String = s"sqrt(${dotSpark(a, a)})"
+  def normDuck(a: String): String  = s"sqrt(${dotDuck(a, a)})"
+
+  // ---- minhash hash family (fixed pseudo-random coefficients) --------------
+  /** (a_i, b_i) pairs for h_i(x) = (a_i*x + b_i) mod P. java.util.Random's LCG
+    * sequence is specified, so these literals are stable across builds; they
+    * are embedded verbatim into any oracle SQL that needs them. */
+  def hashFamily(k: Int): IndexedSeq[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    IndexedSeq.fill(k)((math.floorMod(rng.nextLong(), P - 1) + 1,
+      math.floorMod(rng.nextLong(), P - 1) + 1))
+  }
+  def affineHash(x: String, a: Long, b: Long): String = s"(($a * $x + $b) % $P)"
+
+  // ---- simhash -------------------------------------------------------------
+  /** Count-weighted bit sums: for token hash column h with weight w,
+    * s_j = sum(w * (2*bit_j(h) - 1)). Spark spells shift as `shiftright`,
+    * DuckDB as `>>`; the arithmetic is identical integer math. */
+  def simBitSumSpark(h: String, w: String, j: Int): String =
+    s"sum($w * (2 * (shiftright($h, $j) & 1) - 1))"
+  def simBitSumDuck(h: String, w: String, j: Int): String =
+    s"sum($w * (2 * (($h >> $j) & 1) - 1))"
+  /** Fingerprint from the 30 per-bit sums s_0..s_29 (column name prefix). */
+  def simFingerprint(pfx: String): String =
+    (0 until SimBits).map(j =>
+      s"(CASE WHEN ${pfx}$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+  def simFingerprintDuck(pfx: String): String =
+    (0 until SimBits).map(j =>
+      s"(CASE WHEN ${pfx}$j > 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END)").mkString(" + ")
+
+  /** 15-bit chunks of the two fingerprint halves — pigeonhole-complete blocking
+    * for hamming <= 3 over 60 bits (4 chunks; 3 flipped bits leave >= 1 chunk
+    * untouched, so every qualifying pair shares a (chunk_idx, value) key). */
+  def simChunksSpark(fp1: String, fp2: String): Seq[String] = Seq(
+    s"$fp1 & 32767", s"shiftright($fp1, 15) & 32767",
+    s"$fp2 & 32767", s"shiftright($fp2, 15) & 32767")
+
+  def hammingSpark(a1: String, b1: String, a2: String, b2: String): String =
+    s"bit_count($a1 ^ $b1) + bit_count($a2 ^ $b2)"
+  def hammingDuck(a1: String, b1: String, a2: String, b2: String): String =
+    s"bit_count(xor($a1, $b1)) + bit_count(xor($a2, $b2))"
+
+  // ---- stopword lexica for the language-ID heuristic -----------------------
+  val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+  val StopEs: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por")
+  val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "zu", "ein")
+  val StopFr: Seq[String] = Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour")
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+  /** Fraction of tokens found in `words`; NULL-safe for empty docs. */
+  def stopRatioSpark(toks: String, words: Seq[String]): String =
+    s"CASE WHEN size($toks) > 0 THEN cast(size(filter($toks, t -> t IN ${inList(words)})) as double) / size($toks) ELSE cast(0 as double) END"
+  def stopRatioDuck(toks: String, words: Seq[String]): String =
+    s"CASE WHEN len($toks) > 0 THEN len(list_filter($toks, t -> t IN ${inList(words)}))::DOUBLE / len($toks) ELSE 0::DOUBLE END"
+}

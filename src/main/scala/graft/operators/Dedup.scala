@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** Document deduplication operators for a large-scale training-data pipeline.
+  *
+  * Every operator is a pure DataFrame→DataFrame transform built from shuffled
+  * joins/aggregations (no driver-side loops, no collect), so the same plan that
+  * passes the sf0.01 oracle scales to a 1000-executor cluster:
+  *
+  *  - exact dedup: one hash-aggregate over the corpus;
+  *  - n-gram Jaccard: the explode/equi-join/count "similarity join as
+  *    MapReduce" pattern — the join key is the shingle, so only documents
+  *    sharing a shingle ever meet, and the shuffle is proportional to corpus
+  *    token count, not to |docs|²;
+  *  - MinHash+LSH: signature = one wide min-aggregate; candidate generation =
+  *    equi-join on (band, band_hash); verification = exact Jaccard on the
+  *    candidate set only;
+  *  - SimHash: fingerprint = one wide sum-aggregate; candidate generation =
+  *    pigeonhole-complete chunk blocking (guaranteed recall for the hamming
+  *    radius, unlike probabilistic LSH);
+  *  - embedding near-dup: all-pairs only as the small-side baseline (the scale
+  *    path is [[Similarity.lshAnnTopK]]).
+  *
+  * Reference semantics: the reference flags in-file duplicates with keep-first
+  * semantics (services/data-cleaning-agent/datagrunt_agent/sql/cleaning/
+  * flag_duplicates.sql:3-9) and counts approximate duplicates by hashing whole
+  * rows (sql/quality/approximate_duplicates.sql:1-6); near-dup/similarity
+  * operators extend that surface to corpus scale.
+  */
+object Dedup {
+
+  /** doc_id + distinct word-`n`-gram shingle set + its size. */
+  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .withColumn("toks", expr(Portable.tokensSpark("text")))
+      .withColumn("shingles", array_distinct(expr(Portable.shinglesSpark("toks", n))))
+      .withColumn("n_shingles", size(col("shingles")))
+      .filter(col("n_shingles") > 0)
+      .select("doc_id", "shingles", "n_shingles")
+
+  /** Exploded (doc_id, shingle) pairs — the join/aggregation currency. */
+  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleSets(docs, n).select(col("doc_id"), explode(col("shingles")).as("s"))
+
+  /** Exact duplicate groups with keep-first survivors: one row per distinct
+    * text, md5 group key, min doc_id kept, group size. At 100 TB this is a
+    * single hash-aggregate on a 128-bit key — never group by the raw text. */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  private def jaccardPairs(sh: DataFrame, tau: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard similarity self-join: all pairs with J >= tau. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5): DataFrame =
+    jaccardPairs(shingleRows(docs, n), tau)
+
+  /** MinHash + LSH near-dup pairs, LSH-candidates verified by exact Jaccard.
+    *
+    * numHashes = bands * rowsPerBand min-aggregates in ONE wide agg; band keys
+    * by folding each band's rows with the polynomial combiner; candidates from
+    * the (band, hash) equi-join; exact verification only on candidates. With
+    * (42 bands × 3 rows) a true pair at J=0.7 is missed with p ≈ 2e-8 — the
+    * verified output therefore equals the exact all-pairs result, which is what
+    * the DuckDB oracle computes.
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, bands: Int = 42,
+                      rowsPerBand: Int = 3, tau: Double = 0.5): DataFrame = {
+    val k = bands * rowsPerBand
+    val fam = Portable.hashFamily(k)
+    val sets = shingleSets(docs, n)
+    val sh = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("ph", expr(Portable.phashSpark("s")))
+    val sigCols = fam.zipWithIndex.map { case ((a, b), i) =>
+      min(expr(Portable.affineHash("ph", a, b))).as(s"m$i")
+    }
+    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols: Seq[Column] = (0 until bands).map { j =>
+      val rows = (0 until rowsPerBand).map(r => s"m${j * rowsPerBand + r}")
+      expr(rows.reduceLeft((acc, m) => s"(($acc * ${Portable.Mult} + $m) % ${Portable.P})"))
+    }
+    val bandsDf = sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    val cand = bandsDf.as("x").join(bandsDf.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"), col("n_shingles").as("na"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb"), col("n_shingles").as("nb"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Count-weighted 60-bit simhash fingerprints: doc_id, fp1, fp2 (two 30-bit
+    * halves so every bit op stays in safe BIGINT range in both engines). */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val tc = docs
+      .withColumn("toks", expr(Portable.tokensSpark("text")))
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("w"))
+      .withColumn("h1", expr(Portable.phashSpark("t")))
+      .withColumn("h2", expr(s"(h1 * ${Portable.H2A} + ${Portable.H2B}) % ${Portable.P}"))
+    val sumCols =
+      (0 until Portable.SimBits).map(j => expr(Portable.simBitSumSpark("h1", "w", j)).as(s"s1_$j")) ++
+      (0 until Portable.SimBits).map(j => expr(Portable.simBitSumSpark("h2", "w", j)).as(s"s2_$j"))
+    tc.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+      .select(col("doc_id"),
+        expr(Portable.simFingerprint("s1_")).as("fp1"),
+        expr(Portable.simFingerprint("s2_")).as("fp2"))
+  }
+
+  /** SimHash near-dup pairs with hamming(fp) <= maxHamming, found via
+    * pigeonhole-complete 15-bit chunk blocking (recall = 1 by construction,
+    * no probabilistic miss) and verified with bit_count(xor). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk blocking is complete only for hamming <= 3")
+    val fp = simhashFingerprints(docs)
+    val chunks = fp.select(col("doc_id"),
+      posexplode(array(Portable.simChunksSpark("fp1", "fp2").map(expr): _*))
+        .as(Seq("chunk", "cv")))
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = fp.select(col("doc_id").as("doc_a"), col("fp1").as("a1"), col("fp2").as("a2"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("fp1").as("b1"), col("fp2").as("b2"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("hamming", expr(Portable.hammingSpark("a1", "b1", "a2", "b2")))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Embedding-cosine near-dup pairs >= tau — exact all-pairs baseline.
+    * The theta-join (<) plans as a broadcast nested-loop; acceptable for a
+    * dimension-sized table, NOT the 100 TB path (use LSH/IVF from
+    * [[Similarity]] there). Norms are precomputed once per vector so each pair
+    * costs one fixed-order dot product. */
+  def embeddingNearDupPairs(emb: DataFrame, tau: Double = 0.4): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      expr(Portable.normSpark("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nrm").as("norm_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("norm_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        expr(s"(${Portable.dotSpark("emb_a", "emb_b")})") / (col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= tau)
+      .select("vec_a", "vec_b", "cosine")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** Text-analysis operators for a training-data pipeline: token statistics,
+  * quality scoring, n-gram-heuristic language ID, and rolling-hash document
+  * fingerprints. All single-pass projections/aggregations — each document is
+  * scored independently, so the operators are embarrassingly parallel and the
+  * plan is one scan regardless of corpus size.
+  */
+object TextOps {
+
+  /** Per-document token statistics + polynomial fingerprint of the raw text.
+    * Counts are exact integers; the average is one int/int double division. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr(Portable.tokensSpark("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        expr("aggregate(transform(toks, x -> cast(length(x) as bigint)), cast(0 as bigint), (a, x) -> a + x)")
+          .as("n_token_chars"),
+        // BPE-ish subword estimate: ceil(len/4) per token, summed
+        expr("aggregate(transform(toks, x -> cast(ceil(length(x) / 4.0) as bigint)), cast(0 as bigint), (a, x) -> a + x)")
+          .as("n_subword_est"),
+        length(col("text")).as("n_chars_text"),
+        expr(Portable.phashSpark("text")).as("fingerprint"))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0,
+          col("n_token_chars").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+
+  /** Stopword-ratio language scores + argmax prediction (deterministic
+    * left-biased tie-break: en > es > de > fr > unknown). */
+  def languageId(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr(Portable.tokensSpark("text")))
+      .withColumn("r_en", expr(Portable.stopRatioSpark("toks", Portable.StopEn)))
+      .withColumn("r_es", expr(Portable.stopRatioSpark("toks", Portable.StopEs)))
+      .withColumn("r_de", expr(Portable.stopRatioSpark("toks", Portable.StopDe)))
+      .withColumn("r_fr", expr(Portable.stopRatioSpark("toks", Portable.StopFr)))
+      .withColumn("lang_pred", expr(
+        """CASE
+          |  WHEN r_en = 0 AND r_es = 0 AND r_de = 0 AND r_fr = 0 THEN 'unknown'
+          |  WHEN r_en >= r_es AND r_en >= r_de AND r_en >= r_fr THEN 'en'
+          |  WHEN r_es >= r_de AND r_es >= r_fr THEN 'es'
+          |  WHEN r_de >= r_fr THEN 'de'
+          |  ELSE 'fr'
+          |END""".stripMargin))
+      .select("doc_id", "lang_pred", "r_en", "r_es", "r_de", "r_fr")
+
+  /** Heuristic quality score in [0, 4]: length window + stopword presence +
+    * lexical diversity + alpha-space purity. Integer comparisons and single
+    * double divisions only, so the score is engine-portable. */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr(Portable.tokensSpark("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+      .withColumn("stop_ratio", expr(Portable.stopRatioSpark("toks", Portable.StopEn)))
+      .withColumn("alpha_chars", length(regexp_replace(col("text"), "[^a-z ]", "")))
+      .withColumn("alpha_ratio",
+        when(length(col("text")) > 0,
+          col("alpha_chars").cast("double") / length(col("text"))).otherwise(lit(0.0)))
+      .withColumn("diversity",
+        when(col("n_tokens") > 0,
+          col("n_distinct").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
+      .withColumn("quality_score",
+        (when(col("n_tokens").between(20, 1000), lit(1.0)).otherwise(lit(0.0))) +
+        (when(col("stop_ratio") > 0, lit(1.0)).otherwise(lit(0.0))) +
+        col("diversity") + col("alpha_ratio"))
+      .select("doc_id", "n_tokens", "n_distinct", "stop_ratio", "alpha_ratio",
+        "diversity", "quality_score")
+
+  /** Corpus rollup by source: doc counts, token totals, mean quality. */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val q = qualityScore(docs)
+    docs.select("doc_id", "source")
+      .join(q, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("bigint")).as("total_tokens"),
+        sum(col("n_distinct").cast("bigint")).as("total_distinct_tokens"),
+        min(col("quality_score")).as("min_quality"),
+        max(col("quality_score")).as("max_quality"))
+  }
+}

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables
+import graft.functions.Portable
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** Training-data pipeline queries over `documents` / `embeddings`, with DuckDB
+  * oracles generated from the SAME [[Portable]] builders as the Spark plans —
+  * the exact arithmetic (hash constants, association order, division operands)
+  * is shared, so results hash-match bit-for-bit.
+  *
+  * `ann_lsh_topk` intentionally has no oracle: ANN answers are approximate by
+  * design; its recall against the brute-force baseline is asserted in
+  * ScalaTest instead.
+  */
+object Training {
+  type Q = (SparkSession, String) => DataFrame
+
+  // thresholds chosen from the measured corpus structure: near-dup docs sit at
+  // J >= 0.7 with background < 0.15 (tau 0.5 in the gap); embedding pairs top
+  // out near 0.6 cosine with a tail above 0.4.
+  val JaccardTau  = 0.5
+  val CosineTau   = 0.4
+  val MaxHamming  = 3
+  val NQueries    = 20
+  val TopK        = 10
+
+  val queries: Map[String, Q] = Map(
+    "text_token_stats"       -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
+    "text_language_id"       -> ((s, d) => TextOps.languageId(Tables.documents(s, d))),
+    "text_quality_score"     -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
+    "text_corpus_stats"      -> ((s, d) => TextOps.corpusStats(Tables.documents(s, d))),
+    "dedup_exact"            -> ((s, d) => Dedup.exactDupGroups(Tables.documents(s, d))),
+    "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, JaccardTau)),
+    "dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), 3, 42, 3, JaccardTau)),
+    "dedup_simhash"          -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d), MaxHamming)),
+    "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), CosineTau)),
+    "ann_brute_force_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), NQueries, TopK)),
+    "ann_lsh_topk"           -> ((s, d) => Similarity.lshAnnTopK(Tables.embeddings(s, d), NQueries, TopK)))
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  private val toks = Portable.tokensDuck("text")
+
+  private val tokenStatsSql =
+    s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+       |s AS (SELECT doc_id, text, toks,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(toks, x -> length(x)::BIGINT)), (a, x) -> a + x) AS n_token_chars,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), (a, x) -> a + x) AS n_subword_est
+       |FROM t)
+       |SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct_tokens,
+       |  n_token_chars, n_subword_est, length(text) AS n_chars_text,
+       |  ${Portable.phashDuck("text")} AS fingerprint,
+       |  CASE WHEN len(toks) > 0 THEN n_token_chars::DOUBLE / len(toks) ELSE 0::DOUBLE END AS avg_token_len
+       |FROM s""".stripMargin
+
+  private val langCase =
+    """CASE
+      |  WHEN r_en = 0 AND r_es = 0 AND r_de = 0 AND r_fr = 0 THEN 'unknown'
+      |  WHEN r_en >= r_es AND r_en >= r_de AND r_en >= r_fr THEN 'en'
+      |  WHEN r_es >= r_de AND r_es >= r_fr THEN 'es'
+      |  WHEN r_de >= r_fr THEN 'de'
+      |  ELSE 'fr'
+      |END""".stripMargin
+
+  private val languageIdSql =
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |r AS (SELECT doc_id,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopEn)} AS r_en,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopEs)} AS r_es,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopDe)} AS r_de,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopFr)} AS r_fr
+       |FROM t)
+       |SELECT doc_id, $langCase AS lang_pred, r_en, r_es, r_de, r_fr FROM r""".stripMargin
+
+  private val qualityScoreSql =
+    s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+       |c AS (SELECT doc_id, text, toks,
+       |  len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopEn)} AS stop_ratio,
+       |  length(regexp_replace(text, '[^a-z ]', '', 'g')) AS alpha_chars
+       |FROM t),
+       |m AS (SELECT doc_id, n_tokens, n_distinct, stop_ratio,
+       |  CASE WHEN length(text) > 0 THEN alpha_chars::DOUBLE / length(text) ELSE 0::DOUBLE END AS alpha_ratio,
+       |  CASE WHEN n_tokens > 0 THEN n_distinct::DOUBLE / n_tokens ELSE 0::DOUBLE END AS diversity
+       |FROM c)
+       |SELECT doc_id, n_tokens, n_distinct, stop_ratio, alpha_ratio, diversity,
+       |  (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) +
+       |  (CASE WHEN stop_ratio > 0 THEN 1.0 ELSE 0.0 END) + diversity + alpha_ratio AS quality_score
+       |FROM m""".stripMargin
+
+  private val corpusStatsSql =
+    s"""WITH t AS (SELECT doc_id, source, text, $toks AS toks FROM documents),
+       |c AS (SELECT doc_id, source, text, toks,
+       |  len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopEn)} AS stop_ratio,
+       |  length(regexp_replace(text, '[^a-z ]', '', 'g')) AS alpha_chars
+       |FROM t),
+       |m AS (SELECT doc_id, source, n_tokens, n_distinct,
+       |  (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) +
+       |  (CASE WHEN stop_ratio > 0 THEN 1.0 ELSE 0.0 END) +
+       |  CASE WHEN n_tokens > 0 THEN n_distinct::DOUBLE / n_tokens ELSE 0::DOUBLE END +
+       |  CASE WHEN length(text) > 0 THEN alpha_chars::DOUBLE / length(text) ELSE 0::DOUBLE END AS quality_score
+       |FROM c)
+       |SELECT source, COUNT(*) AS n_docs, SUM(n_tokens::BIGINT) AS total_tokens,
+       |  SUM(n_distinct::BIGINT) AS total_distinct_tokens,
+       |  MIN(quality_score) AS min_quality, MAX(quality_score) AS max_quality
+       |FROM m GROUP BY source""".stripMargin
+
+  private val exactSql =
+    """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** Exact all-pairs n-gram Jaccard — oracle for BOTH the exact explode-join
+    * query and the MinHash+LSH query (whose verified candidates equal the
+    * exact result; miss probability ~2e-8 per qualifying pair). */
+  private val jaccardSql =
+    s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+       |sets AS (SELECT doc_id, list_distinct(${Portable.shinglesDuck("toks", 3)}) AS sh FROM docs),
+       |sets2 AS (SELECT doc_id, sh, len(sh) AS n FROM sets WHERE len(sh) > 0),
+       |shr AS (SELECT doc_id, unnest(sh) AS s FROM sets2),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b, inter::DOUBLE / (x.n + y.n - inter) AS jaccard
+       |  FROM pr JOIN sets2 x ON doc_a = x.doc_id JOIN sets2 y ON doc_b = y.doc_id)
+       |WHERE jaccard >= $JaccardTau""".stripMargin
+
+  private val simhashSql = {
+    val s1 = (0 until Portable.SimBits)
+      .map(j => s"${Portable.simBitSumDuck("h1", "w", j)} AS s1_$j").mkString(", ")
+    val s2 = (0 until Portable.SimBits)
+      .map(j => s"${Portable.simBitSumDuck("h2", "w", j)} AS s2_$j").mkString(", ")
+    s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM docs),
+       |tc AS (SELECT doc_id, t, COUNT(*)::BIGINT AS w FROM tok GROUP BY doc_id, t),
+       |th AS (SELECT doc_id, w, ${Portable.phashDuck("t")} AS h1 FROM tc),
+       |th2 AS (SELECT doc_id, w, h1, (h1 * ${Portable.H2A} + ${Portable.H2B}) % ${Portable.P} AS h2 FROM th),
+       |sums AS (SELECT doc_id, $s1, $s2 FROM th2 GROUP BY doc_id),
+       |fp AS (SELECT doc_id, ${Portable.simFingerprintDuck("s1_")} AS fp1,
+       |  ${Portable.simFingerprintDuck("s2_")} AS fp2 FROM sums)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    ${Portable.hammingDuck("a.fp1", "b.fp1", "a.fp2", "b.fp2")} AS hamming
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+       |WHERE hamming <= $MaxHamming""".stripMargin
+  }
+
+  private val embCosineSql =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  ${Portable.normDuck("embedding")} AS nrm FROM embeddings)
+       |SELECT vec_a, vec_b, cosine FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    (${Portable.dotDuck("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cosine
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |WHERE cosine >= $CosineTau""".stripMargin
+
+  private val annBruteSql =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  ${Portable.normDuck("embedding")} AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS emb_q, nrm AS norm_q FROM e WHERE vec_id < $NQueries),
+       |s AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+       |    (${Portable.dotDuck("emb_q", "v.embedding")}) / (norm_q * v.nrm) AS cosine
+       |  FROM e v CROSS JOIN q WHERE v.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |  FROM s)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= $TopK""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "text_token_stats"       -> tokenStatsSql,
+    "text_language_id"       -> languageIdSql,
+    "text_quality_score"     -> qualityScoreSql,
+    "text_corpus_stats"      -> corpusStatsSql,
+    "dedup_exact"            -> exactSql,
+    "dedup_ngram_jaccard"    -> jaccardSql,
+    "dedup_minhash_lsh"      -> jaccardSql,
+    "dedup_simhash"          -> simhashSql,
+    "dedup_embedding_cosine" -> embCosineSql,
+    "ann_brute_force_topk"   -> annBruteSql)
+}
