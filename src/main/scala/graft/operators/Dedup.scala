@@ -158,13 +158,14 @@ object Dedup {
     * [[Similarity]] there). Norms are precomputed once per vector so each pair
     * costs one fixed-order dot product. */
   def embeddingNearDupPairs(emb: DataFrame, tau: Double = 0.4): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col("vec_id"), col("embedding"),
-      expr(Portable.normSpark("embedding")).as("nrm"))
+      sqrt(expr("graft_dot(embedding, embedding)")).as("nrm"))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nrm").as("norm_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("norm_b"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("cosine",
-        expr(s"(${Portable.dotSpark("emb_a", "emb_b")})") / (col("norm_a") * col("norm_b")))
+        expr("graft_dot(emb_a, emb_b)") / (col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= tau)
       .select("vec_a", "vec_b", "cosine")
   }

@@ -4,26 +4,32 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
+import graft.plans.GraftFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * Two tiers, mirroring how a 100 TB training-data pipeline would run:
   *  - [[bruteForceTopK]]: exact cosine top-k of a (small, broadcast) query set
-  *    against the full vector table. One pass over the vectors, per-partition
-  *    top-k heaps via TakeOrdered-style window + filter. This is the
-  *    correctness baseline and the oracle-checked path.
-  *  - [[lshAnnTopK]]: random-hyperplane LSH bucketing — vectors and queries
-  *    are signed against `nBits` fixed pseudo-random hyperplanes; candidates
-  *    are vectors sharing a bucket with the query in any of `nTables` hash
-  *    tables; exact cosine re-ranks candidates. Probe cost scales with bucket
-  *    occupancy, not table size; buckets are an equi-join key so the probe is
-  *    a shuffle join, not a cross join.
+  *    against the full vector table — one scan of the vectors, per-query
+  *    row_number top-k. Correctness baseline; oracle-checked.
+  *  - [[lshAnnTopK]]: random-hyperplane LSH — vectors and queries are signed
+  *    against fixed pseudo-random hyperplanes into `nTables` bucket ids;
+  *    candidates share a (table, bucket) equi-join key, so probe cost scales
+  *    with bucket occupancy, not table size; exact cosine re-ranks candidates.
+  *
+  * The cosine hot path is [[graft.plans.ArrayDotProduct]] (`graft_dot`), a
+  * codegen'd native expression bitwise-equal to the portable SQL chain the
+  * DuckDB oracle evaluates.
   */
 object Similarity {
 
-  private def withNorm(df: DataFrame): DataFrame =
+  private def withNorm(df: DataFrame): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     df.select(col("vec_id"), col("embedding"),
-      expr(Portable.normSpark("embedding")).as("nrm"))
+      sqrt(expr("graft_dot(embedding, embedding)")).as("nrm"))
+  }
+
+  private def cosineCol = expr("graft_dot(emb_q, emb_v)") / (col("norm_q") * col("norm_v"))
 
   /** Exact cosine top-k for queries `vec_id < nQueries` (self excluded). */
   def bruteForceTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 10): DataFrame = {
@@ -32,8 +38,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"), col("nrm").as("norm_q"))
     val v = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_v"), col("nrm").as("norm_v"))
     val scored = v.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        expr(s"(${Portable.dotSpark("emb_q", "emb_v")})") / (col("norm_q") * col("norm_v")))
+      .withColumn("cosine", cosineCol)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -41,28 +46,39 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rnk")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (bit, dim) — cheap
-    * integer mix mapped to [-1, 1); shared with tests, never with an oracle
-    * (ANN answers are approximate by design). */
-  private def plane(bit: Int, d: Int): Double = {
-    val h = math.floorMod(1103515245L * (bit * 131L + d * 31L + 17L) + 12345L, 1L << 31)
-    h.toDouble / (1L << 30).toDouble - 1.0
-  }
+  /** Deterministic pseudo-random hyperplanes, materialized once on the driver
+    * and closed over by the bucket UDF (a few KB — broadcast with the task). */
+  private def planes(nPlanes: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, Portable.Dim) { (p, d) =>
+      val h = math.floorMod(1103515245L * (p * 131L + d * 31L + 17L) + 12345L, 1L << 31)
+      h.toDouble / (1L << 30).toDouble - 1.0
+    }
 
-  /** LSH signature: for each table, an `nBits`-bit bucket id from hyperplane
-    * signs. Returns (vec_id, table, bucket). */
+  /** LSH signatures: (vec_id, embedding, table, bucket) — one row per hash
+    * table. Bucket ids come from a single UDF pass (nTables*nBits*Dim flops
+    * per vector) instead of a giant per-bit expression tree. */
   def lshBuckets(emb: DataFrame, nTables: Int = 8, nBits: Int = 12): DataFrame = {
-    val buckets = (0 until nTables).map { t =>
-      val bits = (0 until nBits).map { b =>
-        val dot = (1 to Portable.Dim).map { d =>
-          s"cast(element_at(embedding, $d) as double) * ${plane(t * nBits + b, d)}"
-        }.mkString(" + ")
-        s"(CASE WHEN ($dot) >= 0 THEN ${1L << b} ELSE 0 END)"
-      }.mkString(" + ")
-      expr(s"cast($bits as bigint)")
+    val pl = planes(nTables * nBits)
+    val nT = nTables
+    val nB = nBits
+    val bucketsUdf = udf { (v: Seq[Float]) =>
+      Array.tabulate(nT) { t =>
+        var bucket = 0L
+        var b = 0
+        while (b < nB) {
+          val p = pl(t * nB + b)
+          var dot = 0.0
+          var i = 0
+          val n = math.min(v.length, p.length)
+          while (i < n) { dot += v(i) * p(i); i += 1 }
+          if (dot >= 0) bucket |= (1L << b)
+          b += 1
+        }
+        bucket
+      }
     }
     emb.select(col("vec_id"), col("embedding"),
-        posexplode(array(buckets: _*)).as(Seq("table", "bucket")))
+        posexplode(bucketsUdf(col("embedding"))).as(Seq("table", "bucket")))
       .select("vec_id", "embedding", "table", "bucket")
   }
 
@@ -70,18 +86,17 @@ object Similarity {
   def lshAnnTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 10,
                  nTables: Int = 8, nBits: Int = 12): DataFrame = {
     val e = withNorm(emb)
-    val bk = lshBuckets(emb, nTables, nBits)
+    val bk = lshBuckets(emb, nTables, nBits).drop("embedding")
     val qb = bk.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
-    val cand = bk.join(qb, Seq("table", "bucket"))
+    val cand = bk.join(broadcast(qb), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("emb_q"), col("nrm").as("norm_q"))
     val v = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_v"), col("nrm").as("norm_v"))
     val scored = cand.join(broadcast(q), "query_id").join(v, "neighbor_id")
-      .withColumn("cosine",
-        expr(s"(${Portable.dotSpark("emb_q", "emb_v")})") / (col("norm_q") * col("norm_v")))
+      .withColumn("cosine", cosineCol)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
