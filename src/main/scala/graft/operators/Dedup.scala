@@ -84,9 +84,10 @@ object Dedup {
                       rowsPerBand: Int = 3, tau: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
     val fam = Portable.hashFamily(k)
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val sets = shingleSets(docs, n)
     val sh = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .withColumn("ph", expr(Portable.phashSpark("s")))
+      .withColumn("ph", expr("graft_phash(s)"))
     val sigCols = fam.zipWithIndex.map { case ((a, b), i) =>
       min(expr(Portable.affineHash("ph", a, b))).as(s"m$i")
     }
@@ -115,11 +116,12 @@ object Dedup {
   /** Count-weighted 60-bit simhash fingerprints: doc_id, fp1, fp2 (two 30-bit
     * halves so every bit op stays in safe BIGINT range in both engines). */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val tc = docs
       .withColumn("toks", expr(Portable.tokensSpark("text")))
       .select(col("doc_id"), explode(col("toks")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("w"))
-      .withColumn("h1", expr(Portable.phashSpark("t")))
+      .withColumn("h1", expr("graft_phash(t)"))
       .withColumn("h2", expr(s"(h1 * ${Portable.H2A} + ${Portable.H2B}) % ${Portable.P}"))
     val sumCols =
       (0 until Portable.SimBits).map(j => expr(Portable.simBitSumSpark("h1", "w", j)).as(s"s1_$j")) ++

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Batched single-scan profiling — the reference's core optimization re-built
+  * as programmatic Column lists (reference: datagrunt_agent/tools/quality.py:6-8
+  * "wide-SELECT FILTER batching", column_stats.sql, null_analysis.sql).
+  *
+  * Every profile is ONE wide hash aggregate: cost is a single table scan
+  * regardless of how many columns/metrics are requested, and partial
+  * aggregation happens map-side, so at 100 TB the shuffle carries one row per
+  * partition, not data. Exact variants feed the DuckDB oracle; approx variants
+  * (HLL++/quantile sketches) are the default at scale where a ±2% answer for
+  * 100× less memory is the right trade — their sketch internals differ across
+  * engines, so they are covered by ScalaTest bounds instead of hash equality.
+  */
+object Profiling {
+
+  /** One row: total_rows + per-column non-null counts `nn_<col>`. */
+  def nullAnalysis(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = cols.map(c => count(col(c)).as(s"nn_$c"))
+    df.agg(count(lit(1)).as("total_rows"), aggs: _*)
+  }
+
+  /** One row of exact stats: min/max for `numericCols` and `stringCols`,
+    * exact distinct counts for `keyCols`. */
+  def columnStats(df: DataFrame, numericCols: Seq[String], stringCols: Seq[String],
+                  keyCols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] =
+      numericCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      stringCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      keyCols.map(c => countDistinct(col(c)).as(s"ndv_$c"))
+    df.agg(count(lit(1)).as("total_rows"), aggs: _*)
+  }
+
+  /** Approximate twin of [[columnStats]] for the 100 TB path: HLL++ distinct
+    * counts and approximate quartiles, still one scan. */
+  def columnStatsApprox(df: DataFrame, numericCols: Seq[String],
+                        keyCols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] =
+      numericCols.flatMap(c => Seq(
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        expr(s"percentile_approx($c, 0.5)").as(s"p50_$c"))) ++
+      keyCols.map(c => approx_count_distinct(col(c)).as(s"andv_$c"))
+    df.agg(count(lit(1)).as("total_rows"), aggs: _*)
+  }
+
+  /** Reference duplicate_detection.sql: key groups with count > 1, top-k by
+    * count with a total-order tie-break so LIMIT is deterministic. */
+  def duplicateKeys(df: DataFrame, keys: Seq[String], limit: Int = 50): DataFrame = {
+    val sortCols = col("dup_count").desc +: keys.map(col(_).asc)
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+      .orderBy(sortCols: _*)
+      .limit(limit)
+  }
+
+  /** Fixed-width histogram of a numeric column (floor(x / width) buckets). */
+  def histogram(df: DataFrame, c: String, width: Double): DataFrame =
+    df.groupBy(floor(col(c) / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col(c)).as("min_v"), max(col(c)).as("max_v"))
+
+  /** Reference approximate_duplicates.sql: whole-row duplicate count via
+    * md5 of concat_ws over all columns (exact for distinct-hash purposes). */
+  def approxDuplicateCount(df: DataFrame): DataFrame = {
+    val h = md5(concat_ws("", df.columns.map(c => col(c).cast("string")): _*))
+    df.agg(
+      count(lit(1)).as("total_rows"),
+      countDistinct(h).as("distinct_rows"),
+      (count(lit(1)) - countDistinct(h)).as("duplicate_rows"))
+  }
+}

@@ -14,7 +14,8 @@ object TextOps {
 
   /** Per-document token statistics + polynomial fingerprint of the raw text.
     * Counts are exact integers; the average is one int/int double division. */
-  def tokenStats(docs: DataFrame): DataFrame =
+  def tokenStats(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("toks", expr(Portable.tokensSpark("text")))
       .select(
@@ -27,11 +28,12 @@ object TextOps {
         expr("aggregate(transform(toks, x -> cast(ceil(length(x) / 4.0) as bigint)), cast(0 as bigint), (a, x) -> a + x)")
           .as("n_subword_est"),
         length(col("text")).as("n_chars_text"),
-        expr(Portable.phashSpark("text")).as("fingerprint"))
+        expr("graft_phash(text)").as("fingerprint"))
       .withColumn("avg_token_len",
         when(col("n_tokens") > 0,
           col("n_token_chars").cast("double") / col("n_tokens"))
           .otherwise(lit(0.0)))
+  }
 
   /** Stopword-ratio language scores + argmax prediction (deterministic
     * left-biased tie-break: en > es > de > fr > unknown). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -59,6 +59,63 @@ case class ArrayDotProduct(left: Expression, right: Expression) extends BinaryEx
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: polynomial rolling hash over Unicode code
+  * points, `acc = (acc*131 + cp) mod 1e9+7` starting from 7.
+  *
+  * Bitwise-equal to [[graft.functions.Portable.phashSpark]]'s higher-order
+  * `aggregate(transform(sequence(...)))` chain (Spark `substr`/`ascii` index
+  * by code point, as does this loop) and to the DuckDB `list_reduce` oracle
+  * form — but evaluated as one codegen'd loop instead of materializing a
+  * per-character int array per row. This is the MinHash/SimHash shingle-hash
+  * hot path: at 100 TB every token of the corpus passes through it.
+  */
+case class StringPolyHash(child: Expression) extends UnaryExpression {
+  import graft.functions.Portable
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_phash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_phash expects a string argument, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    var acc = Portable.Seed
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * Portable.Mult + cp) % Portable.P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+         |String $s = $a.toString();
+         |long $acc = ${Portable.Seed}L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * ${Portable.Mult}L + $cp) % ${Portable.P}L;
+         |  $i += Character.charCount($cp);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration for graft's native expressions.
   *
   * Two paths to the same registry entry:
@@ -75,12 +132,23 @@ object GraftFunctions {
       s"graft_dot takes exactly 2 arguments, got ${other.size}")
   }
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
+  val phashInfo = new ExpressionInfo(classOf[StringPolyHash].getName, "graft_phash")
+  val phashBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => StringPolyHash(a)
+    case other => throw new IllegalArgumentException(
+      s"graft_phash takes exactly 1 argument, got ${other.size}")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_phash", phashBuilder, "built-in")
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dot"), GraftFunctions.dotInfo, GraftFunctions.dotBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_phash"), GraftFunctions.phashInfo, GraftFunctions.phashBuilder))
+  }
 }

@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Exact._
+import graft.core.Tables
+
+/** Event-stream queries: the reference's micro-batch/silver semantics
+  * (dedup-keep-latest, upsert, per-window rollups) re-expressed as Spark
+  * window/aggregate plans over the `events` table.
+  *
+  * Scale notes:
+  *  - dedup/sessionization windows partition by user/key — at 100 TB that is
+  *    one shuffle on a high-cardinality key, no global sort;
+  *  - rollups are straight hash aggregates with map-side partials;
+  *  - the upsert is the reference loader's delete-then-insert
+  *    (services/loader/bigquery_manager.py:259-316) as a left_anti +
+  *    unionByName — the same plan Iceberg's MERGE would produce without a
+  *    transactional catalog;
+  *  - IQR outliers mirror the reference quality scan
+  *    (datagrunt_agent/tools/quality.py:338-396): tiny per-group bounds
+  *    aggregate, broadcast back, one conditional-count pass.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Microseconds since epoch of the NTZ event time (UTC session ⇒ exact). */
+  private val epUs = "unix_micros(cast(ts as timestamp))"
+  private val SessionGapUs = 1800000000L // 30 min
+  private val UpsertCutoff = "2024-02-01 00:00:00"
+
+  /** Silver dedup-keep-latest (reference silver/transformations/users.sql:8-17):
+    * one row per (user_id, event_type), latest ts, event_id tie-break. */
+  def dedupLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+  }
+
+  /** Sessionization: 30-min inactivity gap via lag() + running sum. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("ep", expr(epUs))
+      .withColumn("prev_ep", lag(col("ep"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ep").isNull || col("ep") - col("prev_ep") > SessionGapUs, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (max(col("ep")) - min(col("ep"))).as("duration_us"))
+  }
+
+  /** Hourly rollup per event type — hash aggregate with exact decimal sums. */
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        davg(col("value")).as("avg_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** JSON property extraction + per-type stats (props is a JSON string). */
+  def jsonPropStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  /** Upsert semantics: events at/after the cutoff upsert into the pre-cutoff
+    * state keyed by (user_id, event_type); both sides reduced to latest-per-key
+    * first. Result = updates ∪ (base ⟕anti updates). */
+  def upsertLatest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    def latest(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    val cutoff = lit(UpsertCutoff).cast("timestamp_ntz")
+    val base = latest(e.filter(col("ts") < cutoff))
+    val upd  = latest(e.filter(col("ts") >= cutoff))
+    val kept = base.join(upd.select("user_id", "event_type"),
+      Seq("user_id", "event_type"), "left_anti")
+    upd.withColumn("src", lit("update"))
+      .unionByName(kept.withColumn("src", lit("base")))
+  }
+
+  /** IQR outlier counts per event type (exact interpolated quartiles). */
+  def iqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val bounds = e.groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo", col("q1") - lit(1.5) * col("iqr"))
+      .withColumn("hi", col("q3") + lit(1.5) * col("iqr"))
+    e.join(broadcast(bounds), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("value") < col("lo") || col("value") > col("hi"), lit(1)))
+          .as("n_outliers"),
+        first(col("q1")).as("q1"), first(col("q3")).as("q3"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "events_dedup_latest"  -> (dedupLatest _),
+    "events_sessionize"    -> (sessionize _),
+    "events_hourly_rollup" -> (hourlyRollup _),
+    "events_json_props"    -> (jsonPropStats _),
+    "events_upsert_latest" -> (upsertLatest _),
+    "events_iqr_outliers"  -> (iqrOutliers _))
+
+  private val eCte =
+    "SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value, props, " +
+      "epoch_us(CAST(ts AS TIMESTAMP)) AS ep FROM events"
+
+  val oracle: Map[String, String] = Map(
+    "events_dedup_latest" ->
+      s"""WITH e AS ($eCte)
+         |SELECT event_id, user_id, event_type, ts, value FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+         |    ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+         |WHERE rn = 1""".stripMargin,
+    "events_sessionize" ->
+      s"""WITH e AS ($eCte),
+         |f AS (SELECT *, LAG(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ep FROM e),
+         |g AS (SELECT *, CASE WHEN prev_ep IS NULL OR ep - prev_ep > $SessionGapUs THEN 1 ELSE 0 END AS new_session FROM f),
+         |h AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |  ROWS UNBOUNDED PRECEDING) AS session_seq FROM g)
+         |SELECT user_id, session_seq, COUNT(*) AS n_events,
+         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+         |  MAX(ep) - MIN(ep) AS duration_us
+         |FROM h GROUP BY user_id, session_seq""".stripMargin,
+    "events_hourly_rollup" ->
+      s"""WITH e AS ($eCte)
+         |SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value,
+         |  COUNT(DISTINCT user_id) AS n_users
+         |FROM e GROUP BY 1, 2""".stripMargin,
+    "events_json_props" ->
+      s"""WITH e AS ($eCte),
+         |k AS (SELECT event_type, json_extract(props, '$$.k')::BIGINT AS k FROM e)
+         |SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
+         |  SUM(k) AS sum_k, SUM(k)::DOUBLE / COUNT(k) AS avg_k,
+         |  MIN(k) AS min_k, MAX(k) AS max_k
+         |FROM k GROUP BY event_type""".stripMargin,
+    "events_upsert_latest" ->
+      s"""WITH e AS ($eCte),
+         |base AS (SELECT user_id, event_type, event_id, ts, value FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+         |    ORDER BY ts DESC, event_id DESC) AS rn FROM e WHERE ts < TIMESTAMP '$UpsertCutoff')
+         |  WHERE rn = 1),
+         |upd AS (SELECT user_id, event_type, event_id, ts, value FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+         |    ORDER BY ts DESC, event_id DESC) AS rn FROM e WHERE ts >= TIMESTAMP '$UpsertCutoff')
+         |  WHERE rn = 1)
+         |SELECT user_id, event_type, event_id, ts, value, 'update' AS src FROM upd
+         |UNION ALL
+         |SELECT b.user_id, b.event_type, b.event_id, b.ts, b.value, 'base' AS src FROM base b
+         |WHERE NOT EXISTS (SELECT 1 FROM upd u
+         |  WHERE u.user_id = b.user_id AND u.event_type = b.event_type)""".stripMargin,
+    "events_iqr_outliers" ->
+      s"""WITH e AS ($eCte),
+         |b AS (SELECT event_type, quantile_cont(value, 0.25) AS q1,
+         |    quantile_cont(value, 0.75) AS q3 FROM e GROUP BY event_type),
+         |b2 AS (SELECT event_type, q1, q3, q1 - 1.5 * (q3 - q1) AS lo,
+         |    q3 + 1.5 * (q3 - q1) AS hi FROM b)
+         |SELECT e.event_type, COUNT(*) AS n_events,
+         |  COUNT(*) FILTER (WHERE value < lo OR value > hi) AS n_outliers,
+         |  ANY_VALUE(q1) AS q1, ANY_VALUE(q3) AS q3,
+         |  ANY_VALUE(lo) AS lo, ANY_VALUE(hi) AS hi
+         |FROM e JOIN b2 ON e.event_type = b2.event_type
+         |GROUP BY e.event_type""".stripMargin)
+}
