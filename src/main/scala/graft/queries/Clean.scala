@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Exact._
+import graft.core.Tables
+import graft.operators.Cleaning
+
+/** Cleaning-protocol queries: deterministic dirty data is CONSTRUCTED from the
+  * clean test tables (key-modulo dirt injection — whitespace padding, null
+  * sentinels, mojibake, mixed genders, broken emails, multi-format dates,
+  * currency-prefixed prices), then repaired by the [[Cleaning]] operators.
+  * The DuckDB oracle performs the identical construction + repair, so the gate
+  * proves transform semantics, not just plumbing.
+  *
+  * DuckDB has no initcap; the oracle inlines an exact emulation of Spark's
+  * (split on single space, first char upper, rest lower, empties preserved).
+  */
+object Clean {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB text of Spark's initcap semantics. */
+  private def icDuck(x: String): String =
+    s"array_to_string(list_transform(string_split(lower($x), ' '), w -> upper(w[1:1]) || w[2:]), ' ')"
+
+  // ---- customer pipeline ---------------------------------------------------
+
+  def customerPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .withColumn("k", col("c_custkey"))
+      // dirt injection (deterministic by key)
+      .withColumn("dirty_name", concat(lit("  "), col("c_name"), lit("  ")))
+      .withColumn("dirty_seg", expr(
+        """CASE CAST(k % 11 AS INT)
+          |  WHEN 0 THEN 'N/A' WHEN 1 THEN 'null' WHEN 2 THEN ' ' WHEN 3 THEN 'MISSING'
+          |  ELSE c_mktsegment END""".stripMargin))
+      .withColumn("dirty_city", expr(
+        s"CASE WHEN k % 7 = 0 THEN concat('CafÃ© ', c_name) ELSE c_name END"))
+      .withColumn("dirty_gender", expr(
+        """CASE CAST(k % 6 AS INT)
+          |  WHEN 0 THEN 'M' WHEN 1 THEN 'MALE' WHEN 2 THEN 'f' WHEN 3 THEN 'Female'
+          |  WHEN 4 THEN 'nonbinary' ELSE 'F' END""".stripMargin))
+      .withColumn("dirty_email", expr(
+        """CASE CAST(k % 4 AS INT)
+          |  WHEN 0 THEN concat('User', CAST(k AS STRING), '@Example.COM')
+          |  WHEN 1 THEN concat('  user', CAST(k AS STRING), '@test.org  ')
+          |  ELSE concat('not an email ', CAST(k AS STRING)) END""".stripMargin))
+      .withColumn("dirty_state", expr(
+        """CASE CAST(k % 5 AS INT)
+          |  WHEN 0 THEN 'ca' WHEN 1 THEN 'TX' WHEN 2 THEN 'new york'
+          |  WHEN 3 THEN ' wa ' ELSE 'north carolina' END""".stripMargin))
+    // repair via the cleaning protocol
+    c.select(
+      col("c_custkey"),
+      Cleaning.trimWs(col("dirty_name")).as("clean_name"),
+      Cleaning.caseNormalize(Cleaning.protocol(col("dirty_seg"))).as("clean_seg"),
+      Cleaning.mojibakeRepair(col("dirty_city")).as("clean_city"),
+      Cleaning.genderExpand(col("dirty_gender")).as("clean_gender"),
+      Cleaning.emailClean(col("dirty_email")).as("clean_email"),
+      Cleaning.stateFormat(col("dirty_state")).as("clean_state"))
+  }
+
+  private val customerPipelineSql = {
+    val ic = icDuck _
+    s"""WITH d AS (
+       |  SELECT c_custkey, c_custkey AS k, c_name, c_mktsegment,
+       |    '  ' || c_name || '  ' AS dirty_name,
+       |    CASE CAST(k % 11 AS INT) WHEN 0 THEN 'N/A' WHEN 1 THEN 'null' WHEN 2 THEN ' '
+       |      WHEN 3 THEN 'MISSING' ELSE c_mktsegment END AS dirty_seg,
+       |    CASE WHEN k % 7 = 0 THEN 'CafÃ© ' || c_name ELSE c_name END AS dirty_city,
+       |    CASE CAST(k % 6 AS INT) WHEN 0 THEN 'M' WHEN 1 THEN 'MALE' WHEN 2 THEN 'f'
+       |      WHEN 3 THEN 'Female' WHEN 4 THEN 'nonbinary' ELSE 'F' END AS dirty_gender,
+       |    CASE CAST(k % 4 AS INT)
+       |      WHEN 0 THEN 'User' || CAST(k AS VARCHAR) || '@Example.COM'
+       |      WHEN 1 THEN '  user' || CAST(k AS VARCHAR) || '@test.org  '
+       |      ELSE 'not an email ' || CAST(k AS VARCHAR) END AS dirty_email,
+       |    CASE CAST(k % 5 AS INT) WHEN 0 THEN 'ca' WHEN 1 THEN 'TX' WHEN 2 THEN 'new york'
+       |      WHEN 3 THEN ' wa ' ELSE 'north carolina' END AS dirty_state
+       |  FROM customer)
+       |SELECT c_custkey,
+       |  trim(dirty_name) AS clean_name,
+       |  lower(CASE WHEN lower(trim(dirty_seg)) IN (${Cleaning.NullSentinels.map(x => s"'$x'").mkString(", ")})
+       |    OR trim(dirty_seg) = '' THEN NULL ELSE trim(dirty_seg) END) AS clean_seg,
+       |  replace(dirty_city, 'CafÃ©', 'Café') AS clean_city,
+       |  CASE WHEN upper(trim(dirty_gender)) IN ('M', 'MALE') THEN 'Male'
+       |       WHEN upper(trim(dirty_gender)) IN ('F', 'FEMALE') THEN 'Female'
+       |       ELSE ${ic("trim(dirty_gender)")} END AS clean_gender,
+       |  CASE WHEN regexp_full_match(trim(dirty_email), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+       |       THEN lower(trim(dirty_email)) ELSE NULL END AS clean_email,
+       |  CASE WHEN length(trim(dirty_state)) = 2 THEN upper(trim(dirty_state))
+       |       ELSE ${ic("trim(dirty_state)")} END AS clean_state
+       |FROM d""".stripMargin
+  }
+
+  // ---- currency extraction -------------------------------------------------
+
+  def currencyExtract(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("dec_str",
+        col("o_totalprice").cast("decimal(12,2)").cast("string"))
+      .withColumn("price_str", expr(
+        s"""CASE CAST(o_orderkey % 5 AS INT)
+           |  WHEN 0 THEN concat('$$', dec_str)
+           |  WHEN 1 THEN concat('EUR ', dec_str)
+           |  WHEN 2 THEN concat('£', dec_str)
+           |  WHEN 3 THEN concat('¥', dec_str)
+           |  ELSE dec_str END""".stripMargin))
+      .withColumn("value_type", Cleaning.currencyCode(col("price_str")))
+      .withColumn("value", Cleaning.currencyValue("price_str"))
+    o.groupBy("value_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+  }
+
+  private val currencyExtractSql =
+    s"""WITH d AS (
+       |  SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS dec_str
+       |  FROM orders),
+       |p AS (SELECT o_orderkey,
+       |  CASE CAST(o_orderkey % 5 AS INT)
+       |    WHEN 0 THEN '$$' || dec_str WHEN 1 THEN 'EUR ' || dec_str
+       |    WHEN 2 THEN '£' || dec_str WHEN 3 THEN '¥' || dec_str
+       |    ELSE dec_str END AS price_str
+       |  FROM d),
+       |e AS (SELECT
+       |  CASE regexp_extract(trim(price_str), '^(\\$$|EUR |£|¥)', 1)
+       |    WHEN '$$' THEN 'USD' WHEN 'EUR ' THEN 'EUR' WHEN '£' THEN 'GBP'
+       |    WHEN '¥' THEN 'JPY' ELSE NULL END AS value_type,
+       |  TRY_CAST(regexp_replace(trim(price_str), '^(\\$$|EUR |£|¥)', '') AS DOUBLE) AS value
+       |  FROM p)
+       |SELECT value_type, COUNT(*) AS n,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |FROM e GROUP BY value_type""".stripMargin
+
+  // ---- multi-format date standardization -----------------------------------
+
+  def datesMultiformat(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("d", to_date(col("o_orderdate")))
+      .withColumn("dirty_date", expr(
+        """CASE CAST(o_orderkey % 4 AS INT)
+          |  WHEN 0 THEN date_format(d, 'yyyy-MM-dd')
+          |  WHEN 1 THEN date_format(d, 'M/d/yyyy')
+          |  WHEN 2 THEN date_format(d, 'dd.MM.yyyy')
+          |  ELSE date_format(d, 'yyyyMMdd') END""".stripMargin))
+    o.select(
+      col("o_orderkey"),
+      col("dirty_date"),
+      Cleaning.parseDateMulti("dirty_date").as("parsed_date"),
+      Cleaning.dateStandardize("dirty_date").as("std_date"))
+  }
+
+  private val datesMultiformatSql =
+    """WITH d AS (
+      |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+      |p AS (SELECT o_orderkey,
+      |  CASE CAST(o_orderkey % 4 AS INT)
+      |    WHEN 0 THEN strftime(d, '%Y-%m-%d')
+      |    WHEN 1 THEN strftime(d, '%-m/%-d/%Y')
+      |    WHEN 2 THEN strftime(d, '%d.%m.%Y')
+      |    ELSE strftime(d, '%Y%m%d') END AS dirty_date
+      |  FROM d),
+      |q AS (SELECT o_orderkey, dirty_date,
+      |  CAST(COALESCE(try_strptime(dirty_date, '%Y-%m-%d'), try_strptime(dirty_date, '%-m/%-d/%Y'),
+      |    try_strptime(dirty_date, '%d.%m.%Y'), try_strptime(dirty_date, '%Y%m%d')) AS DATE) AS parsed_date
+      |  FROM p)
+      |SELECT o_orderkey, dirty_date, parsed_date,
+      |  strftime(parsed_date, '%Y-%m-%d') AS std_date
+      |FROM q""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "clean_customer_pipeline" -> (customerPipeline _),
+    "clean_currency_extract"  -> (currencyExtract _),
+    "clean_dates_multiformat" -> (datesMultiformat _))
+
+  val oracle: Map[String, String] = Map(
+    "clean_customer_pipeline" -> customerPipelineSql,
+    "clean_currency_extract"  -> currencyExtractSql,
+    "clean_dates_multiformat" -> datesMultiformatSql)
+}
