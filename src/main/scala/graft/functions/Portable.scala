@@ -42,9 +42,12 @@ object Portable {
   def tokensDuck(c: String): String  = s"list_filter(string_split($c, ' '), x -> x <> '')"
 
   // ---- polynomial rolling hash over codepoints -----------------------------
+  /** NOTE the empty-string guard: Spark's `sequence(1, 0)` is DESCENDING
+    * ([1, 0]), not empty, so the unguarded fold would hash two phantom chars. */
   def phashSpark(s: String): String =
-    s"aggregate(transform(sequence(1, length($s)), i -> ascii(substr($s, i, 1))), " +
-      s"cast($Seed as bigint), (acc, c) -> (acc * $Mult + c) % $P)"
+    s"CASE WHEN length($s) = 0 THEN cast($Seed as bigint) ELSE " +
+      s"aggregate(transform(sequence(1, length($s)), i -> ascii(substr($s, i, 1))), " +
+      s"cast($Seed as bigint), (acc, c) -> (acc * $Mult + c) % $P) END"
   def phashDuck(s: String): String =
     s"list_reduce(list_prepend($Seed::BIGINT, [unicode($s[i:i]) for i in range(1, length($s)+1)]), " +
       s"(acc, c) -> (acc * $Mult + c) % $P)"

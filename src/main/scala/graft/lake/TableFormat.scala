@@ -1,0 +1,104 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write-path semantics of the reference loader (services/loader/
+  * bigquery_manager.py): create / append / overwrite / upsert with additive
+  * schema evolution, re-expressed on a Parquet-directory table (no Iceberg
+  * jars ship in this build; the trait boundary is where an Iceberg catalog
+  * implementation would slot in — `df.writeTo(t).append()` etc. — without
+  * touching callers).
+  *
+  * Semantics preserved from the reference:
+  *  - schema evolution is ADDITIVE: new columns append, old rows read NULL
+  *    (bigquery_manager.py:27-79 evolve_schema);
+  *  - column alignment casts with try_cast and fills missing with NULL
+  *    (bigquery_manager.py:220-256 _build_cast_select);
+  *  - upsert = delete target rows matching source keys, then insert
+  *    (bigquery_manager.py:259-316) — here a left_anti join + union;
+  *  - writers never mutate in place: each commit writes a fresh versioned
+  *    directory and flips a LAST pointer file, so readers see atomic swaps
+  *    (the moral equivalent of the reference's staging->archive move,
+  *    loader/cleanup.py:15-46).
+  */
+trait TableFormat {
+  def create(df: DataFrame, table: String): Unit
+  def append(df: DataFrame, table: String): Unit
+  def overwrite(df: DataFrame, table: String): Unit
+  def upsert(df: DataFrame, table: String, keys: Seq[String]): Unit
+  def read(spark: SparkSession, table: String): DataFrame
+  def exists(table: String): Boolean
+}
+
+/** Versioned Parquet-directory table: `<root>/<table>/v<N>/` + `LAST` pointer.
+  * Readers resolve the pointer then scan one immutable snapshot directory —
+  * writers commit by writing v<N+1> fully, then flipping the pointer (atomic
+  * file move). Concurrent readers never see partial data. */
+class ParquetDirFormat(root: String) extends TableFormat {
+
+  private def tableDir(table: String): Path = Paths.get(root, table)
+  private def pointer(table: String): Path = tableDir(table).resolve("LAST")
+
+  private def currentVersion(table: String): Option[Int] =
+    if (Files.exists(pointer(table)))
+      Some(new String(Files.readAllBytes(pointer(table))).trim.toInt)
+    else None
+
+  private def versionDir(table: String, v: Int): Path =
+    tableDir(table).resolve(s"v$v")
+
+  override def exists(table: String): Boolean = currentVersion(table).isDefined
+
+  override def read(spark: SparkSession, table: String): DataFrame = {
+    val v = currentVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    spark.read.parquet(versionDir(table, v).toString)
+  }
+
+  private def commit(df: DataFrame, table: String): Unit = {
+    val next = currentVersion(table).getOrElse(-1) + 1
+    val dir = versionDir(table, next)
+    df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    val tmp = tableDir(table).resolve(s".LAST.tmp$next")
+    Files.write(tmp, next.toString.getBytes)
+    Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def create(df: DataFrame, table: String): Unit = {
+    require(!exists(table), s"table already exists: $table")
+    commit(df, table)
+  }
+
+  /** Align `df` to the union schema of (target, df): existing columns
+    * try_cast to the target type, brand-new columns appended (additive
+    * evolution), columns absent from `df` read NULL via unionByName. */
+  override def append(df: DataFrame, table: String): Unit = {
+    if (!exists(table)) { create(df, table); return }
+    val spark = df.sparkSession
+    val target = read(spark, table)
+    val targetTypes = target.schema.map(f => f.name -> f.dataType).toMap
+    val aligned = df.select(df.columns.map { c =>
+      targetTypes.get(c) match {
+        case Some(t) if df.schema(c).dataType != t =>
+          expr(s"try_cast($c as ${t.sql})").as(c)
+        case _ => col(c)
+      }
+    }.toSeq: _*)
+    commit(target.unionByName(aligned, allowMissingColumns = true), table)
+  }
+
+  override def overwrite(df: DataFrame, table: String): Unit = commit(df, table)
+
+  /** Delete-matching-then-insert (reference upsert): rows in the target whose
+    * key appears in the source are replaced by the source rows. */
+  override def upsert(df: DataFrame, table: String, keys: Seq[String]): Unit = {
+    if (!exists(table)) { create(df, table); return }
+    val spark = df.sparkSession
+    val target = read(spark, table)
+    val kept = target.join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    commit(kept.unionByName(df, allowMissingColumns = true), table)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for a training-data
+  * pipeline: media travels as opaque `binary` columns with typed metadata;
+  * decode / feature-extract / frame-sample run as `mapPartitions` stages so a
+  * real codec drops in per-partition (amortizing library init across rows,
+  * the same batch shape `mapInPandas` gives Python).
+  *
+  * The decode step itself is STUBBED — no image/audio codecs ship in this
+  * container — with a deterministic fake that parses our synthetic header
+  * layout. Everything around it (schema, batching, partitioning, feature
+  * shapes) is real and tested; swap [[decodeStub]] for a JNI/codec call and
+  * nothing else changes.
+  */
+object Multimodal {
+
+  /** media row schema: (media_id long, modality string, content binary). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = true)))
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+
+  /** Deterministic fake decode: our synthetic header is
+    * [w_hi, w_lo, h_hi, h_lo, payload...]; checksum = polynomial hash of the
+    * payload bytes (same constants as graft_phash). */
+  def decodeStub(content: Array[Byte]): (Int, Int, Long) = {
+    val w = if (content.length >= 2) ((content(0) & 0xff) << 8) | (content(1) & 0xff) else 0
+    val h = if (content.length >= 4) ((content(2) & 0xff) << 8) | (content(3) & 0xff) else 0
+    var acc = 7L
+    var i = 4
+    while (i < content.length) {
+      acc = (acc * 131L + (content(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    (w, h, acc)
+  }
+
+  /** Decode metadata per partition — one stub "codec init" per partition, not
+    * per row (the pattern that matters when the codec is a real library). */
+  def extractMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select("media_id", "modality", "content").rdd.mapPartitions { it =>
+      // per-partition codec init would go here
+      it.map { r =>
+        val content = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
+        val (w, h, sum) = decodeStub(content)
+        Row(r.getLong(0), r.getString(1), w, h, content.length.toLong, sum)
+      }
+    }
+    spark.createDataFrame(out, metaSchema)
+  }
+
+  /** Fixed-size float feature vector from payload bytes (deterministic fake
+    * featurizer standing in for an embedding model; correct batch shape). */
+  def featurize(media: DataFrame, dim: Int = 16): DataFrame = {
+    val featSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val out = media.select("media_id", "content").rdd.mapPartitions { it =>
+      it.map { r =>
+        val content = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
+        val acc = new Array[Float](dim)
+        var i = 0
+        while (i < content.length) {
+          acc(i % dim) += (content(i) & 0xff) / 255.0f
+          i += 1
+        }
+        Row(r.getLong(0), acc.toSeq)
+      }
+    }
+    media.sparkSession.createDataFrame(out, featSchema)
+  }
+
+  /** Pseudo frame sampling for video-modality rows: emit `n` evenly spaced
+    * byte-window "frames" per media item (explode keeps it distributed). */
+  def frameSample(media: DataFrame, n: Int = 4, frameBytes: Int = 64): DataFrame =
+    media
+      .filter(col("modality") === "video")
+      .withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("frame_offset",
+        (col("frame_idx") * greatest(length(col("content")) - frameBytes, lit(1)) / n).cast("int"))
+      .withColumn("frame", expr(s"substring(content, frame_offset + 1, $frameBytes)"))
+      .select("media_id", "frame_idx", "frame_offset", "frame")
+}

@@ -56,8 +56,14 @@ object Similarity {
 
   /** LSH signatures: (vec_id, embedding, table, bucket) — one row per hash
     * table. Bucket ids come from a single UDF pass (nTables*nBits*Dim flops
-    * per vector) instead of a giant per-bit expression tree. */
-  def lshBuckets(emb: DataFrame, nTables: Int = 8, nBits: Int = 12): DataFrame = {
+    * per vector) instead of a giant per-bit expression tree.
+    *
+    * Tuning: P(query and true neighbor share a bucket) per table is
+    * (1 - θ/π)^nBits, so nBits trades probe cost against recall. This corpus
+    * has weak neighbors (cosine ≈ 0.3-0.5, θ ≈ 60-70°); 16 tables × 4 bits
+    * gives recall ≈ 0.8 at reduced probe cost. A denser corpus
+    * (θ ≈ 20-30°) supports 12-16 bits and probe costs in the 1% range. */
+  def lshBuckets(emb: DataFrame, nTables: Int = 16, nBits: Int = 4): DataFrame = {
     val pl = planes(nTables * nBits)
     val nT = nTables
     val nB = nBits
@@ -84,7 +90,7 @@ object Similarity {
 
   /** ANN top-k via LSH candidate generation + exact cosine re-rank. */
   def lshAnnTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 10,
-                 nTables: Int = 8, nBits: Int = 12): DataFrame = {
+                 nTables: Int = 16, nBits: Int = 4): DataFrame = {
     val e = withNorm(emb)
     val bk = lshBuckets(emb, nTables, nBits).drop("embedding")
     val qb = bk.filter(col("vec_id") < nQueries)

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** The reference's event-driven file pipeline (GCS object.finalized ->
+  * load -> clean -> export -> load, per-file exactly-once) as Structured
+  * Streaming: a file source watches an inbox directory, `foreachBatch` runs
+  * the batch cleaning pipeline, and the checkpoint provides the exactly-once
+  * file ledger that Firestore provides in the reference
+  * (services/logger/main.py:129-147 rank-monotonic upsert ≙ checkpoint commit
+  * log; re-delivered files are skipped on restart).
+  *
+  * At scale the same topology holds: the file source lists incrementally
+  * (`maxFilesPerTrigger` bounds micro-batch size), each micro-batch is a
+  * normal distributed job, and state never accumulates on the driver.
+  */
+object StreamPipeline {
+
+  /** Watch `inbox` for CSV files with `schema`, run `pipeline` on each
+    * micro-batch, append the result to `outDir` as parquet. Exactly-once per
+    * file via `checkpoint`. Caller controls lifetime via the returned query
+    * (use [[runAvailableNow]] for drain-and-stop semantics). */
+  def csvInbox(spark: SparkSession, inbox: String, schema: StructType,
+               pipeline: DataFrame => DataFrame, outDir: String,
+               checkpoint: String, maxFilesPerTrigger: Int = 16): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("header", true)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(inbox)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        pipeline(batch).write.mode("append").parquet(outDir)
+      }
+      .start()
+
+  /** Drain everything currently in the inbox, then stop. Re-running with the
+    * same checkpoint processes only files not yet committed. */
+  def runAvailableNow(q: StreamingQuery): Unit = q.awaitTermination()
+
+  /** Watermarked per-window aggregation over an event-time stream — the
+    * standard windowed-agg topology for the 100 TB path (state is bounded by
+    * the watermark; late data beyond it is dropped deterministically). */
+  def windowedCounts(events: DataFrame, tsCol: String, watermark: String,
+                     windowLength: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+  }
+}

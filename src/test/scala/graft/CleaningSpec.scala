@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Cleaning, Coercion}
+
+class CleaningSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.DataFrame
+
+  private def strDf(vals: (java.lang.Long, String)*): DataFrame = {
+    import spark.implicits._
+    vals.toDF("id", "v")
+  }
+
+  test("protocol order: mojibake -> trim -> empty -> sentinel") {
+    val df = strDf((1L, "  CafÃ©  "), (2L, "  N/A "), (3L, "   "), (4L, " ok "),
+      (5L, null))
+    val out = df.select(col("id"), Cleaning.protocol(col("v")).as("v")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).contains("Café"))
+    assert(out(2L).isEmpty)   // sentinel
+    assert(out(3L).isEmpty)   // empty after trim
+    assert(out(4L).contains("ok"))
+    assert(out(5L).isEmpty)
+  }
+
+  test("gender expansion and state format") {
+    val df = strDf((1L, " m "), (2L, "FEMALE"), (3L, "nonbinary"), (4L, "ny"),
+      (5L, "new york"))
+    val g = df.select(col("id"), Cleaning.genderExpand(col("v")).as("g")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(g(1L) == "Male" && g(2L) == "Female" && g(3L) == "Nonbinary")
+    val s = df.select(col("id"), Cleaning.stateFormat(col("v")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s(4L) == "NY" && s(5L) == "New York")
+  }
+
+  test("currency extraction") {
+    val df = strDf((1L, "$12.50"), (2L, "EUR 9.99"), (3L, "£5.00"), (4L, "¥700.00"),
+      (5L, "42.00"), (6L, "bad"))
+    val out = df.select(col("id"),
+      Cleaning.currencyCode(col("v")).as("code"),
+      Cleaning.currencyValue("v").as("value")).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), Option(r.get(2)))).toMap
+    assert(out(1L) == (Some("USD"), Some(12.5)))
+    assert(out(2L) == (Some("EUR"), Some(9.99)))
+    assert(out(3L) == (Some("GBP"), Some(5.0)))
+    assert(out(4L) == (Some("JPY"), Some(700.0)))
+    assert(out(5L) == (None, Some(42.0)))
+    assert(out(6L) == (None, None))
+  }
+
+  test("multi-format date parse") {
+    val df = strDf((1L, "2024-03-07"), (2L, "3/7/2024"), (3L, "07.03.2024"),
+      (4L, "20240307"), (5L, "not a date"))
+    val out = df.select(col("id"), Cleaning.dateStandardize("v").as("d")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    (1L to 4L).foreach(i => assert(out(i).contains("2024-03-07"), s"row $i"))
+    assert(out(5L).isEmpty)
+  }
+
+  test("flagDuplicates keeps first by order column") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "x"), (2L, "a", "x"), (3L, "b", "y"))
+      .toDF("rid", "c1", "c2")
+    val out = Cleaning.flagDuplicates(df, "rid").collect()
+      .map(r => r.getAs[Long]("rid") -> r.getAs[Boolean]("is_duplicate_in_file")).toMap
+    assert(!out(1L) && out(2L) && !out(3L))
+  }
+
+  test("dropHighNullColumns drops >90%-null column") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, if (i <= 5) "rare" else null, "keep"))
+      .toDF("id", "mostly_null", "full")
+    val out = Cleaning.dropHighNullColumns(df, 0.9)
+    assert(out.columns.toSet == Set("id", "full"))
+  }
+
+  test("evidence-based coercion tightens only confident columns") {
+    import spark.implicits._
+    val df = Seq(
+      ("1", "1.5", "2024-01-01", "true", "mixed"),
+      ("2", "2.5", "2024-01-02", "false", "3"),
+      ("3", "x", "2024-01-03", "true", "words")).toDF("i", "d", "dt", "b", "s")
+    val out = Coercion.coerce(df, threshold = 0.9)
+    val types = out.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("i") == "bigint")
+    assert(types("dt") == "date")
+    assert(types("b") == "boolean")
+    assert(types("d") == "string") // 2/3 castable-double < 90%
+    assert(types("s") == "string")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  def docs = Tables.documents(spark, TestSpark.sfDir)
+
+  test("minhash LSH pairs == exact n-gram jaccard pairs (verified candidates)") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, 3, 42, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty, "corpus should contain near-dup pairs")
+  }
+
+  test("exact dup groups partition the corpus") {
+    val n = docs.count()
+    val groups = Dedup.exactDupGroups(docs)
+    assert(groups.agg(sum("n_copies")).head().getLong(0) == n)
+    // survivors are minimal doc_ids: re-running on survivors is a fixpoint
+    val survivors = docs.join(
+      groups.select(col("keep_doc_id").as("doc_id")), "doc_id")
+    assert(Dedup.exactDupGroups(survivors).filter(col("n_copies") > 1).count() == 0)
+  }
+
+  test("simhash blocking finds exactly the all-pairs hamming<=3 set") {
+    val fp = Dedup.simhashFingerprints(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (ida, a1, a2) <- fp; (idb, b1, b2) <- fp if ida < idb
+      d = java.lang.Long.bitCount(a1 ^ b1) + java.lang.Long.bitCount(a2 ^ b2)
+      if d <= 3
+    } yield (ida, idb)).toSet
+    val blocked = Dedup.simhashPairs(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute)
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val pairs = Dedup.embeddingNearDupPairs(emb, 0.4).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4)
+    }
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  def emb = Tables.embeddings(spark, TestSpark.sfDir)
+
+  test("brute-force top-k: k rows per query, ranks contiguous, cosine sorted") {
+    val rows = Similarity.bruteForceTopK(emb, nQueries = 5, k = 10).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    byQ.values.foreach { g =>
+      assert(g.length == 10)
+      val sorted = g.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to 10))
+      val cosines = sorted.map(_.getDouble(2)).toSeq
+      assert(cosines == cosines.sorted.reverse)
+    }
+  }
+
+  test("LSH ANN recall@10 >= 0.6 against brute force") {
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 10, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshAnnTopK(emb, nQueries = 10, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall was $recall")
+  }
+}
