@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.Portable
 
 /** Document deduplication operators for a large-scale training-data pipeline.
@@ -52,7 +53,9 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
-  private def jaccardPairs(sh: DataFrame, tau: Double): DataFrame = {
+  private def jaccardPairs(shRaw: DataFrame, tau: Double): DataFrame = {
+    // sh feeds the self-join (twice) and the size agg — materialize once.
+    val sh = shRaw.persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -85,13 +88,18 @@ object Dedup {
     val k = bands * rowsPerBand
     val fam = Portable.hashFamily(k)
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    val sets = shingleSets(docs, n)
+    // shingle sets feed signature computation AND both sides of the verify
+    // join; the signature table feeds both sides of the band self-join.
+    // Materialize each once — at 100 TB these are exactly the intermediates
+    // you would land to storage before the bucket join.
+    val sets = shingleSets(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
     val sh = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
       .withColumn("ph", expr("graft_phash(s)"))
     val sigCols = fam.zipWithIndex.map { case ((a, b), i) =>
       min(expr(Portable.affineHash("ph", a, b))).as(s"m$i")
     }
     val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bandCols: Seq[Column] = (0 until bands).map { j =>
       val rows = (0 until rowsPerBand).map(r => s"m${j * rowsPerBand + r}")
       expr(rows.reduceLeft((acc, m) => s"(($acc * ${Portable.Mult} + $m) % ${Portable.P})"))
@@ -137,7 +145,7 @@ object Dedup {
     * no probabilistic miss) and verified with bit_count(xor). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking is complete only for hamming <= 3")
-    val fp = simhashFingerprints(docs)
+    val fp = simhashFingerprints(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val chunks = fp.select(col("doc_id"),
       posexplode(array(Portable.simChunksSpark("fp1", "fp2").map(expr): _*))
         .as(Seq("chunk", "cv")))

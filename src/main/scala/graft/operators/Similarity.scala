@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.Portable
 import graft.plans.GraftFunctions
 
@@ -25,8 +26,11 @@ object Similarity {
 
   private def withNorm(df: DataFrame): DataFrame = {
     GraftFunctions.register(df.sparkSession)
+    // norms feed both the query side and the vector side of every probe —
+    // compute once, keep hot.
     df.select(col("vec_id"), col("embedding"),
       sqrt(expr("graft_dot(embedding, embedding)")).as("nrm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   private def cosineCol = expr("graft_dot(emb_q, emb_v)") / (col("norm_q") * col("norm_v"))
@@ -93,6 +97,7 @@ object Similarity {
                  nTables: Int = 16, nBits: Int = 4): DataFrame = {
     val e = withNorm(emb)
     val bk = lshBuckets(emb, nTables, nBits).drop("embedding")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val qb = bk.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
     val cand = bk.join(broadcast(qb), Seq("table", "bucket"))

@@ -38,12 +38,60 @@ object Profile {
     Profiling.approxDuplicateCount(
       Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderstatus"))
 
+  /** Value-type distribution with global-percentage window
+    * (reference type_distribution.sql:4 `SUM(COUNT(*)) OVER ()`). */
+  def eventsTypeDist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(spark, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .withColumn("pct",
+        col("cnt").cast("double") / sum("cnt").over(Window.partitionBy()))
+  }
+
+  /** Single-pass unpivot coercion analysis (reference: UNPIVOT melt,
+    * tools/ingestion.py:378-383 + safe_type_coercion.sql): stack string-cast
+    * columns into (column_name, value) rows, then one grouped castability
+    * profile. */
+  def partUnpivotCoercion(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .selectExpr(
+        """stack(3,
+          |  'p_size', cast(p_size as string),
+          |  'p_retailprice', cast(cast(p_retailprice as decimal(12,2)) as string),
+          |  'p_brand', p_brand) as (column_name, value)""".stripMargin)
+      .groupBy("column_name")
+      .agg(
+        count(col("value")).as("non_null"),
+        // integer evidence via regex: DuckDB TRY_CAST rounds '1.5'::BIGINT
+        // while Spark nulls it — a literal digit pattern is engine-neutral
+        count(when(expr("value rlike '^-?[0-9]+$'"), lit(1))).as("castable_long"),
+        count(expr("try_cast(value as double)")).as("castable_double"),
+        count(expr("try_cast(value as date)")).as("castable_date"))
+
+  /** Schema diff as data (reference compare_schemas.sql full-outer join). */
+  def schemaCompare(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SchemaOps.compareSchemas(spark,
+      Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+
+  /** Deterministic row sampling (reference sample_rows.sql LIMIT cap):
+    * total-ordered limit so the sample is stable across engines. */
+  def lineitemSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"))
+      .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(100)
+
   val queries: Map[String, Q] = Map(
     "profile_lineitem_nulls"    -> (lineitemNulls _),
     "profile_lineitem_stats"    -> (lineitemStats _),
     "profile_events_dup_keys"   -> (eventsDupKeys _),
     "profile_events_histogram"  -> (eventsValueHistogram _),
-    "profile_orders_approx_dups" -> (ordersApproxDups _))
+    "profile_orders_approx_dups" -> (ordersApproxDups _),
+    "profile_events_type_dist"  -> (eventsTypeDist _),
+    "profile_unpivot_coercion"  -> (partUnpivotCoercion _),
+    "profile_schema_compare"    -> (schemaCompare _),
+    "profile_lineitem_sample"   -> (lineitemSample _))
 
   val oracle: Map[String, String] = Map(
     "profile_lineitem_nulls" ->
@@ -74,5 +122,34 @@ object Profile {
       """WITH t AS (SELECT md5(CAST(o_orderkey AS VARCHAR) || CAST(o_custkey AS VARCHAR)
         |    || o_orderstatus) AS h FROM orders)
         |SELECT COUNT(*) AS total_rows, COUNT(DISTINCT h) AS distinct_rows,
-        |  COUNT(*) - COUNT(DISTINCT h) AS duplicate_rows FROM t""".stripMargin)
+        |  COUNT(*) - COUNT(DISTINCT h) AS duplicate_rows FROM t""".stripMargin,
+    "profile_events_type_dist" ->
+      """SELECT event_type, cnt, cnt::DOUBLE / SUM(cnt) OVER () AS pct FROM (
+        |  SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type)""".stripMargin,
+    "profile_unpivot_coercion" ->
+      """WITH u AS (
+        |  SELECT 'p_size' AS column_name, CAST(p_size AS VARCHAR) AS value FROM part
+        |  UNION ALL
+        |  SELECT 'p_retailprice', CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) FROM part
+        |  UNION ALL
+        |  SELECT 'p_brand', p_brand FROM part)
+        |SELECT column_name, COUNT(value) AS non_null,
+        |  COUNT(CASE WHEN regexp_full_match(value, '-?[0-9]+') THEN 1 END) AS castable_long,
+        |  COUNT(TRY_CAST(value AS DOUBLE)) AS castable_double,
+        |  COUNT(TRY_CAST(value AS DATE)) AS castable_date
+        |FROM u GROUP BY column_name""".stripMargin,
+    "profile_schema_compare" ->
+      """WITH a AS (SELECT column_name, column_type AS type_a
+        |    FROM (DESCRIBE SELECT * FROM orders)),
+        |b AS (SELECT column_name, column_type AS type_b
+        |    FROM (DESCRIBE SELECT * FROM lineitem))
+        |SELECT COALESCE(a.column_name, b.column_name) AS column_name, type_a, type_b,
+        |  CASE WHEN type_a IS NULL THEN 'added'
+        |       WHEN type_b IS NULL THEN 'removed'
+        |       WHEN type_a <> type_b THEN 'type_changed'
+        |       ELSE 'unchanged' END AS change_type
+        |FROM a FULL OUTER JOIN b ON a.column_name = b.column_name""".stripMargin,
+    "profile_lineitem_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+        |ORDER BY l_orderkey ASC, l_linenumber ASC LIMIT 100""".stripMargin)
 }
