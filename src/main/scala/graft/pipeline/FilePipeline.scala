@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.lake.TableFormat
+import graft.normalize.{ColumnNameNormalizer, OverflowRepair}
+import graft.operators.{Cleaning, Coercion}
+import graft.sources.{DelimiterDetector, FormatDetector, Formats, Readers}
+
+/** Per-file processing status, rank-monotonic like the reference's Firestore
+  * ledger (services/logger/main.py:14-19 STATUS_RANK): a file's status can
+  * only move forward; replayed/out-of-order events cannot regress it. */
+object Status {
+  val Rank: Map[String, Int] = Map(
+    "received" -> 0, "cleaned" -> 1, "loaded" -> 2, "failed" -> 3)
+}
+
+final case class FileRecord(fileHash: String, path: String, table: String,
+                            status: String, rows: Long)
+
+/** Driver-side idempotency ledger (reference: loader/main.py:44-46 +
+  * logger rank-monotonic upsert). File-level state is tiny — thousands of
+  * entries, not data — so it lives in a compact JSONL the driver owns; the
+  * DATA path stays fully distributed. */
+class Ledger(path: String) {
+  private val file = Paths.get(path)
+
+  def all(): Map[String, FileRecord] =
+    if (!Files.exists(file)) Map.empty
+    else {
+      val entries = scala.io.Source.fromFile(file.toFile).getLines().flatMap { ln =>
+        ln.split("\t", -1) match {
+          case Array(h, p, t, s, r) => Some(FileRecord(h, p, t, s, r.toLong))
+          case _ => None
+        }
+      }.toSeq
+      // last-wins per hash, but rank-monotonic
+      entries.foldLeft(Map.empty[String, FileRecord]) { (m, r) =>
+        m.get(r.fileHash) match {
+          case Some(prev) if Status.Rank(prev.status) > Status.Rank(r.status) => m
+          case _ => m + (r.fileHash -> r)
+        }
+      }
+    }
+
+  def record(r: FileRecord): Unit = {
+    val line = s"${r.fileHash}\t${r.path}\t${r.table}\t${r.status}\t${r.rows}\n"
+    Files.write(file, line.getBytes,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  def isLoaded(fileHash: String): Boolean =
+    all().get(fileHash).exists(_.status == "loaded")
+}
+
+/** The reference's event-driven file pipeline, end to end
+  * (services/data-cleaning-agent/main.py:93-236 + loader): detect format ->
+  * raw all-VARCHAR load with the atomic row-count guarantee -> normalize
+  * column names -> overflow repair -> drop empty rows -> evidence-based
+  * coercion -> string cleaning protocol -> processed_at stamp -> duplicate
+  * flag -> append into the lake table. Exactly-once per file content via
+  * sha256 + the ledger.
+  */
+object FilePipeline {
+
+  def fileHash(path: String): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    md.update(Files.readAllBytes(Paths.get(path)))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Load a raw file into an all-string DataFrame by detected format. */
+  def loadRaw(spark: SparkSession, path: String): DataFrame =
+    FormatDetector.detect(path) match {
+      case Formats.Csv | Formats.Tsv =>
+        val sep = DelimiterDetector.detectFile(spark, path)
+        Readers.atomicCsv(spark, path, sep = sep.toString)
+      case Formats.Json | Formats.Jsonl => Readers.json(spark, path)
+      case Formats.Parquet => Readers.parquet(spark, path)
+      case f => throw new IllegalArgumentException(s"unsupported format $f for $path")
+    }
+
+  final case class Result(fileHash: String, status: String, rows: Long, skipped: Boolean)
+
+  def processFile(spark: SparkSession, path: String, table: String,
+                  lake: TableFormat, ledger: Ledger,
+                  coercionThreshold: Double = 0.9): Result = {
+    val hash = fileHash(path)
+    if (ledger.isLoaded(hash))
+      return Result(hash, "loaded", 0L, skipped = true)
+    ledger.record(FileRecord(hash, path, table, "received", 0L))
+    try {
+      val raw = loadRaw(spark, path)
+      val named = ColumnNameNormalizer(raw)
+      val repaired = OverflowRepair.repair(named)
+      val nonEmpty = repaired.na.drop("all")
+      val coerced = Coercion.coerce(nonEmpty, coercionThreshold)
+      val cleaned = coerced.select(coerced.schema.fields.map { f =>
+        if (f.dataType == org.apache.spark.sql.types.StringType)
+          Cleaning.protocol(col(f.name)).as(f.name)
+        else col(f.name)
+      }.toIndexedSeq: _*)
+      val stamped = cleaned.withColumn("processed_at", current_timestamp())
+      val rows = stamped.count()
+      ledger.record(FileRecord(hash, path, table, "cleaned", rows))
+      lake.append(stamped, table)
+      ledger.record(FileRecord(hash, path, table, "loaded", rows))
+      Result(hash, "loaded", rows, skipped = false)
+    } catch {
+      case e: Exception =>
+        ledger.record(FileRecord(hash, path, table, "failed", 0L))
+        throw e
+    }
+  }
+}

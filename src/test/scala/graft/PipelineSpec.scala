@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.lake.ParquetDirFormat
+import graft.operators.Heuristics
+import graft.pipeline.{FilePipeline, Ledger}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("end-to-end file pipeline: load, clean, coerce, stamp, lake, idempotent") {
+    val root = Files.createTempDirectory("graft-pipe")
+    val csv = root.resolve("users.csv")
+    Files.write(csv,
+      ("userId,First Name,Age,note\n" +
+       "1,  alice  ,34,ok\n" +
+       "2,bob,N/A,fine\n" +
+       "3,carol,29,\n").getBytes)
+    val lake = new ParquetDirFormat(root.resolve("lake").toString)
+    val ledger = new Ledger(root.resolve("ledger.tsv").toString)
+
+    val r1 = FilePipeline.processFile(spark, csv.toString, "users", lake, ledger)
+    assert(r1.status == "loaded" && r1.rows == 3 && !r1.skipped)
+
+    val out = lake.read(spark, "users")
+    // normalized names + processed_at stamp
+    assert(out.columns.toSet == Set("user_id", "first_name", "age", "note", "processed_at"))
+    // coercion tightened user_id; N/A in age nulled BEFORE coercion decision
+    val types = out.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("user_id") == "bigint")
+    // string cleaning applied: whitespace trimmed
+    val names = out.select("first_name").collect().map(_.getString(0)).toSet
+    assert(names.contains("alice"))
+
+    // same content again -> skipped (exactly-once per content hash)
+    val r2 = FilePipeline.processFile(spark, csv.toString, "users", lake, ledger)
+    assert(r2.skipped)
+    assert(lake.read(spark, "users").count() == 3)
+  }
+
+  test("header heuristic: textual header over numeric body") {
+    assert(Heuristics.looksLikeHeader(
+      Seq("id", "amount", "when"),
+      Seq(Seq("1", "9.99", "2024-01-01"), Seq("2", "12.50", "2024-01-02"))))
+    assert(!Heuristics.looksLikeHeader(
+      Seq("1", "9.99", "2024-01-01"),
+      Seq(Seq("2", "12.50", "2024-01-02"), Seq("3", "8.00", "2024-01-03"))))
+  }
+
+  test("PII detection by name and by value shape") {
+    import spark.implicits._
+    val df = Seq(
+      ("a@b.com", "555-123-4567x", "plain", "x"),
+      ("c@d.org", "555-987-6543x", "text", "y"))
+      .toDF("contact", "phone_number", "note", "v")
+    val findings = Heuristics.detectPii(df).map(f => f.column -> f.reason).toMap
+    assert(findings.get("phone_number").contains("column_name"))
+    assert(findings.get("contact").contains("value_pattern"))
+    assert(!findings.contains("note") && !findings.contains("v"))
+  }
+}
