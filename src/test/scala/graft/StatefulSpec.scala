@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StatefulSessions
+import graft.streaming.StatefulSessions.{Event, Session}
+import graft.export.Reports
+
+class StatefulSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StatefulSessions.sessions(input.toDS())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 5 min apart (one session), then 90 min silence,
+      // then another event -> first session closes
+      input.addData(Event(1L, ts(0), 1.0), Event(1L, ts(5), 2.0))
+      q.processAllAvailable()
+      input.addData(Event(1L, ts(95), 3.0))
+      q.processAllAvailable()
+      // push the watermark far forward so the open session times out
+      input.addData(Event(2L, ts(500), 9.0))
+      q.processAllAvailable()
+      input.addData(Event(2L, ts(1000), 1.0))
+      q.processAllAvailable()
+
+      val out = spark.table("sessions_out").as[Session].collect()
+      val u1 = out.filter(_.userId == 1L).sortBy(_.sessionStart.getTime)
+      assert(u1.length >= 2)
+      assert(u1(0).nEvents == 2 && u1(0).sumValue == 3.0)
+      assert(u1(0).sessionEnd.getTime - u1(0).sessionStart.getTime == 5 * 60000L)
+      assert(u1(1).nEvents == 1 && u1(1).sumValue == 3.0)
+    } finally q.stop()
+  }
+
+  test("watermarked windowed counts run on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDS().toDF("ts", "event_type", "value")
+    val agg = graft.streaming.StreamPipeline.windowedCounts(df, "ts", "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(7), "b", 3.0))
+      q.processAllAvailable()
+      input.addData((ts(60), "a", 1.0)) // advance watermark, finalize windows
+      q.processAllAvailable()
+      val out = spark.table("win_out").collect()
+      assert(out.nonEmpty)
+      val a = out.find(r => r.getString(1) == "a" && r.getLong(2) == 2)
+      assert(a.isDefined, s"expected finalized window for 'a' x2 in ${out.mkString(";")}")
+    } finally q.stop()
+  }
+
+  test("report JSON rendering escapes and shapes") {
+    val json = Reports.render(Reports.QualityReport("t\"x", 10,
+      Seq(Reports.ColumnFinding("c1", "null_like", "warning", "line1\nline2", 3))))
+    assert(json.contains("\"table\":\"t\\\"x\""))
+    assert(json.contains("\"count\":3"))
+    assert(json.contains("line1\\nline2"))
+  }
+}
