@@ -84,6 +84,16 @@ object FilePipeline {
 
   final case class Result(fileHash: String, status: String, rows: Long, skipped: Boolean)
 
+  /** Archive a processed inbox file (reference loader/cleanup.py:15-46
+    * inbox -> archive move + staging delete): atomic same-volume rename. */
+  def archive(path: String, archiveDir: String): java.nio.file.Path = {
+    val src = Paths.get(path)
+    val dir = Paths.get(archiveDir)
+    Files.createDirectories(dir)
+    Files.move(src, dir.resolve(src.getFileName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   def processFile(spark: SparkSession, path: String, table: String,
                   lake: TableFormat, ledger: Ledger,
                   coercionThreshold: Double = 0.9): Result = {
