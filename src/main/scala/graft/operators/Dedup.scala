@@ -33,14 +33,18 @@ import graft.functions.Portable
   */
 object Dedup {
 
-  /** doc_id + distinct word-`n`-gram shingle set + its size. */
-  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
+  /** doc_id + distinct word-`n`-gram shingle set + its size. The set comes
+    * from the one-pass native [[graft.plans.ShingleStrings]] — identical
+    * output to the portable HOF chain (spec-checked), ~20x cheaper, and cheap
+    * enough that projection-collapse inlining it into size/filter is free. */
+  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     docs
-      .withColumn("toks", expr(Portable.tokensSpark("text")))
-      .withColumn("shingles", array_distinct(expr(Portable.shinglesSpark("toks", n))))
+      .withColumn("shingles", expr(s"graft_shingles(text, $n)"))
       .withColumn("n_shingles", size(col("shingles")))
       .filter(col("n_shingles") > 0)
       .select("doc_id", "shingles", "n_shingles")
+  }
 
   /** Exploded (doc_id, shingle) pairs — the join/aggregation currency. */
   def shingleRows(docs: DataFrame, n: Int = 3): DataFrame =
@@ -88,13 +92,13 @@ object Dedup {
     val k = bands * rowsPerBand
     val fam = Portable.hashFamily(k)
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    // shingle sets feed signature computation AND both sides of the verify
-    // join; the signature table feeds both sides of the band self-join.
-    // Materialize each once — at 100 TB these are exactly the intermediates
-    // you would land to storage before the bucket join.
-    val sets = shingleSets(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
-    val sh = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .withColumn("ph", expr("graft_phash(s)"))
+    // Signature path runs on HASHED shingles via the one-pass native
+    // expression — no intermediate token/shingle string arrays (the dominant
+    // cost at every scale). The signature table feeds both sides of the band
+    // self-join, so it is materialized once — the same intermediate a cluster
+    // job would land to storage before the bucket join.
+    val sh = docs.select(col("doc_id"),
+      explode(expr(s"graft_shingle_hashes(text, $n)")).as("ph"))
     val sigCols = fam.zipWithIndex.map { case ((a, b), i) =>
       min(expr(Portable.affineHash("ph", a, b))).as(s"m$i")
     }
@@ -111,6 +115,13 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Exact verification on TRUE string shingles (bitwise-identical to the
+    // oracle), computed only for documents that appear in a candidate pair —
+    // O(candidates), not O(corpus).
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = shingleSets(docs.join(candDocs, "doc_id"), n)
     val a = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"), col("n_shingles").as("na"))
     val b = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb"), col("n_shingles").as("nb"))
     cand.join(a, "doc_a").join(b, "doc_b")

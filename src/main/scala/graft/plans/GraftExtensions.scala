@@ -3,8 +3,9 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -116,6 +117,123 @@ case class StringPolyHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native expression: distinct word-n-gram shingle hashes of a text column,
+  * `array<bigint>`. Semantically `array_distinct(shingles(tokens(text), n))`
+  * mapped through [[StringPolyHash]] — but in one pass over the string with no
+  * intermediate token/shingle arrays, which removes the dominant cost of the
+  * MinHash signature path (interpreted higher-order-function lambdas).
+  *
+  * Hash-distinct equals string-distinct up to 1e9+7 collisions; the MinHash
+  * signature (min over hashes) is insensitive to that, and exact Jaccard
+  * verification still runs on true string shingles, so the oracle-checked
+  * output is unaffected.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+  extends UnaryExpression with codegen.CodegenFallback {
+  import graft.functions.Portable
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes expects (string, n>=1), got $other / n=$n")
+  }
+
+  private def phash(s: String): Long = {
+    var acc = Portable.Seed
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * Portable.Mult + cp) % Portable.P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.split(' ').filter(_.nonEmpty)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    var i = 0
+    val sb = new java.lang.StringBuilder
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(phash(sb.toString))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native expression: distinct word-n-gram shingle STRINGS of a text column,
+  * `array<string>`, first-occurrence order. One pass, no intermediate
+  * token/shingle arrays — replaces the interpreted higher-order-function
+  * pipeline (`transform(sequence(...), concat_ws(slice(...)))`) whose
+  * expression tree gets inlined multiple times by projection collapse and
+  * dominates every shingle-consuming operator. Output is identical to
+  * `array_distinct(Portable.shinglesSpark(tokens, n))`.
+  */
+case class ShingleStrings(child: Expression, n: Int)
+  extends UnaryExpression with codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles expects (string, n>=1), got $other / n=$n")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.split(' ').filter(_.nonEmpty)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[org.apache.spark.unsafe.types.UTF8String])
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    val sb = new java.lang.StringBuilder
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration for graft's native expressions.
   *
   * Two paths to the same registry entry:
@@ -139,10 +257,26 @@ object GraftFunctions {
       s"graft_phash takes exactly 1 argument, got ${other.size}")
   }
 
+  val shingleInfo = new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes")
+  val shingleBuilder: Seq[Expression] => Expression = {
+    case Seq(a, Literal(n: Int, IntegerType)) => ShingleHashes(a, n)
+    case other => throw new IllegalArgumentException(
+      s"graft_shingle_hashes takes (col, int literal), got $other")
+  }
+
+  val shingleStrInfo = new ExpressionInfo(classOf[ShingleStrings].getName, "graft_shingles")
+  val shingleStrBuilder: Seq[Expression] => Expression = {
+    case Seq(a, Literal(n: Int, IntegerType)) => ShingleStrings(a, n)
+    case other => throw new IllegalArgumentException(
+      s"graft_shingles takes (col, int literal), got $other")
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_phash", phashBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes", shingleBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles", shingleStrBuilder, "built-in")
   }
 }
 

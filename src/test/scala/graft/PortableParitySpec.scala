@@ -22,6 +22,20 @@ class PortableParitySpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("graft_shingles == array_distinct of the portable HOF chain") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").limit(100)
+    val rows = docs.select(
+      expr("graft_shingles(text, 3)").as("native"),
+      array_distinct(expr(
+        s"CASE WHEN size(${Portable.tokensSpark("text")}) >= 3 THEN " +
+          Portable.shinglesSpark(Portable.tokensSpark("text"), 3) +
+          s" ELSE array() END")).as("portable")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   test("graft_dot == fixed-order expression chain, bitwise") {
     GraftFunctions.register(spark)
     val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet").limit(50)
