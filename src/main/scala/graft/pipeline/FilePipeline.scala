@@ -71,13 +71,18 @@ object FilePipeline {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  /** Load a raw file into an all-string DataFrame by detected format. */
+  /** Load a raw file into an all-string DataFrame by detected format. Text
+    * formats go through encoding recovery first (reference ensure_utf8,
+    * file_detector.py:127-165): BOM/UTF-16/Windows-1252 inputs are transcoded
+    * to clean UTF-8 before parsing. */
   def loadRaw(spark: SparkSession, path: String): DataFrame =
     FormatDetector.detect(path) match {
       case Formats.Csv | Formats.Tsv =>
-        val sep = DelimiterDetector.detectFile(spark, path)
-        Readers.atomicCsv(spark, path, sep = sep.toString)
-      case Formats.Json | Formats.Jsonl => Readers.json(spark, path)
+        val utf8 = graft.sources.Encoding.ensureUtf8(path).toString
+        val sep = DelimiterDetector.detectFile(spark, utf8)
+        Readers.atomicCsv(spark, utf8, sep = sep.toString)
+      case Formats.Json | Formats.Jsonl =>
+        Readers.json(spark, graft.sources.Encoding.ensureUtf8(path).toString)
       case Formats.Parquet => Readers.parquet(spark, path)
       case f => throw new IllegalArgumentException(s"unsupported format $f for $path")
     }
