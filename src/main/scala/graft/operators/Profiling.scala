@@ -65,7 +65,12 @@ object Profiling {
   /** Reference approximate_duplicates.sql: whole-row duplicate count via
     * md5 of concat_ws over all columns (exact for distinct-hash purposes). */
   def approxDuplicateCount(df: DataFrame): DataFrame = {
-    val h = md5(concat_ws("", df.columns.map(c => col(c).cast("string")): _*))
+    // Cells join with a \u0001 separator and NULL maps to a \u0002 sentinel:
+    // separator-less concat is ambiguous ((11415,1863) vs (114151,863)
+    // concatenate identically) and concat_ws silently skips NULLs - both
+    // manufacture false duplicates.
+    val cells = df.columns.map(c => coalesce(col(c).cast("string"), lit("\u0002")))
+    val h = md5(concat_ws("\u0001", cells: _*))
     df.agg(
       count(lit(1)).as("total_rows"),
       countDistinct(h).as("distinct_rows"),

@@ -119,8 +119,8 @@ object Profile {
         |  MIN(value) AS min_v, MAX(value) AS max_v
         |FROM events GROUP BY 1""".stripMargin,
     "profile_orders_approx_dups" ->
-      """WITH t AS (SELECT md5(CAST(o_orderkey AS VARCHAR) || CAST(o_custkey AS VARCHAR)
-        |    || o_orderstatus) AS h FROM orders)
+      """WITH t AS (SELECT md5(CAST(o_orderkey AS VARCHAR) || chr(1) ||
+        |    CAST(o_custkey AS VARCHAR) || chr(1) || o_orderstatus) AS h FROM orders)
         |SELECT COUNT(*) AS total_rows, COUNT(DISTINCT h) AS distinct_rows,
         |  COUNT(*) - COUNT(DISTINCT h) AS duplicate_rows FROM t""".stripMargin,
     "profile_events_type_dist" ->
