@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew and co-location tools for the 100 TB path.
+  *
+  * - Salted aggregation: a hot key that would pin one reducer is split across
+  *   `salt` sub-keys; partials aggregate per (key, salt), then re-aggregate
+  *   per key. Works for any algebraic aggregate (sum/count/min/max) because
+  *   they compose; AQE's skew handling covers joins, but aggregation skew
+  *   needs this explicit two-phase shape.
+  * - Salted join: the skewed big side gets a deterministic salt from a row
+  *   column; the small side is replicated across all salt values, turning one
+  *   hot partition into `salt` even ones.
+  * - Bucketed tables: pre-shuffled storage layout so repeated joins on the
+  *   bucket key need no exchange at read time (the batch analogue of
+  *   co-partitioned state).
+  */
+object Scale {
+
+  /** Two-phase salted sum/count aggregation. `aggs` maps output column name
+    * to (inputExpr, how) where how ∈ {"sum", "count", "min", "max"}. */
+  def saltedAggregate(df: DataFrame, keys: Seq[String],
+                      aggs: Map[String, (Column, String)],
+                      salt: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(keys.map(col) :+ spark_partition_id(): _*), lit(salt)))
+    val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(
+        aggs.head._2 match { case (c, how) => phase1(c, how).as(aggs.head._1) },
+        aggs.tail.map { case (name, (c, how)) => phase1(c, how).as(name) }.toSeq: _*)
+    partial.groupBy(keys.map(col): _*)
+      .agg(
+        phase2(col(aggs.head._1), aggs.head._2._2).as(aggs.head._1),
+        aggs.tail.map { case (name, (_, how)) => phase2(col(name), how).as(name) }.toSeq: _*)
+  }
+
+  private def phase1(c: Column, how: String): Column = how match {
+    case "sum" => sum(c)
+    case "count" => count(c)
+    case "min" => min(c)
+    case "max" => max(c)
+    case other => throw new IllegalArgumentException(s"unsupported agg: $other")
+  }
+  private def phase2(c: Column, how: String): Column = how match {
+    case "sum" | "count" => sum(c) // counts re-combine by summing partials
+    case "min" => min(c)
+    case "max" => max(c)
+    case other => throw new IllegalArgumentException(s"unsupported agg: $other")
+  }
+
+  /** Skew-join: big side salted deterministically from `saltSource` (any
+    * column with per-row variety, e.g. a line number or id), small side
+    * replicated across all salts. Equi-join on (key, salt). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltSource: Column, salt: Int = 16): DataFrame = {
+    val b = big.withColumn("__salt", pmod(xxhash64(saltSource), lit(salt)).cast("int"))
+    val s = small.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Write a table bucketed by `key` so later joins on it are exchange-free. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Scale
+
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("salted aggregation equals direct aggregation") {
+    import spark.implicits._
+    // heavily skewed: 90% of rows share one key
+    val df = (1 to 10000).map { i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toDouble)
+    }.toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"), max("v").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getDouble(3))).toMap
+    val salted = Scale.saltedAggregate(df, Seq("k"), Map(
+      "s" -> (col("v"), "sum"),
+      "n" -> (lit(1), "count"),
+      "mx" -> (col("v"), "max")), salt = 8)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(salted == direct)
+  }
+
+  test("salted join equals plain join on skewed keys") {
+    import spark.implicits._
+    val big = (1 to 5000).map(i => (if (i % 5 == 0) "rare" else "hot", i.toLong))
+      .toDF("k", "id")
+    val small = Seq(("hot", 1.0), ("rare", 2.0)).toDF("k", "w")
+    val plain = big.join(small, "k").agg(sum(col("id") * col("w"))).head().getDouble(0)
+    val salted = Scale.saltedJoin(big, small, "k", col("id"), salt = 8)
+      .agg(sum(col("id") * col("w"))).head().getDouble(0)
+    assert(plain == salted)
+  }
+
+  test("bucketed join plan has no shuffle exchange") {
+    import spark.implicits._
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("id", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("id", "vb")
+    Scale.writeBucketed(a, "bkt_a", "id", 8)
+    Scale.writeBucketed(b, "bkt_b", "id", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
