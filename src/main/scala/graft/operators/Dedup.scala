@@ -90,22 +90,19 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int = 3, bands: Int = 42,
                       rowsPerBand: Int = 3, tau: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
-    val fam = Portable.hashFamily(k)
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    // Signature path runs on HASHED shingles via the one-pass native
-    // expression — no intermediate token/shingle string arrays (the dominant
-    // cost at every scale). The signature table feeds both sides of the band
-    // self-join, so it is materialized once — the same intermediate a cluster
-    // job would land to storage before the bucket join.
-    val sh = docs.select(col("doc_id"),
-      explode(expr(s"graft_shingle_hashes(text, $n)")).as("ph"))
-    val sigCols = fam.zipWithIndex.map { case ((a, b), i) =>
-      min(expr(Portable.affineHash("ph", a, b))).as(s"m$i")
-    }
-    val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // Signatures are a pure PROJECTION: the native shingle-hash array is one
+    // row per document, and graft_minhash folds all k minima in one loop —
+    // no explode, no wide aggregation (the aggregate formulation shipped a
+    // ~6.5 MiB codegen'd task binary). The signature table feeds both sides
+    // of the band self-join, so it is materialized once — the intermediate a
+    // cluster job would land to storage before the bucket join.
+    val sig = docs.select(col("doc_id"),
+        expr(s"graft_minhash(graft_shingle_hashes(text, $n), $k)").as("sig"))
+      .filter(size(col("sig")) > 0 && expr("sig[0]") =!= Long.MaxValue)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bandCols: Seq[Column] = (0 until bands).map { j =>
-      val rows = (0 until rowsPerBand).map(r => s"m${j * rowsPerBand + r}")
+      val rows = (0 until rowsPerBand).map(r => s"sig[${j * rowsPerBand + r}]")
       expr(rows.reduceLeft((acc, m) => s"(($acc * ${Portable.Mult} + $m) % ${Portable.P})"))
     }
     val bandsDf = sig.select(col("doc_id"),
@@ -133,22 +130,20 @@ object Dedup {
   }
 
   /** Count-weighted 60-bit simhash fingerprints: doc_id, fp1, fp2 (two 30-bit
-    * halves so every bit op stays in safe BIGINT range in both engines). */
+    * halves so every bit op stays in safe BIGINT range in both engines).
+    * A pure projection via the native [[graft.plans.SimHashFingerprint]] —
+    * integer-identical to the exploded token/sum-aggregate formulation the
+    * DuckDB oracle still evaluates. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    val tc = docs
-      .withColumn("toks", expr(Portable.tokensSpark("text")))
-      .select(col("doc_id"), explode(col("toks")).as("t"))
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("w"))
-      .withColumn("h1", expr("graft_phash(t)"))
-      .withColumn("h2", expr(s"(h1 * ${Portable.H2A} + ${Portable.H2B}) % ${Portable.P}"))
-    val sumCols =
-      (0 until Portable.SimBits).map(j => expr(Portable.simBitSumSpark("h1", "w", j)).as(s"s1_$j")) ++
-      (0 until Portable.SimBits).map(j => expr(Portable.simBitSumSpark("h2", "w", j)).as(s"s2_$j"))
-    tc.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+    docs
+      // token-less docs have no fingerprint (they vanish from the exploded
+      // aggregation the oracle evaluates)
+      .filter(expr(s"size(${Portable.tokensSpark("text")}) > 0"))
+      .select(col("doc_id"), expr("graft_simhash(text)").as("fp"))
       .select(col("doc_id"),
-        expr(Portable.simFingerprint("s1_")).as("fp1"),
-        expr(Portable.simFingerprint("s2_")).as("fp2"))
+        expr("fp[0]").as("fp1"),
+        expr("fp[1]").as("fp2"))
   }
 
   /** SimHash near-dup pairs with hamming(fp) <= maxHamming, found via

@@ -234,6 +234,119 @@ case class ShingleStrings(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Native expression: full MinHash signature (k minima over the affine hash
+  * family) from an array of shingle hashes — `array<bigint>[k]` per row.
+  *
+  * This turns MinHash signatures into a PROJECTION: the per-document shingle
+  * hash array is already one row, so there is no explode and no 126-column
+  * aggregation. The aggregation formulation generated a ~6.5 MiB task binary
+  * and 20s of codegen+JIT warmup per JVM; this is one flat loop.
+  * Coefficients come from [[Portable.hashFamily]], the same family any
+  * external reimplementation would embed.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+  extends UnaryExpression with codegen.CodegenFallback {
+  import graft.functions.Portable
+
+  private lazy val fam: IndexedSeq[(Long, Long)] = Portable.hashFamily(k)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash expects (array<bigint>, k>=1), got $other / k=$k")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val (a, b) = fam(i)
+      var best = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val h = (a * arr.getLong(j) + b) % Portable.P
+        if (h < best) best = h
+        j += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native expression: count-weighted 60-bit SimHash fingerprint of a text
+  * column as `array<bigint>[2]` (the two 30-bit halves). Identical integer
+  * math to the exploded token/sum-aggregate formulation (and the DuckDB
+  * oracle): token weights are occurrence counts, bit sums are
+  * `w * (2*bit(h) - 1)`, a fingerprint bit is set when its sum > 0.
+  */
+case class SimHashFingerprint(child: Expression)
+  extends UnaryExpression with codegen.CodegenFallback {
+  import graft.functions.Portable
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash expects a string argument, got $other")
+  }
+
+  private def phash(s: String): Long = {
+    var acc = Portable.Seed
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * Portable.Mult + cp) % Portable.P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.split(' ').filter(_.nonEmpty)
+    val counts = new java.util.HashMap[String, Long]
+    toks.foreach(t => counts.merge(t, 1L, _ + _))
+    val s1 = new Array[Long](Portable.SimBits)
+    val s2 = new Array[Long](Portable.SimBits)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val w = e.getValue
+      val h1 = phash(e.getKey)
+      val h2 = (h1 * Portable.H2A + Portable.H2B) % Portable.P
+      var j = 0
+      while (j < Portable.SimBits) {
+        s1(j) += w * (2 * ((h1 >> j) & 1) - 1)
+        s2(j) += w * (2 * ((h2 >> j) & 1) - 1)
+        j += 1
+      }
+    }
+    var fp1 = 0L
+    var fp2 = 0L
+    var j = 0
+    while (j < Portable.SimBits) {
+      if (s1(j) > 0) fp1 |= (1L << j)
+      if (s2(j) > 0) fp2 |= (1L << j)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(fp1, fp2))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration for graft's native expressions.
   *
   * Two paths to the same registry entry:
@@ -271,12 +384,28 @@ object GraftFunctions {
       s"graft_shingles takes (col, int literal), got $other")
   }
 
+  val minhashInfo = new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash")
+  val minhashBuilder: Seq[Expression] => Expression = {
+    case Seq(a, Literal(k: Int, IntegerType)) => MinHashSignature(a, k)
+    case other => throw new IllegalArgumentException(
+      s"graft_minhash takes (col, int literal), got $other")
+  }
+
+  val simhashInfo = new ExpressionInfo(classOf[SimHashFingerprint].getName, "graft_simhash")
+  val simhashBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => SimHashFingerprint(a)
+    case other => throw new IllegalArgumentException(
+      s"graft_simhash takes exactly 1 argument, got ${other.size}")
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_phash", phashBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hashes", shingleBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_shingles", shingleStrBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash", minhashBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash", simhashBuilder, "built-in")
   }
 }
 
