@@ -39,6 +39,18 @@ class ScaleSpec extends AnyFunSuite {
     import spark.implicits._
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("id", "va")
     val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("id", "vb")
+    // the in-memory catalog forgets tables across JVMs but their warehouse
+    // directories persist — clear both before recreating
+    Seq("bkt_a", "bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     Scale.writeBucketed(a, "bkt_a", "id", 8)
     Scale.writeBucketed(b, "bkt_b", "id", 8)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
