@@ -92,6 +92,19 @@ object Similarity {
       .select("vec_id", "embedding", "table", "bucket")
   }
 
+  /** Exact cosine re-rank of (query_id, neighbor_id) candidate pairs. */
+  private def rerank(e: DataFrame, cand: DataFrame, k: Int): DataFrame = {
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("emb_q"), col("nrm").as("norm_q"))
+    val v = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_v"), col("nrm").as("norm_v"))
+    val scored = cand.join(broadcast(q), "query_id").join(v, "neighbor_id")
+      .withColumn("cosine", cosineCol)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+  }
+
   /** ANN top-k via LSH candidate generation + exact cosine re-rank. */
   def lshAnnTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 10,
                  nTables: Int = 16, nBits: Int = 4): DataFrame = {
@@ -104,14 +117,45 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
-    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("emb_q"), col("nrm").as("norm_q"))
-    val v = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_v"), col("nrm").as("norm_v"))
-    val scored = cand.join(broadcast(q), "query_id").join(v, "neighbor_id")
-      .withColumn("cosine", cosineCol)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rnk")
+    rerank(e, cand, k)
+  }
+
+  /** IVF (inverted-file) ANN: coarse-quantize vectors into `nCentroids`
+    * k-means cells; a query probes its `nProbe` nearest cells and exact
+    * cosine re-ranks the candidates. The classic big-index layout: the
+    * assignment table is partitionable by cell, probe cost is
+    * nProbe/nCentroids of the corpus, and centroids are a tiny broadcast. */
+  def ivfAnnTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 10,
+                 nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = withNorm(emb)
+    val feats = emb.select(col("vec_id"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
+      .fit(feats)
+    val assigned = model.transform(feats)
+      .select(col("vec_id"), col("prediction").as("cell"))
+    // nProbe nearest cells per query, from the broadcast centroid set
+    val centers = model.clusterCenters.map(_.toArray)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centersDf = centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "center")
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qe"))
+    val qCells = q.crossJoin(broadcast(centersDf))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(qe, center, (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (a, v) -> a + v)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist").asc, col("cell").asc)))
+      .filter(col("rk") <= nProbe)
+      .select("query_id", "cell")
+    val cand = assigned.join(broadcast(qCells), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    rerank(e, cand, k)
   }
 }

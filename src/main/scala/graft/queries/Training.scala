@@ -37,7 +37,8 @@ object Training {
     "dedup_simhash"          -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d), MaxHamming)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), CosineTau)),
     "ann_brute_force_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), NQueries, TopK)),
-    "ann_lsh_topk"           -> ((s, d) => Similarity.lshAnnTopK(Tables.embeddings(s, d), NQueries, TopK)))
+    "ann_lsh_topk"           -> ((s, d) => Similarity.lshAnnTopK(Tables.embeddings(s, d), NQueries, TopK)),
+    "ann_ivf_topk"           -> ((s, d) => Similarity.ivfAnnTopK(Tables.embeddings(s, d), NQueries, TopK)))
 
   // ---- oracle SQL ----------------------------------------------------------
 

@@ -21,6 +21,15 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN recall@10 >= 0.5 against brute force") {
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 10, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfAnnTopK(emb, nQueries = 10, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall was $recall")
+  }
+
   test("LSH ANN recall@10 >= 0.6 against brute force") {
     val exact = Similarity.bruteForceTopK(emb, nQueries = 10, k = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
