@@ -94,6 +94,14 @@ object Cleaning {
   def stateFormat(c: Column): Column =
     when(length(trim(c)) === 2, upper(trim(c))).otherwise(initcap(trim(c)))
 
+  /** City/state split of a "City Name ST" string: last whitespace-delimited
+    * token is the state, the remainder the city (reference:
+    * silver/transformations/distribution_centers.sql:36-42). */
+  def citySplit(c: Column): Column =
+    trim(regexp_replace(trim(c), "\\s+\\S+$", ""))
+  def stateSplit(c: Column): Column =
+    regexp_extract(trim(c), "(\\S+)$", 1)
+
   /** Safe float->long: only when the value is integral
     * (reference: spark_procedures/users.sql:55-57). */
   def safeFloatToLong(c: Column): Column =

@@ -136,7 +136,55 @@ object Gold {
       .limit(10)
   }
 
+  /** Cohort retention (reference DEMO.md:154-171): customers grouped by
+    * first-order month, tracked across subsequent months. Month indexes are
+    * integer year*12+month arithmetic — portable, unlike fractional
+    * months_between. Two aggregates + a broadcast-joined first-order dim. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("d", to_date(col("o_orderdate")))
+      .withColumn("midx", year(col("d")) * 12 + month(col("d")))
+    val firstOrder = o.groupBy("o_custkey")
+      .agg(min(col("midx")).as("cohort_midx"))
+    o.join(broadcast(firstOrder), "o_custkey")
+      .withColumn("months_since", col("midx") - col("cohort_midx"))
+      .groupBy("cohort_midx", "months_since")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Currency-normalized revenue (reference DEMO.md:104-112
+    * `bronze.convert_to_usd` remote function, rebuilt as a broadcast join
+    * against a rates dimension — the optimizer-friendly form). Dirty prices
+    * are constructed as in [[Clean.currencyExtract]]. */
+  def revenueUsd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rates = Seq(("USD", 1.0), ("EUR", 1.1), ("GBP", 1.3), ("JPY", 0.007))
+      .toDF("value_type", "rate")
+    val o = Tables.orders(spark, dir)
+      .withColumn("dec_str", col("o_totalprice").cast("decimal(12,2)").cast("string"))
+      .withColumn("price_str", expr(
+        s"""CASE CAST(o_orderkey % 5 AS INT)
+           |  WHEN 0 THEN concat('$$', dec_str)
+           |  WHEN 1 THEN concat('EUR ', dec_str)
+           |  WHEN 2 THEN concat('£', dec_str)
+           |  WHEN 3 THEN concat('¥', dec_str)
+           |  ELSE dec_str END""".stripMargin))
+      .withColumn("value_type",
+        coalesce(graft.operators.Cleaning.currencyCode(col("price_str")), lit("USD")))
+      .withColumn("value", graft.operators.Cleaning.currencyValue("price_str"))
+    o.join(broadcast(rates), Seq("value_type"))
+      .groupBy("value_type")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value")).as("total_native"),
+        // exact: 2-decimal value x 3-decimal rate = 5-decimal product
+        sum(col("value").cast("decimal(12,2)") * col("rate").cast("decimal(10,3)"))
+          .cast("double").as("total_usd"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "gold_cohort_retention"      -> (cohortRetention _),
+    "gold_revenue_usd"           -> (revenueUsd _),
     "gold_q1_pricing_summary"    -> (q1Agg _),
     "gold_daily_sales"           -> (dailySales _),
     "gold_customer_metrics"      -> (customerMetrics _),
@@ -145,6 +193,36 @@ object Gold {
     "gold_top_parts_by_revenue"  -> (topPartsByRevenue _))
 
   val oracle: Map[String, String] = Map(
+    "gold_cohort_retention" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+        |m AS (SELECT o_custkey, year(d) * 12 + month(d) AS midx FROM o),
+        |f AS (SELECT o_custkey, MIN(midx) AS cohort_midx FROM m GROUP BY o_custkey)
+        |SELECT cohort_midx, midx - cohort_midx AS months_since,
+        |  COUNT(DISTINCT m.o_custkey) AS n_customers, COUNT(*) AS n_orders
+        |FROM m JOIN f ON m.o_custkey = f.o_custkey
+        |GROUP BY cohort_midx, months_since""".stripMargin,
+    "gold_revenue_usd" ->
+      s"""WITH rates AS (SELECT * FROM (VALUES ('USD', 1.0), ('EUR', 1.1),
+         |    ('GBP', 1.3), ('JPY', 0.007)) r(value_type, rate)),
+         |d AS (SELECT o_orderkey,
+         |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS dec_str FROM orders),
+         |p AS (SELECT o_orderkey,
+         |  CASE CAST(o_orderkey % 5 AS INT)
+         |    WHEN 0 THEN '$$' || dec_str WHEN 1 THEN 'EUR ' || dec_str
+         |    WHEN 2 THEN '£' || dec_str WHEN 3 THEN '¥' || dec_str
+         |    ELSE dec_str END AS price_str
+         |  FROM d),
+         |e AS (SELECT
+         |  COALESCE(CASE regexp_extract(trim(price_str), '^(\\$$|EUR |£|¥)', 1)
+         |    WHEN '$$' THEN 'USD' WHEN 'EUR ' THEN 'EUR' WHEN '£' THEN 'GBP'
+         |    WHEN '¥' THEN 'JPY' ELSE NULL END, 'USD') AS value_type,
+         |  TRY_CAST(regexp_replace(trim(price_str), '^(\\$$|EUR |£|¥)', '') AS DOUBLE) AS value
+         |  FROM p)
+         |SELECT e.value_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_native,
+         |  CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(rate AS DECIMAL(10,3))) AS DOUBLE) AS total_usd
+         |FROM e JOIN rates ON e.value_type = rates.value_type
+         |GROUP BY e.value_type""".stripMargin,
     "gold_q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -60,6 +60,17 @@ class CleaningSpec extends AnyFunSuite {
     assert(out(5L).isEmpty)
   }
 
+  test("city/state split takes the last token as state") {
+    val df = strDf((1L, "Memphis TN"), (2L, " New York NY "), (3L, "Houston"))
+    val out = df.select(col("id"),
+      Cleaning.citySplit(col("v")).as("city"),
+      Cleaning.stateSplit(col("v")).as("state")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L) == ("Memphis", "TN"))
+    assert(out(2L) == ("New York", "NY"))
+    assert(out(3L) == ("Houston", "Houston")) // single token: regex strips nothing, token is also the "state"
+  }
+
   test("flagDuplicates keeps first by order column") {
     import spark.implicits._
     val df = Seq((1L, "a", "x"), (2L, "a", "x"), (3L, "b", "y"))
