@@ -101,4 +101,61 @@ class ParquetDirFormat(root: String) extends TableFormat {
     val kept = target.join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
     commit(kept.unionByName(df, allowMissingColumns = true), table)
   }
+
+  // ---- maintenance (the Iceberg-side operations of the reference stack) ----
+
+  /** Small-file compaction: rewrite the current snapshot into
+    * ceil(rows / rowsPerFile) files — the Parquet-dir analogue of Iceberg's
+    * rewrite_data_files. Appends accumulate one file set per commit; compact
+    * before the file count, not the data size, becomes the scan bottleneck. */
+  def compact(spark: SparkSession, table: String, rowsPerFile: Long = 1000000L): Unit = {
+    val df = read(spark, table)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+    commit(df.repartition(nFiles), table)
+  }
+
+  /** All snapshot versions currently on disk (oldest first). */
+  def versions(table: String): Seq[Int] =
+    if (!Files.exists(tableDir(table))) Seq.empty
+    else {
+      val ds = Files.list(tableDir(table))
+      try {
+        import scala.jdk.CollectionConverters._
+        ds.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.matches("v\\d+")).map(_.drop(1).toInt).toSeq.sorted
+      } finally ds.close()
+    }
+
+  /** Snapshot expiration: delete all version directories older than the
+    * current pointer (Iceberg's expire_snapshots). Readers pinned to old
+    * snapshots lose them — call on a maintenance schedule, not per commit. */
+  def expireSnapshots(table: String): Seq[Int] = {
+    val cur = currentVersion(table).getOrElse(return Seq.empty)
+    val old = versions(table).filter(_ < cur)
+    old.foreach { v =>
+      val dir = versionDir(table, v)
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    old
+  }
+
+  /** Table metadata snapshot: version, files, bytes, rows. */
+  def stats(spark: SparkSession, table: String): Map[String, Long] = {
+    val v = currentVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    val dir = versionDir(table, v)
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(dir)
+    val (nFiles, nBytes) = try {
+      val parquets = walk.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+      (parquets.size.toLong, parquets.map(Files.size).sum)
+    } finally walk.close()
+    Map("version" -> v.toLong, "data_files" -> nFiles, "bytes" -> nBytes,
+      "rows" -> read(spark, table).count())
+  }
 }

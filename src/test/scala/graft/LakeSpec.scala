@@ -52,6 +52,26 @@ class LakeSpec extends AnyFunSuite {
     assert(out == Map(1L -> "old1", 2L -> "new2", 3L -> "new3"))
   }
 
+  test("compaction, snapshot expiry and stats") {
+    import spark.implicits._
+    val t = fmt()
+    t.create((1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"), "t6")
+    // several small appends -> many files across versions
+    (1 to 3).foreach(b =>
+      t.append(Seq((1000L + b, "x")).toDF("id", "v").repartition(4), "t6"))
+    val before = t.stats(spark, "t6")
+    assert(before("rows") == 103)
+    t.compact(spark, "t6", rowsPerFile = 1000)
+    val after = t.stats(spark, "t6")
+    assert(after("rows") == 103)
+    assert(after("data_files") == 1)
+    assert(after("data_files") <= before("data_files"))
+    val expired = t.expireSnapshots("t6")
+    assert(expired.nonEmpty)
+    assert(t.versions("t6").size == 1)
+    assert(t.read(spark, "t6").count() == 103)
+  }
+
   test("commits are versioned: failed reader never sees partial state") {
     import spark.implicits._
     val t = fmt()
