@@ -40,6 +40,27 @@ class ParquetDirFormat(root: String) extends TableFormat {
 
   private def tableDir(table: String): Path = Paths.get(root, table)
   private def pointer(table: String): Path = tableDir(table).resolve("LAST")
+  private def partSpecFile(table: String): Path = tableDir(table).resolve("PARTITION")
+
+  /** Partition columns recorded at create time; every later commit rewrites
+    * with the same layout so readers always get directory-level pruning. */
+  def partitionSpec(table: String): Seq[String] =
+    if (!Files.exists(partSpecFile(table))) Seq.empty
+    else new String(Files.readAllBytes(partSpecFile(table))).trim match {
+      case "" => Seq.empty
+      case s => s.split(",").toSeq
+    }
+
+  /** Create with a partition layout (e.g. days(created_at) materialized as a
+    * date column). Partition pruning on these columns is then automatic for
+    * every reader — the property the reference loses by leaving its Iceberg
+    * tables unpartitioned (SURVEY §4). */
+  def createPartitioned(df: DataFrame, table: String, partitionCols: Seq[String]): Unit = {
+    require(!exists(table), s"table already exists: $table")
+    Files.createDirectories(tableDir(table))
+    Files.write(partSpecFile(table), partitionCols.mkString(",").getBytes)
+    commit(df, table)
+  }
 
   private def currentVersion(table: String): Option[Int] =
     if (Files.exists(pointer(table)))
@@ -60,7 +81,9 @@ class ParquetDirFormat(root: String) extends TableFormat {
   private def commit(df: DataFrame, table: String): Unit = {
     val next = currentVersion(table).getOrElse(-1) + 1
     val dir = versionDir(table, next)
-    df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    val writer = df.write.mode(SaveMode.Overwrite)
+    val parts = partitionSpec(table)
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(dir.toString)
     val tmp = tableDir(table).resolve(s".LAST.tmp$next")
     Files.write(tmp, next.toString.getBytes)
     Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,

@@ -72,6 +72,21 @@ class LakeSpec extends AnyFunSuite {
     assert(t.read(spark, "t6").count() == 103)
   }
 
+  test("partitioned create prunes directories on read") {
+    import spark.implicits._
+    val t = fmt()
+    val df = (1 to 200).map(i => (i.toLong, s"2024-0${i % 3 + 1}", i * 1.0))
+      .toDF("id", "month", "v")
+    t.createPartitioned(df, "t7", Seq("month"))
+    t.append(Seq((999L, "2024-02", 9.0)).toDF("id", "month", "v"), "t7")
+    assert(t.read(spark, "t7").count() == 201)
+    // the filtered plan must scan only the matching partition directory
+    val filtered = t.read(spark, "t7").filter(col("month") === "2024-02")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(month"), scan.take(800))
+    assert(filtered.count() > 0)
+  }
+
   test("commits are versioned: failed reader never sees partial state") {
     import spark.implicits._
     val t = fmt()
