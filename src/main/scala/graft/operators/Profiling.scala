@@ -55,6 +55,34 @@ object Profiling {
     df.agg(count(lit(1)).as("total_rows"), aggs: _*)
   }
 
+  /** DuckDB-SUMMARIZE-style per-column profile (reference
+    * sql/profiling/column_stats.sql: one row per column with type,
+    * approx-distinct, null %, min, max). ONE wide scan; the single result row
+    * is reshaped driver-side (metadata, not data). */
+  def summarize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cols = df.columns.toSeq
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"nn_$c"),
+        approx_count_distinct(col(c)).as(s"ad_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__total"), aggs: _*).head()
+    val total = row.getAs[Long]("__total")
+    val types = df.schema.fields.map(f =>
+      f.name -> SchemaOps.canonicalTypeName(f.dataType)).toMap
+    import spark.implicits._
+    cols.map { c =>
+      val nn = row.getAs[Long](s"nn_$c")
+      (c, types(c), total, nn, row.getAs[Long](s"ad_$c"),
+        if (total == 0) 0.0 else (total - nn).toDouble / total,
+        Option(row.getAs[String](s"mn_$c")), Option(row.getAs[String](s"mx_$c")))
+    }.toDF("column_name", "column_type", "total_rows", "non_null",
+      "approx_distinct", "null_pct", "min_value", "max_value")
+  }
+
   /** Reference duplicate_detection.sql: key groups with count > 1, top-k by
     * count with a total-order tie-break so LIMIT is deterministic. */
   def duplicateKeys(df: DataFrame, keys: Seq[String], limit: Int = 50): DataFrame = {

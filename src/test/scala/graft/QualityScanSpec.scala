@@ -25,6 +25,18 @@ class QualityScanSpec extends AnyFunSuite {
     assert(QualityScan.constantColumns(df, Seq("a", "b", "c")) == Seq("c"))
   }
 
+  test("summarize profiles every column in one scan") {
+    val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+    val prof = graft.operators.Profiling.summarize(li).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.size == li.columns.length)
+    val qty = prof("l_quantity")
+    assert(qty.getString(1) == "DOUBLE")
+    assert(qty.getLong(2) == li.count() && qty.getLong(3) == qty.getLong(2))
+    assert(qty.getDouble(5) == 0.0)
+    assert(qty.getString(6).toDouble >= 1.0)
+  }
+
   test("value breakdown is top-k with deterministic tie-break") {
     import spark.implicits._
     val df = (Seq.fill(3)("x") ++ Seq.fill(3)("a") ++ Seq("z")).toDF("v")
