@@ -30,7 +30,8 @@ class Ledger(path: String) {
   def all(): Map[String, FileRecord] =
     if (!Files.exists(file)) Map.empty
     else {
-      val entries = scala.io.Source.fromFile(file.toFile).getLines().flatMap { ln =>
+      import scala.jdk.CollectionConverters._
+      val entries = Files.readAllLines(file).asScala.flatMap { ln =>
         ln.split("\t", -1) match {
           case Array(h, p, t, s, r) => Some(FileRecord(h, p, t, s, r.toLong))
           case _ => None
