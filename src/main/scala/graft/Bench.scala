@@ -21,13 +21,15 @@ object Bench {
     // timed region, then one timed steady-state run — the timed run rebuilds
     // the whole DataFrame so no cached results carry over, only compiled code.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Unit =
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+      def once(): Boolean =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       once()
       val t0 = System.nanoTime()
-      once()
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = once()
+      // a failed query reports -1, never a misleading near-zero timing
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -42,9 +42,12 @@ class TableRegistry(spark: SparkSession) {
     * (duckdb_session.py reject_destructive). Queries must go through the
     * typed API; this only screens the SQL passthrough. */
   def sql(q: String): DataFrame = {
-    val lowered = q.trim.toLowerCase
-    val destructive = Seq("drop ", "delete ", "truncate ", "insert ", "update ", "alter ")
-    require(!destructive.exists(lowered.startsWith),
+    // strip leading comments/whitespace before inspecting the first token —
+    // a "/* x */ DROP ..." or "DROP\nTABLE" must not slip past the guard
+    val stripped = q.replaceAll("(?s)\\A(\\s*(/\\*.*?\\*/|--[^\\n]*(\\n|\\z)))*\\s*", "")
+    val firstToken = stripped.takeWhile(c => !c.isWhitespace && c != '(' && c != ';').toLowerCase
+    val destructive = Set("drop", "delete", "truncate", "insert", "update", "alter", "create")
+    require(!destructive.contains(firstToken),
       s"destructive statements are not allowed through the registry: $q")
     spark.sql(q)
   }

@@ -25,13 +25,19 @@ object ColumnNameNormalizer {
   /** Normalize all names; duplicates get _1, _2 suffixes in column order
     * (reference dedup suffixes, column_normalizer.py). */
   def normalizeAll(names: Seq[String]): Seq[String] = {
-    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val used = scala.collection.mutable.Set.empty[String]
     names.map { n =>
       val base = normalizeName(n)
-      seen.get(base) match {
-        case None => seen(base) = 0; base
-        case Some(k) => seen(base) = k + 1; s"${base}_${k + 1}"
+      // the suffixed candidate must itself be collision-checked: for input
+      // (a, a, a_1) the naive a_1 suffix would collide with the third column
+      var candidate = base
+      var k = 0
+      while (used.contains(candidate)) {
+        k += 1
+        candidate = s"${base}_$k"
       }
+      used += candidate
+      candidate
     }
   }
 

@@ -34,11 +34,17 @@ object Heuristics {
     else true
   }
 
-  val PiiNameLexicon: Seq[String] = Seq(
-    "email", "e_mail", "phone", "mobile", "ssn", "social_security",
-    "passport", "credit_card", "card_number", "dob", "date_of_birth",
-    "first_name", "last_name", "full_name", "address", "street", "zip",
-    "postal", "ip_address", "lat", "latitude", "lon", "longitude")
+  /** Matched as WHOLE snake_case tokens of the normalized column name —
+    * substring matching flags 'population' for 'lat' or 'adobe' for 'dob'. */
+  val PiiNameLexicon: Set[String] = Set(
+    "email", "phone", "mobile", "ssn", "passport", "dob",
+    "address", "street", "zip", "zipcode", "postal",
+    "lat", "latitude", "lon", "lng", "longitude")
+  /** Multi-token markers matched as consecutive token pairs. */
+  val PiiNamePairs: Set[(String, String)] = Set(
+    ("e", "mail"), ("social", "security"), ("credit", "card"),
+    ("card", "number"), ("date", "of"), ("first", "name"), ("last", "name"),
+    ("full", "name"), ("ip", "address"))
 
   val EmailRe = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
   val PhoneRe = "^\\+?[0-9][0-9()\\s.-]{6,18}[0-9]$"
@@ -51,9 +57,13 @@ object Heuristics {
     * only the string columns — never a full scan. */
   def detectPii(df: DataFrame, sampleSize: Int = 5): Seq[PiiFinding] = {
     val byName = df.columns.toSeq.flatMap { c =>
-      val lc = c.toLowerCase
-      if (PiiNameLexicon.exists(lc.contains)) Some(PiiFinding(c, "column_name"))
-      else None
+      val toks = c.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val tokenHit = toks.exists(PiiNameLexicon.contains)
+      val pairHit = toks.sliding(2).exists {
+        case Seq(a, b) => PiiNamePairs.contains((a, b))
+        case _ => false
+      }
+      if (tokenHit || pairHit) Some(PiiFinding(c, "column_name")) else None
     }
     val named = byName.map(_.column).toSet
     val stringCols = df.schema.fields

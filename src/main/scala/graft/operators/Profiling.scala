@@ -62,12 +62,19 @@ object Profiling {
   def summarize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val cols = df.columns.toSeq
+    // min/max only exist for orderable types — array/map/struct columns get
+    // NULL bounds instead of failing the whole profile
+    val orderable = df.schema.fields.map(f => f.name ->
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType)).toMap
     val aggs: Seq[Column] = cols.flatMap { c =>
+      val (mn, mx) =
+        if (orderable(c)) (min(col(c)).cast("string"), max(col(c)).cast("string"))
+        else (first(lit(null).cast("string")), first(lit(null).cast("string")))
       Seq(
         count(col(c)).as(s"nn_$c"),
         approx_count_distinct(col(c)).as(s"ad_$c"),
-        min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c"))
+        mn.as(s"mn_$c"),
+        mx.as(s"mx_$c"))
     }
     val row = df.agg(count(lit(1)).as("__total"), aggs: _*).head()
     val total = row.getAs[Long]("__total")

@@ -13,8 +13,12 @@ import graft.sources.{DelimiterDetector, FormatDetector, Formats, Readers}
   * ledger (services/logger/main.py:14-19 STATUS_RANK): a file's status can
   * only move forward; replayed/out-of-order events cannot regress it. */
 object Status {
+  /** 'failed' ranks BELOW 'loaded' and ties with 'cleaned': failure is a
+    * retryable state, and the fold resolves rank ties toward the newer
+    * record, so a successful retry overwrites an earlier failure while a
+    * stray late failure can never regress a completed load. */
   val Rank: Map[String, Int] = Map(
-    "received" -> 0, "cleaned" -> 1, "loaded" -> 2, "failed" -> 3)
+    "received" -> 0, "cleaned" -> 1, "failed" -> 1, "loaded" -> 2)
 }
 
 final case class FileRecord(fileHash: String, path: String, table: String,

@@ -413,5 +413,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dot"), GraftFunctions.dotInfo, GraftFunctions.dotBuilder))
     ext.injectFunction((FunctionIdentifier("graft_phash"), GraftFunctions.phashInfo, GraftFunctions.phashBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"), GraftFunctions.shingleInfo, GraftFunctions.shingleBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_shingles"), GraftFunctions.shingleStrInfo, GraftFunctions.shingleStrBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"), GraftFunctions.minhashInfo, GraftFunctions.minhashBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"), GraftFunctions.simhashInfo, GraftFunctions.simhashBuilder))
   }
 }

@@ -33,8 +33,22 @@ object Encoding {
     else if (head.length >= 2 && head(0) == 0xFE.toByte && head(1) == 0xFF.toByte)
       Utf16Be
     else {
+      // a multi-byte character straddling the sample boundary must not
+      // misclassify a valid UTF-8 file: trim any incomplete trailing sequence
+      // (up to 3 continuation bytes + 1 lead byte) before strict validation
+      val trimmed =
+        if (head.length < sampleBytes) head
+        else {
+          var end = head.length
+          var dropped = 0
+          while (end > 0 && dropped < 3 && (head(end - 1) & 0xC0) == 0x80) {
+            end -= 1; dropped += 1
+          }
+          if (end > 0 && (head(end - 1) & 0xC0) == 0xC0) end -= 1
+          head.take(end)
+        }
       val dec = StandardCharsets.UTF_8.newDecoder()
-      try { dec.decode(java.nio.ByteBuffer.wrap(head)); Utf8 }
+      try { dec.decode(java.nio.ByteBuffer.wrap(trimmed)); Utf8 }
       catch { case _: CharacterCodingException => Windows1252 }
     }
   }

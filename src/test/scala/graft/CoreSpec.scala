@@ -61,6 +61,38 @@ class CoreSpec extends AnyFunSuite {
     assert(Encoding.ensureUtf8(clean.toString).toString == clean.toString)
   }
 
+  test("registry guard blocks comment-prefixed and newline-split destructive SQL") {
+    import spark.implicits._
+    val reg = new TableRegistry(spark)
+    reg.register("reg_g1", Seq((1L, "a")).toDF("id", "v"))
+    intercept[IllegalArgumentException](reg.sql("/* hi */ DROP TABLE reg_g1"))
+    intercept[IllegalArgumentException](reg.sql("DROP\nTABLE reg_g1"))
+    intercept[IllegalArgumentException](reg.sql("-- c\nDELETE FROM reg_g1"))
+    assert(reg.sql("SELECT * FROM reg_g1").count() == 1)
+    reg.drop("reg_g1")
+  }
+
+  test("summarize tolerates non-orderable columns") {
+    import spark.implicits._
+    // arrays are orderable in Spark; maps are not — both must profile
+    val df = Seq((1L, Map("k" -> 1), Seq(1.0f)), (2L, Map("k" -> 2), Seq(2.0f)))
+      .toDF("id", "props", "vec")
+    val prof = graft.operators.Profiling.summarize(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof("props").isNullAt(6) && prof("props").isNullAt(7))
+    assert(prof("id").getString(6) == "1")
+    assert(prof("vec").getString(6) != null) // arrays order lexicographically
+  }
+
+  test("encoding detect handles multi-byte chars at the sample boundary") {
+    val d = java.nio.file.Files.createTempDirectory("graft-enc2")
+    val p = d.resolve("boundary.csv")
+    // valid UTF-8 with a 2-byte char straddling a 32-byte sample boundary
+    val bytes = ("x" * 31).getBytes("UTF-8") ++ "é".getBytes("UTF-8") ++ "tail\n".getBytes("UTF-8")
+    java.nio.file.Files.write(p, bytes)
+    assert(Encoding.detect(p.toString, sampleBytes = 32) == Encoding.Utf8)
+  }
+
   test("table registry: register, describe, guard") {
     import spark.implicits._
     val reg = new TableRegistry(spark)

@@ -20,6 +20,10 @@ class NormalizeSpec extends AnyFunSuite {
   test("duplicate names get ordered suffixes") {
     assert(ColumnNameNormalizer.normalizeAll(Seq("a", "A", "a ")) ==
       Seq("a", "a_1", "a_2"))
+    // a suffixed name must not collide with a later column's own name
+    assert(ColumnNameNormalizer.normalizeAll(Seq("a", "a", "a_1")) ==
+      Seq("a", "a_1", "a_1_1"))
+    assert(ColumnNameNormalizer.normalizeAll(Seq("a", "a", "a_1")).distinct.size == 3)
   }
 
   test("property: normalization is idempotent and lowercase-snake") {

@@ -40,6 +40,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(lake.read(spark, "users").count() == 3)
   }
 
+  test("a failed load is retryable: success overwrites the failure record") {
+    val root = java.nio.file.Files.createTempDirectory("graft-retry")
+    val ledger = new Ledger(root.resolve("ledger.tsv").toString)
+    ledger.record(graft.pipeline.FileRecord("h1", "/p", "t", "received", 0))
+    ledger.record(graft.pipeline.FileRecord("h1", "/p", "t", "failed", 0))
+    assert(!ledger.isLoaded("h1"))
+    // retry succeeds
+    ledger.record(graft.pipeline.FileRecord("h1", "/p", "t", "cleaned", 5))
+    ledger.record(graft.pipeline.FileRecord("h1", "/p", "t", "loaded", 5))
+    assert(ledger.isLoaded("h1"))
+    // a stray late failure event cannot regress a completed load
+    ledger.record(graft.pipeline.FileRecord("h1", "/p", "t", "failed", 0))
+    assert(ledger.isLoaded("h1"))
+  }
+
+  test("PII name matching is token-exact, not substring") {
+    import spark.implicits._
+    val df = Seq(("x", "y", "z", "w"))
+      .toDF("population", "adobe", "user_email", "longevity")
+    val findings = Heuristics.detectPii(df).map(_.column).toSet
+    assert(findings == Set("user_email"))
+  }
+
   test("header heuristic: textual header over numeric body") {
     assert(Heuristics.looksLikeHeader(
       Seq("id", "amount", "when"),

@@ -49,6 +49,11 @@ class SourcesSpec extends AnyFunSuite {
     assert(Readers.atomicCsv(spark, p).count() == 2)
   }
 
+  test("atomic load tolerates blank lines (CSV parser skips them)") {
+    val p = tmpFile("blank.csv", "a,b\n1,2\n\n   \n3,4\n")
+    assert(Readers.atomicCsv(spark, p).count() == 2)
+  }
+
   test("atomic load fails when multi-line records merge source lines") {
     // a quoted embedded newline: 1 record from 2 physical lines -> the
     // source-line vs loaded-row invariant must trip (reference
