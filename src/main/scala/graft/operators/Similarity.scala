@@ -35,6 +35,16 @@ object Similarity {
 
   private def cosineCol = expr("graft_dot(emb_q, emb_v)") / (col("norm_q") * col("norm_v"))
 
+  /** L2-normalize the embedding column in place (unit vectors make cosine a
+    * plain dot product — the standard ANN-index preprocessing step). Zero
+    * vectors pass through unchanged. */
+  def l2Normalize(emb: DataFrame, col_ : String = "embedding"): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    emb.withColumn(col_, expr(
+      s"CASE WHEN graft_dot($col_, $col_) = 0D THEN $col_ ELSE " +
+        s"transform($col_, x -> cast(x / sqrt(graft_dot($col_, $col_)) as float)) END"))
+  }
+
   /** Exact cosine top-k for queries `vec_id < nQueries` (self excluded). */
   def bruteForceTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 10): DataFrame = {
     val e = withNorm(emb)

@@ -42,6 +42,15 @@ object StreamPipeline {
     * same checkpoint processes only files not yet committed. */
   def runAvailableNow(q: StreamingQuery): Unit = q.awaitTermination()
 
+  /** Streaming deduplication: exactly-one-row-per-key within the watermark
+    * horizon (the incremental form of the batch dedup-keep-latest — state is
+    * bounded by the watermark, so it runs forever on unbounded input). */
+  def streamingDedup(events: DataFrame, tsCol: String, watermark: String,
+                     keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(keys :+ tsCol)
+
   /** Watermarked per-window aggregation over an event-time stream — the
     * standard windowed-agg topology for the 100 TB path (state is bounded by
     * the watermark; late data beyond it is dropped deterministically). */

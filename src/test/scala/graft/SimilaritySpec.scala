@@ -21,6 +21,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("l2Normalize yields unit vectors and is idempotent") {
+    import org.apache.spark.sql.functions._
+    val n1 = Similarity.l2Normalize(emb)
+    val norms = n1.limit(20).select(expr("sqrt(graft_dot(embedding, embedding))")).collect()
+      .map(_.getDouble(0))
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-3, s"norm $n"))
+    val n2 = Similarity.l2Normalize(n1)
+    val a = n1.orderBy("vec_id").limit(3).select("embedding").collect().map(_.getSeq[Float](0))
+    val b = n2.orderBy("vec_id").limit(3).select("embedding").collect().map(_.getSeq[Float](0))
+    a.zip(b).foreach { case (x, y) =>
+      x.zip(y).foreach { case (u, v) => assert(math.abs(u - v) < 1e-4) } }
+  }
+
   test("IVF ANN recall@10 >= 0.5 against brute force") {
     val exact = Similarity.bruteForceTopK(emb, nQueries = 10, k = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

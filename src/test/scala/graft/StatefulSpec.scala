@@ -62,6 +62,25 @@ class StatefulSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDS().toDF("ts", "user_id", "v")
+    val q = graft.streaming.StreamPipeline
+      .streamingDedup(df, "ts", "10 minutes", Seq("user_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(0), 1L, "a"), (ts(0), 1L, "a-dup"), (ts(1), 2L, "b"))
+      q.processAllAvailable()
+      input.addData((ts(0), 1L, "a-replay"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").collect()
+      assert(out.length == 2) // (1, ts0) once + (2, ts1); replay dropped
+    } finally q.stop()
+  }
+
   test("report JSON rendering escapes and shapes") {
     val json = Reports.render(Reports.QualityReport("t\"x", 10,
       Seq(Reports.ColumnFinding("c1", "null_like", "warning", "line1\nline2", 3))))
