@@ -122,7 +122,22 @@ object Events {
         first(col("lo")).as("lo"), first(col("hi")).as("hi"))
   }
 
+  /** Rolling 5-event average per user (frame-spec windows — a capability the
+    * reference lacks entirely, SURVEY §2.5). The frame sum goes through
+    * DECIMAL so it is associative: engines disagree on frame accumulation
+    * order (DuckDB uses segment trees), but exact sums make that invisible. */
+  def rollingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("rolling_n", count(col("value")).over(w))
+      .withColumn("rolling_avg",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double") / col("rolling_n"))
+      .select("event_id", "user_id", "ts", "value", "rolling_n", "rolling_avg")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_rolling_avg"   -> (rollingAvg _),
     "events_dedup_latest"  -> (dedupLatest _),
     "events_sessionize"    -> (sessionize _),
     "events_hourly_rollup" -> (hourlyRollup _),
@@ -135,6 +150,15 @@ object Events {
       "epoch_us(CAST(ts AS TIMESTAMP)) AS ep FROM events"
 
   val oracle: Map[String, String] = Map(
+    "events_rolling_avg" ->
+      s"""WITH e AS ($eCte)
+         |SELECT event_id, user_id, ts, value,
+         |  COUNT(value) OVER w AS rolling_n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         |    / COUNT(value) OVER w AS rolling_avg
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
     "events_dedup_latest" ->
       s"""WITH e AS ($eCte)
          |SELECT event_id, user_id, event_type, ts, value FROM (
