@@ -171,7 +171,7 @@ object Events {
          |g AS (SELECT *, CASE WHEN prev_ep IS NULL OR ep - prev_ep > $SessionGapUs THEN 1 ELSE 0 END AS new_session FROM f),
          |h AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
          |  ROWS UNBOUNDED PRECEDING) AS session_seq FROM g)
-         |SELECT user_id, session_seq, COUNT(*) AS n_events,
+         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
          |  MIN(ts) AS session_start, MAX(ts) AS session_end,
          |  MAX(ep) - MIN(ep) AS duration_us
          |FROM h GROUP BY user_id, session_seq""".stripMargin,
@@ -184,9 +184,9 @@ object Events {
          |FROM e GROUP BY 1, 2""".stripMargin,
     "events_json_props" ->
       s"""WITH e AS ($eCte),
-         |k AS (SELECT event_type, json_extract(props, '$$.k')::BIGINT AS k FROM e)
+         |k AS (SELECT event_type, TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM e)
          |SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
-         |  SUM(k) AS sum_k, SUM(k)::DOUBLE / COUNT(k) AS avg_k,
+         |  CAST(SUM(k) AS BIGINT) AS sum_k, SUM(k)::DOUBLE / COUNT(k) AS avg_k,
          |  MIN(k) AS min_k, MAX(k) AS max_k
          |FROM k GROUP BY event_type""".stripMargin,
     "events_upsert_latest" ->

@@ -104,8 +104,8 @@ object Training {
        |  CASE WHEN n_tokens > 0 THEN n_distinct::DOUBLE / n_tokens ELSE 0::DOUBLE END +
        |  CASE WHEN length(text) > 0 THEN alpha_chars::DOUBLE / length(text) ELSE 0::DOUBLE END AS quality_score
        |FROM c)
-       |SELECT source, COUNT(*) AS n_docs, SUM(n_tokens::BIGINT) AS total_tokens,
-       |  SUM(n_distinct::BIGINT) AS total_distinct_tokens,
+       |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens::BIGINT) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(n_distinct::BIGINT) AS BIGINT) AS total_distinct_tokens,
        |  MIN(quality_score) AS min_quality, MAX(quality_score) AS max_quality
        |FROM m GROUP BY source""".stripMargin
 

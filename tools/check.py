@@ -59,6 +59,15 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
+            # Lint: HUGEINT/DECIMAL outputs render differently via Arrow/pandas
+            # (int128 -> decimal128/float64) than via fetchall -> Python int, so
+            # a driver that fetches through Arrow would hash-mismatch even when
+            # this script passes. Uncast integer SUM() is the usual culprit.
+            for cname, ctype, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+                if "HUGEINT" in ctype.upper() or "DECIMAL" in ctype.upper():
+                    print(f"WARN {name}: oracle column {cname} has DuckDB type "
+                          f"{ctype} — cast it (driver Arrow path renders these "
+                          f"differently than Spark int64/double)")
             duck = con.execute(sql)
             duck_cols = [d[0] for d in duck.description]
             duck_rows = duck.fetchall()
