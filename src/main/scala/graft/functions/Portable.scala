@@ -108,6 +108,37 @@ object Portable {
   def hammingDuck(a1: String, b1: String, a2: String, b2: String): String =
     s"bit_count(xor($a1, $b1)) + bit_count(xor($a2, $b2))"
 
+  // ---- random-hyperplane LSH (fixed LCG planes) ----------------------------
+  /** Hyperplane entry for plane `p` (= table*nBits + bit), dimension `d`:
+    * `lcg(p,d)/2^30 - 1` in [-1, 1). Every value is a dyadic rational with
+    * denominator 2^30 — h.toDouble, the division, and the subtraction are all
+    * EXACT in IEEE double — so any engine evaluating the generating formula
+    * reproduces the planes bit-for-bit, and the bucket sign bits (dot >= 0)
+    * agree across engines as long as the dot accumulates left-to-right. */
+  def lshPlane(p: Int, d: Int): Double = {
+    val h = math.floorMod(1103515245L * (p * 131L + d * 31L + 17L) + 12345L, 1L << 31)
+    h.toDouble / (1L << 30).toDouble - 1.0
+  }
+
+  /** DuckDB CTE list computing `buckets(vec_id, tbl, bucket)` for every row of
+    * an `embeddings` view — the oracle twin of the `graft_lsh_buckets` native
+    * expression ([[graft.plans.LshBucketIds]]). The plane formula is inlined
+    * ((h % 2^31) - 2^30) / 2^30, algebraically and bitwise identical to
+    * [[lshPlane]] because every step is exact. */
+  def lshBucketsDuckCtes(nTables: Int, nBits: Int): String =
+    s"""pl AS (SELECT CAST(p // $nBits AS BIGINT) AS tbl, CAST(p % $nBits AS BIGINT) AS bit,
+       |  [((1103515245 * (p * 131 + d * 31 + 17) + 12345) % 2147483648 - 1073741824)::DOUBLE
+       |     / 1073741824.0 for d in range(0, $Dim)] AS plane
+       |  FROM range(0, ${nTables * nBits}) r(p)),
+       |dots AS (SELECT v.vec_id, pl.tbl, pl.bit,
+       |  list_reduce(list_prepend(0.0::DOUBLE,
+       |    [CAST(v.embedding[d + 1] AS DOUBLE) * pl.plane[d + 1] for d in range(0, $Dim)]),
+       |    (a, x) -> a + x) AS dot
+       |  FROM embeddings v CROSS JOIN pl),
+       |buckets AS (SELECT vec_id, tbl,
+       |  CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, tbl)""".stripMargin
+
   // ---- stopword lexica for the language-ID heuristic -----------------------
   val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
   val StopEs: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por")

@@ -60,17 +60,12 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rnk")
   }
 
-  /** Deterministic pseudo-random hyperplanes, materialized once on the driver
-    * and closed over by the bucket UDF (a few KB — broadcast with the task). */
-  private def planes(nPlanes: Int): Array[Array[Double]] =
-    Array.tabulate(nPlanes, Portable.Dim) { (p, d) =>
-      val h = math.floorMod(1103515245L * (p * 131L + d * 31L + 17L) + 12345L, 1L << 31)
-      h.toDouble / (1L << 30).toDouble - 1.0
-    }
-
   /** LSH signatures: (vec_id, embedding, table, bucket) — one row per hash
-    * table. Bucket ids come from a single UDF pass (nTables*nBits*Dim flops
-    * per vector) instead of a giant per-bit expression tree.
+    * table. Bucket ids come from the native [[graft.plans.LshBucketIds]]
+    * expression (`graft_lsh_buckets`): one pass over the columnar ArrayData,
+    * no per-row Seq boxing, and bitwise-reproducible in the DuckDB oracle
+    * via [[Portable.lshBucketsDuckCtes]] (planes are exact dyadic rationals
+    * regenerated from the same LCG formula).
     *
     * Tuning: P(query and true neighbor share a bucket) per table is
     * (1 - θ/π)^nBits, so nBits trades probe cost against recall. This corpus
@@ -78,27 +73,10 @@ object Similarity {
     * gives recall ≈ 0.8 at reduced probe cost. A denser corpus
     * (θ ≈ 20-30°) supports 12-16 bits and probe costs in the 1% range. */
   def lshBuckets(emb: DataFrame, nTables: Int = 16, nBits: Int = 4): DataFrame = {
-    val pl = planes(nTables * nBits)
-    val nT = nTables
-    val nB = nBits
-    val bucketsUdf = udf { (v: Seq[Float]) =>
-      Array.tabulate(nT) { t =>
-        var bucket = 0L
-        var b = 0
-        while (b < nB) {
-          val p = pl(t * nB + b)
-          var dot = 0.0
-          var i = 0
-          val n = math.min(v.length, p.length)
-          while (i < n) { dot += v(i) * p(i); i += 1 }
-          if (dot >= 0) bucket |= (1L << b)
-          b += 1
-        }
-        bucket
-      }
-    }
+    GraftFunctions.register(emb.sparkSession)
     emb.select(col("vec_id"), col("embedding"),
-        posexplode(bucketsUdf(col("embedding"))).as(Seq("table", "bucket")))
+        posexplode(expr(s"graft_lsh_buckets(embedding, $nTables, $nBits)"))
+          .as(Seq("table", "bucket")))
       .select("vec_id", "embedding", "table", "bucket")
   }
 
@@ -130,21 +108,74 @@ object Similarity {
     rerank(e, cand, k)
   }
 
+  /** Deterministic IVF-flat ANN — the oracle-checkable coarse quantizer.
+    *
+    * Cells are `nCentroids` stride-sampled vectors (vec_id = i*stride,
+    * stride = n/nCentroids): a zero-iteration quantizer whose assignment,
+    * probe, and re-rank stages are the exact physical layout of a trained IVF
+    * index, with every step reproducible in portable SQL — squared-L2 cell
+    * distance composes three [[graft.plans.ArrayDotProduct]] calls
+    * ((v·v + c·c) - 2(v·c)), bitwise-equal to the DuckDB chain, so the whole
+    * query is hash-checked by the driver (unlike k-means, whose parallel
+    * centroid sums are float-order nondeterministic BY CONSTRUCTION — no
+    * cross-engine oracle can exist for [[ivfAnnTopK]]).
+    *
+    * Scale: centroids and probe lists are tiny broadcasts; assignment is one
+    * corpus scan × nCentroids dots; probe cost is nProbe/nCentroids of the
+    * corpus. Same asymptotics as the trained variant. */
+  def ivfFlatTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 10,
+                  nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val e = withNorm(emb)
+    val stats = emb.agg(greatest(
+      (count(lit(1)) / nCentroids).cast("long"), lit(1L)).as("stride"))
+    val centroids = emb.crossJoin(broadcast(stats))
+      .filter(col("vec_id") % col("stride") === 0 &&
+        expr("vec_id div stride") < nCentroids)
+      .select(expr("vec_id div stride").as("cell"), col("embedding").as("emb_c"))
+    val v = emb.select(col("vec_id"), col("embedding").as("emb_v"))
+    val dist = expr(
+      "(graft_dot(emb_v, emb_v) + graft_dot(emb_c, emb_c)) - CAST(2 AS DOUBLE) * graft_dot(emb_v, emb_c)")
+    val ranked = v.crossJoin(broadcast(centroids))
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cell").asc)))
+    val assigned = ranked.filter(col("rn") === 1).select("vec_id", "cell")
+    val qCells = ranked.filter(col("vec_id") < nQueries && col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = assigned.join(broadcast(qCells), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    rerank(e, cand, k)
+  }
+
   /** IVF (inverted-file) ANN: coarse-quantize vectors into `nCentroids`
     * k-means cells; a query probes its `nProbe` nearest cells and exact
     * cosine re-ranks the candidates. The classic big-index layout: the
     * assignment table is partitionable by cell, probe cost is
-    * nProbe/nCentroids of the corpus, and centroids are a tiny broadcast. */
+    * nProbe/nCentroids of the corpus, and centroids are a tiny broadcast.
+    *
+    * The k-means fit runs on a bounded sample (≤ `maxTrainVectors`, fraction
+    * from one metadata count): Spark ML k-means is iterative with a full scan
+    * per iteration, so training on the complete corpus would dominate the
+    * index build at 100 TB. Sampled centroids + one full assignment pass is
+    * the standard FAISS-style recipe; recall is asserted in SimilaritySpec. */
   def ivfAnnTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 10,
-                 nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+                 nCentroids: Int = 16, nProbe: Int = 4,
+                 maxTrainVectors: Long = 50000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = withNorm(emb)
     val feats = emb.select(col("vec_id"),
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = feats.count()
+    val train =
+      if (n <= maxTrainVectors) feats
+      else feats.sample(withReplacement = false, maxTrainVectors.toDouble / n, seed = 42L)
     val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
-      .fit(feats)
+      .fit(train)
     val assigned = model.transform(feats)
       .select(col("vec_id"), col("prediction").as("cell"))
     // nProbe nearest cells per query, from the broadcast centroid set

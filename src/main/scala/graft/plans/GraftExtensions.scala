@@ -347,6 +347,59 @@ case class SimHashFingerprint(child: Expression)
     copy(child = newChild)
 }
 
+/** Native expression: random-hyperplane LSH bucket ids of a float vector,
+  * `array<bigint>[nTables]` — bucket b of table t sets bit b when the dot
+  * product against plane t*nBits+b is >= 0.
+  *
+  * Planes come from [[Portable.lshPlane]] (fixed LCG, exact dyadic values), so
+  * the DuckDB oracle regenerates them from the same formula and the bucket ids
+  * match bit-for-bit ([[Portable.lshBucketsDuckCtes]]). Replaces the former
+  * `udf { (v: Seq[Float]) => ... }` hot path, which boxed every vector into a
+  * Seq per row — this reads the columnar ArrayData directly.
+  */
+case class LshBucketIds(child: Expression, nTables: Int, nBits: Int)
+  extends UnaryExpression with codegen.CodegenFallback {
+  import graft.functions.Portable
+
+  private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(nTables * nBits, Portable.Dim)((p, d) => Portable.lshPlane(p, d))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if nTables >= 1 && nBits >= 1 && nBits <= 62 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_buckets expects (array<float>, nTables>=1, 1<=nBits<=62), got $other / $nTables / $nBits")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var b = 0
+      while (b < nBits) {
+        val p = planes(t * nBits + b)
+        var dot = 0.0
+        var i = 0
+        val n = math.min(v.numElements(), p.length)
+        while (i < n) { dot += v.getFloat(i).toDouble * p(i); i += 1 }
+        if (dot >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration for graft's native expressions.
   *
   * Two paths to the same registry entry:
@@ -398,6 +451,13 @@ object GraftFunctions {
       s"graft_simhash takes exactly 1 argument, got ${other.size}")
   }
 
+  val lshInfo = new ExpressionInfo(classOf[LshBucketIds].getName, "graft_lsh_buckets")
+  val lshBuilder: Seq[Expression] => Expression = {
+    case Seq(a, Literal(t: Int, IntegerType), Literal(b: Int, IntegerType)) => LshBucketIds(a, t, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_lsh_buckets takes (col, int literal, int literal), got $other")
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
@@ -406,6 +466,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_shingles", shingleStrBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_minhash", minhashBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_simhash", simhashBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_lsh_buckets", lshBuilder, "built-in")
   }
 }
 
@@ -417,5 +478,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_shingles"), GraftFunctions.shingleStrInfo, GraftFunctions.shingleStrBuilder))
     ext.injectFunction((FunctionIdentifier("graft_minhash"), GraftFunctions.minhashInfo, GraftFunctions.minhashBuilder))
     ext.injectFunction((FunctionIdentifier("graft_simhash"), GraftFunctions.simhashInfo, GraftFunctions.simhashBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_lsh_buckets"), GraftFunctions.lshInfo, GraftFunctions.lshBuilder))
   }
 }

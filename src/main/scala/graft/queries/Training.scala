@@ -10,9 +10,13 @@ import graft.operators.{Dedup, Similarity, TextOps}
   * the exact arithmetic (hash constants, association order, division operands)
   * is shared, so results hash-match bit-for-bit.
   *
-  * `ann_lsh_topk` intentionally has no oracle: ANN answers are approximate by
-  * design; its recall against the brute-force baseline is asserted in
-  * ScalaTest instead.
+  * The ANN gate rows are fully oracle-checked too: LSH buckets come from a
+  * fixed LCG plane family that DuckDB regenerates bit-for-bit
+  * ([[Portable.lshBucketsDuckCtes]]), and the IVF gate row uses the
+  * deterministic stride-centroid quantizer ([[Similarity.ivfFlatTopK]]) whose
+  * every stage is portable SQL. The k-means-trained IVF variant keeps its
+  * recall assertion in ScalaTest (parallel centroid sums are float-order
+  * nondeterministic, so no cross-engine oracle can exist for it).
   */
 object Training {
   type Q = (SparkSession, String) => DataFrame
@@ -38,7 +42,7 @@ object Training {
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), CosineTau)),
     "ann_brute_force_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_lsh_topk"           -> ((s, d) => Similarity.lshAnnTopK(Tables.embeddings(s, d), NQueries, TopK)),
-    "ann_ivf_topk"           -> ((s, d) => Similarity.ivfAnnTopK(Tables.embeddings(s, d), NQueries, TopK)))
+    "ann_ivf_topk"           -> ((s, d) => Similarity.ivfFlatTopK(Tables.embeddings(s, d), NQueries, TopK)))
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -169,7 +173,53 @@ object Training {
        |  FROM s)
        |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= $TopK""".stripMargin
 
+  /** Exact replica of [[Similarity.lshAnnTopK]] (16 tables × 4 bits): bucket
+    * generation, candidate equi-join, and exact cosine re-rank — every stage
+    * bitwise-portable, so the "approximate" index is still hash-checkable. */
+  private val annLshSql =
+    s"""WITH ${Portable.lshBucketsDuckCtes(16, 4)},
+       |qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets WHERE vec_id < $NQueries),
+       |cand AS (SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+       |  FROM buckets b JOIN qb USING (tbl, bucket) WHERE b.vec_id <> qb.query_id),
+       |e AS (SELECT vec_id, embedding, ${Portable.normDuck("embedding")} AS nrm FROM embeddings),
+       |s AS (SELECT cand.query_id, cand.neighbor_id,
+       |    (${Portable.dotDuck("q.embedding", "v.embedding")}) / (q.nrm * v.nrm) AS cosine
+       |  FROM cand JOIN e q ON q.vec_id = cand.query_id JOIN e v ON v.vec_id = cand.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |  FROM s)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= $TopK""".stripMargin
+
+  /** Exact replica of [[Similarity.ivfFlatTopK]] (16 cells, 4 probes):
+    * stride-sampled centroids, squared-L2 assignment via composed dot chains,
+    * probe, and exact cosine re-rank. */
+  private val annIvfSql =
+    s"""WITH st AS (SELECT GREATEST(COUNT(*) // 16, 1) AS stride FROM embeddings),
+       |c AS (SELECT vec_id // stride AS cell, embedding AS emb_c FROM embeddings, st
+       |  WHERE vec_id % stride = 0 AND vec_id // stride < 16),
+       |v AS (SELECT vec_id, embedding AS emb_v FROM embeddings),
+       |d AS (SELECT v.vec_id, c.cell,
+       |    ((${Portable.dotDuck("emb_v", "emb_v")}) + (${Portable.dotDuck("emb_c", "emb_c")}))
+       |      - CAST(2 AS DOUBLE) * (${Portable.dotDuck("emb_v", "emb_c")}) AS dist
+       |  FROM v CROSS JOIN c),
+       |rk AS (SELECT vec_id, cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM d),
+       |asg AS (SELECT vec_id, cell FROM rk WHERE rn = 1),
+       |qc AS (SELECT vec_id AS query_id, cell FROM rk WHERE vec_id < $NQueries AND rn <= 4),
+       |cand AS (SELECT DISTINCT qc.query_id, asg.vec_id AS neighbor_id
+       |  FROM asg JOIN qc USING (cell) WHERE asg.vec_id <> qc.query_id),
+       |e AS (SELECT vec_id, embedding, ${Portable.normDuck("embedding")} AS nrm FROM embeddings),
+       |s AS (SELECT cand.query_id, cand.neighbor_id,
+       |    (${Portable.dotDuck("q.embedding", "nv.embedding")}) / (q.nrm * nv.nrm) AS cosine
+       |  FROM cand JOIN e q ON q.vec_id = cand.query_id JOIN e nv ON nv.vec_id = cand.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |  FROM s)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= $TopK""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "ann_lsh_topk"           -> annLshSql,
+    "ann_ivf_topk"           -> annIvfSql,
     "text_token_stats"       -> tokenStatsSql,
     "text_language_id"       -> languageIdSql,
     "text_quality_score"     -> qualityScoreSql,

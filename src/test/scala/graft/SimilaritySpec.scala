@@ -34,6 +34,37 @@ class SimilaritySpec extends AnyFunSuite {
       x.zip(y).foreach { case (u, v) => assert(math.abs(u - v) < 1e-4) } }
   }
 
+  test("native graft_lsh_buckets matches an independent Scala reimplementation") {
+    import graft.functions.Portable
+    import org.apache.spark.sql.functions._
+    val nT = 16; val nB = 4
+    val rows = Similarity.lshBuckets(emb, nT, nB)
+      .select("vec_id", "embedding", "table", "bucket").limit(2000).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val t = r.getInt(2)
+      var expected = 0L
+      for (b <- 0 until nB) {
+        var dot = 0.0
+        for (i <- 0 until math.min(v.length, Portable.Dim))
+          dot += v(i).toDouble * Portable.lshPlane(t * nB + b, i)
+        if (dot >= 0) expected |= (1L << b)
+      }
+      assert(r.getLong(3) == expected,
+        s"vec ${r.getLong(0)} table $t: native ${r.getLong(3)} != reference $expected")
+    }
+  }
+
+  test("deterministic IVF-flat recall@10 >= 0.4 against brute force") {
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 10, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfFlatTopK(emb, nQueries = 10, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF-flat recall was $recall")
+  }
+
   test("IVF ANN recall@10 >= 0.5 against brute force") {
     val exact = Similarity.bruteForceTopK(emb, nQueries = 10, k = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
