@@ -79,15 +79,28 @@ object FilePipeline {
   /** Load a raw file into an all-string DataFrame by detected format. Text
     * formats go through encoding recovery first (reference ensure_utf8,
     * file_detector.py:127-165): BOM/UTF-16/Windows-1252 inputs are transcoded
-    * to clean UTF-8 before parsing. */
+    * to clean UTF-8 before parsing.
+    *
+    * CSV follows the reference's fast-path-first control flow
+    * (tools/ingestion.py:915-920, 1028-1074): the strict atomic load runs
+    * first; only a file that fails it pays for the multi-strategy scored
+    * recovery parse ([[graft.sources.CsvRecovery]]). JSON always goes through
+    * the validate/repair path ([[graft.sources.JsonRepair]]) because Spark's
+    * permissive reader silently drops malformed JSONL lines — the exact row
+    * loss the reference's atomic guarantee forbids. */
   def loadRaw(spark: SparkSession, path: String): DataFrame =
     FormatDetector.detect(path) match {
       case Formats.Csv | Formats.Tsv =>
         val utf8 = graft.sources.Encoding.ensureUtf8(path).toString
         val sep = DelimiterDetector.detectFile(spark, utf8)
-        Readers.atomicCsv(spark, utf8, sep = sep.toString)
+        try Readers.atomicCsv(spark, utf8, sep = sep.toString)
+        catch {
+          case _: Exception =>
+            graft.sources.CsvRecovery.recover(spark, utf8, sep = sep.toString)
+        }
       case Formats.Json | Formats.Jsonl =>
-        Readers.json(spark, graft.sources.Encoding.ensureUtf8(path).toString)
+        graft.sources.JsonRepair.loadAtomic(
+          spark, graft.sources.Encoding.ensureUtf8(path).toString)
       case Formats.Parquet => Readers.parquet(spark, path)
       case f => throw new IllegalArgumentException(s"unsupported format $f for $path")
     }
