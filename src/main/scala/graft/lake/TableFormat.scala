@@ -1,27 +1,37 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Options, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
 
 /** Write-path semantics of the reference loader (services/loader/
   * bigquery_manager.py): create / append / overwrite / upsert with additive
-  * schema evolution, re-expressed on a Parquet-directory table (no Iceberg
-  * jars ship in this build; the trait boundary is where an Iceberg catalog
-  * implementation would slot in — `df.writeTo(t).append()` etc. — without
-  * touching callers).
+  * schema evolution, re-expressed on Parquet tables (no Iceberg jars ship in
+  * this build; the trait boundary is where an Iceberg catalog implementation
+  * would slot in — `df.writeTo(t).append()` etc. — without touching callers).
   *
   * Semantics preserved from the reference:
   *  - schema evolution is ADDITIVE: new columns append, old rows read NULL
   *    (bigquery_manager.py:27-79 evolve_schema);
   *  - column alignment casts with try_cast and fills missing with NULL
-  *    (bigquery_manager.py:220-256 _build_cast_select);
+  *    (bigquery_manager.py:220-256 _build_cast_select) — applied on BOTH the
+  *    append and upsert paths;
   *  - upsert = delete target rows matching source keys, then insert
   *    (bigquery_manager.py:259-316) — here a left_anti join + union;
-  *  - writers never mutate in place: each commit writes a fresh versioned
-  *    directory and flips a LAST pointer file, so readers see atomic swaps
-  *    (the moral equivalent of the reference's staging->archive move,
+  *  - writers never mutate in place: each commit writes fresh immutable
+  *    directories and atomically flips a pointer file, so readers see atomic
+  *    swaps (the moral equivalent of the reference's staging->archive move,
   *    loader/cleanup.py:15-46).
+  *
+  * Two implementations:
+  *  - [[ParquetDirFormat]]: whole-snapshot versions. Simple, right for small
+  *    reference tables; every commit is O(table).
+  *  - [[PartitionedTable]]: partition-scoped manifest commits. Appends move
+  *    only the new data into place; upserts rewrite only partitions containing
+  *    touched keys and commit every other partition BY REFERENCE — the
+  *    100 TB-safe write path.
   */
 trait TableFormat {
   def create(df: DataFrame, table: String): Unit
@@ -32,21 +42,92 @@ trait TableFormat {
   def exists(table: String): Boolean
 }
 
+private[lake] object Align {
+  /** try_cast columns whose type drifted from the target's; leave the rest.
+    * Brand-new columns pass through (additive evolution via unionByName). */
+  def to(df: DataFrame, targetTypes: Map[String, DataType]): DataFrame =
+    df.select(df.columns.map { c =>
+      targetTypes.get(c) match {
+        case Some(t) if df.schema(c).dataType != t =>
+          expr(s"try_cast($c as ${t.sql})").as(c)
+        case _ => col(c)
+      }
+    }.toIndexedSeq: _*)
+}
+
+/** All lake file operations go through the Hadoop FileSystem API, so the same
+  * code runs on local disk, HDFS, or an object store (the reference's GCS).
+  * Pointer flips use FileContext rename with OVERWRITE — atomic on HDFS and
+  * POSIX; on object stores the pointer is a single small object, so readers
+  * observe old-or-new, never partial. */
+private[lake] final class LakeFs(root: String) {
+  private def conf: Configuration =
+    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+  val fs: FileSystem = new HPath(root).getFileSystem(conf)
+  private lazy val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+    new HPath(root).toUri, conf)
+
+  def exists(p: String): Boolean = fs.exists(new HPath(p))
+  def mkdirs(p: String): Unit = fs.mkdirs(new HPath(p))
+
+  def readString(p: String): String = {
+    val in = fs.open(new HPath(p))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  def writeString(p: String, s: String): Unit = {
+    val out = fs.create(new HPath(p), true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Write a temp sibling then atomically rename over the destination. */
+  def writeStringAtomic(p: String, s: String): Unit = {
+    val tmp = s"$p.tmp${System.nanoTime()}"
+    writeString(tmp, s)
+    fc.rename(new HPath(tmp), new HPath(p), Options.Rename.OVERWRITE)
+  }
+
+  /** Move a directory into place (parents created; destination must be new). */
+  def rename(src: String, dst: String): Unit = {
+    val d = new HPath(dst)
+    fs.mkdirs(d.getParent)
+    if (!fs.rename(new HPath(src), d))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+  }
+
+  def delete(p: String): Unit = fs.delete(new HPath(p), true)
+
+  def list(p: String): Seq[FileStatus] =
+    if (!exists(p)) Seq.empty else fs.listStatus(new HPath(p)).toSeq
+
+  /** All regular files under `p`, recursively. */
+  def listFilesRecursive(p: String): Seq[FileStatus] = {
+    if (!exists(p)) return Seq.empty
+    val it = fs.listFiles(new HPath(p), true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+    while (it.hasNext) buf += it.next()
+    buf.toSeq
+  }
+}
+
 /** Versioned Parquet-directory table: `<root>/<table>/v<N>/` + `LAST` pointer.
   * Readers resolve the pointer then scan one immutable snapshot directory —
   * writers commit by writing v<N+1> fully, then flipping the pointer (atomic
-  * file move). Concurrent readers never see partial data. */
+  * rename). Concurrent readers never see partial data. Every commit is
+  * O(table) — use [[PartitionedTable]] where that matters. */
 class ParquetDirFormat(root: String) extends TableFormat {
+  private val io = new LakeFs(root)
 
-  private def tableDir(table: String): Path = Paths.get(root, table)
-  private def pointer(table: String): Path = tableDir(table).resolve("LAST")
-  private def partSpecFile(table: String): Path = tableDir(table).resolve("PARTITION")
+  private def tableDir(table: String): String = s"$root/$table"
+  private def pointer(table: String): String = s"${tableDir(table)}/LAST"
+  private def partSpecFile(table: String): String = s"${tableDir(table)}/PARTITION"
 
   /** Partition columns recorded at create time; every later commit rewrites
     * with the same layout so readers always get directory-level pruning. */
   def partitionSpec(table: String): Seq[String] =
-    if (!Files.exists(partSpecFile(table))) Seq.empty
-    else new String(Files.readAllBytes(partSpecFile(table))).trim match {
+    if (!io.exists(partSpecFile(table))) Seq.empty
+    else io.readString(partSpecFile(table)).trim match {
       case "" => Seq.empty
       case s => s.split(",").toSeq
     }
@@ -57,25 +138,24 @@ class ParquetDirFormat(root: String) extends TableFormat {
     * tables unpartitioned (SURVEY §4). */
   def createPartitioned(df: DataFrame, table: String, partitionCols: Seq[String]): Unit = {
     require(!exists(table), s"table already exists: $table")
-    Files.createDirectories(tableDir(table))
-    Files.write(partSpecFile(table), partitionCols.mkString(",").getBytes)
+    io.mkdirs(tableDir(table))
+    io.writeString(partSpecFile(table), partitionCols.mkString(","))
     commit(df, table)
   }
 
   private def currentVersion(table: String): Option[Int] =
-    if (Files.exists(pointer(table)))
-      Some(new String(Files.readAllBytes(pointer(table))).trim.toInt)
+    if (io.exists(pointer(table))) Some(io.readString(pointer(table)).trim.toInt)
     else None
 
-  private def versionDir(table: String, v: Int): Path =
-    tableDir(table).resolve(s"v$v")
+  private def versionDir(table: String, v: Int): String =
+    s"${tableDir(table)}/v$v"
 
   override def exists(table: String): Boolean = currentVersion(table).isDefined
 
   override def read(spark: SparkSession, table: String): DataFrame = {
     val v = currentVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no such table: $table"))
-    spark.read.parquet(versionDir(table, v).toString)
+    spark.read.parquet(versionDir(table, v))
   }
 
   private def commit(df: DataFrame, table: String): Unit = {
@@ -83,11 +163,8 @@ class ParquetDirFormat(root: String) extends TableFormat {
     val dir = versionDir(table, next)
     val writer = df.write.mode(SaveMode.Overwrite)
     val parts = partitionSpec(table)
-    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(dir.toString)
-    val tmp = tableDir(table).resolve(s".LAST.tmp$next")
-    Files.write(tmp, next.toString.getBytes)
-    Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(dir)
+    io.writeStringAtomic(pointer(table), next.toString)
   }
 
   override def create(df: DataFrame, table: String): Unit = {
@@ -95,34 +172,27 @@ class ParquetDirFormat(root: String) extends TableFormat {
     commit(df, table)
   }
 
-  /** Align `df` to the union schema of (target, df): existing columns
-    * try_cast to the target type, brand-new columns appended (additive
-    * evolution), columns absent from `df` read NULL via unionByName. */
+  /** Align `df` to the target's types (try_cast), then union: brand-new
+    * columns append (additive evolution), columns absent from `df` read NULL. */
   override def append(df: DataFrame, table: String): Unit = {
     if (!exists(table)) { create(df, table); return }
-    val spark = df.sparkSession
-    val target = read(spark, table)
-    val targetTypes = target.schema.map(f => f.name -> f.dataType).toMap
-    val aligned = df.select(df.columns.map { c =>
-      targetTypes.get(c) match {
-        case Some(t) if df.schema(c).dataType != t =>
-          expr(s"try_cast($c as ${t.sql})").as(c)
-        case _ => col(c)
-      }
-    }.toSeq: _*)
+    val target = read(df.sparkSession, table)
+    val aligned = Align.to(df, target.schema.map(f => f.name -> f.dataType).toMap)
     commit(target.unionByName(aligned, allowMissingColumns = true), table)
   }
 
   override def overwrite(df: DataFrame, table: String): Unit = commit(df, table)
 
   /** Delete-matching-then-insert (reference upsert): rows in the target whose
-    * key appears in the source are replaced by the source rows. */
+    * key appears in the source are replaced by the source rows. The source is
+    * type-aligned first, same as append — a drifted column upserts through
+    * try_cast instead of corrupting the committed schema. */
   override def upsert(df: DataFrame, table: String, keys: Seq[String]): Unit = {
     if (!exists(table)) { create(df, table); return }
-    val spark = df.sparkSession
-    val target = read(spark, table)
-    val kept = target.join(df.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    commit(kept.unionByName(df, allowMissingColumns = true), table)
+    val target = read(df.sparkSession, table)
+    val aligned = Align.to(df, target.schema.map(f => f.name -> f.dataType).toMap)
+    val kept = target.join(aligned.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    commit(kept.unionByName(aligned, allowMissingColumns = true), table)
   }
 
   // ---- maintenance (the Iceberg-side operations of the reference stack) ----
@@ -140,15 +210,8 @@ class ParquetDirFormat(root: String) extends TableFormat {
 
   /** All snapshot versions currently on disk (oldest first). */
   def versions(table: String): Seq[Int] =
-    if (!Files.exists(tableDir(table))) Seq.empty
-    else {
-      val ds = Files.list(tableDir(table))
-      try {
-        import scala.jdk.CollectionConverters._
-        ds.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.matches("v\\d+")).map(_.drop(1).toInt).toSeq.sorted
-      } finally ds.close()
-    }
+    io.list(tableDir(table)).map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toInt).sorted
 
   /** Snapshot expiration: delete all version directories older than the
     * current pointer (Iceberg's expire_snapshots). Readers pinned to old
@@ -156,13 +219,7 @@ class ParquetDirFormat(root: String) extends TableFormat {
   def expireSnapshots(table: String): Seq[Int] = {
     val cur = currentVersion(table).getOrElse(return Seq.empty)
     val old = versions(table).filter(_ < cur)
-    old.foreach { v =>
-      val dir = versionDir(table, v)
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(dir)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally walk.close()
-    }
+    old.foreach(v => io.delete(versionDir(table, v)))
     old
   }
 
@@ -170,15 +227,229 @@ class ParquetDirFormat(root: String) extends TableFormat {
   def stats(spark: SparkSession, table: String): Map[String, Long] = {
     val v = currentVersion(table).getOrElse(
       throw new IllegalArgumentException(s"no such table: $table"))
-    val dir = versionDir(table, v)
-    import scala.jdk.CollectionConverters._
-    val walk = Files.walk(dir)
-    val (nFiles, nBytes) = try {
-      val parquets = walk.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
-      (parquets.size.toLong, parquets.map(Files.size).sum)
-    } finally walk.close()
-    Map("version" -> v.toLong, "data_files" -> nFiles, "bytes" -> nBytes,
+    val parquets = io.listFilesRecursive(versionDir(table, v))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    Map("version" -> v.toLong, "data_files" -> parquets.size.toLong,
+      "bytes" -> parquets.map(_.getLen).sum,
       "rows" -> read(spark, table).count())
   }
+}
+
+/** Partition-scoped Parquet table with an Iceberg-style manifest.
+  *
+  * Layout:
+  * {{{
+  *   <root>/<table>/PARTITION          partition column names
+  *   <root>/<table>/LAST               current manifest version (atomic flip)
+  *   <root>/<table>/m/MANIFEST.v<N>    lines: <partitionId>\t<dir>,<dir>,...
+  *   <root>/<table>/p/<partitionId>/v<N>-<i>/   immutable data directories
+  * }}}
+  *
+  * A commit stages one distributed `partitionBy` write, MOVES each staged
+  * partition directory into place (metadata-only rename), and writes a fresh
+  * manifest referencing new directories for touched partitions and the
+  * EXISTING directories for everything else. So:
+  *  - append is O(new data): no old data is read or rewritten;
+  *  - upsert reads and rewrites ONLY partitions containing touched keys —
+  *    at 100 TB an upsert of one day's keys into a date-partitioned table
+  *    costs one partition, not the table;
+  *  - data files retain every column (partition directories are commit
+  *    granularity, not schema), so a multi-directory read is one
+  *    `spark.read.parquet(dirs*)` with mergeSchema — no per-partition unions.
+  *
+  * Partition ids are the `c=v` path segments Spark itself writes (shadow
+  * `__p_`-prefixed duplicate columns keep the real columns in the files), so
+  * value escaping always matches what is on disk.
+  */
+class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFormat {
+  require(partitionCols.nonEmpty, "PartitionedTable needs partition columns")
+  private val io = new LakeFs(root)
+  private val Shadow = "__p_"
+
+  private def tableDir(t: String) = s"$root/$t"
+  private def pointer(t: String) = s"${tableDir(t)}/LAST"
+  private def manifestFile(t: String, v: Int) = s"${tableDir(t)}/m/MANIFEST.v$v"
+  private def dataDir(t: String) = s"${tableDir(t)}/p"
+
+  private def currentVersion(t: String): Option[Int] =
+    if (io.exists(pointer(t))) Some(io.readString(pointer(t)).trim.toInt) else None
+
+  override def exists(t: String): Boolean = currentVersion(t).isDefined
+
+  /** partitionId -> relative data dirs, insertion-ordered. */
+  private def manifest(t: String): Seq[(String, Seq[String])] = {
+    val v = currentVersion(t).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $t"))
+    io.readString(manifestFile(t, v)).split("\n").toSeq.filter(_.nonEmpty).map { ln =>
+      val Array(id, dirs) = ln.split("\t", 2)
+      id -> dirs.split(",").toSeq
+    }
+  }
+
+  private def commitManifest(t: String, entries: Seq[(String, Seq[String])]): Unit = {
+    val next = currentVersion(t).getOrElse(-1) + 1
+    val body = entries.map { case (id, dirs) => s"$id\t${dirs.mkString(",")}" }
+      .mkString("\n")
+    io.writeString(manifestFile(t, next), body)
+    io.writeStringAtomic(pointer(t), next.toString)
+  }
+
+  /** Stage-write `df` partitioned by shadow columns, move each staged
+    * partition dir under `p/<id>/v<N>-<i>/`, return (id -> relative dir). */
+  private def stage(df: DataFrame, t: String, tag: String): Seq[(String, String)] = {
+    val next = currentVersion(t).getOrElse(-1) + 1
+    val staging = s"${tableDir(t)}/.staging-$tag-$next"
+    val shadowed = partitionCols.foldLeft(df)((d, c) => d.withColumn(Shadow + c, col(c)))
+    shadowed.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols.map(Shadow + _): _*).parquet(staging)
+    // discover the partition directories Spark wrote (canonical escaping);
+    // only `name=value` segments count — _SUCCESS/_temporary never match
+    def leaves(dir: String, rel: String, depth: Int): Seq[(String, String)] =
+      if (depth == 0) Seq(dir -> rel)
+      else io.list(dir).filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap { st =>
+          val name = st.getPath.getName
+          leaves(st.getPath.toString,
+            if (rel.isEmpty) name else s"$rel/$name", depth - 1)
+        }
+    val staged = leaves(staging, "", partitionCols.length)
+    val moved = staged.zipWithIndex.map { case ((src, id), i) =>
+      val rel = s"$id/v$next-$tag-$i"
+      io.rename(src, s"${dataDir(t)}/$rel")
+      id -> rel
+    }
+    io.delete(staging)
+    moved
+  }
+
+  private def readDirs(spark: SparkSession, t: String, rels: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", true)
+      .parquet(rels.map(r => s"${dataDir(t)}/$r"): _*)
+
+  override def read(spark: SparkSession, t: String): DataFrame =
+    readDirs(spark, t, manifest(t).flatMap(_._2))
+
+  /** Manifest-level partition pruning: read only partitions whose column->raw
+    * (unescaped) value map satisfies `pred`. The file-level min/max stats
+    * prune further inside Spark. */
+  def readPartitions(spark: SparkSession, t: String,
+                     pred: Map[String, String] => Boolean): DataFrame = {
+    val keep = manifest(t).filter { case (id, _) => pred(idToValues(id)) }
+    readDirs(spark, t, keep.flatMap(_._2))
+  }
+
+  /** Decode a partition id (`__p_c=v/...`) to column -> raw value. */
+  def idToValues(id: String): Map[String, String] =
+    id.split("/").map { seg =>
+      val Array(k, v) = seg.split("=", 2)
+      k.stripPrefix(Shadow) -> unescapePathName(v)
+    }.toMap
+
+  /** Inverse of Spark/Hive partition-path escaping (%xx sequences). */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  override def create(df: DataFrame, t: String): Unit = {
+    require(!exists(t), s"table already exists: $t")
+    io.mkdirs(tableDir(t))
+    io.writeString(s"${tableDir(t)}/PARTITION", partitionCols.mkString(","))
+    commitManifest(t, mergeEntries(Seq.empty, stage(df, t, "create")))
+  }
+
+  /** Fold newly staged (id, dir) pairs into existing entries: touched
+    * partitions gain a directory, untouched entries pass through verbatim. */
+  private def mergeEntries(existing: Seq[(String, Seq[String])],
+                           staged: Seq[(String, String)]): Seq[(String, Seq[String])] = {
+    val byId = staged.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val kept = existing.map { case (id, dirs) => id -> (dirs ++ byId.getOrElse(id, Seq.empty)) }
+    val newIds = staged.map(_._1).distinct.filterNot(existing.map(_._1).contains)
+    kept ++ newIds.map(id => id -> byId(id))
+  }
+
+  /** O(new data): stage the aligned rows, move them in, reference everything
+    * else from the previous manifest. No existing data is read or copied. */
+  override def append(df: DataFrame, t: String): Unit = {
+    if (!exists(t)) { create(df, t); return }
+    val target = read(df.sparkSession, t)
+    val aligned = Align.to(df, target.schema.map(f => f.name -> f.dataType).toMap)
+    commitManifest(t, mergeEntries(manifest(t), stage(aligned, t, "append")))
+  }
+
+  override def overwrite(df: DataFrame, t: String): Unit = {
+    if (!exists(t)) { create(df, t); return }
+    commitManifest(t, mergeEntries(Seq.empty, stage(df, t, "overwrite")))
+  }
+
+  /** Partition-scoped delete-matching-then-insert: only partitions that
+    * receive source rows are read and rewritten; every other partition is
+    * committed by reference (its directories are not touched). */
+  override def upsert(df: DataFrame, t: String, keys: Seq[String]): Unit = {
+    if (!exists(t)) { create(df, t); return }
+    val spark = df.sparkSession
+    val target = read(spark, t)
+    val aligned = Align.to(df, target.schema.map(f => f.name -> f.dataType).toMap)
+    val existing = manifest(t)
+    // stage the source rows first — their on-disk ids name the touched partitions
+    val stagedNew = stage(aligned, t, "upsert-new")
+    val touched = stagedNew.map(_._1).distinct.toSet
+    val touchedOldDirs = existing.filter(e => touched.contains(e._1)).flatMap(_._2)
+    val stagedKept =
+      if (touchedOldDirs.isEmpty) Seq.empty
+      else {
+        val old = readDirs(spark, t, touchedOldDirs)
+        val kept = old.join(aligned.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        stage(kept, t, "upsert-kept")
+      }
+    val untouched = existing.filterNot(e => touched.contains(e._1))
+    commitManifest(t, mergeEntries(untouched, stagedNew ++ stagedKept))
+  }
+
+  /** Rewrite multi-directory partitions into one directory each; partitions
+    * already compact are referenced, not rewritten. */
+  def compact(spark: SparkSession, t: String): Unit = {
+    val entries = manifest(t)
+    val (multi, single) = entries.partition(_._2.length > 1)
+    if (multi.isEmpty) return
+    val staged = stage(readDirs(spark, t, multi.flatMap(_._2)), t, "compact")
+    commitManifest(t, mergeEntries(single, staged))
+  }
+
+  /** Delete data directories no longer referenced by the current manifest and
+    * manifests older than the pointer. */
+  def expireUnreferenced(t: String): Seq[String] = {
+    val live = manifest(t).flatMap(_._2).toSet
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(dir: String, prefix: String, depth: Int): Unit =
+      io.list(dir).filter(_.isDirectory).foreach { st =>
+        val name = st.getPath.getName
+        val rel = if (prefix.isEmpty) name else s"$prefix/$name"
+        if (depth > 0) walk(st.getPath.toString, rel, depth - 1)
+        else if (!live.contains(rel)) { io.delete(st.getPath.toString); removed += rel }
+      }
+    walk(dataDir(t), "", partitionCols.length)
+    val cur = currentVersion(t).getOrElse(return removed.toSeq)
+    io.list(s"${tableDir(t)}/m").map(_.getPath.getName)
+      .filter(n => n.startsWith("MANIFEST.v") && n.drop(10).toInt < cur)
+      .foreach(n => io.delete(s"${tableDir(t)}/m/$n"))
+    removed.toSeq
+  }
+
+  /** Absolute data directories of one partition — for tests and inspection. */
+  def partitionDirs(t: String, id: String): Seq[String] =
+    manifest(t).find(_._1 == id).map(_._2.map(r => s"${dataDir(t)}/$r")).getOrElse(Seq.empty)
+
+  /** Current manifest entries (partitionId -> relative dirs). */
+  def entries(t: String): Seq[(String, Seq[String])] = manifest(t)
 }

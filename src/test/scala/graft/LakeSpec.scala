@@ -3,13 +3,16 @@ package graft
 import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.lake.ParquetDirFormat
+import graft.lake.{ParquetDirFormat, PartitionedTable}
 
 class LakeSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   private def fmt() = new ParquetDirFormat(
     Files.createTempDirectory("graft-lake").toString)
+
+  private def pfmt(cols: String*) = new PartitionedTable(
+    Files.createTempDirectory("graft-plake").toString, cols.toSeq)
 
   test("create / read / overwrite") {
     import spark.implicits._
@@ -85,6 +88,106 @@ class LakeSpec extends AnyFunSuite {
     val scan = filtered.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters: [isnotnull(month"), scan.take(800))
     assert(filtered.count() > 0)
+  }
+
+  test("upsert aligns drifted source types with try_cast (no schema corruption)") {
+    import spark.implicits._
+    val t = fmt()
+    t.create(Seq((1L, 10L), (2L, 20L)).toDF("id", "n"), "t8")
+    // source arrives all-string (raw load): must upsert through try_cast
+    t.upsert(Seq(("2", "99"), ("3", "oops")).toDF("id", "n"), "t8", Seq("id"))
+    val out = t.read(spark, "t8")
+    assert(out.schema("n").dataType == org.apache.spark.sql.types.LongType)
+    val m = out.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(m == Map(1L -> Some(10L), 2L -> Some(99L), 3L -> None))
+  }
+
+  test("partitioned table: create, read, manifest-level pruning") {
+    import spark.implicits._
+    val t = pfmt("day")
+    val df = (1 to 90).map(i => (i.toLong, s"2024-01-0${i % 3 + 1}", i * 1.0))
+      .toDF("id", "day", "v")
+    t.create(df, "pt1")
+    assert(t.read(spark, "pt1").count() == 90)
+    // data files keep the partition column (no reconstruction unions needed)
+    assert(t.read(spark, "pt1").columns.toSeq == Seq("id", "day", "v"))
+    val pruned = t.readPartitions(spark, "pt1", vals => vals("day") == "2024-01-02")
+    assert(pruned.count() == 30)
+    assert(pruned.select("day").distinct().head().getString(0) == "2024-01-02")
+  }
+
+  test("partitioned append is O(new data): untouched partitions keep their dirs") {
+    import spark.implicits._
+    val t = pfmt("day")
+    t.create(Seq((1L, "d1", 1.0), (2L, "d2", 2.0)).toDF("id", "day", "v"), "pt2")
+    val dirsBefore = t.entries("pt2").toMap
+    t.append(Seq((3L, "d2", 3.0)).toDF("id", "day", "v"), "pt2")
+    val dirsAfter = t.entries("pt2").toMap
+    // d1 entry identical (same directory, by reference); d2 gained one dir
+    assert(dirsAfter("__p_day=d1") == dirsBefore("__p_day=d1"))
+    assert(dirsAfter("__p_day=d2").length == dirsBefore("__p_day=d2").length + 1)
+    assert(dirsAfter("__p_day=d2").startsWith(dirsBefore("__p_day=d2")))
+    assert(t.read(spark, "pt2").count() == 3)
+  }
+
+  test("partition-scoped upsert: untouched partition files are byte-identical") {
+    import spark.implicits._
+    val t = pfmt("day")
+    t.create((1 to 60).map(i => (i.toLong, s"d${i % 3}", s"v$i"))
+      .toDF("id", "day", "v"), "pt3")
+    def files(id: String) = t.partitionDirs("pt3", id).flatMap { d =>
+      val dir = java.nio.file.Paths.get(new java.net.URI(
+        if (d.startsWith("file:")) d else "file://" + d).getPath)
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir)
+      try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (p.toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toList
+      finally s.close()
+    }
+    val d1Before = files("__p_day=d1")
+    val d2Before = files("__p_day=d2")
+    assert(d1Before.nonEmpty && d2Before.nonEmpty)
+    // upsert rows only into partition d0
+    t.upsert(Seq((3L, "d0", "NEW"), (999L, "d0", "INS")).toDF("id", "day", "v"),
+      "pt3", Seq("id"))
+    // untouched partitions: same paths, sizes, and mtimes — not rewritten
+    assert(files("__p_day=d1") == d1Before)
+    assert(files("__p_day=d2") == d2Before)
+    val out = t.read(spark, "pt3")
+    assert(out.count() == 61)
+    assert(out.filter($"id" === 3L).head().getString(2) == "NEW")
+    assert(out.filter($"id" === 999L).head().getString(2) == "INS")
+    // d0 was rewritten: its directory set changed
+    assert(t.partitionDirs("pt3", "__p_day=d0").nonEmpty)
+  }
+
+  test("partitioned table: compaction and unreferenced-dir expiry") {
+    import spark.implicits._
+    val t = pfmt("day")
+    t.create(Seq((1L, "d1", 1.0)).toDF("id", "day", "v"), "pt4")
+    (2 to 4).foreach(i => t.append(Seq((i.toLong, "d1", i * 1.0)).toDF("id", "day", "v"), "pt4"))
+    assert(t.entries("pt4").toMap.apply("__p_day=d1").length == 4)
+    t.compact(spark, "pt4")
+    assert(t.entries("pt4").toMap.apply("__p_day=d1").length == 1)
+    assert(t.read(spark, "pt4").count() == 4)
+    val removed = t.expireUnreferenced("pt4")
+    assert(removed.length == 4, s"expected 4 expired dirs, got $removed")
+    assert(t.read(spark, "pt4").count() == 4)
+  }
+
+  test("partitioned upsert with schema evolution (new column, drifted type)") {
+    import spark.implicits._
+    val t = pfmt("day")
+    t.create(Seq((1L, "d1", 10L), (2L, "d2", 20L)).toDF("id", "day", "n"), "pt5")
+    // new column arrives + n arrives as string
+    t.upsert(Seq(("2", "d2", "99", "extra")).toDF("id", "day", "n", "note"),
+      "pt5", Seq("id"))
+    val out = t.read(spark, "pt5").orderBy("id").collect()
+    assert(out.length == 2)
+    assert(out(1).getLong(out(1).fieldIndex("n")) == 99L)
+    assert(out(1).getString(out(1).fieldIndex("note")) == "extra")
+    assert(out(0).isNullAt(out(0).fieldIndex("note")))
   }
 
   test("commits are versioned: failed reader never sees partial state") {
