@@ -68,6 +68,50 @@ object Profile {
         count(expr("try_cast(value as double)")).as("castable_double"),
         count(expr("try_cast(value as date)")).as("castable_date"))
 
+  /** Min/max decimal precision per numeric column (reference
+    * tools/cleaning.py:779-824 `LENGTH(SPLIT_PART(CAST(c AS VARCHAR),'.',2))`
+    * — the profile that sizes a DECIMAL target type for a column). Values are
+    * rendered through DECIMAL casts (bitwise-identical strings in both
+    * engines, unlike raw double->string), trailing zeros stripped so the
+    * measured precision is the significant one. Single-pass wide agg. */
+  def eventsDecimalPrecision(spark: SparkSession, dir: String): DataFrame = {
+    def prec(rendered: String): org.apache.spark.sql.Column = {
+      val stripped = expr(s"regexp_replace($rendered, '0+$$', '')")
+      when(stripped.contains("."),
+        length(expr(s"substring_index(regexp_replace($rendered, '0+$$', ''), '.', -1)")))
+        .otherwise(lit(0))
+    }
+    Tables.events(spark, dir)
+      .withColumn("p2", prec("cast(cast(value as decimal(18,2)) as string)"))
+      .withColumn("p4", prec(
+        "cast(cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(22,4)) as string)"))
+      .groupBy("event_type")
+      .agg(
+        min(col("p2")).as("min_prec_value"), max(col("p2")).as("max_prec_value"),
+        min(col("p4")).as("min_prec_sq"), max(col("p4")).as("max_prec_sq"))
+  }
+
+  /** Number potential after stripping currency/percent/thousands markers
+    * (reference sql/profiling/number_potential.sql:2: TRY_CAST of
+    * regexp_replace(c, '[$%,]', '')). The dirty strings are derived
+    * deterministically from orders so both engines profile identical input:
+    * 1/4 '$'-prefixed, 1/4 '%'-suffixed, 1/4 comma-grouped, 1/4 plain
+    * status letters (never numeric). */
+  def ordersNumberPotential(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("rendered", expr("cast(cast(o_totalprice as decimal(12,2)) as string)"))
+      .withColumn("v", expr(
+        """CASE cast(o_orderkey % 4 as int)
+          |  WHEN 0 THEN concat('$', rendered)
+          |  WHEN 1 THEN concat(rendered, '%')
+          |  WHEN 2 THEN concat(',', rendered)
+          |  ELSE o_orderstatus END""".stripMargin))
+      .agg(
+        count(col("v")).as("non_null"),
+        count(expr("try_cast(v as double)")).as("directly_numeric"),
+        count(expr("try_cast(regexp_replace(v, '[$%,]', '') as double)"))
+          .as("number_potential"))
+
   /** Schema diff as data (reference compare_schemas.sql full-outer join). */
   def schemaCompare(spark: SparkSession, dir: String): DataFrame =
     graft.operators.SchemaOps.compareSchemas(spark,
@@ -91,7 +135,9 @@ object Profile {
     "profile_events_type_dist"  -> (eventsTypeDist _),
     "profile_unpivot_coercion"  -> (partUnpivotCoercion _),
     "profile_schema_compare"    -> (schemaCompare _),
-    "profile_lineitem_sample"   -> (lineitemSample _))
+    "profile_lineitem_sample"   -> (lineitemSample _),
+    "profile_decimal_precision" -> (eventsDecimalPrecision _),
+    "profile_number_potential"  -> (ordersNumberPotential _))
 
   val oracle: Map[String, String] = Map(
     "profile_lineitem_nulls" ->
@@ -151,5 +197,30 @@ object Profile {
         |FROM a FULL OUTER JOIN b ON a.column_name = b.column_name""".stripMargin,
     "profile_lineitem_sample" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
-        |ORDER BY l_orderkey ASC, l_linenumber ASC LIMIT 100""".stripMargin)
+        |ORDER BY l_orderkey ASC, l_linenumber ASC LIMIT 100""".stripMargin,
+    "profile_decimal_precision" ->
+      """WITH r AS (SELECT event_type,
+        |    regexp_replace(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), '0+$', '') AS s2,
+        |    regexp_replace(CAST(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(22,4)) AS VARCHAR), '0+$', '') AS s4
+        |  FROM events),
+        |p AS (SELECT event_type,
+        |    CAST(LENGTH(SPLIT_PART(s2, '.', 2)) AS INT) AS p2,
+        |    CAST(LENGTH(SPLIT_PART(s4, '.', 2)) AS INT) AS p4
+        |  FROM r)
+        |SELECT event_type,
+        |  MIN(p2) AS min_prec_value, MAX(p2) AS max_prec_value,
+        |  MIN(p4) AS min_prec_sq, MAX(p4) AS max_prec_sq
+        |FROM p GROUP BY event_type""".stripMargin,
+    "profile_number_potential" ->
+      """WITH d AS (SELECT
+        |    CASE CAST(o_orderkey % 4 AS INT)
+        |      WHEN 0 THEN '$' || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+        |      WHEN 1 THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '%'
+        |      WHEN 2 THEN ',' || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+        |      ELSE o_orderstatus END AS v
+        |  FROM orders)
+        |SELECT COUNT(v) AS non_null,
+        |  COUNT(TRY_CAST(v AS DOUBLE)) AS directly_numeric,
+        |  COUNT(TRY_CAST(regexp_replace(v, '[$%,]', '', 'g') AS DOUBLE)) AS number_potential
+        |FROM d""".stripMargin)
 }
