@@ -17,9 +17,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Host steal-time accounting: this host has a noisy co-tenant, and a
+    // stolen window can inflate a wall-clock timing 5-10x. Jiffies of steal
+    // around each query make a polluted measurement VISIBLE in the output
+    // instead of masquerading as a regression.
+    def stealJiffies(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().find(_.startsWith("cpu "))
+          .map(_.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(0L))
+          .getOrElse(0L)
+        finally src.close()
+      } catch { case _: Exception => 0L }
+
+    val stealStart = stealJiffies()
     // Per-query warm run (codegen + JIT for that plan shape) outside the
-    // timed region, then one timed steady-state run — the timed run rebuilds
-    // the whole DataFrame so no cached results carry over, only compiled code.
+    // timed region, then timed steady-state runs — each run rebuilds the
+    // whole DataFrame so no cached results carry over, only compiled code.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -28,16 +43,20 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None }
       }
+      val s0 = stealJiffies()
       once() // warmup
-      val timed = Seq(once(), once()).flatten
-      // min of two timed runs filters GC/scheduler noise; failures report -1,
-      // never a misleading near-zero timing
-      name -> (if (timed.isEmpty) -1.0 else timed.min)
+      val timed = Seq(once(), once(), once()).flatten.sorted
+      val stolen = stealJiffies() - s0
+      if (stolen > 0) System.err.println(s"[bench] $name: $stolen steal jiffies during runs")
+      // median of three timed runs resists one stolen/GC-hit window;
+      // failures report -1, never a misleading near-zero timing
+      name -> (if (timed.isEmpty) -1.0 else timed(timed.length / 2))
     }
+    val stealTotal = stealJiffies() - stealStart
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steal_jiffies":$stealTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -118,13 +118,24 @@ object Gold {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .select(col("c_custkey"), col("n_name"), col("r_name"))
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    val rev = li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(dim), o("o_custkey") === dim("c_custkey"))
       .groupBy(col("r_name"))
       .agg(
         dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"),
-        count(lit(1)).as("n_items"),
-        countDistinct(col("o_custkey")).as("n_customers"))
+        count(lit(1)).as("n_items"))
+    // distinct customers per region WITHOUT carrying the distinct through the
+    // wide lineitem join: the distinct-agg input is orders-sized (~1/4 of
+    // lineitem). The semi-join against lineitem's pruned l_orderkey column
+    // keeps the count bitwise-equal to the join formulation (only customers
+    // whose orders actually have line items are counted).
+    val cust = o.join(li.select("l_orderkey"),
+        o("o_orderkey") === col("l_orderkey"), "left_semi")
+      .join(broadcast(dim), o("o_custkey") === dim("c_custkey"))
+      .groupBy(col("r_name"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"))
+    rev.join(broadcast(cust), "r_name")
+      .select("r_name", "revenue", "n_items", "n_customers")
   }
 
   /** Top-k parts by revenue — TakeOrderedAndProject, deterministic tie-break. */
