@@ -108,11 +108,14 @@ object FilePipeline {
   final case class Result(fileHash: String, status: String, rows: Long, skipped: Boolean)
 
   /** Archive a processed inbox file (reference loader/cleanup.py:15-46
-    * inbox -> archive move + staging delete): atomic same-volume rename. */
+    * inbox -> archive move + staging delete): atomic same-volume rename. A
+    * transcoded `.utf8` sibling left by [[graft.sources.Encoding.ensureUtf8]]
+    * is derived data — deleted so the inbox drains completely. */
   def archive(path: String, archiveDir: String): java.nio.file.Path = {
     val src = Paths.get(path)
     val dir = Paths.get(archiveDir)
     Files.createDirectories(dir)
+    Files.deleteIfExists(src.resolveSibling(src.getFileName.toString + ".utf8"))
     Files.move(src, dir.resolve(src.getFileName),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
@@ -136,10 +139,25 @@ object FilePipeline {
         else col(f.name)
       }.toIndexedSeq: _*)
       val stamped = cleaned.withColumn("processed_at", current_timestamp())
+        .withColumn("_source_file_hash", lit(hash))
       val rows = stamped.count()
       ledger.record(FileRecord(hash, path, table, "cleaned", rows))
-      lake.append(stamped, table)
+      // Idempotent commit token: the file hash travels WITH the data, so a
+      // crash between the lake append and the 'loaded' ledger record cannot
+      // cause a double append — the re-run finds the hash already committed
+      // and only repairs the ledger. (The ledger alone gives at-least-once;
+      // the in-data token is what makes the append itself exactly-once.)
+      val alreadyCommitted = lake.exists(table) && {
+        val t = lake.read(spark, table)
+        t.columns.contains("_source_file_hash") &&
+          !t.filter(col("_source_file_hash") === hash).isEmpty
+      }
+      if (!alreadyCommitted) lake.append(stamped, table)
       ledger.record(FileRecord(hash, path, table, "loaded", rows))
+      // the transcoded sibling is derived data; drop it once the load is done
+      val utf8Sibling = Paths.get(path).resolveSibling(
+        Paths.get(path).getFileName.toString + ".utf8")
+      Files.deleteIfExists(utf8Sibling)
       Result(hash, "loaded", rows, skipped = false)
     } catch {
       case e: Exception =>

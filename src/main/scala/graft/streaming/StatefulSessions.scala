@@ -38,7 +38,11 @@ object StatefulSessions {
       val t = e.ts.getTime
       cur match {
         case Some(s) if t - s.last <= GapMs =>
-          cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1, sum = s.sum + e.value))
+          // within-gap but out-of-order events (t < start, still above the
+          // watermark) must also extend the session BACKWARDS, or the emitted
+          // sessionStart diverges from the batch sessionizer
+          cur = Some(s.copy(start = math.min(s.start, t),
+            last = math.max(s.last, t), n = s.n + 1, sum = s.sum + e.value))
         case Some(s) =>
           closed ::= close(s)
           cur = Some(SessionState(t, t, 1, e.value))

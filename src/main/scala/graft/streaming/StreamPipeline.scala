@@ -44,12 +44,15 @@ object StreamPipeline {
 
   /** Streaming deduplication: exactly-one-row-per-key within the watermark
     * horizon (the incremental form of the batch dedup-keep-latest — state is
-    * bounded by the watermark, so it runs forever on unbounded input). */
+    * bounded by the watermark, so it runs forever on unbounded input).
+    * `dropDuplicatesWithinWatermark` dedups on the KEYS alone: a replay of
+    * the same key with a different event time is still dropped, which plain
+    * `dropDuplicates(keys :+ ts)` would let through. */
   def streamingDedup(events: DataFrame, tsCol: String, watermark: String,
                      keys: Seq[String]): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .dropDuplicates(keys :+ tsCol)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Watermarked per-window aggregation over an event-time stream — the
     * standard windowed-agg topology for the 100 TB path (state is bounded by

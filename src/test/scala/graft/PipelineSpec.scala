@@ -25,8 +25,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1.status == "loaded" && r1.rows == 3 && !r1.skipped)
 
     val out = lake.read(spark, "users")
-    // normalized names + processed_at stamp
-    assert(out.columns.toSet == Set("user_id", "first_name", "age", "note", "processed_at"))
+    // normalized names + processed_at stamp + provenance commit token
+    assert(out.columns.toSet ==
+      Set("user_id", "first_name", "age", "note", "processed_at", "_source_file_hash"))
     // coercion tightened user_id; N/A in age nulled BEFORE coercion decision
     val types = out.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
     assert(types("user_id") == "bigint")
@@ -38,6 +39,40 @@ class PipelineSpec extends AnyFunSuite {
     val r2 = FilePipeline.processFile(spark, csv.toString, "users", lake, ledger)
     assert(r2.skipped)
     assert(lake.read(spark, "users").count() == 3)
+  }
+
+  test("crash between append and ledger record cannot double-load (commit token)") {
+    val root = Files.createTempDirectory("graft-crash")
+    val csv = root.resolve("t.csv")
+    Files.write(csv, "id,v\n1,a\n2,b\n".getBytes)
+    val lake = new ParquetDirFormat(root.resolve("lake").toString)
+    val ledger = new Ledger(root.resolve("ledger.tsv").toString)
+    // first run commits the data
+    FilePipeline.processFile(spark, csv.toString, "t", lake, ledger)
+    assert(lake.read(spark, "t").count() == 2)
+    // simulate the crash window: the lake append happened but the 'loaded'
+    // ledger record was lost — a fresh ledger believes the file is unloaded
+    val amnesiac = new Ledger(root.resolve("ledger2.tsv").toString)
+    val r = FilePipeline.processFile(spark, csv.toString, "t", lake, ledger = amnesiac)
+    assert(r.status == "loaded")
+    // the in-data _source_file_hash token prevented a second append
+    assert(lake.read(spark, "t").count() == 2, "rows must not be appended twice")
+    assert(amnesiac.isLoaded(r.fileHash), "ledger repaired to loaded")
+  }
+
+  test("transcoded .utf8 sibling is cleaned up after load and archive") {
+    val root = Files.createTempDirectory("graft-utf8")
+    val csv = root.resolve("win.csv")
+    // Windows-1252 content (0xE9 = é) forces an ensureUtf8 transcode sibling
+    Files.write(csv, ("id,name\n1,café\n".getBytes("windows-1252")))
+    val lake = new ParquetDirFormat(root.resolve("lake").toString)
+    val ledger = new Ledger(root.resolve("ledger.tsv").toString)
+    FilePipeline.processFile(spark, csv.toString, "w", lake, ledger)
+    assert(!Files.exists(root.resolve("win.csv.utf8")),
+      "derived .utf8 sibling must not linger in the inbox")
+    FilePipeline.archive(csv.toString, root.resolve("archive").toString)
+    assert(Files.exists(root.resolve("archive").resolve("win.csv")))
+    assert(!Files.exists(root.resolve("win.csv")))
   }
 
   test("a failed load is retryable: success overwrites the failure record") {

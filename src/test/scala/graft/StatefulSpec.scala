@@ -74,10 +74,39 @@ class StatefulSpec extends AnyFunSuite {
     try {
       input.addData((ts(0), 1L, "a"), (ts(0), 1L, "a-dup"), (ts(1), 2L, "b"))
       q.processAllAvailable()
-      input.addData((ts(0), 1L, "a-replay"))
+      // a replay of key 1 with a DIFFERENT event time must also be dropped —
+      // dedup is per KEY within the watermark, not per (key, ts)
+      input.addData((ts(0), 1L, "a-replay"), (ts(3), 1L, "a-later-ts"))
       q.processAllAvailable()
       val out = spark.table("dedup_out").collect()
-      assert(out.length == 2) // (1, ts0) once + (2, ts1); replay dropped
+      assert(out.length == 2, out.mkString(";")) // one row per key within horizon
+    } finally q.stop()
+  }
+
+  test("out-of-order within-gap event extends sessionStart backwards") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StatefulSessions.sessions(input.toDS())
+      .writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(7L, ts(10), 1.0))
+      q.processAllAvailable()
+      // within-gap but EARLIER than the open session's start (above watermark)
+      input.addData(Event(7L, ts(2), 5.0))
+      q.processAllAvailable()
+      // push watermark far ahead so the session times out and emits
+      input.addData(Event(8L, ts(500), 0.0))
+      q.processAllAvailable()
+      input.addData(Event(8L, ts(1000), 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions_ooo").as[Session].collect()
+        .filter(_.userId == 7L)
+      assert(out.length == 1, out.mkString(";"))
+      assert(out(0).sessionStart.getTime == ts(2).getTime,
+        s"sessionStart must move back to the true earliest event: ${out(0)}")
+      assert(out(0).nEvents == 2 && out(0).sumValue == 6.0)
     } finally q.stop()
   }
 
