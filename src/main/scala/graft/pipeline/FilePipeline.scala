@@ -102,6 +102,7 @@ object FilePipeline {
         graft.sources.JsonRepair.loadAtomic(
           spark, graft.sources.Encoding.ensureUtf8(path).toString)
       case Formats.Parquet => Readers.parquet(spark, path)
+      case Formats.Excel => graft.sources.Excel.read(spark, path)
       case f => throw new IllegalArgumentException(s"unsupported format $f for $path")
     }
 
