@@ -168,6 +168,45 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Connected components over a near-dup pair graph — the step that turns
+    * pairwise matches into dedup DECISIONS: every document in a component
+    * keeps one representative (the minimum doc id). Min-label propagation:
+    * each round every node adopts the smallest label among itself and its
+    * neighbors, converging in O(component diameter) rounds — near-dup
+    * clusters are shallow (diameter <= a few hops), so this is 2-4 joins in
+    * practice. Each round is a distributed join + min-aggregate; the driver
+    * only checks the converged flag (one small count per round, bounded by
+    * `maxIter`). At extreme scale the large-star/small-star variant halves
+    * the rounds; the join shape is identical.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("comp"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
+  }
+
   /** Embedding-cosine near-dup pairs >= tau — exact all-pairs baseline.
     * The theta-join (<) plans as a broadcast nested-loop; acceptable for a
     * dimension-sized table, NOT the 100 TB path (use LSH/IVF from

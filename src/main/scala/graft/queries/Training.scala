@@ -37,6 +37,8 @@ object Training {
     "text_corpus_stats"      -> ((s, d) => TextOps.corpusStats(Tables.documents(s, d))),
     "dedup_exact"            -> ((s, d) => Dedup.exactDupGroups(Tables.documents(s, d))),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, JaccardTau)),
+    "dedup_components"       -> ((s, d) => Dedup.connectedComponents(
+                                   Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, JaccardTau))),
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), 3, 42, 3, JaccardTau)),
     "dedup_simhash"          -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d), MaxHamming)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), CosineTau)),
@@ -117,20 +119,42 @@ object Training {
     """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text)""".stripMargin
 
-  /** Exact all-pairs n-gram Jaccard — oracle for BOTH the exact explode-join
-    * query and the MinHash+LSH query (whose verified candidates equal the
-    * exact result; miss probability ~2e-8 per qualifying pair). */
-  private val jaccardSql =
-    s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+  /** Exact all-pairs n-gram Jaccard CTE list + final select, shared by the
+    * pair queries and (under WITH RECURSIVE) the component oracle. */
+  private val jaccardCtes =
+    s"""docs AS (SELECT doc_id, $toks AS toks FROM documents),
        |sets AS (SELECT doc_id, list_distinct(${Portable.shinglesDuck("toks", 3)}) AS sh FROM docs),
        |sets2 AS (SELECT doc_id, sh, len(sh) AS n FROM sets WHERE len(sh) > 0),
        |shr AS (SELECT doc_id, unnest(sh) AS s FROM sets2),
        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-       |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, jaccard FROM (
+       |  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  private val jaccardSelect =
+    s"""SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT doc_a, doc_b, inter::DOUBLE / (x.n + y.n - inter) AS jaccard
        |  FROM pr JOIN sets2 x ON doc_a = x.doc_id JOIN sets2 y ON doc_b = y.doc_id)
        |WHERE jaccard >= $JaccardTau""".stripMargin
+
+  /** Exact all-pairs n-gram Jaccard — oracle for BOTH the exact explode-join
+    * query and the MinHash+LSH query (whose verified candidates equal the
+    * exact result; miss probability ~2e-8 per qualifying pair). */
+  private val jaccardSql = s"WITH $jaccardCtes\n$jaccardSelect"
+
+  /** Connected components of the near-dup graph: transitive closure by
+    * recursive CTE (UNION dedups paths, so it terminates), component id =
+    * min reachable doc id — the declarative twin of the label-propagation
+    * loop in [[Dedup.connectedComponents]]. */
+  private val componentsSql =
+    s"""WITH RECURSIVE $jaccardCtes,
+       |pairs AS ($jaccardSelect),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id
+       |FROM reach GROUP BY a""".stripMargin
 
   private val simhashSql = {
     val s1 = (0 until Portable.SimBits)
@@ -226,6 +250,7 @@ object Training {
     "text_corpus_stats"      -> corpusStatsSql,
     "dedup_exact"            -> exactSql,
     "dedup_ngram_jaccard"    -> jaccardSql,
+    "dedup_components"       -> componentsSql,
     "dedup_minhash_lsh"      -> jaccardSql,
     "dedup_simhash"          -> simhashSql,
     "dedup_embedding_cosine" -> embCosineSql,

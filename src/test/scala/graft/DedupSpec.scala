@@ -18,6 +18,28 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "corpus should contain near-dup pairs")
   }
 
+  test("connected components match a local union-find over the same pairs") {
+    val pairsDf = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+    val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // reference: classic union-find on the driver
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val got = Dedup.connectedComponents(pairsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // representatives are members of their own component
+    assert(got.values.toSet.subsetOf(got.keySet))
+  }
+
   test("exact dup groups partition the corpus") {
     val n = docs.count()
     val groups = Dedup.exactDupGroups(docs)
