@@ -207,6 +207,51 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
   }
 
+  /** The end product of the dedup family: doc_ids that SURVIVE deduplication.
+    * A document is removed when it is a non-keeper exact duplicate (same md5,
+    * not the minimum doc_id) or a non-representative member of a near-dup
+    * component. Everything composes from the operators above — one exact
+    * hash-agg, one pair join, one label propagation, one anti-join. */
+  def dedupSurvivors(docs: DataFrame, n: Int = 3, tau: Double = 0.5): DataFrame = {
+    val keyed = docs.select(md5(col("text")).as("k"), col("doc_id"))
+    val keepers = keyed.groupBy("k").agg(min(col("doc_id")).as("keep"))
+    val exactRemoved = keyed.join(keepers, "k")
+      .filter(col("doc_id") =!= col("keep")).select("doc_id")
+    val nearRemoved = connectedComponents(ngramJaccardPairs(docs, n, tau))
+      .filter(col("doc_id") =!= col("component_id")).select("doc_id")
+    docs.select("doc_id")
+      .join(exactRemoved.union(nearRemoved).distinct(), Seq("doc_id"), "left_anti")
+  }
+
+  /** Embedding near-dup pairs via LSH blocking — the 100 TB path for cosine
+    * dedup (the all-pairs [[embeddingNearDupPairs]] is the small-side
+    * baseline). Candidates share a (table, bucket) key from the native
+    * `graft_lsh_buckets` signature; exact cosine verifies candidates only.
+    * Recall is probabilistic (1 - (1-(1-θ/π)^bits)^tables per pair), but the
+    * pipeline is fully deterministic, so the DuckDB oracle reproduces it
+    * bit-for-bit. */
+  def embeddingNearDupLsh(emb: DataFrame, tau: Double = 0.4,
+                          nTables: Int = 16, nBits: Int = 4): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val bk = graft.operators.Similarity.lshBuckets(emb, nTables, nBits)
+      .drop("embedding")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = bk.as("x").join(bk.as("y"),
+        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val e = emb.select(col("vec_id"), col("embedding"),
+      sqrt(expr("graft_dot(embedding, embedding)")).as("nrm"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nrm").as("norm_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("norm_b"))
+    cand.join(a, "vec_a").join(b, "vec_b")
+      .withColumn("cosine",
+        expr("graft_dot(emb_a, emb_b)") / (col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= tau)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
   /** Embedding-cosine near-dup pairs >= tau — exact all-pairs baseline.
     * The theta-join (<) plans as a broadcast nested-loop; acceptable for a
     * dimension-sized table, NOT the 100 TB path (use LSH/IVF from

@@ -39,6 +39,8 @@ object Training {
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, JaccardTau)),
     "dedup_components"       -> ((s, d) => Dedup.connectedComponents(
                                    Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, JaccardTau))),
+    "dedup_survivors"        -> ((s, d) => Dedup.dedupSurvivors(Tables.documents(s, d), 3, JaccardTau)),
+    "dedup_embedding_lsh"    -> ((s, d) => Dedup.embeddingNearDupLsh(Tables.embeddings(s, d), CosineTau)),
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), 3, 42, 3, JaccardTau)),
     "dedup_simhash"          -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d), MaxHamming)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), CosineTau)),
@@ -118,6 +120,43 @@ object Training {
   private val exactSql =
     """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** Survivor set = documents minus non-keeper exact dups minus
+    * non-representative near-dup component members. */
+  // lazy: composes jaccardCtes/jaccardSelect, which are declared further down
+  private lazy val survivorsSql =
+    s"""WITH RECURSIVE $jaccardCtes,
+       |pairs AS ($jaccardSelect),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id
+       |  FROM reach GROUP BY a),
+       |near_removed AS (SELECT doc_id FROM comp WHERE doc_id <> component_id),
+       |k AS (SELECT md5(text) AS k, MIN(doc_id) AS keep FROM documents GROUP BY 1),
+       |exact_removed AS (SELECT d.doc_id FROM documents d
+       |  JOIN k ON md5(d.text) = k.k WHERE d.doc_id <> k.keep)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM near_removed
+       |                     UNION SELECT doc_id FROM exact_removed)""".stripMargin
+
+  /** LSH-blocked embedding near-dup pairs — full-algorithm oracle: the same
+    * bucket CTEs as the ANN index, candidates from the (tbl, bucket)
+    * self-join, exact cosine filter. */
+  private val embLshSql =
+    s"""WITH ${Portable.lshBucketsDuckCtes(16, 4)},
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |e AS (SELECT vec_id, embedding, ${Portable.normDuck("embedding")} AS nrm FROM embeddings)
+       |SELECT vec_a, vec_b, cosine FROM (
+       |  SELECT cand.vec_a, cand.vec_b,
+       |    (${Portable.dotDuck("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cosine
+       |  FROM cand JOIN e a ON a.vec_id = cand.vec_a JOIN e b ON b.vec_id = cand.vec_b)
+       |WHERE cosine >= $CosineTau""".stripMargin
 
   /** Exact all-pairs n-gram Jaccard CTE list + final select, shared by the
     * pair queries and (under WITH RECURSIVE) the component oracle. */
@@ -251,6 +290,8 @@ object Training {
     "dedup_exact"            -> exactSql,
     "dedup_ngram_jaccard"    -> jaccardSql,
     "dedup_components"       -> componentsSql,
+    "dedup_survivors"        -> survivorsSql,
+    "dedup_embedding_lsh"    -> embLshSql,
     "dedup_minhash_lsh"      -> jaccardSql,
     "dedup_simhash"          -> simhashSql,
     "dedup_embedding_cosine" -> embCosineSql,

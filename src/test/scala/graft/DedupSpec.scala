@@ -40,6 +40,34 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.toSet.subsetOf(got.keySet))
   }
 
+  test("dedup survivors: every removed doc has a surviving representative") {
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = Dedup.dedupSurvivors(docs).collect().map(_.getLong(0)).toSet
+    assert(survivors.nonEmpty && survivors.subsetOf(all))
+    assert(survivors.size < all.size, "corpus contains dups, some must be removed")
+    // component representatives and exact keepers always survive
+    val comps = Dedup.connectedComponents(Dedup.ngramJaccardPairs(docs, 3, 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    comps.foreach { case (doc, rep) =>
+      assert(survivors.contains(rep), s"representative $rep of $doc must survive")
+      if (doc != rep) assert(!survivors.contains(doc) || doc == rep ||
+        // a doc can only survive if it IS its component representative
+        false, s"non-representative $doc must be removed")
+    }
+  }
+
+  test("embedding LSH near-dup pairs are a high-recall subset of all-pairs") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val exact = Dedup.embeddingNearDupPairs(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "every LSH pair must verify against exact cosine")
+    assert(exact.nonEmpty)
+    val recall = (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH blocking recall was $recall")
+  }
+
   test("exact dup groups partition the corpus") {
     val n = docs.count()
     val groups = Dedup.exactDupGroups(docs)
