@@ -57,26 +57,55 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
-  private def jaccardPairs(shRaw: DataFrame, tau: Double): DataFrame = {
-    // sh feeds the self-join (twice) and the size agg — materialize once.
-    val sh = shRaw.persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+  /** Exact Jaccard verification of candidate (doc_a, doc_b) pairs on TRUE
+    * string shingles — O(candidates), shared by the exact, MinHash, and
+    * hash-blocked paths, so all three are bitwise-identical to the oracle. */
+  private def verifyJaccard(docs: DataFrame, cand: DataFrame,
+                            n: Int, tau: Double): DataFrame = {
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = shingleSets(docs.join(candDocs, "doc_id"), n)
+    val a = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"), col("n_shingles").as("na"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb"), col("n_shingles").as("nb"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= tau)
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Exact n-gram Jaccard similarity self-join: all pairs with J >= tau. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5): DataFrame =
-    jaccardPairs(shingleRows(docs, n), tau)
+  /** Exact n-gram Jaccard similarity self-join: all pairs with J >= tau.
+    *
+    * The similarity join runs on shingle HASHES (8-byte shuffle keys via the
+    * native `graft_shingle_hashes`, not ~30-char strings): intersection
+    * counts aggregate per pair exactly as in the string formulation. A hash
+    * collision can only RAISE a pair's apparent Jaccard (inter grows, set
+    * sizes shrink), so filtering the hash-Jaccard at tau has recall 1 — and
+    * the handful of passing pairs are then verified on true string shingles,
+    * keeping the output bitwise-equal to the string-based oracle.
+    *
+    * Scale note: like [[embeddingNearDupPairs]], this exact formulation is
+    * the small-side baseline — its shuffle is proportional to pairs sharing
+    * any shingle. The 100 TB path is [[minhashLshPairs]], whose verified
+    * output equals this one. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val hr = docs
+      .select(col("doc_id"), explode(expr(s"graft_shingle_hashes(text, $n)")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = hr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = hr.as("a").join(hr.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val cand = inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= tau)
+      .select("doc_a", "doc_b")
+    verifyJaccard(docs, cand, n, tau)
+  }
 
   /** MinHash + LSH near-dup pairs, LSH-candidates verified by exact Jaccard.
     *
@@ -116,17 +145,7 @@ object Dedup {
     // Exact verification on TRUE string shingles (bitwise-identical to the
     // oracle), computed only for documents that appear in a candidate pair —
     // O(candidates), not O(corpus).
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sets = shingleSets(docs.join(candDocs, "doc_id"), n)
-    val a = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"), col("n_shingles").as("na"))
-    val b = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb"), col("n_shingles").as("nb"))
-    cand.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= tau)
-      .select("doc_a", "doc_b", "jaccard")
+    verifyJaccard(docs, cand, n, tau)
   }
 
   /** Count-weighted 60-bit simhash fingerprints: doc_id, fp1, fp2 (two 30-bit
@@ -180,13 +199,19 @@ object Dedup {
     * the rounds; the join shape is identical.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs
+    // localCheckpoint, NOT persist: caching truncates COMPUTE but not the
+    // LOGICAL plan, so every round would re-analyze the whole nested lineage
+    // (including the expensive pair-generation plan) and per-round planning
+    // time compounds. Checkpointing gives each round an O(1) plan. On a
+    // cluster with executor loss, swap for reliable checkpoint(dir).
+    val edges0 = pairs.select("doc_a", "doc_b").localCheckpoint(true)
+    val edges = edges0
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .union(edges0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -195,15 +220,13 @@ object Dedup {
         .select(col("src").as("id"), col("comp"))
       val next = labels.union(viaNeighbor)
         .groupBy("id").agg(min(col("comp")).as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") =!= col("prev"))
         .isEmpty
-      labels.unpersist()
       labels = next
       i += 1
     }
-    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
   }
 
@@ -217,7 +240,9 @@ object Dedup {
     val keepers = keyed.groupBy("k").agg(min(col("doc_id")).as("keep"))
     val exactRemoved = keyed.join(keepers, "k")
       .filter(col("doc_id") =!= col("keep")).select("doc_id")
-    val nearRemoved = connectedComponents(ngramJaccardPairs(docs, n, tau))
+    // pairs via MinHash+LSH — the scale path; its verified output equals the
+    // exact all-pairs result (p_miss ~2e-8), which is what the oracle computes
+    val nearRemoved = connectedComponents(minhashLshPairs(docs, n, tau = tau))
       .filter(col("doc_id") =!= col("component_id")).select("doc_id")
     docs.select("doc_id")
       .join(exactRemoved.union(nearRemoved).distinct(), Seq("doc_id"), "left_anti")

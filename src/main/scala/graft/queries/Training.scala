@@ -38,7 +38,7 @@ object Training {
     "dedup_exact"            -> ((s, d) => Dedup.exactDupGroups(Tables.documents(s, d))),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, JaccardTau)),
     "dedup_components"       -> ((s, d) => Dedup.connectedComponents(
-                                   Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, JaccardTau))),
+                                   Dedup.minhashLshPairs(Tables.documents(s, d), 3, tau = JaccardTau))),
     "dedup_survivors"        -> ((s, d) => Dedup.dedupSurvivors(Tables.documents(s, d), 3, JaccardTau)),
     "dedup_embedding_lsh"    -> ((s, d) => Dedup.embeddingNearDupLsh(Tables.embeddings(s, d), CosineTau)),
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), 3, 42, 3, JaccardTau)),
