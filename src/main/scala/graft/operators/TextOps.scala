@@ -90,4 +90,37 @@ object TextOps {
         min(col("quality_score")).as("min_quality"),
         max(col("quality_score")).as("max_quality"))
   }
+
+  /** Deterministic train/test split — the assignment every training pipeline
+    * needs: a modular hash of the stable document id (NOT random numbers, so
+    * the split is reproducible across runs, engines, and re-partitioning).
+    * One projection + one aggregate; at 100 TB the split column costs
+    * nothing and the assignment never needs to be stored. */
+  def trainTestSplit(docs: DataFrame, pctTrain: Int = 90): DataFrame =
+    docs
+      .withColumn("toks", expr(Portable.tokensSpark("text")))
+      .withColumn("split",
+        when((col("doc_id") * lit(2654435761L)) % 100 < pctTrain, lit("train"))
+          .otherwise(lit("test")))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("bigint")).as("total_tokens"))
+
+  /** Quantile-gated quality filtering: keep documents whose quality score is
+    * at or above the corpus `pct` quantile, report survivors per source.
+    * The threshold is an exact interpolated percentile (bitwise-equal to
+    * DuckDB quantile_cont) broadcast back over one corpus scan. */
+  def qualityFilter(docs: DataFrame, pct: Double = 0.25): DataFrame = {
+    val q = qualityScore(docs)
+    val thr = q.agg(expr(s"percentile(quality_score, $pct)").as("thr"))
+    q.join(docs.select("doc_id", "source"), "doc_id")
+      .crossJoin(broadcast(thr))
+      .filter(col("quality_score") >= col("thr"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs_kept"),
+        min(col("quality_score")).as("min_quality_kept"),
+        max(col("quality_score")).as("max_quality_kept"))
+  }
 }

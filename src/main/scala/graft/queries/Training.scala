@@ -35,6 +35,8 @@ object Training {
     "text_language_id"       -> ((s, d) => TextOps.languageId(Tables.documents(s, d))),
     "text_quality_score"     -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
     "text_corpus_stats"      -> ((s, d) => TextOps.corpusStats(Tables.documents(s, d))),
+    "text_train_split"       -> ((s, d) => TextOps.trainTestSplit(Tables.documents(s, d))),
+    "text_quality_filter"    -> ((s, d) => TextOps.qualityFilter(Tables.documents(s, d))),
     "dedup_exact"            -> ((s, d) => Dedup.exactDupGroups(Tables.documents(s, d))),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, JaccardTau)),
     "dedup_components"       -> ((s, d) => Dedup.connectedComponents(
@@ -116,6 +118,33 @@ object Training {
        |  CAST(SUM(n_distinct::BIGINT) AS BIGINT) AS total_distinct_tokens,
        |  MIN(quality_score) AS min_quality, MAX(quality_score) AS max_quality
        |FROM m GROUP BY source""".stripMargin
+
+  private val trainSplitSql =
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
+       |SELECT CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train' ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(len(toks)::BIGINT) AS BIGINT) AS total_tokens
+       |FROM t GROUP BY 1""".stripMargin
+
+  /** Reuses the quality-score CTE chain; threshold = exact 25th percentile. */
+  private val qualityFilterSql =
+    s"""WITH t AS (SELECT doc_id, source, text, $toks AS toks FROM documents),
+       |c AS (SELECT doc_id, source, text, toks,
+       |  len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopEn)} AS stop_ratio,
+       |  length(regexp_replace(text, '[^a-z ]', '', 'g')) AS alpha_chars
+       |FROM t),
+       |m AS (SELECT doc_id, source,
+       |  (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) +
+       |  (CASE WHEN stop_ratio > 0 THEN 1.0 ELSE 0.0 END) +
+       |  CASE WHEN n_tokens > 0 THEN n_distinct::DOUBLE / n_tokens ELSE 0::DOUBLE END +
+       |  CASE WHEN length(text) > 0 THEN alpha_chars::DOUBLE / length(text) ELSE 0::DOUBLE END AS quality_score
+       |FROM c),
+       |thr AS (SELECT quantile_cont(quality_score, 0.25) AS thr FROM m)
+       |SELECT source, COUNT(*) AS n_docs_kept,
+       |  MIN(quality_score) AS min_quality_kept,
+       |  MAX(quality_score) AS max_quality_kept
+       |FROM m, thr WHERE quality_score >= thr GROUP BY source""".stripMargin
 
   private val exactSql =
     """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
@@ -287,6 +316,8 @@ object Training {
     "text_language_id"       -> languageIdSql,
     "text_quality_score"     -> qualityScoreSql,
     "text_corpus_stats"      -> corpusStatsSql,
+    "text_train_split"       -> trainSplitSql,
+    "text_quality_filter"    -> qualityFilterSql,
     "dedup_exact"            -> exactSql,
     "dedup_ngram_jaccard"    -> jaccardSql,
     "dedup_components"       -> componentsSql,
