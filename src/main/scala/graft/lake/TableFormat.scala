@@ -331,11 +331,14 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
 
   /** Manifest-level partition pruning: read only partitions whose column->raw
     * (unescaped) value map satisfies `pred`. The file-level min/max stats
-    * prune further inside Spark. */
+    * prune further inside Spark. A predicate matching no partitions is a
+    * normal query — it returns an empty frame with the table schema, not an
+    * error. */
   def readPartitions(spark: SparkSession, t: String,
                      pred: Map[String, String] => Boolean): DataFrame = {
     val keep = manifest(t).filter { case (id, _) => pred(idToValues(id)) }
-    readDirs(spark, t, keep.flatMap(_._2))
+    if (keep.isEmpty) read(spark, t).limit(0)
+    else readDirs(spark, t, keep.flatMap(_._2))
   }
 
   /** Decode a partition id (`__p_c=v/...`) to column -> raw value. */
@@ -392,9 +395,26 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     commitManifest(t, mergeEntries(Seq.empty, stage(df, t, "overwrite")))
   }
 
-  /** Partition-scoped delete-matching-then-insert: only partitions that
-    * receive source rows are read and rewritten; every other partition is
-    * committed by reference (its directories are not touched). */
+  /** Partition id of a data file path: the segments between `p/` and the
+    * version directory (id depth = partitionCols.length by construction). */
+  private def idOfFilePath(t: String, filePath: String): String = {
+    val p = if (filePath.contains(":")) new java.net.URI(filePath).getPath else filePath
+    val d = {
+      val dd = dataDir(t)
+      if (dd.contains(":")) new java.net.URI(dd).getPath else dd
+    }
+    require(p.startsWith(d + "/"), s"file $filePath is outside $d")
+    p.stripPrefix(d + "/").split("/").take(partitionCols.length).mkString("/")
+  }
+
+  /** Partition-scoped delete-matching-then-insert: partitions that receive
+    * source rows are rewritten; every partition that neither receives rows
+    * nor CONTAINS A MATCHING KEY is committed by reference. When the keys do
+    * not functionally determine the partition (partitionCols ⊄ keys), a key
+    * may have moved partitions, so untouched partitions are scanned —
+    * key-columns only, column-pruned — for matches, and hit partitions join
+    * the rewrite set; the delete-matching contract therefore holds globally,
+    * while rewrite I/O stays proportional to partitions with matches. */
   override def upsert(df: DataFrame, t: String, keys: Seq[String]): Unit = {
     if (!exists(t)) { create(df, t); return }
     val spark = df.sparkSession
@@ -404,15 +424,22 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     // stage the source rows first — their on-disk ids name the touched partitions
     val stagedNew = stage(aligned, t, "upsert-new")
     val touched = stagedNew.map(_._1).distinct.toSet
-    val touchedOldDirs = existing.filter(e => touched.contains(e._1)).flatMap(_._2)
+    val untouched0 = existing.filterNot(e => touched.contains(e._1))
+    val srcKeys = aligned.select(keys.map(col): _*).distinct()
+    val hitIds: Set[String] =
+      if (partitionCols.forall(keys.contains) || untouched0.isEmpty) Set.empty
+      else readDirs(spark, t, untouched0.flatMap(_._2))
+        .select(keys.map(col) :+ input_file_name().as("__file"): _*)
+        .join(srcKeys, keys, "left_semi")
+        .select("__file").distinct().collect()
+        .map(r => idOfFilePath(t, r.getString(0))).toSet
+    val rewriteIds = touched ++ hitIds
+    val rewriteOldDirs = existing.filter(e => rewriteIds.contains(e._1)).flatMap(_._2)
     val stagedKept =
-      if (touchedOldDirs.isEmpty) Seq.empty
-      else {
-        val old = readDirs(spark, t, touchedOldDirs)
-        val kept = old.join(aligned.select(keys.map(col): _*).distinct(), keys, "left_anti")
-        stage(kept, t, "upsert-kept")
-      }
-    val untouched = existing.filterNot(e => touched.contains(e._1))
+      if (rewriteOldDirs.isEmpty) Seq.empty
+      else stage(readDirs(spark, t, rewriteOldDirs)
+        .join(srcKeys, keys, "left_anti"), t, "upsert-kept")
+    val untouched = existing.filterNot(e => rewriteIds.contains(e._1))
     commitManifest(t, mergeEntries(untouched, stagedNew ++ stagedKept))
   }
 

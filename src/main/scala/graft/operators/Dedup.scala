@@ -75,36 +75,31 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Exact n-gram Jaccard similarity self-join: all pairs with J >= tau.
-    *
-    * The similarity join runs on shingle HASHES (8-byte shuffle keys via the
-    * native `graft_shingle_hashes`, not ~30-char strings): intersection
-    * counts aggregate per pair exactly as in the string formulation. A hash
-    * collision can only RAISE a pair's apparent Jaccard (inter grows, set
-    * sizes shrink), so filtering the hash-Jaccard at tau has recall 1 — and
-    * the handful of passing pairs are then verified on true string shingles,
-    * keeping the output bitwise-equal to the string-based oracle.
+  /** Exact n-gram Jaccard similarity self-join: all pairs with J >= tau,
+    * computed on true string shingles end to end. (A hash-keyed prefilter
+    * was tried and reverted: a polynomial-hash collision BETWEEN two
+    * intersection members lowers the apparent Jaccard, so a true pair at the
+    * threshold could be dropped — the recall-1 argument only covers
+    * cross-set collisions, and the invariant here is bitwise equality.)
     *
     * Scale note: like [[embeddingNearDupPairs]], this exact formulation is
     * the small-side baseline — its shuffle is proportional to pairs sharing
     * any shingle. The 100 TB path is [[minhashLshPairs]], whose verified
     * output equals this one. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5): DataFrame = {
-    graft.plans.GraftFunctions.register(docs.sparkSession)
-    val hr = docs
-      .select(col("doc_id"), explode(expr(s"graft_shingle_hashes(text, $n)")).as("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = hr.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = hr.as("a").join(hr.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+    val sh = shingleRows(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    val cand = inter
+    inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= tau)
-      .select("doc_a", "doc_b")
-    verifyJaccard(docs, cand, n, tau)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** MinHash + LSH near-dup pairs, LSH-candidates verified by exact Jaccard.
@@ -198,7 +193,7 @@ object Dedup {
     * `maxIter`). At extreme scale the large-star/small-star variant halves
     * the rounds; the join shape is identical.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // localCheckpoint, NOT persist: caching truncates COMPUTE but not the
     // LOGICAL plan, so every round would re-analyze the whole nested lineage
     // (including the expensive pair-generation plan) and per-round planning
@@ -227,6 +222,11 @@ object Dedup {
       labels = next
       i += 1
     }
+    // silently returning unconverged labels would emit WRONG components;
+    // a graph deeper than maxIter rounds must fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter) — raise maxIter")
     labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
   }
 

@@ -93,9 +93,11 @@ object FilePipeline {
       case Formats.Csv | Formats.Tsv =>
         val utf8 = graft.sources.Encoding.ensureUtf8(path).toString
         val sep = DelimiterDetector.detectFile(spark, utf8)
+        // only the atomic guarantee's deliberate failure routes to recovery;
+        // infrastructure errors (missing file, FS faults) must surface as-is
         try Readers.atomicCsv(spark, utf8, sep = sep.toString)
         catch {
-          case _: Exception =>
+          case _: IllegalStateException =>
             graft.sources.CsvRecovery.recover(spark, utf8, sep = sep.toString)
         }
       case Formats.Json | Formats.Jsonl =>
@@ -127,6 +129,7 @@ object FilePipeline {
     val hash = fileHash(path)
     if (ledger.isLoaded(hash))
       return Result(hash, "loaded", 0L, skipped = true)
+    val priorStatus = ledger.all().get(hash).map(_.status)
     ledger.record(FileRecord(hash, path, table, "received", 0L))
     try {
       val raw = loadRaw(spark, path)
@@ -146,9 +149,12 @@ object FilePipeline {
       // Idempotent commit token: the file hash travels WITH the data, so a
       // crash between the lake append and the 'loaded' ledger record cannot
       // cause a double append — the re-run finds the hash already committed
-      // and only repairs the ledger. (The ledger alone gives at-least-once;
-      // the in-data token is what makes the append itself exactly-once.)
-      val alreadyCommitted = lake.exists(table) && {
+      // and only repairs the ledger. The token SCAN runs only when the
+      // ledger shows the crash window is possible (this hash reached
+      // 'cleaned'/'failed' before): the happy path stays O(new data), not
+      // O(table) per file.
+      val crashWindowPossible = priorStatus.exists(s => s == "cleaned" || s == "failed")
+      val alreadyCommitted = crashWindowPossible && lake.exists(table) && {
         val t = lake.read(spark, table)
         t.columns.contains("_source_file_hash") &&
           !t.filter(col("_source_file_hash") === hash).isEmpty

@@ -70,10 +70,13 @@ object Events {
         davg(col("value")).as("avg_value"),
         countDistinct(col("user_id")).as("n_users"))
 
-  /** JSON property extraction + per-type stats (props is a JSON string). */
+  /** JSON property extraction + per-type stats (props is a JSON string).
+    * The integer-regex guard keeps both engines identical on non-integral
+    * values: DuckDB TRY_CAST('1.5' AS BIGINT) ROUNDS where Spark nulls. */
   def jsonPropStats(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("ks", get_json_object(col("props"), "$.k"))
+      .withColumn("k", when(col("ks").rlike("^-?[0-9]+$"), col("ks").cast("long")))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_events"),
@@ -184,7 +187,8 @@ object Events {
          |FROM e GROUP BY 1, 2""".stripMargin,
     "events_json_props" ->
       s"""WITH e AS ($eCte),
-         |k AS (SELECT event_type, TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM e)
+         |k AS (SELECT event_type, CASE WHEN regexp_full_match(json_extract_string(props, '$$.k'), '-?[0-9]+')
+         |  THEN CAST(json_extract_string(props, '$$.k') AS BIGINT) END AS k FROM e)
          |SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
          |  CAST(SUM(k) AS BIGINT) AS sum_k, SUM(k)::DOUBLE / COUNT(k) AS avg_k,
          |  MIN(k) AS min_k, MAX(k) AS max_k

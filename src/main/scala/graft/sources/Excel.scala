@@ -148,6 +148,15 @@ object Excel {
   /** Read the first worksheet as an all-string DataFrame, first row forced to
     * be the header (empty header cells become column<i>). */
   def read(spark: SparkSession, path: String): DataFrame = {
+    // legacy .xls is an OLE2 binary, not a zip — fail with a clear message
+    // instead of an opaque ZipException
+    val magic = {
+      val in = new java.io.FileInputStream(path)
+      try { val b = new Array[Byte](2); in.read(b); b } finally in.close()
+    }
+    require(magic.sameElements(Array[Byte]('P', 'K')),
+      s"$path is not an XLSX (zip) workbook — legacy .xls (OLE2) is not " +
+        "supported; convert to .xlsx")
     val zip = new ZipFile(path)
     try {
       val shared = sharedStrings(zip)

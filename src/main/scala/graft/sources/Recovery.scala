@@ -93,7 +93,13 @@ object CsvRecovery {
         s"csv recovery failed atomic check: best strategy ${best.config.label} " +
           s"loaded ${best.rows} rows vs $srcRows source lines in $path")
     }
-    OverflowRepair.repair(best.df.drop(best.allNullExtras: _*), overflowThreshold)
+    val repaired = OverflowRepair.repair(
+      best.df.drop(best.allNullExtras: _*), overflowThreshold)
+    // OverflowRepair's measuring agg has run; release the parse cache so a
+    // long-draining inbox doesn't pin one full-file cache per recovered file
+    // (downstream actions re-read the file — file-scale, not table-scale)
+    best.df.unpersist()
+    repaired
   }
 }
 
@@ -123,26 +129,38 @@ object JsonRepair {
     s.replaceAll(",\\s*([}\\]])", "$1").replaceAll("'([^']*)'", "\"$1\"")
 
   /** JSONL load: validate every line, repair failures, fail loudly if any
-    * line remains unparseable, and assert loaded rows == source lines. */
+    * line remains unparseable, and assert loaded rows == source lines.
+    *
+    * Validation requires each line to be a JSON OBJECT, not merely valid
+    * JSON: a bare scalar would pass `try_parse_json` yet land as a junk
+    * all-null row, and a top-level array would explode into several rows —
+    * both silent corruptions the atomicity contract forbids. */
   def jsonlAtomic(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    def isObject(c: Column): Column =
+      try_parse_json(c).isNotNull && ltrim(c).startsWith("{")
     val checked = spark.read.textFile(path)
       .filter((l: String) => l.trim.nonEmpty)
       .toDF("line")
       .withColumn("fixed",
-        when(try_parse_json(col("line")).isNotNull, col("line"))
-          .otherwise(repair(col("line"))))
+        when(isObject(col("line")), col("line")).otherwise(repair(col("line"))))
       .cache()
     val n = checked.count()
-    val bad = checked.filter(try_parse_json(col("fixed")).isNull).count()
+    val bad = checked.filter(!isObject(col("fixed"))).count()
     if (bad > 0) {
       checked.unpersist()
       throw new IllegalStateException(
-        s"json repair failed: $bad of $n lines remain unparseable in $path " +
-          "(atomic guarantee: no silent row loss)")
+        s"json repair failed: $bad of $n lines are not parseable JSON objects " +
+          s"in $path (atomic guarantee: no silent row loss)")
     }
     val out = spark.read.json(checked.select("fixed").as[String])
+    if (out.columns.contains("_corrupt_record")) {
+      checked.unpersist()
+      throw new IllegalStateException(
+        s"json atomic check failed: reader flagged corrupt records in $path")
+    }
     val loaded = out.count()
+    checked.unpersist()
     if (loaded != n)
       throw new IllegalStateException(
         s"json atomic check failed: $loaded rows loaded vs $n source lines in $path")

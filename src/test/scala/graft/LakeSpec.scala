@@ -162,6 +162,41 @@ class LakeSpec extends AnyFunSuite {
     assert(t.partitionDirs("pt3", "__p_day=d0").nonEmpty)
   }
 
+  test("partitioned upsert deletes a key that MOVED partitions (global contract)") {
+    import spark.implicits._
+    val t = pfmt("day")
+    t.create(Seq((1L, "d1", "a"), (2L, "d1", "b"), (3L, "d2", "c"))
+      .toDF("id", "day", "v"), "pt6")
+    // id=1 moves from partition d1 to d3: the d1 copy must be deleted even
+    // though d1 receives no source rows
+    t.upsert(Seq((1L, "d3", "moved")).toDF("id", "day", "v"), "pt6", Seq("id"))
+    val out = t.read(spark, "pt6").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out == Map(1L -> ("d3", "moved"), 2L -> ("d1", "b"), 3L -> ("d2", "c")))
+    // d2 had no matching keys: committed by reference, not rewritten
+    assert(t.entries("pt6").toMap.apply("__p_day=d2").length == 1)
+  }
+
+  test("partitioned upsert skips the key scan when keys determine the partition") {
+    import spark.implicits._
+    val t = pfmt("day")
+    t.create(Seq((1L, "d1", "a"), (2L, "d2", "b")).toDF("id", "day", "v"), "pt7")
+    val d2Before = t.entries("pt7").toMap.apply("__p_day=d2")
+    // keys include the partition column -> cross-partition moves impossible
+    t.upsert(Seq((1L, "d1", "new")).toDF("id", "day", "v"), "pt7", Seq("id", "day"))
+    assert(t.entries("pt7").toMap.apply("__p_day=d2") == d2Before)
+    assert(t.read(spark, "pt7").filter($"id" === 1L).head().getString(2) == "new")
+  }
+
+  test("readPartitions with no matching partition returns empty, not an error") {
+    import spark.implicits._
+    val t = pfmt("day")
+    t.create(Seq((1L, "d1", "a")).toDF("id", "day", "v"), "pt8")
+    val none = t.readPartitions(spark, "pt8", vals => vals("day") == "d9")
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == Seq("id", "day", "v"))
+  }
+
   test("partitioned table: compaction and unreferenced-dir expiry") {
     import spark.implicits._
     val t = pfmt("day")

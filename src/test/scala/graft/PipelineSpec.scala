@@ -48,16 +48,18 @@ class PipelineSpec extends AnyFunSuite {
     val lake = new ParquetDirFormat(root.resolve("lake").toString)
     val ledger = new Ledger(root.resolve("ledger.tsv").toString)
     // first run commits the data
-    FilePipeline.processFile(spark, csv.toString, "t", lake, ledger)
+    val first = FilePipeline.processFile(spark, csv.toString, "t", lake, ledger)
     assert(lake.read(spark, "t").count() == 2)
     // simulate the crash window: the lake append happened but the 'loaded'
-    // ledger record was lost — a fresh ledger believes the file is unloaded
-    val amnesiac = new Ledger(root.resolve("ledger2.tsv").toString)
-    val r = FilePipeline.processFile(spark, csv.toString, "t", lake, ledger = amnesiac)
+    // ledger record was lost — the ledger last saw this hash at 'cleaned'
+    val crashed = new Ledger(root.resolve("ledger2.tsv").toString)
+    crashed.record(graft.pipeline.FileRecord(first.fileHash, csv.toString, "t", "received", 0))
+    crashed.record(graft.pipeline.FileRecord(first.fileHash, csv.toString, "t", "cleaned", 2))
+    val r = FilePipeline.processFile(spark, csv.toString, "t", lake, ledger = crashed)
     assert(r.status == "loaded")
     // the in-data _source_file_hash token prevented a second append
     assert(lake.read(spark, "t").count() == 2, "rows must not be appended twice")
-    assert(amnesiac.isLoaded(r.fileHash), "ledger repaired to loaded")
+    assert(crashed.isLoaded(r.fileHash), "ledger repaired to loaded")
   }
 
   test("transcoded .utf8 sibling is cleaned up after load and archive") {

@@ -102,6 +102,24 @@ class RecoverySpec extends AnyFunSuite {
     assert(df.filter(df("name") === "B").head().getAs[Long]("age") == 2L)
   }
 
+  test("jsonl rejects bare scalars and top-level arrays (objects only)") {
+    // a valid-JSON scalar line would land as a junk all-null row and a
+    // top-level array would explode into several rows — both must fail
+    val scalars = write("scalars.jsonl",
+      "{\"a\": 1}\n\"just a string\"\n{\"a\": 3}\n")
+    val e1 = intercept[IllegalStateException](JsonRepair.jsonlAtomic(spark, scalars))
+    assert(e1.getMessage.contains("not parseable JSON objects"))
+    val arrays = write("arrays.jsonl", "{\"a\": 1}\n[1, 2]\n")
+    assertThrows[IllegalStateException](JsonRepair.jsonlAtomic(spark, arrays))
+  }
+
+  test("legacy .xls fails with a clear unsupported message, not a ZipException") {
+    val path = write("old.xls", new String(Array[Char](0xD0, 0xCF, 0x11, 0xE0)) + "junk")
+    val e = intercept[IllegalArgumentException](
+      graft.sources.Excel.read(spark, path))
+    assert(e.getMessage.contains("convert to .xlsx"))
+  }
+
   test("clean jsonl passes through unchanged") {
     val path = write("sample.jsonl",
       """{"name": "A", "age": 1, "city": "x"}
