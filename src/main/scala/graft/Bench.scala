@@ -15,6 +15,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 46 queries x several codegen stages each blows through the default
+      // 100-entry janino cache, so warmup runs stop paying off (iterative
+      // queries recompile every round, every run)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -52,4 +52,8 @@ object Sessions {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // a long-lived session running this library's whole query surface
+      // churns far more than the default 100 generated-class cache entries;
+      // eviction silently re-compiles hot plans every execution
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
 }
