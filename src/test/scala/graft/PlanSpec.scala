@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the scale properties the queries were
+  * tuned for (pushdown, pruned scans, broadcast dims, top-k operator, the
+  * regional-revenue semi-join) must survive future edits — a silently lost
+  * broadcast costs nothing at sf0.001 and everything at 100 TB. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q1 pricing: pruned column scan with pushed filter") {
+    val p = plan("gold_q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("PushedFilters: [LessThanOrEqual(l_shipdate") ||
+      p.contains("PushedFilters"), p.take(500))
+    // scan must not read all 16 lineitem columns for a 7-column aggregate
+    assert(!p.contains("l_comment"), "projection pruning lost")
+  }
+
+  test("regional revenue: broadcast dims + semi-join distinct off orders") {
+    val p = plan("gold_regional_revenue")
+    assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+    assert(p.contains("LeftSemi"),
+      "n_customers must aggregate over orders semi-joined to lineitem, " +
+        "not carry the distinct through the wide join")
+  }
+
+  test("top parts by revenue plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("gold_top_parts_by_revenue")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
+  test("ANN brute force: one corpus scan against a broadcast query side") {
+    val p = plan("ann_brute_force_topk")
+    assert(p.contains("Broadcast"), "query set must broadcast")
+  }
+
+  test("dedup-keep-latest: single shuffle on the partition keys") {
+    val p = plan("events_dedup_latest")
+    // one Exchange for the window partitioning; a second would mean the
+    // key-partitioned window is being re-shuffled
+    val exchanges = "\\bExchange\\b".r.findAllIn(p).length
+    assert(exchanges <= 2, s"$exchanges exchanges:\n${p.take(600)}")
+  }
+
+  test("minhash LSH: signatures are a projection, not an aggregation") {
+    val p = plan("dedup_minhash_lsh")
+    assert(p.contains("graft_minhash"), "native signature expression missing")
+    assert(!p.contains("Expand"), "signature must not expand rows")
+  }
+}
