@@ -125,6 +125,23 @@ object Events {
         first(col("lo")).as("lo"), first(col("hi")).as("hi"))
   }
 
+  /** Skew-proof two-phase salted rollup ([[graft.operators.Scale]]): the same
+    * answer as a plain GROUP BY — count/min/max are order-free and the sum
+    * runs in DECIMAL, so splitting hot keys across salts moves no result bit.
+    * This is the aggregation shape for a key whose volume would pin one
+    * reducer at 100 TB; the oracle proves the two-phase recombination exact. */
+  def saltedRollup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.saltedAggregate(
+      Tables.events(spark, dir), Seq("event_type"),
+      aggs = scala.collection.immutable.ListMap(
+        "n_events" -> (lit(1L), "count"),
+        "sum_value_dec" -> (col("value").cast("decimal(18,2)"), "sum"),
+        "min_value" -> (col("value"), "min"),
+        "max_value" -> (col("value"), "max")))
+      .select(col("event_type"), col("n_events"),
+        col("sum_value_dec").cast("double").as("sum_value"),
+        col("min_value"), col("max_value"))
+
   /** Rolling 5-event average per user (frame-spec windows — a capability the
     * reference lacks entirely, SURVEY §2.5). The frame sum goes through
     * DECIMAL so it is associative: engines disagree on frame accumulation
@@ -144,6 +161,7 @@ object Events {
     "events_dedup_latest"  -> (dedupLatest _),
     "events_sessionize"    -> (sessionize _),
     "events_hourly_rollup" -> (hourlyRollup _),
+    "events_salted_rollup" -> (saltedRollup _),
     "events_json_props"    -> (jsonPropStats _),
     "events_upsert_latest" -> (upsertLatest _),
     "events_iqr_outliers"  -> (iqrOutliers _))
@@ -185,6 +203,12 @@ object Events {
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value,
          |  COUNT(DISTINCT user_id) AS n_users
          |FROM e GROUP BY 1, 2""".stripMargin,
+    "events_salted_rollup" ->
+      s"""WITH e AS ($eCte)
+         |SELECT event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  MIN(value) AS min_value, MAX(value) AS max_value
+         |FROM e GROUP BY event_type""".stripMargin,
     "events_json_props" ->
       s"""WITH e AS ($eCte),
          |k AS (SELECT event_type, CASE WHEN regexp_full_match(json_extract_string(props, '$$.k'), '-?[0-9]+')
