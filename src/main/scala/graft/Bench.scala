@@ -58,9 +58,11 @@ object Bench {
       val timed = Seq(once(), once(), once()).flatten.sorted
       val stolen = stealJiffies() - s0
       if (stolen > 0) System.err.println(s"[bench] $name: $stolen steal jiffies during runs")
-      // median of three timed runs resists one stolen/GC-hit window;
+      // median of three timed runs resists one stolen/GC-hit window; with an
+      // even count (a failed run) take the LOWER middle — length/2 would pick
+      // the max of two and bias partially-failing queries upward.
       // failures report -1, never a misleading near-zero timing
-      name -> (if (timed.isEmpty) -1.0 else timed(timed.length / 2))
+      name -> (if (timed.isEmpty) -1.0 else timed((timed.length - 1) / 2))
     }
     val stealTotal = stealJiffies() - stealStart
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -286,10 +286,21 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     }
   }
 
+  /** Single-writer commit. The commit protocol is read-increment-write of
+    * LAST with NO lock, so two concurrent writers would both compute the same
+    * `next` — the cheap conflict detector below turns that silent lost update
+    * into a loud failure: the second writer finds MANIFEST.v<next> already on
+    * disk and aborts before moving the pointer. Serialize writers externally
+    * (one committer per table); readers need no coordination (the LAST
+    * pointer swap is atomic). */
   private def commitManifest(t: String, entries: Seq[(String, Seq[String])]): Unit = {
     val next = currentVersion(t).getOrElse(-1) + 1
     val body = entries.map { case (id, dirs) => s"$id\t${dirs.mkString(",")}" }
       .mkString("\n")
+    if (io.exists(manifestFile(t, next))) throw new IllegalStateException(
+      s"concurrent write detected on $t: MANIFEST.v$next already exists — " +
+        "PartitionedTable is single-writer; this commit is aborted and its " +
+        "staged directories are unreferenced (expireUnreferenced cleans them)")
     io.writeString(manifestFile(t, next), body)
     io.writeStringAtomic(pointer(t), next.toString)
   }
@@ -326,8 +337,22 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     spark.read.option("mergeSchema", true)
       .parquet(rels.map(r => s"${dataDir(t)}/$r"): _*)
 
-  override def read(spark: SparkSession, t: String): DataFrame =
-    readDirs(spark, t, manifest(t).flatMap(_._2))
+  override def read(spark: SparkSession, t: String): DataFrame = {
+    val dirs = manifest(t).flatMap(_._2)
+    // an all-empty commit (e.g. create of an empty frame: partitionBy stages
+    // zero partition dirs) must still read back as an empty frame with the
+    // table schema, not throw on a zero-path parquet scan
+    if (dirs.isEmpty) emptyFrame(spark, t) else readDirs(spark, t, dirs)
+  }
+
+  private def schemaFile(t: String) = s"${tableDir(t)}/SCHEMA"
+
+  private def emptyFrame(spark: SparkSession, t: String): DataFrame = {
+    require(io.exists(schemaFile(t)), s"table $t has no data and no SCHEMA file")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(
+      io.readString(schemaFile(t))).asInstanceOf[org.apache.spark.sql.types.StructType]
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   /** Manifest-level partition pruning: read only partitions whose column->raw
     * (unescaped) value map satisfies `pred`. The file-level min/max stats
@@ -368,6 +393,9 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     require(!exists(t), s"table already exists: $t")
     io.mkdirs(tableDir(t))
     io.writeString(s"${tableDir(t)}/PARTITION", partitionCols.mkString(","))
+    // schema survives independently of data files, so an empty create (or a
+    // later overwrite-to-empty) still reads/appends with the right columns
+    io.writeString(schemaFile(t), df.schema.json)
     commitManifest(t, mergeEntries(Seq.empty, stage(df, t, "create")))
   }
 
@@ -392,6 +420,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
 
   override def overwrite(df: DataFrame, t: String): Unit = {
     if (!exists(t)) { create(df, t); return }
+    io.writeString(schemaFile(t), df.schema.json)
     commitManifest(t, mergeEntries(Seq.empty, stage(df, t, "overwrite")))
   }
 

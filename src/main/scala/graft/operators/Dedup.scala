@@ -82,24 +82,31 @@ object Dedup {
     * threshold could be dropped — the recall-1 argument only covers
     * cross-set collisions, and the invariant here is bitwise equality.)
     *
-    * Scale note: like [[embeddingNearDupPairs]], this exact formulation is
-    * the small-side baseline — its shuffle is proportional to pairs sharing
-    * any shingle. The 100 TB path is [[minhashLshPairs]], whose verified
-    * output equals this one. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5): DataFrame = {
+    * Skew guard: the shingle self-join emits k² candidate rows for a shingle
+    * shared by k documents, so one boilerplate shingle in 100k documents is
+    * 10^10 join rows. Shingles with document frequency > `dfCap` are dropped
+    * from CANDIDATE GENERATION only — verification always computes Jaccard on
+    * the full true shingle sets, so reported similarities stay exact. The
+    * only pairs that can be missed are those sharing exclusively
+    * above-the-cap boilerplate; at any sane cap such a pair is wall-to-wall
+    * stop-phrases, not a near-duplicate. `dfCap <= 0` disables the guard. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
+                        dfCap: Int = 1000): DataFrame = {
     val sh = shingleRows(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val rare =
+      if (dfCap <= 0) sh
+      else {
+        val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > dfCap).select("s")
+        // broadcast anti-join: the hot-shingle list is tiny by construction
+        // (at most |corpus shingle rows| / dfCap entries)
+        sh.join(broadcast(hot), Seq("s"), "left_anti")
+      }
+    val cand = rare.as("a").join(rare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= tau)
-      .select("doc_a", "doc_b", "jaccard")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(docs, cand, n, tau)
   }
 
   /** MinHash + LSH near-dup pairs, LSH-candidates verified by exact Jaccard.
@@ -212,14 +219,17 @@ object Dedup {
     while (!converged && i < maxIter) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("comp"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .select(col("src").as("id"), col("comp"), lit(null).cast("long").as("prev"))
+      // The convergence check rides INSIDE the label aggregate: every node has
+      // exactly one row in `labels`, so max(prev) recovers its previous label
+      // (neighbor rows contribute null) and `comp < prev` marks a change. A
+      // separate next⋈labels inequality probe would roughly double per-round
+      // shuffle cost — this was the single most expensive bench query's lever.
+      val next = labels.withColumn("prev", col("comp")).union(viaNeighbor)
+        .groupBy("id").agg(min(col("comp")).as("comp"), max(col("prev")).as("prev"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("comp") < col("prev")).isEmpty
+      labels = next.select("id", "comp")
       i += 1
     }
     // silently returning unconverged labels would emit WRONG components;

@@ -24,6 +24,26 @@ import graft.plans.GraftFunctions
   */
 object Similarity {
 
+  /** Row count from the parquet footers of a scan-only DataFrame — a driver
+    * metadata read (KBs per file), no Spark job, no corpus pass. Returns None
+    * when the frame is not file-backed (in-memory test data, post-shuffle
+    * plans). Counts are pre-filter, so callers may only use this where an
+    * OVERestimate is safe (e.g. sizing a bounded sample). */
+  private[operators] def parquetMetaCount(df: DataFrame): Option[Long] =
+    scala.util.Try {
+      val files = df.inputFiles.filter(_.endsWith(".parquet"))
+      if (files.isEmpty) None
+      else {
+        val conf = df.sparkSession.sessionState.newHadoopConf()
+        Some(files.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum)
+      }
+    }.toOption.flatten
+
   private def withNorm(df: DataFrame): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     // norms feed both the query side and the vector side of every probe —
@@ -170,7 +190,9 @@ object Similarity {
     val feats = emb.select(col("vec_id"),
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = feats.count()
+    // corpus size from parquet footers when possible (zero Spark jobs); a
+    // pre-filter overestimate only shrinks the sample, never exceeds the cap
+    val n = parquetMetaCount(emb).getOrElse(feats.count())
     val train =
       if (n <= maxTrainVectors) feats
       else feats.sample(withReplacement = false, maxTrainVectors.toDouble / n, seed = 42L)

@@ -77,8 +77,12 @@ object Profile {
   def eventsDecimalPrecision(spark: SparkSession, dir: String): DataFrame = {
     def prec(rendered: String): org.apache.spark.sql.Column = {
       val stripped = expr(s"regexp_replace($rendered, '0+$$', '')")
-      when(stripped.contains("."),
-        length(expr(s"substring_index(regexp_replace($rendered, '0+$$', ''), '.', -1)")))
+      // NULL inputs must stay NULL (so MIN/MAX skip them, matching the
+      // oracle's NULL semantics) — a bare when().otherwise(0) would map a
+      // NULL condition to precision 0 and drag min_prec down.
+      when(expr(rendered).isNull, lit(null).cast("int"))
+        .when(stripped.contains("."),
+          length(expr(s"substring_index(regexp_replace($rendered, '0+$$', ''), '.', -1)")))
         .otherwise(lit(0))
     }
     Tables.events(spark, dir)

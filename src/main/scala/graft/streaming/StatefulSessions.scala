@@ -31,30 +31,35 @@ object StatefulSessions {
       state.remove()
       return out
     }
-    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    // Unified interval merge, identical to the batch sessionizer's gap rule
+    // ([[graft.queries.Events.sessionize]]): the open session (an interval
+    // with aggregates) and this batch's events (point intervals) are sorted
+    // by start and merged when the gap to the running session is <= GapMs.
+    // This keeps out-of-order events correct in BOTH directions: a within-gap
+    // straggler extends the session backwards, while one more than GapMs
+    // before sessionStart (yet above the watermark) forms its own earlier
+    // session — and nearby stragglers merge with each other first — instead
+    // of silently stretching sessionStart past a gap boundary.
+    val items = (state.getOption.toSeq ++
+        events.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)))
+      .sortBy(s => (s.start, s.last))
     var closed = List.empty[Session]
-    var cur = state.getOption
-    sorted.foreach { e =>
-      val t = e.ts.getTime
+    var cur = Option.empty[SessionState]
+    items.foreach { it =>
       cur match {
-        case Some(s) if t - s.last <= GapMs =>
-          // within-gap but out-of-order events (t < start, still above the
-          // watermark) must also extend the session BACKWARDS, or the emitted
-          // sessionStart diverges from the batch sessionizer
-          cur = Some(s.copy(start = math.min(s.start, t),
-            last = math.max(s.last, t), n = s.n + 1, sum = s.sum + e.value))
+        case Some(s) if it.start - s.last <= GapMs =>
+          cur = Some(SessionState(s.start, math.max(s.last, it.last),
+            s.n + it.n, s.sum + it.sum))
         case Some(s) =>
           closed ::= close(s)
-          cur = Some(SessionState(t, t, 1, e.value))
+          cur = Some(it)
         case None =>
-          cur = Some(SessionState(t, t, 1, e.value))
+          cur = Some(it)
       }
     }
-    cur match {
-      case Some(s) =>
-        state.update(s)
-        state.setTimeoutTimestamp(s.last + GapMs)
-      case None => ()
+    cur.foreach { s =>
+      state.update(s)
+      state.setTimeoutTimestamp(s.last + GapMs)
     }
     closed.reverseIterator
   }

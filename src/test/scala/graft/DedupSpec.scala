@@ -91,6 +91,27 @@ class DedupSpec extends AnyFunSuite {
     assert(blocked == brute)
   }
 
+  test("hot-shingle df cap: shared-boilerplate corpus completes without a pair explosion") {
+    import spark.implicits._
+    // 1000 docs that ALL share one boilerplate shingle ("terms of service apply"
+    // windows) plus a unique tail; 10 true near-dup pairs differ only in the tail.
+    // Without the df cap the boilerplate shingle alone emits ~500k candidate
+    // pairs; with it, candidates come only from the rare tail shingles.
+    val docsDf = (0 until 1000).map { i =>
+      val pair = i / 2
+      val tail = if (i < 20) s"alpha$pair beta$pair gamma$pair delta$pair epsilon$pair"
+                 else s"unique$i only$i words$i here$i now$i"
+      (i.toLong, s"terms of service apply to all $tail")
+    }.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val pairs = Dedup.ngramJaccardPairs(docsDf, 3, 0.5, dfCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    // the 10 constructed near-dup pairs (2i, 2i+1) — and nothing else — survive
+    assert(pairs == (0 until 10).map(p => (2L * p, 2L * p + 1)).toSet)
+    assert(secs < 60, s"capped candidate generation took ${secs}s — pair explosion?")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val pairs = Dedup.embeddingNearDupPairs(emb, 0.4).collect()

@@ -225,6 +225,36 @@ class LakeSpec extends AnyFunSuite {
     assert(out(0).isNullAt(out(0).fieldIndex("note")))
   }
 
+  test("partitioned empty create is readable and appendable, not a broken table") {
+    import spark.implicits._
+    val t = pfmt("k")
+    val empty = Seq.empty[(Long, String)].toDF("id", "k")
+    t.create(empty, "pe1")
+    assert(t.read(spark, "pe1").count() == 0)
+    assert(t.read(spark, "pe1").schema.fieldNames.toSeq == Seq("id", "k"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "k"), "pe1")
+    assert(t.read(spark, "pe1").count() == 2)
+  }
+
+  test("partitioned commit detects a concurrent writer instead of losing an update") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-plake").toString
+    val t1 = new PartitionedTable(root, Seq("k"))
+    val t2 = new PartitionedTable(root, Seq("k"))
+    t1.create(Seq((1L, "a")).toDF("id", "k"), "pc1")
+    // simulate the lost-update race: a second writer commits version 1 first
+    t2.append(Seq((2L, "b")).toDF("id", "k"), "pc1")
+    // hand-roll writer 1's stale commit attempt by restoring the old pointer
+    // (drop Hadoop's .crc sidecar too, or the raw write trips checksumming)
+    val ptr = java.nio.file.Paths.get(root, "pc1", "LAST")
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(root, "pc1", ".LAST.crc"))
+    java.nio.file.Files.write(ptr, "0".getBytes)
+    val ex = intercept[IllegalStateException] {
+      t1.append(Seq((3L, "c")).toDF("id", "k"), "pc1")
+    }
+    assert(ex.getMessage.contains("concurrent write"))
+  }
+
   test("commits are versioned: failed reader never sees partial state") {
     import spark.implicits._
     val t = fmt()
