@@ -16,11 +16,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Gold.queries ++ graft.queries.Training.queries ++
-    graft.queries.Events.queries ++ graft.queries.Profile.queries ++ graft.queries.Clean.queries
+    graft.queries.Events.queries ++ graft.queries.Profile.queries ++
+    graft.queries.Clean.queries ++ graft.queries.Silver.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Gold.oracle ++ graft.queries.Training.oracle ++
-    graft.queries.Events.oracle ++ graft.queries.Profile.oracle ++ graft.queries.Clean.oracle
+    graft.queries.Events.oracle ++ graft.queries.Profile.oracle ++
+    graft.queries.Clean.oracle ++ graft.queries.Silver.oracle
 }

@@ -139,6 +139,20 @@ object Portable {
        |  CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS BIGINT) AS bucket
        |  FROM dots GROUP BY vec_id, tbl)""".stripMargin
 
+  // ---- silver-layer cleaning twins (DuckDB side) ---------------------------
+  /** DuckDB text of Spark's `initcap` semantics: split on single space, first
+    * char upper, rest lower, empties preserved. Bitwise-proven by the
+    * clean_customer_pipeline gate since round 1. */
+  def initcapDuck(x: String): String =
+    s"array_to_string(list_transform(string_split(lower($x), ' '), w -> upper(w[1:1]) || w[2:]), ' ')"
+
+  /** strptime twins of [[graft.operators.Cleaning.TimestampFormats]]. */
+  val TimestampFormatsDuck: Seq[String] =
+    Seq("%Y-%m-%d %H:%M:%S", "%-m/%-d/%Y %H:%M:%S", "%d.%m.%Y %H:%M:%S", "%Y%m%d %H:%M:%S")
+  def tsMultiDuck(x: String): String =
+    "CAST(COALESCE(" + TimestampFormatsDuck.map(f =>
+      s"try_strptime(trim($x), '$f')").mkString(", ") + ") AS TIMESTAMP)"
+
   // ---- stopword lexica for the language-ID heuristic -----------------------
   val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
   val StopEs: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por")

@@ -136,6 +136,18 @@ object Cleaning {
   def dateStandardize(colName: String, formats: Seq[String] = DateFormats): Column =
     date_format(parseDateMulti(colName, formats), "yyyy-MM-dd")
 
+  /** Multi-format TIMESTAMP parse, first format wins (reference:
+    * silver/transformations/users.sql:83-91 — COALESCE over
+    * SAFE.PARSE_TIMESTAMP with 7 format candidates). Spark patterns here;
+    * [[graft.functions.Portable]] carries the strptime twins. Result is
+    * TIMESTAMP_NTZ so rendered values match a naive-timestamp oracle
+    * byte-for-byte under the UTC session. */
+  val TimestampFormats: Seq[String] =
+    Seq("yyyy-MM-dd HH:mm:ss", "M/d/yyyy HH:mm:ss", "dd.MM.yyyy HH:mm:ss", "yyyyMMdd HH:mm:ss")
+  def parseTimestampMulti(colName: String, formats: Seq[String] = TimestampFormats): Column =
+    coalesce(formats.map(f =>
+      expr(s"cast(try_to_timestamp(trim($colName), '$f') as timestamp_ntz)")): _*)
+
   /** Keep-first duplicate flag over all columns (reference: flag_duplicates.sql
     * keep-first via MIN(rowid); here: row_number over an all-columns partition
     * ordered by a stable id). Adds `is_duplicate_in_file` (the name the
