@@ -108,7 +108,11 @@ object FilePipeline {
       case f => throw new IllegalArgumentException(s"unsupported format $f for $path")
     }
 
-  final case class Result(fileHash: String, status: String, rows: Long, skipped: Boolean)
+  final case class Result(fileHash: String, status: String, rows: Long,
+                          skipped: Boolean, quarantinedRows: Long = 0L)
+
+  /** Quarantine table name for overflow-shifted rows. */
+  def quarantineTable(table: String): String = s"${table}_quarantine"
 
   /** Archive a processed inbox file (reference loader/cleanup.py:15-46
     * inbox -> archive move + staging delete): atomic same-volume rename. A
@@ -144,7 +148,17 @@ object FilePipeline {
       }.toIndexedSeq: _*)
       val stamped = cleaned.withColumn("processed_at", current_timestamp())
         .withColumn("_source_file_hash", lit(hash))
-      val rows = stamped.count()
+        .persist()
+      // Quarantine routing (reference prompts/coordinator.py:63-64: shifted
+      // rows are suspect — route them for review, never into silver). Rows
+      // the overflow repair flagged go to `<table>_quarantine` WITH the flag
+      // column for context; the main table receives only clean rows and
+      // keeps its schema free of the flag.
+      val shifted = stamped.columns.contains("is_shifted")
+      val good = if (shifted) stamped.filter(!col("is_shifted")).drop("is_shifted")
+                 else stamped
+      val rows = good.count()
+      val qrows = if (shifted) stamped.filter(col("is_shifted")).count() else 0L
       ledger.record(FileRecord(hash, path, table, "cleaned", rows))
       // Idempotent commit token: the file hash travels WITH the data, so a
       // crash between the lake append and the 'loaded' ledger record cannot
@@ -152,20 +166,26 @@ object FilePipeline {
       // and only repairs the ledger. The token SCAN runs only when the
       // ledger shows the crash window is possible (this hash reached
       // 'cleaned'/'failed' before): the happy path stays O(new data), not
-      // O(table) per file.
+      // O(table) per file. Main and quarantine commits are checked
+      // independently — a crash between the two appends must not drop the
+      // quarantine rows on replay.
       val crashWindowPossible = priorStatus.exists(s => s == "cleaned" || s == "failed")
-      val alreadyCommitted = crashWindowPossible && lake.exists(table) && {
-        val t = lake.read(spark, table)
-        t.columns.contains("_source_file_hash") &&
-          !t.filter(col("_source_file_hash") === hash).isEmpty
-      }
-      if (!alreadyCommitted) lake.append(stamped, table)
+      def alreadyCommitted(t: String): Boolean =
+        crashWindowPossible && lake.exists(t) && {
+          val df = lake.read(spark, t)
+          df.columns.contains("_source_file_hash") &&
+            !df.filter(col("_source_file_hash") === hash).isEmpty
+        }
+      if (!alreadyCommitted(table)) lake.append(good, table)
+      if (qrows > 0 && !alreadyCommitted(quarantineTable(table)))
+        lake.append(stamped.filter(col("is_shifted")), quarantineTable(table))
+      stamped.unpersist()
       ledger.record(FileRecord(hash, path, table, "loaded", rows))
       // the transcoded sibling is derived data; drop it once the load is done
       val utf8Sibling = Paths.get(path).resolveSibling(
         Paths.get(path).getFileName.toString + ".utf8")
       Files.deleteIfExists(utf8Sibling)
-      Result(hash, "loaded", rows, skipped = false)
+      Result(hash, "loaded", rows, skipped = false, quarantinedRows = qrows)
     } catch {
       case e: Exception =>
         ledger.record(FileRecord(hash, path, table, "failed", 0L))

@@ -86,10 +86,19 @@ object Gold {
         col("churned"), col("n_items"), col("n_returned"), col("return_rate"))
   }
 
-  /** Per-product sales metrics (reference DEMO.md:79-83). */
+  /** Per-product sales metrics with margin %% and inventory turnover
+    * (reference DEMO.md:79-83: "margin %%, inventory turnover"). The test
+    * schema has no partsupp table, so the cost dimension (supplycost, on-hand
+    * quantity) is synthesized deterministically from the part key — exact
+    * IEEE arithmetic replayed identically by the oracle. All cost math rides
+    * the broadcast part dimension: zero extra shuffles over the sales agg. */
   def productPerformance(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val p = Tables.part(spark, dir)
+      // supplycost = 50-89% of retail; on-hand qty 50-149 units
+      .withColumn("supplycost",
+        expr("p_retailprice * CAST(50 + p_partkey % 40 AS DOUBLE) / 100.0"))
+      .withColumn("inv_qty", expr("CAST(50 + p_partkey % 100 AS DOUBLE)"))
     val sales = li.groupBy(col("l_partkey"))
       .agg(
         dsum(col("l_quantity")).as("units_sold"),
@@ -100,10 +109,14 @@ object Gold {
         col("n_returns").cast("double") / col("n_line_items").cast("double"))
     // part is the small dimension at TPC-H ratios → broadcast.
     sales.join(broadcast(p), sales("l_partkey") === p("p_partkey"))
+      .withColumn("cogs", col("units_sold") * col("supplycost"))
       .select(col("p_partkey"), col("p_name"), col("p_brand"),
         col("units_sold"), col("revenue"), col("n_line_items"),
         col("n_returns"), col("return_rate"),
-        (col("revenue") / col("units_sold")).as("avg_sale_price"))
+        (col("revenue") / col("units_sold")).as("avg_sale_price"),
+        col("cogs"),
+        ((col("revenue") - col("cogs")) / col("revenue") * lit(100.0)).as("margin_pct"),
+        (col("cogs") / (col("inv_qty") * col("supplycost"))).as("inventory_turnover"))
   }
 
   /** Revenue by region: 5-table star join (TPC-H Q5 flavor).
@@ -283,12 +296,23 @@ object Gold {
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
         |    COUNT(*) AS n_line_items,
         |    COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returns
-        |  FROM lineitem GROUP BY 1)
+        |  FROM lineitem GROUP BY 1),
+        |dim AS (
+        |  SELECT *,
+        |    p_retailprice * CAST(50 + p_partkey % 40 AS DOUBLE) / 100.0 AS supplycost,
+        |    CAST(50 + p_partkey % 100 AS DOUBLE) AS inv_qty
+        |  FROM part),
+        |j AS (
+        |  SELECT *, units_sold * supplycost AS cogs
+        |  FROM sales JOIN dim ON l_partkey = p_partkey)
         |SELECT p_partkey, p_name, p_brand, units_sold, revenue, n_line_items,
         |  n_returns,
         |  CAST(n_returns AS DOUBLE) / CAST(n_line_items AS DOUBLE) AS return_rate,
-        |  revenue / units_sold AS avg_sale_price
-        |FROM sales JOIN part ON l_partkey = p_partkey""".stripMargin,
+        |  revenue / units_sold AS avg_sale_price,
+        |  cogs,
+        |  (revenue - cogs) / revenue * 100.0 AS margin_pct,
+        |  cogs / (inv_qty * supplycost) AS inventory_turnover
+        |FROM j""".stripMargin,
     "gold_regional_revenue" ->
       """SELECT r_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,

@@ -41,6 +41,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(lake.read(spark, "users").count() == 3)
   }
 
+  test("overflow-shifted rows are quarantined, not loaded into the main table") {
+    val root = Files.createTempDirectory("graft-quar")
+    val csv = root.resolve("q.csv")
+    // row 10's unquoted comma spills into a phantom column: overflow repair
+    // flags it is_shifted -> the pipeline must route it to <table>_quarantine
+    val rows = (1 to 9).map(i => s"$i,name$i,note$i") :+ "10,Bob,messy, extra"
+    Files.write(csv, ("id,name,notes\n" + rows.mkString("\n") + "\n").getBytes)
+    val lake = new ParquetDirFormat(root.resolve("lake").toString)
+    val ledger = new Ledger(root.resolve("ledger.tsv").toString)
+    val r = FilePipeline.processFile(spark, csv.toString, "q", lake, ledger)
+    assert(r.status == "loaded" && r.rows == 9 && r.quarantinedRows == 1)
+    val main = lake.read(spark, "q")
+    assert(main.count() == 9, "shifted row must not reach the main table")
+    assert(!main.columns.contains("is_shifted"), "main table schema stays clean")
+    val quar = lake.read(spark, FilePipeline.quarantineTable("q"))
+    assert(quar.count() == 1)
+    assert(quar.columns.contains("is_shifted"), "quarantine keeps the flag for review")
+    assert(quar.head().getAs[String]("name") == "Bob")
+    // a clean file quarantines nothing and creates no quarantine table
+    val clean = root.resolve("clean.csv")
+    Files.write(clean, "id,name,notes\n1,a,x\n2,b,y\n".getBytes)
+    val r2 = FilePipeline.processFile(spark, clean.toString, "c", lake, ledger)
+    assert(r2.quarantinedRows == 0)
+    assert(!lake.exists(FilePipeline.quarantineTable("c")))
+  }
+
   test("crash between append and ledger record cannot double-load (commit token)") {
     val root = Files.createTempDirectory("graft-crash")
     val csv = root.resolve("t.csv")
