@@ -196,9 +196,9 @@ object Dedup {
     * neighbors, converging in O(component diameter) rounds — near-dup
     * clusters are shallow (diameter <= a few hops), so this is 2-4 joins in
     * practice. Each round is a distributed join + min-aggregate; the driver
-    * only checks the converged flag (one small count per round, bounded by
-    * `maxIter`). At extreme scale the large-star/small-star variant halves
-    * the rounds; the join shape is identical.
+    * only checks the converged flag (one small scan per round, bounded by
+    * `maxIter`). For unbounded-diameter graphs use
+    * [[connectedComponentsStars]] (O(log diameter) rounds).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // localCheckpoint, NOT persist: caching truncates COMPUTE but not the
@@ -238,6 +238,62 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds " +
         "(component diameter exceeds maxIter) — raise maxIter")
     labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
+  }
+
+  /** Connected components via alternating large-star/small-star rounds — the
+    * deep-graph twin of [[connectedComponents]] (same output contract:
+    * doc_id -> minimum id of its component). Min-label propagation needs
+    * O(diameter) rounds, so a pathological chain of depth 10^4 is 10^4
+    * shuffles; star contraction converges in O(log diameter) rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — public algorithm):
+    *
+    *  - large-star: every node u links each strictly-larger neighbor to the
+    *    minimum of its neighborhood (incl. u);
+    *  - small-star: every node links its smaller neighbors (and itself) to
+    *    the minimum among them.
+    *
+    * Both steps are a groupBy-min + an equi-join per round — the identical
+    * physical shape as a min-label round — and each round's edge list is
+    * localCheckpointed so plans stay O(1). Use this variant when component
+    * diameter is unbounded (transitive link graphs); near-dup clusters are
+    * shallow, so [[connectedComponents]]'s simpler rounds win there. */
+  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val pe = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    val nodes = pe.select(col("u").as("id")).union(pe.select(col("v").as("id")))
+      .distinct().localCheckpoint(true)
+    var edges = pe
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star
+      val nb = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nb.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = nb.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      // small-star on child>parent orientation (large-star guarantees it)
+      val oriented = ls.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val smins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = oriented.join(smins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      converged = ss.except(edges).isEmpty && edges.except(ss).isEmpty
+      edges = ss
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStars did not converge in $maxIter rounds — raise maxIter")
+    // at the fixpoint every non-root points straight at its component min
+    nodes.join(edges.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
+      .groupBy("id").agg(min(coalesce(col("comp"), col("id"))).as("component_id"))
+      .select(col("id").as("doc_id"), col("component_id"))
   }
 
   /** The end product of the dedup family: doc_ids that SURVIVE deduplication.

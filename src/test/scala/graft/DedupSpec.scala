@@ -40,6 +40,32 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.toSet.subsetOf(got.keySet))
   }
 
+  test("star-contraction components: deep chain converges in O(log d) rounds") {
+    import spark.implicits._
+    // a chain of depth 120 — min-label propagation would need 120 rounds
+    // (over the default cap); star contraction must finish within ~10
+    val chain = (0L until 120L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponentsStars(chain, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 121)
+    assert(got.values.forall(_ == 0L), "every chain node labels to the minimum (0)")
+    // and two disjoint chains stay disjoint
+    val two = chain.union(Seq((1000L, 1001L), (1001L, 1002L)).toDF("doc_a", "doc_b"))
+    val got2 = Dedup.connectedComponentsStars(two, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 120L).forall(got2(_) == 0L))
+    assert(Seq(1000L, 1001L, 1002L).forall(got2(_) == 1000L))
+  }
+
+  test("star-contraction components agree with min-label on the corpus pairs") {
+    val pairsDf = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+    val a = Dedup.connectedComponents(pairsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.connectedComponentsStars(pairsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("dedup survivors: every removed doc has a surviving representative") {
     val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
     val survivors = Dedup.dedupSurvivors(docs).collect().map(_.getLong(0)).toSet
