@@ -93,20 +93,34 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
                         dfCap: Int = 1000): DataFrame = {
     val sh = shingleRows(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
-    val rare =
-      if (dfCap <= 0) sh
-      else {
-        val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") > dfCap).select("s")
-        // broadcast anti-join: the hot-shingle list is tiny by construction
-        // (at most |corpus shingle rows| / dfCap entries)
-        sh.join(broadcast(hot), Seq("s"), "left_anti")
-      }
-    val cand = rare.as("a").join(rare.as("b"),
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // the hot list is tiny by construction (≤ |shingle rows| / dfCap), so it
+    // broadcasts; the k²-generating self-join runs on rare shingles only
+    val hot =
+      if (dfCap <= 0) sh.limit(0).select("s")
+      else sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap).select("s")
+    val rare = sh.join(broadcast(hot), Seq("s"), "left_anti")
+    val interRare = rare.as("a").join(rare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(docs, cand, n, tau)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_rare"))
+    // exact hot contribution per candidate pair: each doc carries its (few)
+    // hot shingles as a bounded array; the pairwise intersect is O(cap list)
+    val hotByDoc = sh.join(broadcast(hot), Seq("s"))
+      .groupBy("doc_id").agg(collect_set(col("s")).as("hs"))
+    val inter = interRare
+      .join(hotByDoc.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"), "left")
+      .join(hotByDoc.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"), "left")
+      .withColumn("inter", col("inter_rare") +
+        coalesce(size(array_intersect(col("ha"), col("hb"))), lit(0)))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** MinHash + LSH near-dup pairs, LSH-candidates verified by exact Jaccard.
