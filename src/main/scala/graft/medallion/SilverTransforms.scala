@@ -144,6 +144,30 @@ object SilverTransforms {
       dbl("longitude").as("longitude"),
       loadedAt.as("silver_loaded_at"))
 
+  /** The full bronze→silver load, as the reference's spark_procedures run it
+    * (users.sql:76-167: read bronze → dedup → clean → overwrite silver →
+    * upsert-style MERGE in the incremental variant). Each program's name maps
+    * to its transform; `mode` picks overwrite (full rebuild, the procedures'
+    * default) or pk-upsert (incremental MERGE semantics). Returns the row
+    * count written. */
+  def runProgram(name: String, bronze: DataFrame, lake: graft.lake.TableFormat,
+                 silverTable: String, loadedAt: Column,
+                 incremental: Boolean = false): Long = {
+    val (out, pk) = name match {
+      case "users"                => (users(bronze, loadedAt), "id")
+      case "orders"               => (orders(bronze, loadedAt), "order_id")
+      case "order_items"          => (orderItems(bronze, loadedAt), "id")
+      case "products"             => (products(bronze, loadedAt), "id")
+      case "inventory_items"      => (inventoryItems(bronze, loadedAt), "id")
+      case "distribution_centers" => (distributionCenters(bronze, loadedAt), "id")
+      case "events"               => (events(bronze, loadedAt), "id")
+      case other => throw new IllegalArgumentException(s"unknown silver program: $other")
+    }
+    if (incremental && lake.exists(silverTable)) lake.upsert(out, silverTable, Seq(pk))
+    else lake.overwrite(out, silverTable)
+    lake.read(bronze.sparkSession, silverTable).count()
+  }
+
   /** events.sql:18-74: SAFE_CAST ids/sequence_number, TRIM session_id/uri,
     * multi-format created_at, sentinel-or-initcap city/state-format/browser/
     * traffic_source, LOWER(TRIM) event_type. */

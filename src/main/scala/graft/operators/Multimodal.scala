@@ -47,40 +47,51 @@ object Multimodal {
     (w, h, acc)
   }
 
+  // public: encoder codegen instantiates these from generated Java
+  case class MediaIn(media_id: Long, modality: String, content: Array[Byte])
+  case class MediaMeta(media_id: Long, modality: String, width: Int,
+                       height: Int, n_bytes: Long, checksum: Long)
+  case class MediaFeature(media_id: Long, feature: Array[Float])
+
   /** Decode metadata per partition — one stub "codec init" per partition, not
-    * per row (the pattern that matters when the codec is a real library). */
+    * per row (the pattern that matters when the codec is a real library).
+    * Typed Dataset mapPartitions, not `.rdd`: encoder serialization is
+    * codegen'd, so the only per-row cost beyond the codec call is the
+    * case-class materialization — no Row boxing, no driver-side
+    * createDataFrame re-analysis. */
   def extractMeta(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val out = media.select("media_id", "modality", "content").rdd.mapPartitions { it =>
-      // per-partition codec init would go here
-      it.map { r =>
-        val content = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
-        val (w, h, sum) = decodeStub(content)
-        Row(r.getLong(0), r.getString(1), w, h, content.length.toLong, sum)
-      }
-    }
-    spark.createDataFrame(out, metaSchema)
+    import spark.implicits._
+    media.select("media_id", "modality", "content").as[MediaIn]
+      .mapPartitions { it =>
+        // per-partition codec init would go here
+        it.map { m =>
+          val content = Option(m.content).getOrElse(Array.emptyByteArray)
+          val (w, h, sum) = decodeStub(content)
+          MediaMeta(m.media_id, m.modality, w, h, content.length.toLong, sum)
+        }
+      }.toDF()
   }
 
   /** Fixed-size float feature vector from payload bytes (deterministic fake
     * featurizer standing in for an embedding model; correct batch shape). */
   def featurize(media: DataFrame, dim: Int = 16): DataFrame = {
-    val featSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
-    val out = media.select("media_id", "content").rdd.mapPartitions { it =>
-      it.map { r =>
-        val content = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
-        val acc = new Array[Float](dim)
-        var i = 0
-        while (i < content.length) {
-          acc(i % dim) += (content(i) & 0xff) / 255.0f
-          i += 1
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.withColumn("modality", lit("")).select("media_id", "modality", "content")
+      .as[MediaIn]
+      .mapPartitions { it =>
+        it.map { m =>
+          val content = Option(m.content).getOrElse(Array.emptyByteArray)
+          val acc = new Array[Float](dim)
+          var i = 0
+          while (i < content.length) {
+            acc(i % dim) += (content(i) & 0xff) / 255.0f
+            i += 1
+          }
+          MediaFeature(m.media_id, acc)
         }
-        Row(r.getLong(0), acc.toSeq)
-      }
-    }
-    media.sparkSession.createDataFrame(out, featSchema)
+      }.toDF()
   }
 
   /** Pseudo frame sampling for video-modality rows: emit `n` evenly spaced
