@@ -1,7 +1,6 @@
 package graft.medallion
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Cleaning
 
@@ -35,17 +34,22 @@ import graft.operators.Cleaning
 object SilverTransforms {
 
   /** Steps 1+2: in-file dup drop, then keep-latest by SAFE_CAST'd pk.
-    * Uncastable pks share the NULL partition — reference semantics
+    * Uncastable pks share the NULL group — reference semantics
     * (PARTITION BY SAFE_CAST(id AS INT64)): one representative row survives.
     * `processed_at` must be unique per pk for the result to be well-defined
-    * (true for any monotone ingest stamp). */
+    * (true for any monotone ingest stamp).
+    *
+    * Physically this is `max_by(row-struct, processed_at)` — a hash
+    * aggregate, NOT the reference's ROW_NUMBER window: identical surviving
+    * rows, but partial aggregation combines duplicates map-side and no
+    * per-group sort ever runs. At 100 TB that's the difference between a
+    * shuffle of the deduped output and a full sort of the input. */
   def dedupLatest(bronze: DataFrame, pkRaw: String): DataFrame = {
-    val w = Window.partitionBy(expr(s"try_cast($pkRaw as bigint)"))
-      .orderBy(col("processed_at").desc)
+    val cols = bronze.columns
     bronze.filter(!col("is_duplicate_in_file"))
-      .withColumn("row_rank", row_number().over(w))
-      .filter(col("row_rank") === 1)
-      .drop("row_rank")
+      .groupBy(expr(s"try_cast($pkRaw as bigint)").as("__pk"))
+      .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), col("processed_at")).as("__row"))
+      .select(cols.map(c => col(s"__row.`$c`").as(c)).toIndexedSeq: _*)
   }
 
   private def bigint(c: String): Column = expr(s"try_cast($c as bigint)")

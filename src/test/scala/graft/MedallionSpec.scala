@@ -90,7 +90,7 @@ class MedallionSpec extends AnyFunSuite {
     assert(rows(1L) == "Late Ann", "untouched keys survive the upsert")
   }
 
-  test("silver dedup is one pk shuffle: no extra exchange beyond the window") {
+  test("silver dedup is one pk shuffle: a single exchange for the keep-latest agg") {
     val plan = SilverTransforms.dedupLatest(bronzeUsers, "id")
       .queryExecution.executedPlan.toString
     assert(plan.split("Exchange").length - 1 <= 1,
