@@ -186,12 +186,18 @@ class ParquetDirFormat(root: String) extends TableFormat {
   /** Delete-matching-then-insert (reference upsert): rows in the target whose
     * key appears in the source are replaced by the source rows. The source is
     * type-aligned first, same as append — a drifted column upserts through
-    * try_cast instead of corrupting the committed schema. */
+    * try_cast instead of corrupting the committed schema. Key matching is
+    * NULL-SAFE (`<=>`): a NULL key in the source replaces the target's NULL
+    * key row — a plain equality anti-join would keep the old NULL row AND add
+    * the new one, accumulating one extra NULL-key row per upsert (the silver
+    * uncastable-pk representative hits exactly this). */
   override def upsert(df: DataFrame, table: String, keys: Seq[String]): Unit = {
     if (!exists(table)) { create(df, table); return }
     val target = read(df.sparkSession, table)
     val aligned = Align.to(df, target.schema.map(f => f.name -> f.dataType).toMap)
-    val kept = target.join(aligned.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    val srcKeys = aligned.select(keys.map(k => col(k).as(s"__k_$k")): _*).distinct()
+    val cond = keys.map(k => target(k) <=> srcKeys(s"__k_$k")).reduce(_ && _)
+    val kept = target.join(srcKeys, cond, "left_anti")
     commit(kept.unionByName(aligned, allowMissingColumns = true), table)
   }
 
@@ -286,13 +292,13 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     }
   }
 
-  /** Single-writer commit. The commit protocol is read-increment-write of
-    * LAST with NO lock, so two concurrent writers would both compute the same
-    * `next` — the cheap conflict detector below turns that silent lost update
-    * into a loud failure: the second writer finds MANIFEST.v<next> already on
-    * disk and aborts before moving the pointer. Serialize writers externally
-    * (one committer per table); readers need no coordination (the LAST
-    * pointer swap is atomic). */
+  /** Single-writer commit — SERIALIZE WRITERS EXTERNALLY (one committer per
+    * table); readers need no coordination (the LAST pointer swap is atomic).
+    * The protocol is read-increment-write of LAST with NO lock. The exists
+    * probe below is a best-effort detector, not a guarantee: it catches the
+    * common stale-writer case (the other commit already fully landed) but is
+    * itself check-then-act, so two writers racing through it together can
+    * still lose an update. */
   private def commitManifest(t: String, entries: Seq[(String, Seq[String])]): Unit = {
     val next = currentVersion(t).getOrElse(-1) + 1
     val body = entries.map { case (id, dirs) => s"$id\t${dirs.mkString(",")}" }
@@ -420,8 +426,10 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
 
   override def overwrite(df: DataFrame, t: String): Unit = {
     if (!exists(t)) { create(df, t); return }
-    io.writeString(schemaFile(t), df.schema.json)
     commitManifest(t, mergeEntries(Seq.empty, stage(df, t, "overwrite")))
+    // only after the commit landed: an aborted commit must not leave SCHEMA
+    // describing data that never became current
+    io.writeString(schemaFile(t), df.schema.json)
   }
 
   /** Partition id of a data file path: the segments between `p/` and the
@@ -454,20 +462,28 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     val stagedNew = stage(aligned, t, "upsert-new")
     val touched = stagedNew.map(_._1).distinct.toSet
     val untouched0 = existing.filterNot(e => touched.contains(e._1))
-    val srcKeys = aligned.select(keys.map(col): _*).distinct()
+    // null-safe key matching throughout (<=>): NULL source keys must delete
+    // the target's NULL-key rows, not duplicate them
+    val srcKeys = aligned.select(keys.map(k => col(k).as(s"__k_$k")): _*).distinct()
+    def keyCond(df: DataFrame) =
+      keys.map(k => df(k) <=> srcKeys(s"__k_$k")).reduce(_ && _)
     val hitIds: Set[String] =
       if (partitionCols.forall(keys.contains) || untouched0.isEmpty) Set.empty
-      else readDirs(spark, t, untouched0.flatMap(_._2))
-        .select(keys.map(col) :+ input_file_name().as("__file"): _*)
-        .join(srcKeys, keys, "left_semi")
-        .select("__file").distinct().collect()
-        .map(r => idOfFilePath(t, r.getString(0))).toSet
+      else {
+        val scan = readDirs(spark, t, untouched0.flatMap(_._2))
+          .select(keys.map(col) :+ input_file_name().as("__file"): _*)
+        scan.join(srcKeys, keys.map(k => scan(k) <=> srcKeys(s"__k_$k")).reduce(_ && _), "left_semi")
+          .select("__file").distinct().collect()
+          .map(r => idOfFilePath(t, r.getString(0))).toSet
+      }
     val rewriteIds = touched ++ hitIds
     val rewriteOldDirs = existing.filter(e => rewriteIds.contains(e._1)).flatMap(_._2)
     val stagedKept =
       if (rewriteOldDirs.isEmpty) Seq.empty
-      else stage(readDirs(spark, t, rewriteOldDirs)
-        .join(srcKeys, keys, "left_anti"), t, "upsert-kept")
+      else {
+        val old = readDirs(spark, t, rewriteOldDirs)
+        stage(old.join(srcKeys, keyCond(old), "left_anti"), t, "upsert-kept")
+      }
     val untouched = existing.filterNot(e => rewriteIds.contains(e._1))
     commitManifest(t, mergeEntries(untouched, stagedNew ++ stagedKept))
   }

@@ -142,17 +142,22 @@ object Cleaning {
     * [[graft.functions.Portable]] carries the strptime twins. Result is
     * TIMESTAMP_NTZ so rendered values match a naive-timestamp oracle
     * byte-for-byte under the UTC session. */
+  /** Single-letter day/month/hour fields: Spark's 'd'/'M'/'H' accept both
+    * padded and unpadded values, matching DuckDB strptime's tolerance (its
+    * %d/%m/%H parse '3', '03' alike — verified) so the cross-engine twins
+    * agree on unpadded dirty data, not just zero-padded fixtures. The
+    * compact form stays fixed-width (unpadded 8-digit dates are ambiguous). */
   val TimestampFormats: Seq[String] =
-    Seq("yyyy-MM-dd HH:mm:ss", "M/d/yyyy HH:mm:ss", "dd.MM.yyyy HH:mm:ss", "yyyyMMdd HH:mm:ss")
+    Seq("yyyy-M-d H:m:s", "M/d/yyyy H:m:s", "d.M.yyyy H:m:s", "yyyyMMdd HH:mm:ss")
   /** Shape prefixes of [[TimestampFormats]], mutually exclusive by
     * construction (year-dash / month-slash / day-dot / 8-digit-compact), so a
     * regex dispatch selects the ONLY format that can possibly parse — equal
     * to the reference's first-parse-wins COALESCE at ≤1 expensive parse per
     * value instead of up to 4 (the formatter, not the regex, dominates). */
   private val TimestampDispatch: Seq[(String, String)] = Seq(
-    "^[0-9]{4}-"    -> "yyyy-MM-dd HH:mm:ss",
-    "^[0-9]{1,2}/"  -> "M/d/yyyy HH:mm:ss",
-    "^[0-9]{1,2}\\." -> "dd.MM.yyyy HH:mm:ss",
+    "^[0-9]{4}-"    -> "yyyy-M-d H:m:s",
+    "^[0-9]{1,2}/"  -> "M/d/yyyy H:m:s",
+    "^[0-9]{1,2}\\." -> "d.M.yyyy H:m:s",
     "^[0-9]{8} "    -> "yyyyMMdd HH:mm:ss")
   def parseTimestampMulti(colName: String, formats: Seq[String] = TimestampFormats): Column =
     if (formats == TimestampFormats) {

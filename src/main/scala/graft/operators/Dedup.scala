@@ -85,11 +85,15 @@ object Dedup {
     * Skew guard: the shingle self-join emits k² candidate rows for a shingle
     * shared by k documents, so one boilerplate shingle in 100k documents is
     * 10^10 join rows. Shingles with document frequency > `dfCap` are dropped
-    * from CANDIDATE GENERATION only — verification always computes Jaccard on
-    * the full true shingle sets, so reported similarities stay exact. The
-    * only pairs that can be missed are those sharing exclusively
-    * above-the-cap boilerplate; at any sane cap such a pair is wall-to-wall
-    * stop-phrases, not a near-duplicate. `dfCap <= 0` disables the guard. */
+    * from CANDIDATE GENERATION only; their contribution to each emitted
+    * pair's intersection count is restored exactly from bounded per-document
+    * hot-shingle sets, so reported similarities are exact. Precise contract:
+    * output equals the exact all-pairs result on any corpus where every
+    * qualifying pair shares at least one shingle with df <= dfCap — a pair
+    * sharing exclusively above-the-cap boilerplate is missed (wall-to-wall
+    * stop-phrases, not a near-duplicate). The gate corpora sit far inside
+    * the contract (max shingle df at sf0.1 is 25 vs the default cap 1000).
+    * `dfCap <= 0` disables the guard entirely. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
                         dfCap: Int = 1000): DataFrame = {
     val sh = shingleRows(docs, n).persist(StorageLevel.MEMORY_AND_DISK)

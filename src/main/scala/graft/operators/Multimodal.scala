@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -24,14 +24,6 @@ object Multimodal {
     StructField("modality", StringType, nullable = false),
     StructField("content", BinaryType, nullable = true)))
 
-  val metaSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("modality", StringType, nullable = false),
-    StructField("width", IntegerType, nullable = true),
-    StructField("height", IntegerType, nullable = true),
-    StructField("n_bytes", LongType, nullable = false),
-    StructField("checksum", LongType, nullable = false)))
-
   /** Deterministic fake decode: our synthetic header is
     * [w_hi, w_lo, h_hi, h_lo, payload...]; checksum = polynomial hash of the
     * payload bytes (same constants as graft_phash). */
@@ -49,6 +41,7 @@ object Multimodal {
 
   // public: encoder codegen instantiates these from generated Java
   case class MediaIn(media_id: Long, modality: String, content: Array[Byte])
+  case class MediaContent(media_id: Long, content: Array[Byte])
   case class MediaMeta(media_id: Long, modality: String, width: Int,
                        height: Int, n_bytes: Long, checksum: Long)
   case class MediaFeature(media_id: Long, feature: Array[Float])
@@ -78,8 +71,7 @@ object Multimodal {
   def featurize(media: DataFrame, dim: Int = 16): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.withColumn("modality", lit("")).select("media_id", "modality", "content")
-      .as[MediaIn]
+    media.select("media_id", "content").as[MediaContent]
       .mapPartitions { it =>
         it.map { m =>
           val content = Option(m.content).getOrElse(Array.emptyByteArray)

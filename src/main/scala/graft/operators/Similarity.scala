@@ -26,12 +26,20 @@ object Similarity {
 
   /** Row count from the parquet footers of a scan-only DataFrame — a driver
     * metadata read (KBs per file), no Spark job, no corpus pass. Returns None
-    * when the frame is not file-backed (in-memory test data, post-shuffle
-    * plans). Counts are pre-filter, so callers may only use this where an
-    * OVERestimate is safe (e.g. sizing a bounded sample). */
+    * unless the plan is a BARE parquet scan (optionally projected/aliased):
+    * a Filter or Join would make the footer count a wild overestimate of the
+    * actual row count, which could e.g. starve a sample fraction computed
+    * from it down to nothing. */
   private[operators] def parquetMetaCount(df: DataFrame): Option[Long] =
     scala.util.Try {
-      val files = df.inputFiles.filter(_.endsWith(".parquet"))
+      import org.apache.spark.sql.catalyst.plans.logical.{Project, SubqueryAlias}
+      val plan = df.queryExecution.optimizedPlan
+      val bareScan = plan.collect { case n => n }.forall {
+        case _: Project | _: SubqueryAlias => true
+        case leaf if leaf.children.isEmpty => true
+        case _ => false // Filter, Join, Aggregate, Union, ... — count unusable
+      } && plan.collectLeaves().size == 1
+      val files = if (bareScan) df.inputFiles.filter(_.endsWith(".parquet")) else Array.empty[String]
       if (files.isEmpty) None
       else {
         val conf = df.sparkSession.sessionState.newHadoopConf()

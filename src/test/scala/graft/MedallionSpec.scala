@@ -74,20 +74,24 @@ class MedallionSpec extends AnyFunSuite {
     val n1 = SilverTransforms.runProgram("users", bronzeUsers, lake, "silver_users",
       lit(null).cast("timestamp_ntz"))
     assert(n1 == 3)
-    // an incremental batch re-delivers id=2 (newer) and a brand-new id=7
+    // an incremental batch re-delivers id=2 (newer), a brand-new id=7, and an
+    // uncastable pk — the NULL-key row must REPLACE the existing NULL-key
+    // representative (null-safe upsert), not accumulate beside it
     val batch = Seq(
       ("2", "Bea", "Jones", "bea@j.io", "33", "F", "OR", "salem", "Email", "2024-02-02 08:00:00", 40L, false),
-      ("7", "Gil", "Moss", "gil@m.io", "50", "M", "ID", "boise", "Ads", "2024-02-03 09:00:00", 41L, false))
+      ("7", "Gil", "Moss", "gil@m.io", "50", "M", "ID", "boise", "Ads", "2024-02-03 09:00:00", 41L, false),
+      ("zz", "Eve", "Null", "e@n.io", "28", "F", "NV", "reno", "Ads", "2024-02-04 10:00:00", 42L, false))
       .toDF("id", "first_name", "last_name", "email", "age", "gender", "state",
         "city", "traffic_source", "created_at", "processed_at", "is_duplicate_in_file")
     val n2 = SilverTransforms.runProgram("users", batch, lake, "silver_users",
       lit(null).cast("timestamp_ntz"), incremental = true)
-    assert(n2 == 4, "id=2 replaced, id=7 inserted, ids 1/null kept")
+    assert(n2 == 4, "id=2 and null-id replaced, id=7 inserted, id=1 kept")
     val rows = lake.read(spark, "silver_users").collect()
       .map(r => r.getAs[Any]("id") -> r.getAs[String]("first_name")).toMap
     assert(rows(2L) == "Bea", "upsert replaced the old id=2 row")
     assert(rows(7L) == "Gil")
     assert(rows(1L) == "Late Ann", "untouched keys survive the upsert")
+    assert(rows(null) == "Eve", "NULL pk row replaced, not duplicated")
   }
 
   test("silver dedup is one pk shuffle: a single exchange for the keep-latest agg") {
