@@ -35,6 +35,13 @@ object Tables {
     load(spark, dir, "events")
       .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
   }
-  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** The corpus tables feed CPU-dense work (shingling, hashing, dot products),
+    * so their scans go through [[graft.operators.Scale.fanOutScan]]: a test
+    * table written as a single parquet row group is unsplittable and would pin
+    * all that expression work to one core. No-op when the scan already has
+    * enough splits (always true at cluster scale). */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.fanOutScan(load(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.fanOutScan(load(spark, dir, "embeddings"))
 }

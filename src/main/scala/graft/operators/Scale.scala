@@ -60,6 +60,21 @@ object Scale {
     b.join(s, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Fan a scan out to the session's full parallelism when the source files
+    * yield fewer splits than cores. Parquet can only split at row-group
+    * boundaries, so a table written as one big row group scans as ONE
+    * partition — and every CPU-heavy projection downstream (shingling,
+    * signature hashing, multi-format timestamp parsing) runs single-threaded
+    * no matter how many cores the session has. One cheap round-robin exchange
+    * of the raw bytes buys full-width execution for all the expression work
+    * that follows. At cluster scale this is a no-op by construction: a 100 TB
+    * table scans as thousands of row-group splits, the condition fails, and
+    * no shuffle is added. */
+  def fanOutScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Write a table bucketed by `key` so later joins on it are exchange-free. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
     df.write.mode("overwrite")

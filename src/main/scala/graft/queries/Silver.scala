@@ -95,7 +95,10 @@ object Silver {
   private def bronzeDf(spark: SparkSession, df: DataFrame, table: String,
                        kExpr: String, cols: Cols,
                        lateMod: Int, junkMod: Int): DataFrame = {
-    df.createOrReplaceTempView(table)
+    // Single-row-group test files scan as one partition; fan out so the
+    // CPU-dense bronze construction + cleaner chains run at full width
+    // (no-op when the scan already has enough splits — see Scale.fanOutScan).
+    graft.operators.Scale.fanOutScan(df).createOrReplaceTempView(table)
     spark.sql("WITH " + bronzeCte(table, kExpr, cols(SparkD), lateMod, junkMod) +
       " SELECT * FROM bronze")
   }
@@ -411,6 +414,23 @@ object Silver {
       sentIcD("traffic_source") -> "traffic_source",
       "trim(uri)" -> "uri",
       lowerSentD("event_type") -> "event_type"))
+
+  // ---- builder probes (graft.tools.SilverProbe) ----------------------------
+  private[graft] def probeBronzeInventory(spark: SparkSession, dir: String): DataFrame =
+    bronzeDf(spark, Tables.lineitem(spark, dir), "lineitem",
+      "(l_orderkey * 10 + l_linenumber) * 100000000 + CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)", inventoryCols, 11, 23)
+
+  private[graft] def probeInventoryNoTs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.medallion.SilverTransforms.dedupLatest
+    val b = probeBronzeInventory(spark, dir)
+    dedupLatest(b, "id").select(
+      expr("try_cast(id as bigint)").as("id"),
+      expr("try_cast(product_id as bigint)").as("product_id"),
+      Cleaning.sentinelOrInitcap(col("product_category")).as("product_category"),
+      Cleaning.sentinelOrInitcap(col("product_name")).as("product_name"),
+      Cleaning.sentinelOrInitcap(col("product_brand")).as("product_brand"),
+      upper(trim(col("product_sku"))).as("product_sku"))
+  }
 
   // ==========================================================================
   val queries: Map[String, Q] = Map(
