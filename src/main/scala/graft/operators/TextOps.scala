@@ -107,6 +107,64 @@ object TextOps {
         count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("bigint")).as("total_tokens"))
 
+  /** Train/test contamination detection: pairs of (test doc, train doc) that
+    * share at least one word n-gram, with the size of the shared n-gram set —
+    * the leakage check every benchmark/eval pipeline runs before training.
+    * Reuses the deterministic [[trainTestSplit]] assignment, so no split
+    * materialization is needed.
+    *
+    * Shape at scale: one corpus scan per side producing (shingle, doc) rows,
+    * an equi-join on the shingle string, and a count aggregate — the same
+    * bucketed-candidates pattern as the dedup family. Long n-grams (n=8) are
+    * near-unique, so the join carries no hot keys (measured max df = 3 on the
+    * corpus); for short n the df-cap from [[Dedup]] applies. The exploded
+    * shingle stream is recomputed per side rather than materialized: at
+    * corpus scale the n-gram explosion is ~n x the input and recomputing a
+    * projection is cheaper than shuffling or storing it. */
+  def contamination(docs: DataFrame, n: Int = 8, pctTrain: Int = 90): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val sh = docs
+      .withColumn("split",
+        when((col("doc_id") * lit(2654435761L)) % 100 < pctTrain, lit("train"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("split"),
+        explode(expr(s"graft_shingles(text, $n)")).as("s"))
+    sh.filter(col("split") === "test").select(col("s"), col("doc_id").as("test_doc"))
+      .join(sh.filter(col("split") === "train")
+        .select(col("s"), col("doc_id").as("train_doc")), "s")
+      .groupBy("test_doc", "train_doc")
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
+  /** Sequence packing (concat-and-chunk): lay the corpus out as fixed
+    * token-budget training sequences and report, per document, the byte-range
+    * analogue in token space — offset within its packing stream and the first/
+    * last sequence ids it lands in. This is the standard "concatenate then
+    * chunk every `budget` tokens" layout LLM loaders use.
+    *
+    * Packing is inherently sequential, so the scale unit is the packing
+    * STREAM: documents are sharded deterministically (doc_id mod `shards`)
+    * within each language, and each (lang, shard) stream packs independently
+    * under one ordered window. Streams ≈ shards x languages tasks, each a
+    * sorted scan — the window never sees more than one shard's tokens, and
+    * `shards` scales with the cluster. Empty documents carry no tokens and
+    * are excluded. */
+  def packSequences(docs: DataFrame, budget: Int = 2048, shards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tokens",
+        size(expr(Portable.tokensSpark("text"))).cast("bigint"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("shard", col("doc_id") % shards)
+      .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("first_pack", expr(s"tok_offset div $budget"))
+      .withColumn("last_pack", expr(s"(tok_offset + n_tokens - 1) div $budget"))
+      .select("doc_id", "lang", "shard", "n_tokens", "tok_offset",
+        "first_pack", "last_pack")
+  }
+
   /** Quantile-gated quality filtering: keep documents whose quality score is
     * at or above the corpus `pct` quantile, report survivors per source.
     * The threshold is an exact interpolated percentile (bitwise-equal to

@@ -156,7 +156,26 @@ object Events {
       .select("event_id", "user_id", "ts", "value", "rolling_n", "rolling_avg")
   }
 
+  /** Backward as-of join ([[graft.operators.AsOf]]): each event picks up the
+    * customer's latest order at or before the event time — the "state as of
+    * the event" lookup Spark has no native operator for. The oracle is
+    * DuckDB's own ASOF LEFT JOIN over an identically tie-broken order table,
+    * so the whole custom operator is hash-checked end to end. */
+  def asofOrders(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey"),
+      col("o_orderdate").cast("timestamp_ntz").as("o_ts"),
+      col("o_orderkey"), col("o_totalprice"))
+    graft.operators.AsOf.joinAsOf(e, o, "user_id", "o_custkey", "ts", "o_ts",
+        payload = Seq("o_orderkey", "o_totalprice"), tieBreak = "o_orderkey")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("o_orderkey").as("asof_orderkey"),
+        col("o_totalprice").as("asof_totalprice"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_asof_orders"   -> (asofOrders _),
     "events_rolling_avg"   -> (rollingAvg _),
     "events_dedup_latest"  -> (dedupLatest _),
     "events_sessionize"    -> (sessionize _),
@@ -171,6 +190,16 @@ object Events {
       "epoch_us(CAST(ts AS TIMESTAMP)) AS ep FROM events"
 
   val oracle: Map[String, String] = Map(
+    "events_asof_orders" ->
+      s"""WITH ord AS (
+         |  SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS o_ts,
+         |    MAX(o_orderkey) AS asof_orderkey,
+         |    arg_max(o_totalprice, o_orderkey) AS asof_totalprice
+         |  FROM orders GROUP BY 1, 2)
+         |SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+         |  ord.asof_orderkey, ord.asof_totalprice
+         |FROM events e ASOF LEFT JOIN ord
+         |  ON e.user_id = ord.o_custkey AND CAST(e.ts AS TIMESTAMP) >= ord.o_ts""".stripMargin,
     "events_rolling_avg" ->
       s"""WITH e AS ($eCte)
          |SELECT event_id, user_id, ts, value,

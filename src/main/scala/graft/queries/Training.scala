@@ -37,6 +37,8 @@ object Training {
     "text_corpus_stats"      -> ((s, d) => TextOps.corpusStats(Tables.documents(s, d))),
     "text_train_split"       -> ((s, d) => TextOps.trainTestSplit(Tables.documents(s, d))),
     "text_quality_filter"    -> ((s, d) => TextOps.qualityFilter(Tables.documents(s, d))),
+    "text_contamination"     -> ((s, d) => TextOps.contamination(Tables.documents(s, d))),
+    "text_pack_sequences"    -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
     "dedup_exact"            -> ((s, d) => Dedup.exactDupGroups(Tables.documents(s, d))),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, JaccardTau)),
     "dedup_components"       -> ((s, d) => Dedup.connectedComponents(
@@ -145,6 +147,33 @@ object Training {
        |  MIN(quality_score) AS min_quality_kept,
        |  MAX(quality_score) AS max_quality_kept
        |FROM m, thr WHERE quality_score >= thr GROUP BY source""".stripMargin
+
+  /** Mirror of [[TextOps.contamination]]: same split arithmetic, same
+    * distinct word-8-gram sets, equi-join on the shingle string. */
+  private val contaminationSql =
+    s"""WITH t AS (SELECT doc_id, $toks AS toks,
+       |  CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train' ELSE 'test' END AS split
+       |FROM documents),
+       |sh AS (SELECT doc_id, split,
+       |  unnest(list_distinct(${Portable.shinglesDuck("toks", 8)})) AS s FROM t)
+       |SELECT a.doc_id AS test_doc, b.doc_id AS train_doc, COUNT(*) AS n_shared_ngrams
+       |FROM sh a JOIN sh b ON a.s = b.s AND a.split = 'test' AND b.split = 'train'
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Mirror of [[TextOps.packSequences]] (budget 2048, 16 shards): the
+    * SUM window is cast back to BIGINT (DuckDB window SUM promotes to
+    * HUGEINT, which the driver's Arrow fetch renders differently). */
+  private val packSequencesSql =
+    s"""WITH t AS (SELECT doc_id, lang, len($toks)::BIGINT AS n_tokens FROM documents),
+       |f AS (SELECT doc_id, lang, doc_id % 16 AS shard, n_tokens FROM t WHERE n_tokens > 0),
+       |o AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |    PARTITION BY lang, shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+       |  FROM f)
+       |SELECT doc_id, lang, shard, n_tokens, tok_offset,
+       |  tok_offset // 2048 AS first_pack,
+       |  (tok_offset + n_tokens - 1) // 2048 AS last_pack
+       |FROM o""".stripMargin
 
   private val exactSql =
     """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
@@ -318,6 +347,8 @@ object Training {
     "text_corpus_stats"      -> corpusStatsSql,
     "text_train_split"       -> trainSplitSql,
     "text_quality_filter"    -> qualityFilterSql,
+    "text_contamination"     -> contaminationSql,
+    "text_pack_sequences"    -> packSequencesSql,
     "dedup_exact"            -> exactSql,
     "dedup_ngram_jaccard"    -> jaccardSql,
     "dedup_components"       -> componentsSql,
