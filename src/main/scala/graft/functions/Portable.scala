@@ -159,6 +159,17 @@ object Portable {
   val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "zu", "ein")
   val StopFr: Seq[String] = Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour")
 
+  /** One BM25 term's score contribution, as arithmetic both engines parse
+    * identically. Expects DOUBLE columns `$tf`, `$df`, `dl`, `avgdl`, `n` in
+    * scope. The idf factor is the RATIONAL core (n - df + 0.5)/(df + 0.5)
+    * without the textbook log: ln() is not IEEE correctly-rounded (unlike
+    * sqrt), so Spark's Math.log and DuckDB's libm log can differ in the last
+    * ulp and break the bitwise gate. The rational form is strictly monotone
+    * in the log form, preserving every per-term ordering. */
+  def bm25Term(tf: String, df: String, k1: Double, b: Double): String =
+    s"(($tf * ${k1 + 1.0}) / ($tf + $k1 * (${1.0 - b} + $b * (dl / avgdl)))) * " +
+      s"(((n - $df) + 0.5) / ($df + 0.5))"
+
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
   /** Fraction of tokens found in `words`; NULL-safe for empty docs. */

@@ -165,6 +165,40 @@ object TextOps {
         "first_pack", "last_pack")
   }
 
+  /** BM25 keyword scoring over the corpus — the retrieval primitive data
+    * curation uses to find topical documents at scale. One explode + one
+    * per-doc hash aggregate (term frequencies and doc length in a single
+    * shuffle), a one-row corpus-stats aggregate broadcast back, then a pure
+    * projection and top-k (TakeOrderedAndProject: per-partition heaps, no
+    * global sort). Cost is linear in corpus tokens regardless of |terms|.
+    *
+    * Scoring uses the rational-idf BM25 ([[Portable.bm25Term]]) so the gate
+    * stays bitwise across engines; all intermediate sums are integer-valued
+    * doubles (exact under any accumulation order). */
+  def bm25Search(docs: DataFrame, terms: Seq[String],
+                 k1: Double = 1.5, b: Double = 0.75, topK: Int = 50): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9_]+")),
+      "terms must be non-empty identifiers")
+    val tok = docs.select(col("doc_id"),
+      explode(expr(Portable.tokensSpark("text"))).as("t"))
+    val tfAggs = terms.map(t =>
+      count(when(col("t") === t, lit(1))).cast("double").as(s"tf_$t"))
+    val perDoc = tok.groupBy("doc_id")
+      .agg(count(lit(1)).cast("double").as("dl"), tfAggs: _*)
+    val dfAggs = (sum(col("dl")) / count(lit(1))).as("avgdl") +:
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1).otherwise(0))
+        .cast("double").as(s"df_$t"))
+    val stats = perDoc.agg(count(lit(1)).cast("double").as("n"), dfAggs: _*)
+    val score = terms.map(t => Portable.bm25Term(s"tf_$t", s"df_$t", k1, b))
+      .mkString(" + ")
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score", expr(score))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+      .select(col("doc_id") +: col("dl") +:
+        terms.map(t => col(s"tf_$t")) :+ col("score"): _*)
+  }
+
   /** Quantile-gated quality filtering: keep documents whose quality score is
     * at or above the corpus `pct` quantile, report survivors per source.
     * The threshold is an exact interpolated percentile (bitwise-equal to

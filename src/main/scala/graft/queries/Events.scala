@@ -174,8 +174,32 @@ object Events {
         col("o_totalprice").as("asof_totalprice"))
   }
 
+  /** Range join ([[graft.operators.RangeJoin]]): events bucketed into ten
+    * quantile-decile value bands. The band table is derived from exact
+    * percentiles (bitwise ≡ DuckDB quantile_cont), the join itself is the
+    * bin-blocked equi-join + exact filter — the shape that survives when the
+    * interval side is far too large to broadcast. */
+  def valueBands(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val bounds = e.agg(array(
+      min(col("value")) +:
+        (1 to 9).map(i => expr(s"percentile(value, 0.$i)")) :+
+        (max(col("value")) + lit(1.0)): _*).as("bounds"))
+    val bands = bounds.select(explode(expr(
+        "transform(sequence(0, 9), i -> struct(" +
+          "cast(i as bigint) as band_id, " +
+          "element_at(bounds, i + 1) as lo, element_at(bounds, i + 2) as hi))"))
+        .as("b"))
+      .select("b.band_id", "b.lo", "b.hi")
+    graft.operators.RangeJoin.joinRange(
+        e.select("event_id", "value"), "value", bands, "lo", "hi", binWidth = 16.0)
+      .groupBy("band_id", "lo", "hi")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+  }
+
   val queries: Map[String, Q] = Map(
     "events_asof_orders"   -> (asofOrders _),
+    "events_value_bands"   -> (valueBands _),
     "events_rolling_avg"   -> (rollingAvg _),
     "events_dedup_latest"  -> (dedupLatest _),
     "events_sessionize"    -> (sessionize _),
@@ -200,6 +224,18 @@ object Events {
          |  ord.asof_orderkey, ord.asof_totalprice
          |FROM events e ASOF LEFT JOIN ord
          |  ON e.user_id = ord.o_custkey AND CAST(e.ts AS TIMESTAMP) >= ord.o_ts""".stripMargin,
+    "events_value_bands" ->
+      s"""WITH e AS ($eCte),
+         |q AS (SELECT MIN(value) AS mn, MAX(value) AS mx,
+         |  ${(1 to 9).map(i => s"quantile_cont(value, 0.$i) AS q$i").mkString(", ")}
+         |  FROM e),
+         |bl AS (SELECT [mn, ${(1 to 9).map(i => s"q$i").mkString(", ")}, mx + 1.0] AS bounds FROM q),
+         |bands AS (SELECT i - 1 AS band_id, bounds[i] AS lo, bounds[i + 1] AS hi
+         |  FROM bl, range(1, 11) t(i))
+         |SELECT band_id, lo, hi, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM e JOIN bands ON e.value >= bands.lo AND e.value < bands.hi
+         |GROUP BY 1, 2, 3""".stripMargin,
     "events_rolling_avg" ->
       s"""WITH e AS ($eCte)
          |SELECT event_id, user_id, ts, value,

@@ -25,6 +25,7 @@ object Training {
   // J >= 0.7 with background < 0.15 (tau 0.5 in the gap); embedding pairs top
   // out near 0.6 cosine with a tail above 0.4.
   val JaccardTau  = 0.5
+  val Bm25Terms: Seq[String] = Seq("hash", "join", "stream")
   val CosineTau   = 0.4
   val MaxHamming  = 3
   val NQueries    = 20
@@ -38,6 +39,7 @@ object Training {
     "text_train_split"       -> ((s, d) => TextOps.trainTestSplit(Tables.documents(s, d))),
     "text_quality_filter"    -> ((s, d) => TextOps.qualityFilter(Tables.documents(s, d))),
     "text_contamination"     -> ((s, d) => TextOps.contamination(Tables.documents(s, d))),
+    "text_bm25_search"       -> ((s, d) => TextOps.bm25Search(Tables.documents(s, d), Bm25Terms)),
     "text_pack_sequences"    -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
     "dedup_exact"            -> ((s, d) => Dedup.exactDupGroups(Tables.documents(s, d))),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, JaccardTau)),
@@ -174,6 +176,24 @@ object Training {
        |  tok_offset // 2048 AS first_pack,
        |  (tok_offset + n_tokens - 1) // 2048 AS last_pack
        |FROM o""".stripMargin
+
+  /** Mirror of [[TextOps.bm25Search]]: same per-doc tf aggregate, same
+    * one-row stats, same rational-idf score arithmetic, same top-k order. */
+  private val bm25Sql = {
+    val tfCols = Bm25Terms.map(t =>
+      s"COUNT(*) FILTER (WHERE t = '$t')::DOUBLE AS tf_$t").mkString(", ")
+    val dfCols = Bm25Terms.map(t =>
+      s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_$t").mkString(", ")
+    val score = Bm25Terms.map(t => Portable.bm25Term(s"tf_$t", s"df_$t", 1.5, 0.75))
+      .mkString(" + ")
+    val out = Bm25Terms.map(t => s"tf_$t").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+       |perdoc AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl, $tfCols FROM tok GROUP BY doc_id),
+       |stats AS (SELECT COUNT(*)::DOUBLE AS n, SUM(dl) / COUNT(*) AS avgdl, $dfCols FROM perdoc)
+       |SELECT doc_id, dl, $out, $score AS score
+       |FROM perdoc, stats
+       |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+  }
 
   private val exactSql =
     """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
@@ -348,6 +368,7 @@ object Training {
     "text_train_split"       -> trainSplitSql,
     "text_quality_filter"    -> qualityFilterSql,
     "text_contamination"     -> contaminationSql,
+    "text_bm25_search"       -> bm25Sql,
     "text_pack_sequences"    -> packSequencesSql,
     "dedup_exact"            -> exactSql,
     "dedup_ngram_jaccard"    -> jaccardSql,
