@@ -146,12 +146,53 @@ object Portable {
   def initcapDuck(x: String): String =
     s"array_to_string(list_transform(string_split(lower($x), ' '), w -> upper(w[1:1]) || w[2:]), ' ')"
 
-  /** strptime twins of [[graft.operators.Cleaning.TimestampFormats]]. */
-  val TimestampFormatsDuck: Seq[String] =
-    Seq("%Y-%m-%d %H:%M:%S", "%-m/%-d/%Y %H:%M:%S", "%d.%m.%Y %H:%M:%S", "%Y%m%d %H:%M:%S")
+  /** Multi-format timestamp dispatch table shared by BOTH engines:
+    * (dispatch regex, Spark pattern, DuckDB strptime pattern). The reference's
+    * seven DATE_FORMATS (silver/spark_procedures/users.sql:14-22 — ISO,
+    * yyyy/MM/dd, MM/dd/yyyy, MM-dd-yyyy and the three month-name forms) plus
+    * the dotted-European and compact forms. Prefixes are MUTUALLY EXCLUSIVE
+    * by construction (4-digit-year lead vs 1-2-digit lead vs 8-digit compact
+    * vs month-name lead, separator disambiguates within each group; the
+    * abbreviated and full month-name forms differ by the comma after the
+    * day), so a regex dispatch selects the ONLY format that can parse — equal
+    * to first-parse-wins COALESCE at ≤1 expensive parse per value. Both
+    * [[graft.operators.Cleaning.parseTimestampMulti]] (Spark CASE/rlike) and
+    * [[tsMultiDuck]] (DuckDB CASE/regexp_matches) are generated from THIS
+    * table, so the two engines accept and reject identical strings — the
+    * dispatch itself cannot drift cross-engine. Single-letter Spark fields
+    * (M/d/H) accept padded and unpadded values, matching DuckDB %m/%d/%H
+    * tolerance; month names are canonical English in both (date_format MMM /
+    * strftime %b ↔ "Jan", MMMM / %B ↔ "January"). */
+  val TsDispatch: Seq[(String, String, String)] = Seq(
+    ("^[0-9]{4}-",             "yyyy-M-d H:m:s",     "%Y-%m-%d %H:%M:%S"),
+    ("^[0-9]{4}/",             "yyyy/M/d H:m:s",     "%Y/%m/%d %H:%M:%S"),
+    ("^[0-9]{1,2}/",           "M/d/yyyy H:m:s",     "%m/%d/%Y %H:%M:%S"),
+    ("^[0-9]{1,2}-",           "M-d-yyyy H:m:s",     "%m-%d-%Y %H:%M:%S"),
+    ("^[0-9]{1,2}\\.",         "d.M.yyyy H:m:s",     "%d.%m.%Y %H:%M:%S"),
+    ("^[0-9]{8} ",             "yyyyMMdd HH:mm:ss",  "%Y%m%d %H:%M:%S"),
+    ("^[A-Za-z]+ [0-9]{1,2} ", "MMM d yyyy H:m:s",   "%b %d %Y %H:%M:%S"),
+    ("^[0-9]{1,2} [A-Za-z]",   "d MMM yyyy H:m:s",   "%d %b %Y %H:%M:%S"),
+    ("^[A-Za-z]+ [0-9]{1,2},", "MMMM d, yyyy H:m:s", "%B %d, %Y %H:%M:%S"))
+  /** DuckDB twin of Cleaning.parseTimestampMulti: same dispatch, same order. */
   def tsMultiDuck(x: String): String =
-    "CAST(COALESCE(" + TimestampFormatsDuck.map(f =>
-      s"try_strptime(trim($x), '$f')").mkString(", ") + ") AS TIMESTAMP)"
+    "CAST((CASE " + TsDispatch.map { case (re, _, duck) =>
+      s"WHEN regexp_matches(trim($x), '$re') THEN try_strptime(trim($x), '$duck') "
+    }.mkString + "ELSE NULL END) AS TIMESTAMP)"
+
+  // ---- train/test split bucket ---------------------------------------------
+  /** Split-assignment bucket in [0, 100): polynomial mix of the id's decimal
+    * string. A multiplicative form like (id * 2654435761) % 100 reduces to
+    * (id * 61) % 100 — sequential ids cycle through residues with period 100,
+    * so any id-correlated corpus property (ingest time, source batching)
+    * leaks into the split pattern. Hashing the DIGITS through the polynomial
+    * mixer breaks that structure and stays bitwise-portable (same primitives
+    * as [[phashSpark]]/[[phashDuck]], proven by the fingerprint gates).
+    * Spark side uses the codegen'd native twin (graft_phash, pinned bitwise
+    * to the portable chain by PortableParitySpec). */
+  def splitBucketSpark(id: String): String =
+    s"(graft_phash(cast($id as string)) % 100)"
+  def splitBucketDuck(id: String): String =
+    s"(${phashDuck(s"CAST($id AS VARCHAR)")} % 100)"
 
   // ---- stopword lexica for the language-ID heuristic -----------------------
   val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Portable
 
 /** Column-level cleaning transforms — the reference cleaning engine's UPDATE
   * operators recast as immutable projection pipelines
@@ -18,9 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object Cleaning {
 
-  /** Null-sentinel lexicon (reference: tools/cleaning.py:32-36). */
+  /** Null-sentinel lexicon (reference: tools/cleaning.py:32-36 and the silver
+    * NULL_SENTINELS set, spark_procedures/users.sql:13 — which adds '--'). */
   val NullSentinels: Seq[String] =
-    Seq("null", "none", "n/a", "na", "-", "", "#n/a", "nan", "missing")
+    Seq("null", "none", "n/a", "na", "-", "--", "", "#n/a", "nan", "missing")
 
   /** Windows-1252 mojibake repair map (reference: tools/cleaning.py:40-56).
     * Keys are UTF-8 bytes mis-decoded as Windows-1252; several contain C1
@@ -76,10 +78,13 @@ object Cleaning {
     when(upper(trim(c)).isin(NullSentinels.map(_.toUpperCase): _*), lit(null))
       .otherwise(initcap(trim(c)))
 
-  /** Gender expansion M/MALE->Male, F/FEMALE->Female, else initcap
-    * (reference: silver/transformations/users.sql:36-42). */
+  /** Gender expansion: sentinel->NULL first (the reference's expand_gender
+    * leads with the NULL_SENTINELS branch, spark_procedures/users.sql:59-66 —
+    * 'N/A' must yield NULL, not 'N/a'), then M/MALE->Male, F/FEMALE->Female,
+    * else initcap. */
   def genderExpand(c: Column): Column =
-    when(upper(trim(c)).isin("M", "MALE"), lit("Male"))
+    when(upper(trim(c)).isin(NullSentinels.map(_.toUpperCase): _*), lit(null).cast("string"))
+      .when(upper(trim(c)).isin("M", "MALE"), lit("Male"))
       .when(upper(trim(c)).isin("F", "FEMALE"), lit("Female"))
       .otherwise(initcap(trim(c)))
 
@@ -89,10 +94,13 @@ object Cleaning {
   def emailClean(c: Column): Column =
     when(trim(c).rlike(EmailRe), lower(trim(c))).otherwise(lit(null))
 
-  /** State formatting: 2-char -> UPPER, else initcap
-    * (reference: spark_procedures/users.sql:68-74). */
+  /** State formatting: sentinel->NULL first (the reference's format_state
+    * runs null_sentinel_check before the length gate,
+    * spark_procedures/users.sql:68-74 — 'NA' must yield NULL, not 'NA'),
+    * then 2-char -> UPPER, else initcap. */
   def stateFormat(c: Column): Column =
-    when(length(trim(c)) === 2, upper(trim(c))).otherwise(initcap(trim(c)))
+    when(upper(trim(c)).isin(NullSentinels.map(_.toUpperCase): _*), lit(null).cast("string"))
+      .when(length(trim(c)) === 2, upper(trim(c))).otherwise(initcap(trim(c)))
 
   /** City/state split of a "City Name ST" string: last whitespace-delimited
     * token is the state, the remainder the city (reference:
@@ -137,33 +145,22 @@ object Cleaning {
     date_format(parseDateMulti(colName, formats), "yyyy-MM-dd")
 
   /** Multi-format TIMESTAMP parse, first format wins (reference:
-    * silver/transformations/users.sql:83-91 — COALESCE over
-    * SAFE.PARSE_TIMESTAMP with 7 format candidates). Spark patterns here;
-    * [[graft.functions.Portable]] carries the strptime twins. Result is
-    * TIMESTAMP_NTZ so rendered values match a naive-timestamp oracle
-    * byte-for-byte under the UTC session. */
-  /** Single-letter day/month/hour fields: Spark's 'd'/'M'/'H' accept both
-    * padded and unpadded values, matching DuckDB strptime's tolerance (its
-    * %d/%m/%H parse '3', '03' alike — verified) so the cross-engine twins
-    * agree on unpadded dirty data, not just zero-padded fixtures. The
-    * compact form stays fixed-width (unpadded 8-digit dates are ambiguous). */
-  val TimestampFormats: Seq[String] =
-    Seq("yyyy-M-d H:m:s", "M/d/yyyy H:m:s", "d.M.yyyy H:m:s", "yyyyMMdd HH:mm:ss")
-  /** Shape prefixes of [[TimestampFormats]], mutually exclusive by
-    * construction (year-dash / month-slash / day-dot / 8-digit-compact), so a
-    * regex dispatch selects the ONLY format that can possibly parse — equal
-    * to the reference's first-parse-wins COALESCE at ≤1 expensive parse per
-    * value instead of up to 4 (the formatter, not the regex, dominates). */
-  private val TimestampDispatch: Seq[(String, String)] = Seq(
-    "^[0-9]{4}-"    -> "yyyy-M-d H:m:s",
-    "^[0-9]{1,2}/"  -> "M/d/yyyy H:m:s",
-    "^[0-9]{1,2}\\." -> "d.M.yyyy H:m:s",
-    "^[0-9]{8} "    -> "yyyyMMdd HH:mm:ss")
+    * silver/spark_procedures/users.sql:14-22 — COALESCE over to_timestamp
+    * with 7 format candidates, here extended with the dotted-European and
+    * compact forms). The format table, the mutually-exclusive regex dispatch
+    * that replaces the COALESCE (≤1 expensive parse per value), and the
+    * DuckDB twin are all generated from ONE source —
+    * [[graft.functions.Portable.TsDispatch]] — so the two engines accept and
+    * reject identical strings by construction. Result is TIMESTAMP_NTZ so
+    * rendered values match a naive-timestamp oracle byte-for-byte under the
+    * UTC session. Single-letter day/month/hour fields accept padded and
+    * unpadded values alike, matching DuckDB strptime %d/%m/%H tolerance. */
+  val TimestampFormats: Seq[String] = Portable.TsDispatch.map(_._2)
   def parseTimestampMulti(colName: String, formats: Seq[String] = TimestampFormats): Column =
     if (formats == TimestampFormats) {
       val t = trim(col(colName))
-      TimestampDispatch.foldRight(lit(null).cast("timestamp_ntz")) {
-        case ((re, f), els) =>
+      Portable.TsDispatch.foldRight(lit(null).cast("timestamp_ntz")) {
+        case ((re, f, _), els) =>
           when(t.rlike(re),
             expr(s"cast(try_to_timestamp(trim($colName), '$f') as timestamp_ntz)"))
             .otherwise(els)

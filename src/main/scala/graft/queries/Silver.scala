@@ -40,18 +40,33 @@ object Silver {
     def slash(d: String): String
     def dot(d: String): String
     def compact(d: String): String
+    def yslash(d: String): String
+    def dash(d: String): String
+    def mon(d: String): String
+    def dmon(d: String): String
+    def monfull(d: String): String
   }
   private object SparkD extends Dial {
     def iso(d: String)     = s"date_format($d, 'yyyy-MM-dd')"
     def slash(d: String)   = s"date_format($d, 'M/d/yyyy')"
     def dot(d: String)     = s"date_format($d, 'dd.MM.yyyy')"
     def compact(d: String) = s"date_format($d, 'yyyyMMdd')"
+    def yslash(d: String)  = s"date_format($d, 'yyyy/MM/dd')"
+    def dash(d: String)    = s"date_format($d, 'MM-dd-yyyy')"
+    def mon(d: String)     = s"date_format($d, 'MMM dd yyyy')"
+    def dmon(d: String)    = s"date_format($d, 'dd MMM yyyy')"
+    def monfull(d: String) = s"date_format($d, 'MMMM dd, yyyy')"
   }
   private object DuckD extends Dial {
     def iso(d: String)     = s"strftime($d, '%Y-%m-%d')"
     def slash(d: String)   = s"strftime($d, '%-m/%-d/%Y')"
     def dot(d: String)     = s"strftime($d, '%d.%m.%Y')"
     def compact(d: String) = s"strftime($d, '%Y%m%d')"
+    def yslash(d: String)  = s"strftime($d, '%Y/%m/%d')"
+    def dash(d: String)    = s"strftime($d, '%m-%d-%Y')"
+    def mon(d: String)     = s"strftime($d, '%b %d %Y')"
+    def dmon(d: String)    = s"strftime($d, '%d %b %Y')"
+    def monfull(d: String) = s"strftime($d, '%B %d, %Y')"
   }
 
   /** hh:mm:ss from key arithmetic — portable verbatim. */
@@ -60,10 +75,16 @@ object Silver {
     "lpad(CAST(k % 60 AS STRING), 2, '0') || ':' || " +
     "lpad(CAST((k * 7) % 60 AS STRING), 2, '0')"
 
-  /** Multi-format timestamp string rotating over the 4 parseable formats. */
+  /** Multi-format timestamp string rotating over all 9 parseable formats
+    * (the reference's 7 DATE_FORMATS incl. the three month-name forms, plus
+    * the dotted-European and compact forms), so the gates enforce every
+    * branch of the [[Portable.TsDispatch]] table in both engines. */
   private def tsStr(d: Dial, dateExpr: String): String =
-    s"CASE CAST(k % 4 AS INT) WHEN 0 THEN ${d.iso(dateExpr)} " +
+    s"CASE CAST(k % 9 AS INT) WHEN 0 THEN ${d.iso(dateExpr)} " +
       s"WHEN 1 THEN ${d.slash(dateExpr)} WHEN 2 THEN ${d.dot(dateExpr)} " +
+      s"WHEN 3 THEN ${d.yslash(dateExpr)} WHEN 4 THEN ${d.dash(dateExpr)} " +
+      s"WHEN 5 THEN ${d.mon(dateExpr)} WHEN 6 THEN ${d.dmon(dateExpr)} " +
+      s"WHEN 7 THEN ${d.monfull(dateExpr)} " +
       s"ELSE ${d.compact(dateExpr)} END || ' ' || $TimePart"
 
   /** ISO-only timestamp string (late-reload branches re-arrive clean). */
@@ -114,11 +135,13 @@ object Silver {
   private def sentIcD(x: String) =
     s"CASE WHEN upper(trim($x)) IN $SentUpper THEN NULL ELSE ${ic(s"trim($x)")} END"
   private def genderD(x: String) =
-    s"CASE WHEN upper(trim($x)) IN ('M', 'MALE') THEN 'Male' " +
+    s"CASE WHEN upper(trim($x)) IN $SentUpper THEN NULL " +
+      s"WHEN upper(trim($x)) IN ('M', 'MALE') THEN 'Male' " +
       s"WHEN upper(trim($x)) IN ('F', 'FEMALE') THEN 'Female' " +
       s"ELSE ${ic(s"trim($x)")} END"
   private def stateD(x: String) =
-    s"CASE WHEN length(trim($x)) = 2 THEN upper(trim($x)) ELSE ${ic(s"trim($x)")} END"
+    s"CASE WHEN upper(trim($x)) IN $SentUpper THEN NULL " +
+      s"WHEN length(trim($x)) = 2 THEN upper(trim($x)) ELSE ${ic(s"trim($x)")} END"
   private def emailD(x: String) =
     s"CASE WHEN regexp_full_match(trim($x), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') " +
       s"THEN lower(trim($x)) ELSE NULL END"
@@ -142,11 +165,13 @@ object Silver {
 
   // ---- proven dirt snippets (shared verbatim) ------------------------------
   private val GenderDirt =
-    """CASE CAST(k % 6 AS INT) WHEN 0 THEN 'M' WHEN 1 THEN 'MALE' WHEN 2 THEN 'f'
-      |    WHEN 3 THEN 'Female' WHEN 4 THEN 'nonbinary' ELSE 'F' END""".stripMargin
+    """CASE CAST(k % 8 AS INT) WHEN 0 THEN 'M' WHEN 1 THEN 'MALE' WHEN 2 THEN 'f'
+      |    WHEN 3 THEN 'Female' WHEN 4 THEN 'nonbinary' WHEN 5 THEN 'N/A'
+      |    WHEN 6 THEN '--' ELSE 'F' END""".stripMargin
   private val StateDirt =
-    """CASE CAST(k % 5 AS INT) WHEN 0 THEN 'ca' WHEN 1 THEN 'TX' WHEN 2 THEN 'new york'
-      |    WHEN 3 THEN ' wa ' ELSE 'north carolina' END""".stripMargin
+    """CASE CAST(k % 7 AS INT) WHEN 0 THEN 'ca' WHEN 1 THEN 'TX' WHEN 2 THEN 'new york'
+      |    WHEN 3 THEN ' wa ' WHEN 4 THEN 'NA' WHEN 5 THEN '--'
+      |    ELSE 'north carolina' END""".stripMargin
   private val CityDirt =
     """CASE CAST(k % 9 AS INT) WHEN 0 THEN '#N/A' WHEN 1 THEN 'SAN FRANCISCO'
       |    WHEN 2 THEN '  new york  ' ELSE 'Springfield' END""".stripMargin
