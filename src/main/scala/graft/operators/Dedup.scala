@@ -32,6 +32,20 @@ import graft.functions.Portable
   * operators extend that surface to corpus scale.
   */
 object Dedup {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Counts the (persisted, broadcast-sized) hot-shingle list and logs when
+    * the df-cap actually trims: recall loss at the contract edge (a pair
+    * sharing ONLY above-the-cap shingles) must leave a runtime signal. The
+    * count is one aggregate over an already-persisted frame — the list is
+    * consumed twice downstream anyway, so materializing it here is free. */
+  private[operators] def warnOnTrim(op: String, hot: DataFrame, dfCap: Int): Unit = {
+    val nHot = hot.count()
+    if (nHot > 0) log.warn(
+      s"$op: $nHot shingle(s) exceed dfCap=$dfCap and are excluded from " +
+        "candidate generation (emitted counts stay exact; pairs sharing ONLY " +
+        "capped shingles are missed — see the operator's contract)")
+  }
 
   /** doc_id + distinct word-`n`-gram shingle set + its size. The set comes
     * from the one-pass native [[graft.plans.ShingleStrings]] — identical
@@ -93,17 +107,21 @@ object Dedup {
     * sharing exclusively above-the-cap boilerplate is missed (wall-to-wall
     * stop-phrases, not a near-duplicate). The gate corpora sit far inside
     * the contract (max shingle df at sf0.1 is 25 vs the default cap 1000).
-    * `dfCap <= 0` disables the guard entirely. */
+    * `dfCap <= 0` disables the guard entirely. When the cap trims, the count
+    * of excluded hot shingles is logged — a corpus leaning on the contract's
+    * edge should not do so silently. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
                         dfCap: Int = 1000): DataFrame = {
     val sh = shingleRows(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // the hot list is tiny by construction (≤ |shingle rows| / dfCap), so it
     // broadcasts; the k²-generating self-join runs on rare shingles only
-    val hot =
+    val hot = (
       if (dfCap <= 0) sh.limit(0).select("s")
       else sh.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") > dfCap).select("s")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    warnOnTrim("ngramJaccardPairs", hot, dfCap)
     val rare = sh.join(broadcast(hot), Seq("s"), "left_anti")
     val interRare = rare.as("a").join(rare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

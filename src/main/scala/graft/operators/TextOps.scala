@@ -92,20 +92,26 @@ object TextOps {
   }
 
   /** Deterministic train/test split — the assignment every training pipeline
-    * needs: a modular hash of the stable document id (NOT random numbers, so
-    * the split is reproducible across runs, engines, and re-partitioning).
+    * needs: a hash of the stable document id (NOT random numbers, so the
+    * split is reproducible across runs, engines, and re-partitioning). The
+    * bucket is [[Portable.splitBucketSpark]] — a polynomial mix of the id's
+    * decimal digits, NOT a multiplicative `(id * c) % 100` (which reduces to
+    * `(id * (c % 100)) % 100`, so sequential ids cycle through residues and
+    * any id-correlated corpus property leaks into the split).
     * One projection + one aggregate; at 100 TB the split column costs
     * nothing and the assignment never needs to be stored. */
-  def trainTestSplit(docs: DataFrame, pctTrain: Int = 90): DataFrame =
+  def trainTestSplit(docs: DataFrame, pctTrain: Int = 90): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("toks", expr(Portable.tokensSpark("text")))
       .withColumn("split",
-        when((col("doc_id") * lit(2654435761L)) % 100 < pctTrain, lit("train"))
+        when(expr(Portable.splitBucketSpark("doc_id")) < pctTrain, lit("train"))
           .otherwise(lit("test")))
       .groupBy("split")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(size(col("toks")).cast("bigint")).as("total_tokens"))
+  }
 
   /** Train/test contamination detection: pairs of (test doc, train doc) that
     * share at least one word n-gram, with the size of the shared n-gram set —
@@ -117,23 +123,52 @@ object TextOps {
     * an equi-join on the shingle string, and a count aggregate — the same
     * bucketed-candidates pattern as the dedup family. Long n-grams (n=8) are
     * near-unique, so the join carries no hot keys (measured max df = 3 on the
-    * corpus); for short n the df-cap from [[Dedup]] applies. The exploded
-    * shingle stream is recomputed per side rather than materialized: at
-    * corpus scale the n-gram explosion is ~n x the input and recomputing a
-    * projection is cheaper than shuffling or storing it. */
-  def contamination(docs: DataFrame, n: Int = 8, pctTrain: Int = 90): DataFrame = {
+    * corpus); for short n a shingle shared by a test docs and b train docs
+    * emits a*b join rows, so the df-cap-with-exact-restore from
+    * [[Dedup.ngramJaccardPairs]] is applied: shingles with document frequency
+    * > `dfCap` are dropped from candidate generation, and their contribution
+    * to each emitted pair's shared-n-gram count is restored exactly from
+    * bounded per-document hot-shingle sets. Contract (same as the Jaccard
+    * operator): output equals the exact join on any corpus where every
+    * contaminated pair shares at least one shingle with df <= dfCap; a pair
+    * sharing exclusively boilerplate above the cap is missed, and the trim is
+    * logged when it happens. `dfCap <= 0` disables the guard. */
+  def contamination(docs: DataFrame, n: Int = 8, pctTrain: Int = 90,
+                    dfCap: Int = 1000): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     graft.plans.GraftFunctions.register(docs.sparkSession)
     val sh = docs
       .withColumn("split",
-        when((col("doc_id") * lit(2654435761L)) % 100 < pctTrain, lit("train"))
+        when(expr(Portable.splitBucketSpark("doc_id")) < pctTrain, lit("train"))
           .otherwise(lit("test")))
       .select(col("doc_id"), col("split"),
         explode(expr(s"graft_shingles(text, $n)")).as("s"))
-    sh.filter(col("split") === "test").select(col("s"), col("doc_id").as("test_doc"))
-      .join(sh.filter(col("split") === "train")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hot = (
+      if (dfCap <= 0) sh.limit(0).select("s")
+      else sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap).select("s")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    Dedup.warnOnTrim("contamination", hot, dfCap)
+    val rare = sh.join(broadcast(hot), Seq("s"), "left_anti")
+    val sharedRare = rare.filter(col("split") === "test")
+      .select(col("s"), col("doc_id").as("test_doc"))
+      .join(rare.filter(col("split") === "train")
         .select(col("s"), col("doc_id").as("train_doc")), "s")
       .groupBy("test_doc", "train_doc")
-      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .agg(count(lit(1)).as("n_rare"))
+    // exact hot contribution: each doc carries its (few) capped shingles as a
+    // bounded array; the pairwise intersect is O(cap list) per emitted pair
+    val hotByDoc = sh.join(broadcast(hot), Seq("s"))
+      .groupBy("doc_id").agg(collect_set(col("s")).as("hs"))
+    sharedRare
+      .join(hotByDoc.select(col("doc_id").as("test_doc"), col("hs").as("ht")),
+        Seq("test_doc"), "left")
+      .join(hotByDoc.select(col("doc_id").as("train_doc"), col("hs").as("hr")),
+        Seq("train_doc"), "left")
+      .withColumn("n_shared_ngrams", col("n_rare") +
+        coalesce(size(array_intersect(col("ht"), col("hr"))), lit(0)).cast("long"))
+      .select("test_doc", "train_doc", "n_shared_ngrams")
   }
 
   /** Sequence packing (concat-and-chunk): lay the corpus out as fixed

@@ -125,7 +125,7 @@ object Training {
 
   private val trainSplitSql =
     s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
-       |SELECT CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train' ELSE 'test' END AS split,
+       |SELECT CASE WHEN ${Portable.splitBucketDuck("doc_id")} < 90 THEN 'train' ELSE 'test' END AS split,
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(len(toks)::BIGINT) AS BIGINT) AS total_tokens
        |FROM t GROUP BY 1""".stripMargin
@@ -154,7 +154,7 @@ object Training {
     * distinct word-8-gram sets, equi-join on the shingle string. */
   private val contaminationSql =
     s"""WITH t AS (SELECT doc_id, $toks AS toks,
-       |  CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train' ELSE 'test' END AS split
+       |  CASE WHEN ${Portable.splitBucketDuck("doc_id")} < 90 THEN 'train' ELSE 'test' END AS split
        |FROM documents),
        |sh AS (SELECT doc_id, split,
        |  unnest(list_distinct(${Portable.shinglesDuck("toks", 8)})) AS s FROM t)

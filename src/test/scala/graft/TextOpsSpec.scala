@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextOps
+
+/** Semantics the gates can't pin: the short-n contamination df-cap. The gate
+  * corpus at n=8 has max shingle df 3, so the cap never fires there; this
+  * spec builds a corpus with a boilerplate 3-gram shared by EVERY document
+  * (df 40 >> cap) and proves the capped run still reports exact shared-n-gram
+  * counts for every pair inside the operator's contract.
+  */
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Local twin of graft_phash / Portable.phashDuck: seed 7, acc*131+c mod P
+    * over the id's decimal digits — recomputed here so the expected split
+    * comes from arithmetic independent of the Spark plan under test. */
+  private def phash(s: String): Long =
+    s.foldLeft(7L)((acc, c) => (acc * 131L + c.toInt) % 1000000007L)
+  private def split(id: Long, pctTrain: Int): String =
+    if (phash(id.toString) % 100 < pctTrain) "train" else "test"
+
+  // pair k = docs (k, 1000+k) — distant ids so the hash split mixes within
+  // pairs (consecutive ids land in adjacent buckets). 7 tokens -> five 3-gram
+  // shingles per doc: "alpha beta gamma" df=40 (hot), three pair-local
+  // shingles df=2 (rare), one unique-suffix shingle df=1
+  private val pairs: Seq[(Long, Long)] = (0L until 20L).map(k => (k, 1000L + k))
+  private def corpus = {
+    import spark.implicits._
+    pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+      Seq(a, b).map(i => (i, s"alpha beta gamma p$k q$k r$k u$i"))
+    }.toDF("doc_id", "text")
+  }
+
+  test("contamination df-cap: hot shingle excluded from the join, counts exact") {
+    val pct = 50
+    val got = TextOps.contamination(corpus, n = 3, pctTrain = pct, dfCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // contract: pairs sharing >= 1 rare shingle — exactly the within-pair
+    // (test, train) combos; each shares 3 rare + the 1 hot = 4 n-grams, with
+    // the hot contribution restored exactly despite its exclusion from the join
+    val expected = pairs.flatMap { case (a, b) =>
+      (split(a, pct), split(b, pct)) match {
+        case ("test", "train") => Some((a, b) -> 4L)
+        case ("train", "test") => Some((b, a) -> 4L)
+        case _                 => None
+      }
+    }.toMap
+    assert(expected.nonEmpty, "the hash split must mix within at least one pair")
+    assert(got == expected)
+  }
+
+  test("contamination dfCap=0 (guard off) keeps boilerplate-only pairs") {
+    val pct = 50
+    val ids = pairs.flatMap { case (a, b) => Seq(a, b) }
+    val test = ids.filter(split(_, pct) == "test").toSet
+    val train = ids.filter(split(_, pct) == "train").toSet
+    val samePair = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val got = TextOps.contamination(corpus, n = 3, pctTrain = pct, dfCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every (test, train) combo shares at least the boilerplate shingle
+    assert(got.size == test.size * train.size)
+    got.foreach { case ((a, b), n) =>
+      assert(test(a) && train(b))
+      assert(n == (if (samePair((a, b))) 4L else 1L))
+    }
+  }
+}
