@@ -59,29 +59,53 @@ object Bench {
       // Spread guard: a stolen/contended window inflates a single run 5-10x,
       // and with only three samples the median can still land on a polluted
       // one. When the fastest and slowest of the samples we'd judge from
-      // disagree by >3x, buy extra runs (bounded) and judge from the fastest
-      // three — contention only ADDS slow samples, it never fabricates fast
-      // ones, so the low end of the distribution is the trustworthy end.
+      // disagree by >3x, buy extra runs (bounded) — contention only ADDS slow
+      // samples, it never fabricates fast ones, so the low end of the
+      // distribution is the trustworthy end.
       var retries = 0
-      def judged = runs.take(3)
-      while (runs.nonEmpty && judged.last > judged.head * 3.0 && retries < 3) {
+      while (runs.nonEmpty && runs.take(3).last > runs.head * 3.0 && retries < 3) {
         retries += 1
-        System.err.println(f"[bench] $name: spread ${judged.head}%.2f..${judged.last}%.2f s, retry $retries")
+        System.err.println(f"[bench] $name: spread ${runs.head}%.2f..${runs.take(3).last}%.2f s, retry $retries")
         runs = (runs ++ once()).sorted
       }
       val stolen = stealJiffies() - s0
       if (stolen > 0) System.err.println(s"[bench] $name: $stolen steal jiffies during runs")
-      // median of the fastest three runs; with an even count (a failed run)
-      // take the LOWER middle — length/2 would pick the max of two and bias
-      // partially-failing queries upward.
-      // failures report -1, never a misleading near-zero timing
-      name -> (if (runs.isEmpty) -1.0 else judged((judged.length - 1) / 2))
+      // Judge from the fastest three ONLY when the host accounted steal during
+      // this query's window — discarding slow samples is justified exactly when
+      // the slowness is provably external. Without steal evidence a slow run
+      // may be the query's own behavior (GC pressure, AQE plan flip, bimodal
+      // cache effects) and must stay in the judged set.
+      val judged =
+        if (runs.isEmpty) runs
+        else if (stolen > 0) {
+          val dropped = runs.drop(3)
+          if (dropped.nonEmpty) System.err.println(
+            f"[bench] $name: dropping ${dropped.length} slow sample(s) " +
+              f"${dropped.map(d => f"$d%.2f").mkString(", ")} s ($stolen steal jiffies)")
+          runs.take(3)
+        } else runs
+      // median (lower middle on even counts — length/2 would pick the max of
+      // two and bias partially-failing queries upward); failures report -1,
+      // never a misleading near-zero timing
+      val median = if (judged.isEmpty) -1.0 else judged((judged.length - 1) / 2)
+      val minRun = if (judged.isEmpty) -1.0 else judged.head
+      val spread = if (judged.isEmpty) -1.0 else judged.last - judged.head
+      name -> (median, minRun, spread)
     }
     val stealTotal = stealJiffies() - stealStart
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steal_jiffies":$stealTotal,"sf":"$sfDir"}""")
+    def jmap(f: ((Double, Double, Double)) => Double): String =
+      results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},""" +
+        s""""queries_min":${jmap(_._2)},"queries_spread":${jmap(_._3)},""" +
+        s""""steal_jiffies":$stealTotal,"sf":"$sfDir"}"""
+    println(line)
+    // the driver captures stdout (and can truncate the tail); the in-repo copy
+    // is the durable record the next round's analysis reads
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] bench_last.json write failed: $e") }
     spark.stop()
   }
 }
