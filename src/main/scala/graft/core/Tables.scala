@@ -35,13 +35,11 @@ object Tables {
     load(spark, dir, "events")
       .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
   }
-  /** The corpus tables feed CPU-dense work (shingling, hashing, dot products),
-    * so their scans go through [[graft.operators.Scale.fanOutScan]]: a test
-    * table written as a single parquet row group is unsplittable and would pin
-    * all that expression work to one core. No-op when the scan already has
-    * enough splits (always true at cluster scale). */
-  def documents(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Scale.fanOutScan(load(spark, dir, "documents"))
-  def embeddings(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Scale.fanOutScan(load(spark, dir, "embeddings"))
+  /** Bare scans. The single-row-group fan-out for CPU-dense work lives at the
+    * operator entry points ([[graft.operators.Scale.fanOutScan]] call sites in
+    * Dedup/Similarity/TextOps), NOT here: a cheap consumer (one md5
+    * hash-aggregate) should not pay an exchange, and table load should not
+    * force physical planning. */
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

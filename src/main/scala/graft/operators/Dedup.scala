@@ -53,7 +53,9 @@ object Dedup {
     * enough that projection-collapse inlining it into size/filter is free. */
   def shingleSets(docs: DataFrame, n: Int = 3): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    docs
+    // shingling is the CPU-dense step — fan a narrow scan out here (no-op for
+    // join inputs/local relations: non-file leaves pass through untouched)
+    Scale.fanOutScan(docs)
       .withColumn("shingles", expr(s"graft_shingles(text, $n)"))
       .withColumn("n_shingles", size(col("shingles")))
       .filter(col("n_shingles") > 0)
@@ -164,7 +166,7 @@ object Dedup {
     // ~6.5 MiB codegen'd task binary). The signature table feeds both sides
     // of the band self-join, so it is materialized once — the intermediate a
     // cluster job would land to storage before the bucket join.
-    val sig = docs.select(col("doc_id"),
+    val sig = Scale.fanOutScan(docs).select(col("doc_id"),
         expr(s"graft_minhash(graft_shingle_hashes(text, $n), $k)").as("sig"))
       .filter(size(col("sig")) > 0 && expr("sig[0]") =!= Long.MaxValue)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -193,7 +195,7 @@ object Dedup {
     * DuckDB oracle still evaluates. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    docs
+    Scale.fanOutScan(docs)
       // token-less docs have no fingerprint (they vanish from the exploded
       // aggregation the oracle evaluates)
       .filter(expr(s"size(${Portable.tokensSpark("text")}) > 0"))
@@ -368,7 +370,7 @@ object Dedup {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
-    val e = emb.select(col("vec_id"), col("embedding"),
+    val e = Scale.fanOutScan(emb).select(col("vec_id"), col("embedding"),
       sqrt(expr("graft_dot(embedding, embedding)")).as("nrm"))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nrm").as("norm_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("norm_b"))
@@ -386,7 +388,7 @@ object Dedup {
     * costs one fixed-order dot product. */
   def embeddingNearDupPairs(emb: DataFrame, tau: Double = 0.4): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
-    val e = emb.select(col("vec_id"), col("embedding"),
+    val e = Scale.fanOutScan(emb).select(col("vec_id"), col("embedding"),
       sqrt(expr("graft_dot(embedding, embedding)")).as("nrm"))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nrm").as("norm_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("norm_b"))

@@ -69,10 +69,28 @@ object Scale {
     * of the raw bytes buys full-width execution for all the expression work
     * that follows. At cluster scale this is a no-op by construction: a 100 TB
     * table scans as thousands of row-group splits, the condition fails, and
-    * no shuffle is added. */
+    * no shuffle is added.
+    *
+    * Call this at CPU-DENSE OPERATOR ENTRY POINTS (shingling, signature
+    * hashing, dot products, cleaner chains), not at table load: a cheap scan
+    * (one hash-aggregate over md5 keys) should not pay the exchange, and the
+    * width probe does force physical planning, which belongs next to the
+    * operator that is about to execute anyway. Width is read from the
+    * executed plan's file-scan leaves — `df.rdd` would additionally
+    * construct the full row-encoder RDD lineage just to ask a number. Frames
+    * whose leaves are not file scans (local test relations, join outputs —
+    * already exchanged) pass through untouched. */
   def fanOutScan(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+    val widths = leaves.map {
+      case s: FileSourceScanExec => s.inputRDDs().map(_.getNumPartitions).sum
+      case _                     => -1
+    }
+    if (widths.nonEmpty && widths.forall(_ >= 0) && widths.sum < target)
+      df.repartition(target)
+    else df
   }
 
   /** Write a table bucketed by `key` so later joins on it are exchange-free. */

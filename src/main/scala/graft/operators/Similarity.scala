@@ -55,8 +55,9 @@ object Similarity {
   private def withNorm(df: DataFrame): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     // norms feed both the query side and the vector side of every probe —
-    // compute once, keep hot.
-    df.select(col("vec_id"), col("embedding"),
+    // compute once, keep hot. Dot products are the CPU-dense step, so a
+    // narrow scan fans out here (operator entry, not table load).
+    Scale.fanOutScan(df).select(col("vec_id"), col("embedding"),
       sqrt(expr("graft_dot(embedding, embedding)")).as("nrm"))
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
@@ -102,7 +103,7 @@ object Similarity {
     * (θ ≈ 20-30°) supports 12-16 bits and probe costs in the 1% range. */
   def lshBuckets(emb: DataFrame, nTables: Int = 16, nBits: Int = 4): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    emb.select(col("vec_id"), col("embedding"),
+    Scale.fanOutScan(emb).select(col("vec_id"), col("embedding"),
         posexplode(expr(s"graft_lsh_buckets(embedding, $nTables, $nBits)"))
           .as(Seq("table", "bucket")))
       .select("vec_id", "embedding", "table", "bucket")
@@ -161,7 +162,7 @@ object Similarity {
       .filter(col("vec_id") % col("stride") === 0 &&
         expr("vec_id div stride") < nCentroids)
       .select(expr("vec_id div stride").as("cell"), col("embedding").as("emb_c"))
-    val v = emb.select(col("vec_id"), col("embedding").as("emb_v"))
+    val v = Scale.fanOutScan(emb).select(col("vec_id"), col("embedding").as("emb_v"))
     val dist = expr(
       "(graft_dot(emb_v, emb_v) + graft_dot(emb_c, emb_c)) - CAST(2 AS DOUBLE) * graft_dot(emb_v, emb_c)")
     val ranked = v.crossJoin(broadcast(centroids))
@@ -195,7 +196,7 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = withNorm(emb)
-    val feats = emb.select(col("vec_id"),
+    val feats = Scale.fanOutScan(emb).select(col("vec_id"),
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // corpus size from parquet footers when possible (zero Spark jobs); a

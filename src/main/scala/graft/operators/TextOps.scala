@@ -16,7 +16,7 @@ object TextOps {
     * Counts are exact integers; the average is one int/int double division. */
   def tokenStats(docs: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    docs
+    Scale.fanOutScan(docs)
       .withColumn("toks", expr(Portable.tokensSpark("text")))
       .select(
         col("doc_id"),
@@ -38,7 +38,7 @@ object TextOps {
   /** Stopword-ratio language scores + argmax prediction (deterministic
     * left-biased tie-break: en > es > de > fr > unknown). */
   def languageId(docs: DataFrame): DataFrame =
-    docs
+    Scale.fanOutScan(docs)
       .withColumn("toks", expr(Portable.tokensSpark("text")))
       .withColumn("r_en", expr(Portable.stopRatioSpark("toks", Portable.StopEn)))
       .withColumn("r_es", expr(Portable.stopRatioSpark("toks", Portable.StopEs)))
@@ -58,7 +58,7 @@ object TextOps {
     * lexical diversity + alpha-space purity. Integer comparisons and single
     * double divisions only, so the score is engine-portable. */
   def qualityScore(docs: DataFrame): DataFrame =
-    docs
+    Scale.fanOutScan(docs)
       .withColumn("toks", expr(Portable.tokensSpark("text")))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_distinct", size(array_distinct(col("toks"))))
@@ -102,7 +102,7 @@ object TextOps {
     * nothing and the assignment never needs to be stored. */
   def trainTestSplit(docs: DataFrame, pctTrain: Int = 90): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    docs
+    Scale.fanOutScan(docs)
       .withColumn("toks", expr(Portable.tokensSpark("text")))
       .withColumn("split",
         when(expr(Portable.splitBucketSpark("doc_id")) < pctTrain, lit("train"))
@@ -137,7 +137,7 @@ object TextOps {
                     dfCap: Int = 1000): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    val sh = docs
+    val sh = Scale.fanOutScan(docs)
       .withColumn("split",
         when(expr(Portable.splitBucketSpark("doc_id")) < pctTrain, lit("train"))
           .otherwise(lit("test")))
@@ -188,7 +188,7 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+    Scale.fanOutScan(docs)
       .withColumn("n_tokens",
         size(expr(Portable.tokensSpark("text"))).cast("bigint"))
       .filter(col("n_tokens") > 0)
@@ -214,7 +214,7 @@ object TextOps {
                  k1: Double = 1.5, b: Double = 0.75, topK: Int = 50): DataFrame = {
     require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9_]+")),
       "terms must be non-empty identifiers")
-    val tok = docs.select(col("doc_id"),
+    val tok = Scale.fanOutScan(docs).select(col("doc_id"),
       explode(expr(Portable.tokensSpark("text"))).as("t"))
     val tfAggs = terms.map(t =>
       count(when(col("t") === t, lit(1))).cast("double").as(s"tf_$t"))
