@@ -33,6 +33,16 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** A payload column sharing a name with a left column would emit two output
+    * columns with the same name — every downstream by-name reference becomes
+    * silently ambiguous. Fail construction instead. */
+  private def requireDisjoint(leftCols: Array[String], payload: Seq[String]): Unit = {
+    val dup = payload.toSet.intersect(leftCols.toSet)
+    require(dup.isEmpty,
+      s"payload column(s) ${dup.mkString(", ")} collide with left columns — " +
+        "alias them on the right side before the as-of join")
+  }
+
   /** @param payload  right columns to carry onto each left row
     * @param tieBreak right column ordering duplicate (key, ts) rows; the max
     *                 row's payload wins. Must be non-null and totally ordered
@@ -42,6 +52,7 @@ object AsOf {
                leftTs: String, rightTs: String,
                payload: Seq[String], tieBreak: String): DataFrame = {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
+    requireDisjoint(left.columns, payload)
     val leftCols = left.columns.toSeq
 
     val rAgg = right.groupBy(col(rightKey).as("__k"), col(rightTs).as("__t"))
@@ -72,6 +83,7 @@ object AsOf {
                       leftTs: String, rightTs: String,
                       payload: Seq[String], tieBreak: String): DataFrame = {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
+    requireDisjoint(left.columns, payload)
     val leftCols = left.columns.toSeq
 
     val rAgg = right.groupBy(col(rightKey).as("__k"), col(rightTs).as("__t"))

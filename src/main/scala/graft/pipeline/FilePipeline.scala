@@ -146,7 +146,14 @@ object FilePipeline {
           Cleaning.protocol(col(f.name)).as(f.name)
         else col(f.name)
       }.toIndexedSeq: _*)
-      val stamped = cleaned.withColumn("processed_at", current_timestamp())
+      // processed_at is captured ONCE on the driver and stamped as a literal:
+      // current_timestamp() is per-action, and this frame feeds three actions
+      // (count, main append, quarantine append) — persist eviction could
+      // otherwise stamp a file's main and quarantine rows differently.
+      val processedAt = java.time.Instant.now()
+      val stamped = cleaned
+        .withColumn("processed_at",
+          lit(java.sql.Timestamp.from(processedAt)))
         .withColumn("_source_file_hash", lit(hash))
         .persist()
       // Quarantine routing (reference prompts/coordinator.py:63-64: shifted

@@ -82,15 +82,15 @@ object Clean {
        |  lower(CASE WHEN lower(trim(dirty_seg)) IN (${Cleaning.NullSentinels.map(x => s"'$x'").mkString(", ")})
        |    OR trim(dirty_seg) = '' THEN NULL ELSE trim(dirty_seg) END) AS clean_seg,
        |  replace(dirty_city, 'CafÃ©', 'Café') AS clean_city,
-  CASE WHEN upper(trim(dirty_gender)) IN (${Cleaning.NullSentinels.map(_.toUpperCase).map(x => s"'$x'").mkString(", ")}) THEN NULL
-       WHEN upper(trim(dirty_gender)) IN ('M', 'MALE') THEN 'Male'
-       WHEN upper(trim(dirty_gender)) IN ('F', 'FEMALE') THEN 'Female'
-       ELSE ${ic("trim(dirty_gender)")} END AS clean_gender,
-  CASE WHEN regexp_full_match(trim(dirty_email), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
-       THEN lower(trim(dirty_email)) ELSE NULL END AS clean_email,
-  CASE WHEN upper(trim(dirty_state)) IN (${Cleaning.NullSentinels.map(_.toUpperCase).map(x => s"'$x'").mkString(", ")}) THEN NULL
-       WHEN length(trim(dirty_state)) = 2 THEN upper(trim(dirty_state))
-       ELSE ${ic("trim(dirty_state)")} END AS clean_state
+       |  CASE WHEN upper(trim(dirty_gender)) IN (${Cleaning.NullSentinels.map(_.toUpperCase).map(x => s"'$x'").mkString(", ")}) THEN NULL
+       |    WHEN upper(trim(dirty_gender)) IN ('M', 'MALE') THEN 'Male'
+       |    WHEN upper(trim(dirty_gender)) IN ('F', 'FEMALE') THEN 'Female'
+       |    ELSE ${ic("trim(dirty_gender)")} END AS clean_gender,
+       |  CASE WHEN regexp_full_match(trim(dirty_email), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+       |    THEN lower(trim(dirty_email)) ELSE NULL END AS clean_email,
+       |  CASE WHEN upper(trim(dirty_state)) IN (${Cleaning.NullSentinels.map(_.toUpperCase).map(x => s"'$x'").mkString(", ")}) THEN NULL
+       |    WHEN length(trim(dirty_state)) = 2 THEN upper(trim(dirty_state))
+       |    ELSE ${ic("trim(dirty_state)")} END AS clean_state
        |FROM d""".stripMargin
   }
 

@@ -59,6 +59,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(quar.count() == 1)
     assert(quar.columns.contains("is_shifted"), "quarantine keeps the flag for review")
     assert(quar.head().getAs[String]("name") == "Bob")
+    // one driver-captured stamp for the whole file: main and quarantine rows
+    // must carry the IDENTICAL processed_at even across separate actions
+    val stamps = (main.select("processed_at").collect() ++
+      quar.select("processed_at").collect()).map(_.get(0)).toSet
+    assert(stamps.size == 1, s"main+quarantine must share one stamp, got $stamps")
     // a clean file quarantines nothing and creates no quarantine table
     val clean = root.resolve("clean.csv")
     Files.write(clean, "id,name,notes\n1,a,x\n2,b,y\n".getBytes)
