@@ -39,6 +39,24 @@ object Multimodal {
     (w, h, acc)
   }
 
+  /** Deterministic binary media table derived from the documents corpus — the
+    * harness that lets the decode PLUMBING be oracle-checked without real
+    * codecs: content = [w_hi, w_lo, h_hi, h_lo] header (big-endian, from
+    * doc_id arithmetic) followed by the document's UTF-8 bytes. The corpus is
+    * pure ASCII (verified: strlen == length for every row at both scale
+    * factors), so a byte-wise checksum over the payload equals the
+    * codepoint-wise portable hash and DuckDB can reproduce every decoded
+    * field with plain arithmetic — no BLOB construction needed on the oracle
+    * side. */
+  def syntheticMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
+        .as("modality"),
+      expr("concat(unhex(concat(lpad(hex((doc_id % 1024) + 16), 4, '0'), " +
+        "lpad(hex((doc_id % 768) + 16), 4, '0'))), cast(text as binary))")
+        .as("content"))
+
   // public: encoder codegen instantiates these from generated Java
   case class MediaIn(media_id: Long, modality: String, content: Array[Byte])
   case class MediaContent(media_id: Long, content: Array[Byte])
@@ -55,7 +73,7 @@ object Multimodal {
   def extractMeta(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select("media_id", "modality", "content").as[MediaIn]
+    Scale.fanOutScan(media).select("media_id", "modality", "content").as[MediaIn]
       .mapPartitions { it =>
         // per-partition codec init would go here
         it.map { m =>
@@ -71,7 +89,7 @@ object Multimodal {
   def featurize(media: DataFrame, dim: Int = 16): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select("media_id", "content").as[MediaContent]
+    Scale.fanOutScan(media).select("media_id", "content").as[MediaContent]
       .mapPartitions { it =>
         it.map { m =>
           val content = Option(m.content).getOrElse(Array.emptyByteArray)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Tables
 import graft.functions.Portable
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
 
 /** Training-data pipeline queries over `documents` / `embeddings`, with DuckDB
   * oracles generated from the SAME [[Portable]] builders as the Spark plans —
@@ -50,6 +50,8 @@ object Training {
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), 3, 42, 3, JaccardTau)),
     "dedup_simhash"          -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d), MaxHamming)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), CosineTau)),
+    "multimodal_meta"        -> ((s, d) => Multimodal.extractMeta(
+                                   Multimodal.syntheticMedia(Tables.documents(s, d)))),
     "ann_brute_force_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_lsh_topk"           -> ((s, d) => Similarity.lshAnnTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_ivf_topk"           -> ((s, d) => Similarity.ivfFlatTopK(Tables.embeddings(s, d), NQueries, TopK)))
@@ -194,6 +196,20 @@ object Training {
        |FROM perdoc, stats
        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
   }
+
+  /** Oracle twin of extractMeta(syntheticMedia(documents)): the header fields
+    * come straight from the doc_id arithmetic that built them, n_bytes is the
+    * 4-byte header plus the ASCII payload length, and the byte-wise decode
+    * checksum equals the codepoint-wise portable hash because the corpus is
+    * pure ASCII (strlen = length for every row — verified at both SFs). */
+  private val multimodalMetaSql =
+    s"""SELECT doc_id AS media_id,
+       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       |  CAST((doc_id % 1024) + 16 AS INTEGER) AS width,
+       |  CAST((doc_id % 768) + 16 AS INTEGER) AS height,
+       |  CAST(4 + strlen(text) AS BIGINT) AS n_bytes,
+       |  ${Portable.phashDuck("text")} AS checksum
+       |FROM documents""".stripMargin
 
   private val exactSql =
     """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
@@ -370,6 +386,7 @@ object Training {
     "text_contamination"     -> contaminationSql,
     "text_bm25_search"       -> bm25Sql,
     "text_pack_sequences"    -> packSequencesSql,
+    "multimodal_meta"        -> multimodalMetaSql,
     "dedup_exact"            -> exactSql,
     "dedup_ngram_jaccard"    -> jaccardSql,
     "dedup_components"       -> componentsSql,
