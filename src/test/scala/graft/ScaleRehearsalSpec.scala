@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.Tag
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOf, Dedup, TextOps}
+
+/** Slow tag: the rehearsal moves ~100 MB and runs four heavyweight plans. */
+object SlowRehearsal extends Tag("graft.SlowRehearsal")
+
+/** Empirical backing for the 100x-scale claims, as far as this sandbox can
+  * give it: each flagship plan runs on a baseline corpus and a KEY-SHIFTED
+  * 10x union of sf0.1 (copy i shifts every join/id key by i*10^7, so copies
+  * are independent universes), and the wall-clock ratio must stay in the
+  * linear band. For the dedup rehearsal both corpora carry the SAME
+  * amplified near-dup cluster shape (every original document appears as 10
+  * suffix-perturbed copies, J ~ 0.95 within a cluster) and differ only in
+  * how many originals they hold — so candidate pairs, edges, and components
+  * all scale by the data ratio and a superlinear stage (a k^2 candidate
+  * blowup, an unkeyed window, a driver collect) would blow straight through
+  * the ratio bound.
+  *
+  * Ratio bound 20 for 10x data: generous headroom for fixed per-job overhead
+  * and the 4-thread test session, but far below any quadratic stage (which
+  * would show ~100x).
+  */
+class ScaleRehearsalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.1"
+  private val Shift = 10000000L
+
+  private def timed(label: String)(action: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val rows = action
+    val dt = (System.nanoTime() - t0) / 1e9
+    info(f"$label%-28s $dt%7.2f s  ($rows rows)")
+    (dt, rows)
+  }
+
+  private def runRows(df: DataFrame): Long = {
+    // hash EVERY column before counting so count-style column pruning cannot
+    // skip the expensive projections this rehearsal exists to time
+    val n = df.select(xxhash64(df.columns.map(col): _*).as("__h"))
+      .agg(count(col("__h"))).head.getLong(0)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    n
+  }
+
+  /** n key-shifted copies of df; optional per-copy text suffix makes copies
+    * near-duplicates of each other instead of exact ones. */
+  private def copies(df: DataFrame, n: Int, keys: Seq[String],
+                     perturbText: Boolean = false): DataFrame =
+    (0 until n).map { i =>
+      val shifted = keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * Shift)))
+      if (perturbText) shifted.withColumn("text", concat(col("text"), lit(s" copytok$i")))
+      else shifted
+    }.reduce(_ unionByName _)
+
+  private def writeTbl(df: DataFrame, dir: java.nio.file.Path, name: String): Unit =
+    df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+
+  test("dedup_survivors scales linearly on a 10x amplified-cluster corpus", SlowRehearsal) {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val root = Files.createTempDirectory("graft-rehearsal-dedup")
+    // identical cluster shape (10 near-dup copies per original), 10x originals
+    writeTbl(copies(docs.filter(col("doc_id") % 10 === 0), 10, Seq("doc_id"),
+      perturbText = true), root, "small")
+    writeTbl(copies(docs, 10, Seq("doc_id"), perturbText = true), root, "big")
+    val (tSmall, nSmall) = timed("survivors 1x (5k docs)") {
+      runRows(Dedup.dedupSurvivors(spark.read.parquet(s"$root/small.parquet"), 3, 0.5))
+    }
+    val (tBig, nBig) = timed("survivors 10x (50k docs)") {
+      runRows(Dedup.dedupSurvivors(spark.read.parquet(s"$root/big.parquet"), 3, 0.5))
+    }
+    // clusters collapse: >= 80% of each corpus deduplicates away (docs too
+    // short to shingle (< 4 tokens) keep their copies, hence the slack)
+    assert(nSmall <= 1000 && nBig <= 10000)
+    assert(nBig >= nSmall, "bigger corpus keeps at least as many survivors")
+    assert(tBig / tSmall < 20.0, f"superlinear blowup: $tSmall%.1f s -> $tBig%.1f s")
+  }
+
+  test("silver_order_items scales linearly on 10x key-shifted lineitem", SlowRehearsal) {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val root = Files.createTempDirectory("graft-rehearsal-silver")
+    writeTbl(li, root.resolve("s1"), "lineitem")
+    writeTbl(copies(li, 10, Seq("l_orderkey")), root.resolve("s10"), "lineitem")
+    val q = SparkEntry.queries("silver_order_items")
+    val (t1, n1) = timed("silver_order_items 1x")(runRows(q(spark, s"$root/s1")))
+    val (t10, n10) = timed("silver_order_items 10x")(runRows(q(spark, s"$root/s10")))
+    // the bronze dirt fractions are k-modular and k shifts with the copy key,
+    // so copies vary a little around exactly 10x
+    assert(n10 > 8L * n1 && n10 < 12L * n1, s"expected ~10x silver rows, got $n1 -> $n10")
+    assert(t10 / t1 < 20.0, f"superlinear blowup: $t1%.1f s -> $t10%.1f s")
+  }
+
+  test("as-of join scales linearly on 10x key-shifted events x orders", SlowRehearsal) {
+    val e = graft.core.Tables.events(spark, sf).select("event_id", "user_id", "ts")
+    val o = graft.core.Tables.orders(spark, sf).select(
+      col("o_custkey"), col("o_orderdate").cast("timestamp_ntz").as("o_ts"),
+      col("o_orderkey"), col("o_totalprice"))
+    def asof(ec: DataFrame, oc: DataFrame): DataFrame =
+      AsOf.joinAsOf(ec, oc, "user_id", "o_custkey", "ts", "o_ts",
+        payload = Seq("o_orderkey", "o_totalprice"), tieBreak = "o_orderkey")
+    val (t1, n1) = timed("asof 1x")(runRows(asof(e, o)))
+    val (t10, n10) = timed("asof 10x") {
+      runRows(asof(copies(e, 10, Seq("user_id", "event_id")),
+        copies(o, 10, Seq("o_custkey", "o_orderkey"))))
+    }
+    assert(n10 == 10 * n1, "independent key universes: exactly 10x output rows")
+    assert(t10 / t1 < 20.0, f"superlinear blowup: $t1%.1f s -> $t10%.1f s")
+  }
+
+  test("sequence packing scales linearly on a 10x corpus", SlowRehearsal) {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (t1, n1) = timed("pack 1x")(runRows(TextOps.packSequences(docs)))
+    val (t10, n10) = timed("pack 10x") {
+      runRows(TextOps.packSequences(copies(docs, 10, Seq("doc_id"))))
+    }
+    assert(n10 == 10 * n1)
+    assert(t10 / t1 < 20.0, f"superlinear blowup: $t1%.1f s -> $t10%.1f s")
+  }
+}
