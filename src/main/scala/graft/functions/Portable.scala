@@ -179,6 +179,22 @@ object Portable {
       s"WHEN regexp_matches(trim($x), '$re') THEN try_strptime(trim($x), '$duck') "
     }.mkString + "ELSE NULL END) AS TIMESTAMP)"
 
+  /** DATE twin of [[TsDispatch]] (the reference's standardize_date formats):
+    * mutually exclusive prefixes (4-digit-year-dash vs 1-2-digit-slash vs
+    * dotted vs bare-8-digit), so the regex dispatch evaluates at most ONE
+    * expensive parse per value — COALESCE semantics at a quarter the cost,
+    * and both engines' parsers are generated from THIS table. */
+  val DateDispatch: Seq[(String, String, String)] = Seq(
+    ("^[0-9]{4}-",     "yyyy-MM-dd", "%Y-%m-%d"),
+    ("^[0-9]{1,2}/",   "M/d/yyyy",   "%-m/%-d/%Y"),
+    ("^[0-9]{1,2}\\.", "dd.MM.yyyy", "%d.%m.%Y"),
+    ("^[0-9]{8}$",     "yyyyMMdd",   "%Y%m%d"))
+  /** DuckDB twin of Cleaning.parseDateMulti: same dispatch, same order. */
+  def dateMultiDuck(x: String): String =
+    "CAST((CASE " + DateDispatch.map { case (re, _, duck) =>
+      s"WHEN regexp_matches($x, '$re') THEN try_strptime($x, '$duck') "
+    }.mkString + "ELSE NULL END) AS DATE)"
+
   // ---- train/test split bucket ---------------------------------------------
   /** Split-assignment bucket in [0, 100): polynomial mix of the id's decimal
     * string. A multiplicative form like (id * 2654435761) % 100 reduces to

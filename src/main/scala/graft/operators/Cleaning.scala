@@ -136,9 +136,21 @@ object Cleaning {
   /** Multi-format date parse: first format that parses wins
     * (reference: silver/transformations/users.sql:83-91 COALESCE of
     * SAFE.PARSE_TIMESTAMP x formats). Formats are Spark patterns. */
-  val DateFormats: Seq[String] = Seq("yyyy-MM-dd", "M/d/yyyy", "dd.MM.yyyy", "yyyyMMdd")
+  val DateFormats: Seq[String] = Portable.DateDispatch.map(_._2)
   def parseDateMulti(colName: String, formats: Seq[String] = DateFormats): Column =
-    coalesce(formats.map(f => expr(s"to_date(try_to_timestamp($colName, '$f'))")): _*)
+    if (formats == DateFormats) {
+      // regex dispatch instead of COALESCE: prefixes are mutually exclusive
+      // (see Portable.DateDispatch), so at most ONE try_to_timestamp runs per
+      // value — this projection is inlined multiple times by projection
+      // collapse (parsed_date + std_date), which made the 4-way coalesce the
+      // whole query's cost
+      val c = col(colName)
+      Portable.DateDispatch.foldRight(lit(null).cast("date")) {
+        case ((re, f, _), els) =>
+          when(c.rlike(re), expr(s"to_date(try_to_timestamp($colName, '$f'))"))
+            .otherwise(els)
+      }
+    } else coalesce(formats.map(f => expr(s"to_date(try_to_timestamp($colName, '$f'))")): _*)
 
   /** Step: standardize castable date strings to ISO (reference: standardize_date.sql). */
   def dateStandardize(colName: String, formats: Seq[String] = DateFormats): Column =

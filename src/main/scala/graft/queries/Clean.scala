@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Exact._
 import graft.core.Tables
+import graft.functions.Portable
 import graft.operators.Cleaning
 
 /** Cleaning-protocol queries: deterministic dirty data is CONSTRUCTED from the
@@ -152,22 +153,21 @@ object Clean {
   }
 
   private val datesMultiformatSql =
-    """WITH d AS (
-      |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders),
-      |p AS (SELECT o_orderkey,
-      |  CASE CAST(o_orderkey % 4 AS INT)
-      |    WHEN 0 THEN strftime(d, '%Y-%m-%d')
-      |    WHEN 1 THEN strftime(d, '%-m/%-d/%Y')
-      |    WHEN 2 THEN strftime(d, '%d.%m.%Y')
-      |    ELSE strftime(d, '%Y%m%d') END AS dirty_date
-      |  FROM d),
-      |q AS (SELECT o_orderkey, dirty_date,
-      |  CAST(COALESCE(try_strptime(dirty_date, '%Y-%m-%d'), try_strptime(dirty_date, '%-m/%-d/%Y'),
-      |    try_strptime(dirty_date, '%d.%m.%Y'), try_strptime(dirty_date, '%Y%m%d')) AS DATE) AS parsed_date
-      |  FROM p)
-      |SELECT o_orderkey, dirty_date, parsed_date,
-      |  strftime(parsed_date, '%Y-%m-%d') AS std_date
-      |FROM q""".stripMargin
+    s"""WITH d AS (
+       |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+       |p AS (SELECT o_orderkey,
+       |  CASE CAST(o_orderkey % 4 AS INT)
+       |    WHEN 0 THEN strftime(d, '%Y-%m-%d')
+       |    WHEN 1 THEN strftime(d, '%-m/%-d/%Y')
+       |    WHEN 2 THEN strftime(d, '%d.%m.%Y')
+       |    ELSE strftime(d, '%Y%m%d') END AS dirty_date
+       |  FROM d),
+       |q AS (SELECT o_orderkey, dirty_date,
+       |  ${Portable.dateMultiDuck("dirty_date")} AS parsed_date
+       |  FROM p)
+       |SELECT o_orderkey, dirty_date, parsed_date,
+       |  strftime(parsed_date, '%Y-%m-%d') AS std_date
+       |FROM q""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "clean_customer_pipeline" -> (customerPipeline _),
