@@ -68,6 +68,22 @@ object Portable {
   def normSpark(a: String): String = s"sqrt(${dotSpark(a, a)})"
   def normDuck(a: String): String  = s"sqrt(${dotDuck(a, a)})"
 
+  // ---- subspace squared-L2 (product quantization) --------------------------
+  /** Fixed-order squared L2 between `len` components of two vectors starting
+    * at 1-based offset `off+1` — the PQ subspace distance. Left-associated
+    * chain of (a_i-b_i)*(a_i-b_i), identical fp rounding in both engines. */
+  def subL2Spark(a: String, b: String, off: Int, len: Int): String =
+    (1 to len).map { i =>
+      val (x, y) = (s"cast(element_at($a, ${off + i}) as double)",
+        s"cast(element_at($b, ${off + i}) as double)")
+      s"($x - $y) * ($x - $y)"
+    }.mkString(" + ")
+  def subL2Duck(a: String, b: String, off: Int, len: Int): String =
+    (1 to len).map { i =>
+      val (x, y) = (s"CAST($a[${off + i}] AS DOUBLE)", s"CAST($b[${off + i}] AS DOUBLE)")
+      s"($x - $y) * ($x - $y)"
+    }.mkString(" + ")
+
   // ---- minhash hash family (fixed pseudo-random coefficients) --------------
   /** (a_i, b_i) pairs for h_i(x) = (a_i*x + b_i) mod P. java.util.Random's LCG
     * sequence is specified, so these literals are stable across builds; they

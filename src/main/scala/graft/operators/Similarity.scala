@@ -179,6 +179,97 @@ object Similarity {
     rerank(e, cand, k)
   }
 
+  /** Product-quantization ANN — the MEMORY-bound scale path: each vector is
+    * compressed to `m` one-byte codes (argmin subspace centroid), so a 100 TB
+    * embedding corpus's index is ~32x smaller than the raw vectors and scans
+    * from memory; queries score candidates through a per-query lookup table
+    * (ADC — asymmetric distance computation, Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+    * algorithm) without ever touching the original vectors.
+    *
+    * Deterministic variant, oracle-checkable end to end like the LSH and
+    * IVF-flat gates: codebooks are stride-sampled rows (subspace `mm`'s
+    * centroid j = components [mm*sub+1 .. mm*sub+sub] of vector
+    * vec_id = j*stride), assignment is argmin of the fixed-order
+    * [[Portable.subL2Spark]] chain with ties to the lowest centroid id, and
+    * the ADC score accumulates the `m` table entries in one fixed
+    * left-associated addition chain (NOT a float sum aggregate, whose
+    * accumulation order is partition-dependent) — every stage is bitwise
+    * reproducible in DuckDB.
+    *
+    * Scale shape: codebooks and the per-query LUT are tiny broadcasts
+    * (ksub rows / nQueries*ksub rows); encoding is one corpus scan x ksub
+    * subspace distances; compressed-domain scoring joins the code table
+    * against broadcast LUT slices without touching full vectors. The
+    * standard refinement stage then exact-re-ranks the `refine`-deep ADC
+    * shortlist from full precision (only shortlist vectors are read — on a
+    * cluster, a point-lookup per candidate): with unstructured embeddings
+    * the compressed ranks alone are noisy (this corpus: recall@10 ~0.14 raw
+    * vs 0.77 refined at the defaults), which is exactly why production PQ ships
+    * with refinement. `refine <= k` disables it and returns raw ADC ranks. */
+  def pqAnnTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 10,
+                m: Int = 8, ksub: Int = 32, refine: Int = 100): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val dim = Portable.Dim
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val stats = emb.agg(greatest(
+      (count(lit(1)) / ksub).cast("long"), lit(1L)).as("stride"))
+    val cent = emb.crossJoin(broadcast(stats))
+      .filter(col("vec_id") % col("stride") === 0 &&
+        expr("vec_id div stride") < ksub)
+      .select(expr("vec_id div stride").as("j"), col("embedding").as("emb_c"))
+    // encode: per vector, per subspace, nearest codebook entry (ties -> min j)
+    val d2Cols = (0 until m).map(mm =>
+      expr(Portable.subL2Spark("embedding", "emb_c", mm * sub, sub)).as(s"d2_$mm"))
+    val scored = Scale.fanOutScan(emb).crossJoin(broadcast(cent))
+      .select(col("vec_id") +: col("j") +: d2Cols: _*)
+    val codes = scored.groupBy("vec_id")
+      .agg(min_by(col("j"), struct(col("d2_0"), col("j"))).as("code_0"),
+        (1 until m).map(mm =>
+          min_by(col("j"), struct(col(s"d2_$mm"), col("j"))).as(s"code_$mm")): _*)
+    // per-query ADC lookup table: distance from each query subvector to each
+    // codebook entry (nQueries x ksub rows — broadcast-sized by construction)
+    val qCols = (0 until m).map(mm =>
+      expr(Portable.subL2Spark("emb_q", "emb_c", mm * sub, sub)).as(s"q$mm"))
+    val lut = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id") +: col("j") +: qCols: _*)
+    // one broadcast join per subspace wires code_mm to its table entry; the
+    // final score is a fixed-order expression over the m looked-up entries
+    val joined = (0 until m).foldLeft(codes) { (acc, mm) =>
+      val slice = lut.select(col("query_id"), col("j").as(s"code_$mm"), col(s"q$mm"))
+      acc.join(broadcast(slice),
+        if (mm == 0) Seq("code_0") else Seq("query_id", s"code_$mm"))
+    }
+    val approx = (1 until m).foldLeft("q0")((e, mm) => s"($e + q$mm)")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
+    val ranked = joined
+      .withColumn("approx_dist", expr(approx))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("approx_dist"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rnk", row_number().over(w))
+    if (refine <= k)
+      ranked.filter(col("rnk") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rnk")
+    else {
+      // exact refinement: full-precision L2 on the shortlist only
+      val short = ranked.filter(col("rnk") <= refine).select("query_id", "neighbor_id")
+      val qv = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
+      val nv = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_v"))
+      val w2 = Window.partitionBy("query_id")
+        .orderBy(col("l2_dist").asc, col("neighbor_id").asc)
+      short.join(broadcast(qv), "query_id").join(nv, "neighbor_id")
+        .withColumn("l2_dist", expr(Portable.subL2Spark("emb_q", "emb_v", 0, dim)))
+        .withColumn("rnk", row_number().over(w2))
+        .filter(col("rnk") <= k)
+        .select("query_id", "neighbor_id", "l2_dist", "rnk")
+    }
+  }
+
   /** IVF (inverted-file) ANN: coarse-quantize vectors into `nCentroids`
     * k-means cells; a query probes its `nProbe` nearest cells and exact
     * cosine re-ranks the candidates. The classic big-index layout: the

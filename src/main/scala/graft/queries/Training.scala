@@ -54,7 +54,8 @@ object Training {
                                    Multimodal.syntheticMedia(Tables.documents(s, d)))),
     "ann_brute_force_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_lsh_topk"           -> ((s, d) => Similarity.lshAnnTopK(Tables.embeddings(s, d), NQueries, TopK)),
-    "ann_ivf_topk"           -> ((s, d) => Similarity.ivfFlatTopK(Tables.embeddings(s, d), NQueries, TopK)))
+    "ann_ivf_topk"           -> ((s, d) => Similarity.ivfFlatTopK(Tables.embeddings(s, d), NQueries, TopK)),
+    "ann_pq_topk"            -> ((s, d) => Similarity.pqAnnTopK(Tables.embeddings(s, d), NQueries, TopK)))
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -374,7 +375,55 @@ object Training {
        |  FROM s)
        |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= $TopK""".stripMargin
 
+  /** Exact replica of [[Similarity.pqAnnTopK]] (8 subspaces x 16 stride
+    * centroids): per-subspace argmin codes (ties to the lowest centroid id),
+    * per-query ADC lookup table, one fixed-order addition chain for the
+    * score — every float op is the same [[Portable.subL2Duck]] chain the
+    * Spark side evaluates, so the compressed-domain index hash-checks. */
+  private val annPqSql = {
+    val m = 8; val sub = Portable.Dim / m; val ksub = 32; val refine = 100
+    val d2 = (0 until m).map(mm =>
+      s"${Portable.subL2Duck("v.embedding", "c.embedding", mm * sub, sub)} AS d2_$mm")
+      .mkString(", ")
+    val rks = (0 until m).map(mm =>
+      s"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2_$mm, j) AS r$mm").mkString(", ")
+    val cds = (0 until m).map(mm => s"MAX(CASE WHEN r$mm = 1 THEN j END) AS code_$mm")
+      .mkString(", ")
+    val qd = (0 until m).map(mm =>
+      s"${Portable.subL2Duck("q.embedding", "c.embedding", mm * sub, sub)} AS q$mm")
+      .mkString(", ")
+    val joins = (0 until m).map { mm =>
+      if (mm == 0) s"JOIN lut l0 ON l0.j = codes.code_0"
+      else s"JOIN lut l$mm ON l$mm.query_id = l0.query_id AND l$mm.j = codes.code_$mm"
+    }.mkString(" ")
+    val approx = (1 until m).foldLeft("l0.q0")((e, mm) => s"($e + l$mm.q$mm)")
+    s"""WITH st AS (SELECT GREATEST(COUNT(*) // $ksub, 1) AS stride FROM embeddings),
+       |cent AS (SELECT vec_id // stride AS j, embedding FROM embeddings, st
+       |  WHERE vec_id % stride = 0 AND vec_id // stride < $ksub),
+       |sc AS (SELECT v.vec_id, c.j, $d2 FROM embeddings v CROSS JOIN cent c),
+       |rk AS (SELECT vec_id, j, $rks FROM sc),
+       |codes AS (SELECT vec_id, $cds FROM rk GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < $NQueries),
+       |lut AS (SELECT query_id, c.j, $qd FROM q CROSS JOIN cent c),
+       |s AS (SELECT l0.query_id, codes.vec_id AS neighbor_id, $approx AS approx_dist
+       |  FROM codes $joins
+       |  WHERE codes.vec_id <> l0.query_id),
+       |r AS (SELECT query_id, neighbor_id, approx_dist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dist ASC, neighbor_id ASC) AS rnk
+       |  FROM s),
+       |short AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= $refine),
+       |ref AS (SELECT short.query_id, short.neighbor_id,
+       |    ${Portable.subL2Duck("eq.embedding", "ev.embedding", 0, Portable.Dim)} AS l2_dist
+       |  FROM short JOIN embeddings eq ON eq.vec_id = short.query_id
+       |  JOIN embeddings ev ON ev.vec_id = short.neighbor_id),
+       |rr AS (SELECT query_id, neighbor_id, l2_dist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY l2_dist ASC, neighbor_id ASC) AS rnk
+       |  FROM ref)
+       |SELECT query_id, neighbor_id, l2_dist, rnk FROM rr WHERE rnk <= $TopK""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "ann_pq_topk"            -> annPqSql,
     "ann_lsh_topk"           -> annLshSql,
     "ann_ivf_topk"           -> annIvfSql,
     "text_token_stats"       -> tokenStatsSql,

@@ -82,4 +82,39 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall was $recall")
   }
+
+  test("PQ ANN recall@10 against exact L2 brute force") {
+    // PQ ranks by (approximate) squared L2, so the honest reference is the
+    // exact L2 top-k, computed driver-side on the (tiny) test table
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    val exact = (0L until 10L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(v => (l2(vecs(q), vecs(v)), v)).take(10).map(v => (q, v))
+    }.toSet
+    val approx = Similarity.pqAnnTopK(emb, nQueries = 10, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"PQ+refine recall@10 = $recall%.2f")
+    assert(recall >= 0.7, s"PQ refined recall was $recall")
+    // the raw compressed-domain ranks find SOME signal even on this
+    // unstructured corpus (refinement is what makes them usable)
+    val raw = Similarity.pqAnnTopK(emb, nQueries = 10, k = 10, refine = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rawRecall = (exact & raw).size.toDouble / exact.size
+    info(f"PQ raw recall@10 = $rawRecall%.2f")
+    assert(rawRecall > 0.0)
+    // distances are non-negative and rank-consistent per query, both modes
+    Seq(Similarity.pqAnnTopK(emb, nQueries = 10, k = 10),
+        Similarity.pqAnnTopK(emb, nQueries = 10, k = 10, refine = 0))
+      .foreach(_.collect().groupBy(_.getLong(0)).values.foreach { g =>
+        val sorted = g.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+        assert(sorted == sorted.sorted && sorted.forall(_ >= 0.0))
+      })
+  }
 }
