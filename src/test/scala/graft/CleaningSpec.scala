@@ -102,4 +102,33 @@ class CleaningSpec extends AnyFunSuite {
     assert(types("d") == "string") // 2/3 castable-double < 90%
     assert(types("s") == "string")
   }
+
+  test("date regex dispatch is COALESCE-equivalent on valid, invalid, and junk input") {
+    import spark.implicits._
+    // formats are parse-exclusive (separators differ), so coalesce order is
+    // irrelevant — passing the REVERSED format list forces the coalesce code
+    // path while describing the same function the dispatch must equal
+    val inputs = Seq(
+      "2025-08-12", "2025-8-3",            // ISO padded/unpadded
+      "8/12/2025", "12/8/2025", "1/2/2025",// US slash
+      "12.08.2025", "3.1.2025",            // dotted European
+      "20250812",                          // compact
+      "9999-99-99", "99/99/2025", "32.13.2025", "99999999", // shape ok, value bad
+      "2025/08/12", "aug 12 2025", "", "  ", "garbage", "123", "2025-08-12T00:00:00")
+    val df = inputs.toDF("s")
+      .withColumn("dispatch", Cleaning.parseDateMulti("s"))
+      .withColumn("coalesced",
+        Cleaning.parseDateMulti("s", Cleaning.DateFormats.reverse))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.get(1) == r.get(2),
+        s"dispatch/coalesce disagree on '${r.getString(0)}': ${r.get(1)} vs ${r.get(2)}")
+    }
+    // the valid shapes parsed; unpadded ISO/dotted forms do NOT (the
+    // reference's yyyy-MM-dd / dd.MM.yyyy patterns are strict two-digit —
+    // only M/d/yyyy tolerates unpadded), and bad-value/junk rows are NULL
+    val parsed = rows.filter(_.get(1) != null).map(_.getString(0)).toSet
+    assert(parsed == Set("2025-08-12", "8/12/2025", "12/8/2025",
+      "1/2/2025", "12.08.2025", "20250812"))
+  }
 }

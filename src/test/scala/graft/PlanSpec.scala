@@ -52,4 +52,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("graft_minhash"), "native signature expression missing")
     assert(!p.contains("Expand"), "signature must not expand rows")
   }
+
+  test("exact dedup: cheap scan pays no fan-out exchange") {
+    val p = plan("dedup_exact")
+    // the md5 hash-aggregate needs exactly the aggregation exchange; the
+    // r4-era table-load fanOutScan added a RoundRobin repartition here
+    assert(!p.contains("RoundRobinPartitioning"),
+      s"cheap scan must not pay a fan-out exchange:\n${p.take(600)}")
+    val exchanges = "\\bExchange\\b".r.findAllIn(p).length
+    assert(exchanges <= 1, s"$exchanges exchanges:\n${p.take(600)}")
+  }
+
+  test("PQ ANN: codebook and LUT slices broadcast; no sort-merge joins") {
+    val p = plan("ann_pq_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "codebook cross join must broadcast")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 8, s"expected >= 8 broadcast LUT joins, saw $bhj")
+    assert(!p.contains("SortMergeJoin"),
+      "LUT lookups must never degrade to sort-merge")
+  }
 }
