@@ -36,6 +36,35 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedup state survives a restart via the checkpointed state store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-sdedup-restart")
+    val (ckpt, outDir) = (s"$root/ckpt", s"$root/out")
+    val input = MemoryStream[Doc]
+    // the memory sink cannot recover from a checkpoint; the parquet file sink
+    // can, and its durable output makes a spurious re-emit visible
+    def start() = StreamingDedup.dedup(input.toDS(), horizon = "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try {
+      input.addData(Doc(1L, ts(0), "persistent doc"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // new query, same checkpoint: the content-hash state must come back from
+    // the state store, so the duplicate is suppressed across the restart
+    val q2 = start()
+    try {
+      input.addData(Doc(2L, ts(1), "persistent doc"), Doc(3L, ts(1), "fresh doc"))
+      q2.processAllAvailable()
+      val texts = spark.read.parquet(outDir).as[Survivor].collect().map(_.text)
+      assert(texts.sorted.toSeq == Seq("fresh doc", "persistent doc"),
+        s"exactly-once across restart violated: ${texts.toSeq}")
+    } finally q2.stop()
+  }
+
   test("state evicts past the horizon; later re-arrival starts a new cycle") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
