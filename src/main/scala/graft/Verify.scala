@@ -20,6 +20,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // operators persist shared intermediates (signatures, shingle rows,
+        // norms); across 60+ queries those add up — drop them per query so
+        // the dump's memory profile stays flat at any scale factor
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -198,7 +198,7 @@ object Dedup {
     Scale.fanOutScan(docs)
       // token-less docs have no fingerprint (they vanish from the exploded
       // aggregation the oracle evaluates)
-      .filter(expr(s"size(${Portable.tokensSpark("text")}) > 0"))
+      .filter(expr("size(graft_tokens(text)) > 0"))
       .select(col("doc_id"), expr("graft_simhash(text)").as("fp"))
       .select(col("doc_id"),
         expr("fp[0]").as("fp1"),

@@ -12,12 +12,20 @@ import graft.functions.Portable
   */
 object TextOps {
 
+  /** Register natives, fan the scan out, and materialize the token array via
+    * the native [[graft.plans.Tokens]] (`graft_tokens`) — value-identical to
+    * the portable HOF chain (PortableParitySpec) but one flat loop per
+    * evaluation instead of an interpreted per-element lambda, which matters
+    * because projection collapse re-inlines `toks` into every consumer. */
+  private def withToks(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    Scale.fanOutScan(docs).withColumn("toks", expr("graft_tokens(text)"))
+  }
+
   /** Per-document token statistics + polynomial fingerprint of the raw text.
     * Counts are exact integers; the average is one int/int double division. */
   def tokenStats(docs: DataFrame): DataFrame = {
-    graft.plans.GraftFunctions.register(docs.sparkSession)
-    Scale.fanOutScan(docs)
-      .withColumn("toks", expr(Portable.tokensSpark("text")))
+    withToks(docs)
       .select(
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
@@ -38,8 +46,7 @@ object TextOps {
   /** Stopword-ratio language scores + argmax prediction (deterministic
     * left-biased tie-break: en > es > de > fr > unknown). */
   def languageId(docs: DataFrame): DataFrame =
-    Scale.fanOutScan(docs)
-      .withColumn("toks", expr(Portable.tokensSpark("text")))
+    withToks(docs)
       .withColumn("r_en", expr(Portable.stopRatioSpark("toks", Portable.StopEn)))
       .withColumn("r_es", expr(Portable.stopRatioSpark("toks", Portable.StopEs)))
       .withColumn("r_de", expr(Portable.stopRatioSpark("toks", Portable.StopDe)))
@@ -58,8 +65,7 @@ object TextOps {
     * lexical diversity + alpha-space purity. Integer comparisons and single
     * double divisions only, so the score is engine-portable. */
   def qualityScore(docs: DataFrame): DataFrame =
-    Scale.fanOutScan(docs)
-      .withColumn("toks", expr(Portable.tokensSpark("text")))
+    withToks(docs)
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_distinct", size(array_distinct(col("toks"))))
       .withColumn("stop_ratio", expr(Portable.stopRatioSpark("toks", Portable.StopEn)))
@@ -101,9 +107,7 @@ object TextOps {
     * One projection + one aggregate; at 100 TB the split column costs
     * nothing and the assignment never needs to be stored. */
   def trainTestSplit(docs: DataFrame, pctTrain: Int = 90): DataFrame = {
-    graft.plans.GraftFunctions.register(docs.sparkSession)
-    Scale.fanOutScan(docs)
-      .withColumn("toks", expr(Portable.tokensSpark("text")))
+    withToks(docs)
       .withColumn("split",
         when(expr(Portable.splitBucketSpark("doc_id")) < pctTrain, lit("train"))
           .otherwise(lit("test")))
@@ -188,9 +192,8 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    Scale.fanOutScan(docs)
-      .withColumn("n_tokens",
-        size(expr(Portable.tokensSpark("text"))).cast("bigint"))
+    withToks(docs)
+      .withColumn("n_tokens", size(col("toks")).cast("bigint"))
       .filter(col("n_tokens") > 0)
       .withColumn("shard", col("doc_id") % shards)
       .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
@@ -214,8 +217,9 @@ object TextOps {
                  k1: Double = 1.5, b: Double = 0.75, topK: Int = 50): DataFrame = {
     require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9_]+")),
       "terms must be non-empty identifiers")
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val tok = Scale.fanOutScan(docs).select(col("doc_id"),
-      explode(expr(Portable.tokensSpark("text"))).as("t"))
+      explode(expr("graft_tokens(text)")).as("t"))
     val tfAggs = terms.map(t =>
       count(when(col("t") === t, lit(1))).cast("double").as(s"tf_$t"))
     val perDoc = tok.groupBy("doc_id")

@@ -234,6 +234,48 @@ case class ShingleStrings(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Native expression: single-space tokenization, empties dropped —
+  * `array<string>` per row, value-identical to the portable HOF chain
+  * `filter(split(s, ' '), x -> x <> '')` (leading/interior/trailing empties
+  * all vanish under the filter, so Java's trailing-empty-dropping split
+  * agrees; pinned by PortableParitySpec). The HOF chain evaluates an
+  * interpreted lambda per array element and gets INLINED per consumer by
+  * projection collapse — a query touching `toks` four times tokenized four
+  * times through the interpreter. This is one flat JVM loop per evaluation.
+  */
+case class Tokens(child: Expression)
+  extends UnaryExpression with codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_tokens expects a string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.split(' ')
+    var n = 0
+    var i = 0
+    while (i < toks.length) { if (toks(i).nonEmpty) n += 1; i += 1 }
+    val out = new Array[AnyRef](n)
+    i = 0; var k = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(toks(i))
+        k += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native expression: full MinHash signature (k minima over the affine hash
   * family) from an array of shingle hashes — `array<bigint>[k]` per row.
   *
@@ -451,6 +493,13 @@ object GraftFunctions {
       s"graft_simhash takes exactly 1 argument, got ${other.size}")
   }
 
+  val tokensInfo = new ExpressionInfo(classOf[Tokens].getName, "graft_tokens")
+  val tokensBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => Tokens(a)
+    case other => throw new IllegalArgumentException(
+      s"graft_tokens takes exactly 1 argument, got ${other.size}")
+  }
+
   val lshInfo = new ExpressionInfo(classOf[LshBucketIds].getName, "graft_lsh_buckets")
   val lshBuilder: Seq[Expression] => Expression = {
     case Seq(a, Literal(t: Int, IntegerType), Literal(b: Int, IntegerType)) => LshBucketIds(a, t, b)
@@ -466,6 +515,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_shingles", shingleStrBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_minhash", minhashBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_simhash", simhashBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_tokens", tokensBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_lsh_buckets", lshBuilder, "built-in")
   }
 }
@@ -478,6 +528,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_shingles"), GraftFunctions.shingleStrInfo, GraftFunctions.shingleStrBuilder))
     ext.injectFunction((FunctionIdentifier("graft_minhash"), GraftFunctions.minhashInfo, GraftFunctions.minhashBuilder))
     ext.injectFunction((FunctionIdentifier("graft_simhash"), GraftFunctions.simhashInfo, GraftFunctions.simhashBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_tokens"), GraftFunctions.tokensInfo, GraftFunctions.tokensBuilder))
     ext.injectFunction((FunctionIdentifier("graft_lsh_buckets"), GraftFunctions.lshInfo, GraftFunctions.lshBuilder))
   }
 }

@@ -22,6 +22,19 @@ class PortableParitySpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("graft_tokens == portable HOF chain on edge whitespace shapes") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = (Seq("plain words here", "  leading", "trailing  ", "a  b   c",
+      "", " ", "    ", "one", "tab\there stays one token") ++
+      graft.core.Tables.documents(spark, TestSpark.sfDir)
+        .select("text").collect().map(_.getString(0)).take(50)).toDF("text")
+    val rows = df.select(
+      expr("graft_tokens(text)").as("native"),
+      expr(Portable.tokensSpark("text")).as("portable")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("graft_shingles == array_distinct of the portable HOF chain") {
     GraftFunctions.register(spark)
     val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").limit(100)
