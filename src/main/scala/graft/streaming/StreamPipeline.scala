@@ -42,6 +42,32 @@ object StreamPipeline {
     * same checkpoint processes only files not yet committed. */
   def runAvailableNow(q: StreamingQuery): Unit = q.awaitTermination()
 
+  /** Continuous medallion: watch an inbox, run the silver `transform` on each
+    * micro-batch, and MERGE the result into a lake table by key — late files
+    * carrying newer versions of existing rows land as key-scoped upserts
+    * ([[graft.lake.TableFormat.upsert]]'s atomic snapshot flip), not
+    * duplicate appends. Checkpoint gives per-file exactly-once; the lake's
+    * versioned snapshots make each micro-batch commit atomic for readers.
+    * This is the streaming form of the reference's load -> silver -> MERGE
+    * procedure chain (the silver/spark_procedures SQL keep-latest semantics). */
+  def silverUpsertInbox(spark: SparkSession, inbox: String, schema: StructType,
+                        transform: DataFrame => DataFrame,
+                        lake: graft.lake.TableFormat, table: String,
+                        keys: Seq[String], checkpoint: String,
+                        maxFilesPerTrigger: Int = 16): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("header", true)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(inbox)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        lake.upsert(transform(batch), table, keys)
+      }
+      .start()
+
   /** Streaming deduplication: exactly-one-row-per-key within the watermark
     * horizon (the incremental form of the batch dedup-keep-latest — state is
     * bounded by the watermark, so it runs forever on unbounded input).

@@ -39,4 +39,29 @@ class StreamSpec extends AnyFunSuite {
       StreamPipeline.csvInbox(spark, inbox.toString, schema, pipeline, out, ckpt))
     assert(spark.read.parquet(out).count() == 4)
   }
+
+  test("continuous medallion: inbox files merge into the lake as key upserts") {
+    val root = Files.createTempDirectory("graft-stream-silver")
+    val inbox = root.resolve("inbox"); Files.createDirectories(inbox)
+    val ckpt = root.resolve("ckpt").toString
+    val lake = new graft.lake.ParquetDirFormat(root.resolve("lake").toString)
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("name", StringType)))
+    def silver(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id").cast("bigint").as("id"),
+        graft.operators.Cleaning.protocol(col("name")).as("name"))
+
+    Files.write(inbox.resolve("b1.csv"), "id,name\n1,  alice \n2,bob\n".getBytes)
+    StreamPipeline.runAvailableNow(StreamPipeline.silverUpsertInbox(
+      spark, inbox.toString, schema, silver, lake, "users_silver", Seq("id"), ckpt))
+    assert(lake.read(spark, "users_silver").count() == 2)
+
+    // a late file UPDATES id 2 and adds id 3: merge, not duplicate append
+    Files.write(inbox.resolve("b2.csv"), "id,name\n2,robert\n3,carol\n".getBytes)
+    StreamPipeline.runAvailableNow(StreamPipeline.silverUpsertInbox(
+      spark, inbox.toString, schema, silver, lake, "users_silver", Seq("id"), ckpt))
+    val rows = lake.read(spark, "users_silver").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "alice", 2L -> "robert", 3L -> "carol"))
+  }
 }
