@@ -238,6 +238,25 @@ object TextOps {
         terms.map(t => col(s"tf_$t")) :+ col("score"): _*)
   }
 
+  /** Corpus vocabulary heavy hitters: the `k` most frequent terms with their
+    * total and document frequencies — the vocabulary/stopword-discovery pass
+    * every corpus build runs. One explode + one hash aggregate (map-side
+    * partial combine makes the shuffle |vocab|-sized, not |tokens|-sized) +
+    * TakeOrderedAndProject. At 100 TB this is the cheapest full-corpus
+    * statistic there is; the exact form needs no sketch until |vocab|
+    * itself stops fitting a reducer, at which point the same plan runs on a
+    * (term-hash salted) two-phase aggregate via [[Scale.saltedAggregate]]. */
+  def heavyHitterTerms(docs: DataFrame, k: Int = 50): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    Scale.fanOutScan(docs)
+      .select(col("doc_id"), explode(expr("graft_tokens(text)")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** Quantile-gated quality filtering: keep documents whose quality score is
     * at or above the corpus `pct` quantile, report survivors per source.
     * The threshold is an exact interpolated percentile (bitwise-equal to

@@ -41,6 +41,7 @@ object Training {
     "text_contamination"     -> ((s, d) => TextOps.contamination(Tables.documents(s, d))),
     "text_bm25_search"       -> ((s, d) => TextOps.bm25Search(Tables.documents(s, d), Bm25Terms)),
     "text_pack_sequences"    -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
+    "text_heavy_hitters"     -> ((s, d) => TextOps.heavyHitterTerms(Tables.documents(s, d))),
     "dedup_exact"            -> ((s, d) => Dedup.exactDupGroups(Tables.documents(s, d))),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, JaccardTau)),
     "dedup_components"       -> ((s, d) => Dedup.connectedComponents(
@@ -211,6 +212,13 @@ object Training {
        |  CAST(4 + strlen(text) AS BIGINT) AS n_bytes,
        |  ${Portable.phashDuck("text")} AS checksum
        |FROM documents""".stripMargin
+
+  private val heavyHittersSql =
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents)
+       |SELECT term, CAST(COUNT(*) AS BIGINT) AS tf,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |FROM tok GROUP BY term
+       |ORDER BY tf DESC, term ASC LIMIT 50""".stripMargin
 
   private val exactSql =
     """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
@@ -435,6 +443,7 @@ object Training {
     "text_contamination"     -> contaminationSql,
     "text_bm25_search"       -> bm25Sql,
     "text_pack_sequences"    -> packSequencesSql,
+    "text_heavy_hitters"     -> heavyHittersSql,
     "multimodal_meta"        -> multimodalMetaSql,
     "dedup_exact"            -> exactSql,
     "dedup_ngram_jaccard"    -> jaccardSql,

@@ -50,6 +50,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("split bucket hash has no residue structure over sequential ids") {
+    // the multiplicative (id * 2654435761) % 100 form this replaced satisfies
+    // bucket(i) == bucket(i + 100) for EVERY i — any id-correlated corpus
+    // property (ingest time, source batching) would pattern into the split.
+    // The digit-polynomial hash must break that periodicity and stay roughly
+    // uniform over a sequential id range.
+    val n = 10000
+    val buckets = (0 until n).map(i => (phash(i.toString) % 100).toInt)
+    val periodic = (0 until n - 100).count(i => buckets(i) == buckets(i + 100))
+    assert(periodic < n / 20, s"period-100 collisions: $periodic (multiplicative form: all)")
+    val hist = buckets.groupBy(identity).view.mapValues(_.size)
+    assert(hist.size == 100, "every bucket hit over 10k sequential ids")
+    assert(hist.values.max < 3 * n / 100, s"worst bucket ${hist.values.max} of expected ${n / 100}")
+    // and the Spark column agrees with the local twin (same arithmetic)
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val got = (0L until 500L).toDF("doc_id")
+      .selectExpr(graft.functions.Portable.splitBucketSpark("doc_id") + " as b")
+      .collect().map(_.getLong(0).toInt).toSeq
+    assert(got == (0 until 500).map(i => (phash(i.toString) % 100).toInt))
+  }
+
   test("contamination dfCap=0 (guard off) keeps boilerplate-only pairs") {
     val pct = 50
     val ids = pairs.flatMap { case (a, b) => Seq(a, b) }
