@@ -226,6 +226,17 @@ object Portable {
   def splitBucketDuck(id: String): String =
     s"(${phashDuck(s"CAST($id AS VARCHAR)")} % 100)"
 
+  // ---- mixture-sampling bucket ---------------------------------------------
+  /** Per-row sampling bucket in [0, 10000), INDEPENDENT of the train/test
+    * split bucket: hashing 'mix-<id>' instead of '<id>' decorrelates the two
+    * selections (reusing [[splitBucketSpark]] would make a 50% sample a
+    * strict subset of the training split). Same polynomial primitives, same
+    * cross-engine bitwise guarantee. */
+  def sampleBucketSpark(id: String): String =
+    s"(graft_phash(concat('mix-', cast($id as string))) % 10000)"
+  def sampleBucketDuck(id: String): String =
+    s"(${phashDuck(s"('mix-' || CAST($id AS VARCHAR))")} % 10000)"
+
   // ---- stopword lexica for the language-ID heuristic -----------------------
   val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
   val StopEs: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por")

@@ -219,6 +219,16 @@ class ParquetDirFormat(root: String) extends TableFormat {
     io.list(tableDir(table)).map(_.getPath.getName)
       .filter(_.matches("v\\d+")).map(_.drop(1).toInt).sorted
 
+  /** Time-travel read: the table exactly as committed at `version` (see
+    * [[versions]]) — Iceberg's VERSION AS OF. Snapshots are immutable once
+    * the pointer moves past them, so a pinned reader sees a stable world
+    * until [[expireSnapshots]] reclaims it. */
+  def readVersion(spark: SparkSession, table: String, version: Int): DataFrame = {
+    require(versions(table).contains(version),
+      s"version $version not on disk for $table (have ${versions(table)})")
+    spark.read.parquet(versionDir(table, version))
+  }
+
   /** Snapshot expiration: delete all version directories older than the
     * current pointer (Iceberg's expire_snapshots). Readers pinned to old
     * snapshots lose them — call on a maintenance schedule, not per commit. */

@@ -238,6 +238,28 @@ object TextOps {
         terms.map(t => col(s"tf_$t")) :+ col("score"): _*)
   }
 
+  /** Deterministic mixture sampling — the data-mixing step of a training
+    * corpus build: each source is kept at its own rate (e.g. wiki 1.0, web
+    * 0.3), decided per document by a stable hash bucket, NOT an RNG, so the
+    * mixture is reproducible across runs, engines, and repartitioning, and
+    * any document's membership can be audited after the fact. The sampling
+    * bucket hashes a salted id ([[Portable.sampleBucketSpark]]) so it is
+    * independent of the train/test split bucket. A pure filter — at 100 TB
+    * the mixture costs one scan, no shuffle. */
+  def mixtureSample(docs: DataFrame, rates: Map[String, Double],
+                    defaultRate: Double = 0.0): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1) &&
+      defaultRate >= 0 && defaultRate <= 1, "rates must be in [0, 1]")
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val rateCol = rates.toSeq.sortBy(_._1).foldRight(lit(defaultRate)) {
+      case ((src, r), els) => when(col("source") === src, lit(r)).otherwise(els)
+    }
+    docs
+      .withColumn("__rate", rateCol)
+      .filter(expr(Portable.sampleBucketSpark("doc_id")) < col("__rate") * 10000)
+      .select("doc_id", "source")
+  }
+
   /** Corpus vocabulary heavy hitters: the `k` most frequent terms with their
     * total and document frequencies — the vocabulary/stopword-discovery pass
     * every corpus build runs. One explode + one hash aggregate (map-side

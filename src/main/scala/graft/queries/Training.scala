@@ -30,6 +30,11 @@ object Training {
   val MaxHamming  = 3
   val NQueries    = 20
   val TopK        = 10
+  /** Mixture weights for the sampling gate: full / majority / minority /
+    * dropped sources, plus the default for the 16 unnamed ones. */
+  val MixRates: Map[String, Double] = Map(
+    "src0" -> 1.0, "src1" -> 0.7, "src2" -> 0.25, "src3" -> 0.0)
+  val MixDefault = 0.5
 
   val queries: Map[String, Q] = Map(
     "text_token_stats"       -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
@@ -42,6 +47,7 @@ object Training {
     "text_bm25_search"       -> ((s, d) => TextOps.bm25Search(Tables.documents(s, d), Bm25Terms)),
     "text_pack_sequences"    -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
     "text_heavy_hitters"     -> ((s, d) => TextOps.heavyHitterTerms(Tables.documents(s, d))),
+    "text_mixture_sample"    -> ((s, d) => TextOps.mixtureSample(Tables.documents(s, d), MixRates, MixDefault)),
     "dedup_exact"            -> ((s, d) => Dedup.exactDupGroups(Tables.documents(s, d))),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, JaccardTau)),
     "dedup_components"       -> ((s, d) => Dedup.connectedComponents(
@@ -219,6 +225,16 @@ object Training {
        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
        |FROM tok GROUP BY term
        |ORDER BY tf DESC, term ASC LIMIT 50""".stripMargin
+
+  /** Mirror of [[TextOps.mixtureSample]]: same sorted-CASE rate resolution,
+    * same salted sampling bucket, same strict-< comparison. */
+  private val mixtureSampleSql = {
+    val cases = MixRates.toSeq.sortBy(_._1)
+      .map { case (s, r) => s"WHEN source = '$s' THEN $r" }.mkString(" ")
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ${Portable.sampleBucketDuck("doc_id")} <
+       |  (CASE $cases ELSE $MixDefault END) * 10000""".stripMargin
+  }
 
   private val exactSql =
     """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
@@ -444,6 +460,7 @@ object Training {
     "text_bm25_search"       -> bm25Sql,
     "text_pack_sequences"    -> packSequencesSql,
     "text_heavy_hitters"     -> heavyHittersSql,
+    "text_mixture_sample"    -> mixtureSampleSql,
     "multimodal_meta"        -> multimodalMetaSql,
     "dedup_exact"            -> exactSql,
     "dedup_ngram_jaccard"    -> jaccardSql,

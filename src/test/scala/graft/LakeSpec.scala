@@ -23,6 +23,24 @@ class LakeSpec extends AnyFunSuite {
     assert(t.read(spark, "t1").collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("time travel: readVersion pins an immutable snapshot") {
+    import spark.implicits._
+    val t = fmt()
+    t.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "tt")
+    t.upsert(Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), "tt", Seq("id"))
+    t.overwrite(Seq((9L, "z")).toDF("id", "v"), "tt")
+    val vs = t.versions("tt")
+    assert(vs.size == 3)
+    def snap(v: Int) = t.readVersion(spark, "tt", v).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap(vs(0)) == Map(1L -> "a", 2L -> "b"))
+    assert(snap(vs(1)) == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+    assert(snap(vs(2)) == Map(9L -> "z"))
+    // current read == newest snapshot; unknown version fails loudly
+    assert(t.read(spark, "tt").count() == 1)
+    intercept[IllegalArgumentException](t.readVersion(spark, "tt", 999))
+  }
+
   test("append with additive schema evolution") {
     import spark.implicits._
     val t = fmt()
