@@ -238,6 +238,23 @@ object TextOps {
         terms.map(t => col(s"tf_$t")) :+ col("score"): _*)
   }
 
+  /** Sentence segmentation with stable offsets: one row per '. '-delimited
+    * segment with its index and token count — the unit-of-text primitive for
+    * per-sentence filters and span labeling. The delimiter is a LITERAL
+    * period+space (not a regex sentence model) so both engines split
+    * identically; Spark's split keeps trailing empties like DuckDB's
+    * string_split (default limit -1), and empty segments are filtered in
+    * both. A pure explode — linear in corpus bytes, no shuffle. */
+  def segmentSentences(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    Scale.fanOutScan(docs)
+      .select(col("doc_id"),
+        posexplode(expr("split(text, '\\\\. ')")).as(Seq("sent_idx", "sentence")))
+      .filter(col("sentence") =!= "")
+      .withColumn("n_tokens", size(expr("graft_tokens(sentence)")))
+      .select("doc_id", "sent_idx", "sentence", "n_tokens")
+  }
+
   /** Deterministic mixture sampling — the data-mixing step of a training
     * corpus build: each source is kept at its own rate (e.g. wiki 1.0, web
     * 0.3), decided per document by a stable hash bucket, NOT an RNG, so the

@@ -48,6 +48,13 @@ object Training {
     "text_pack_sequences"    -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
     "text_heavy_hitters"     -> ((s, d) => TextOps.heavyHitterTerms(Tables.documents(s, d))),
     "text_mixture_sample"    -> ((s, d) => TextOps.mixtureSample(Tables.documents(s, d), MixRates, MixDefault)),
+    // the corpus has no sentence punctuation, so the gate CONSTRUCTS
+    // boundaries deterministically (same pattern as the cleaning gates'
+    // dirt): doc text + a prefix echo + a constant tail = 3 segments/doc
+    "text_sentences"         -> ((s, d) => TextOps.segmentSentences(
+                                   Tables.documents(s, d).withColumn("text",
+                                     org.apache.spark.sql.functions.expr(
+                                       "concat(text, '. ', substr(text, 1, 97), '. tail marker')")))),
     "dedup_exact"            -> ((s, d) => Dedup.exactDupGroups(Tables.documents(s, d))),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, JaccardTau)),
     "dedup_components"       -> ((s, d) => Dedup.connectedComponents(
@@ -235,6 +242,20 @@ object Training {
        |WHERE ${Portable.sampleBucketDuck("doc_id")} <
        |  (CASE $cases ELSE $MixDefault END) * 10000""".stripMargin
   }
+
+  /** Mirror of [[TextOps.segmentSentences]]: generate_subscripts and unnest
+    * advance in lockstep in DuckDB, giving the same 0-based sentence index
+    * as Spark's posexplode. */
+  private val sentencesSql =
+    s"""WITH d AS (SELECT doc_id,
+       |  text || '. ' || substr(text, 1, 97) || '. tail marker' AS text
+       |FROM documents),
+       |e AS (SELECT doc_id,
+       |  generate_subscripts(string_split(text, '. '), 1) - 1 AS sent_idx,
+       |  unnest(string_split(text, '. ')) AS sentence FROM d)
+       |SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx, sentence,
+       |  CAST(len(${Portable.tokensDuck("sentence")}) AS INT) AS n_tokens
+       |FROM e WHERE sentence <> ''""".stripMargin
 
   private val exactSql =
     """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
@@ -461,6 +482,7 @@ object Training {
     "text_pack_sequences"    -> packSequencesSql,
     "text_heavy_hitters"     -> heavyHittersSql,
     "text_mixture_sample"    -> mixtureSampleSql,
+    "text_sentences"         -> sentencesSql,
     "multimodal_meta"        -> multimodalMetaSql,
     "dedup_exact"            -> exactSql,
     "dedup_ngram_jaccard"    -> jaccardSql,
