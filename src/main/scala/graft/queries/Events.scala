@@ -197,7 +197,21 @@ object Events {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
   }
 
+  /** Salted fact⋈dim join ([[graft.operators.Scale.saltedJoin]]): the fact
+    * side's rows spread across salt sub-keys, the dimension replicates per
+    * salt, so one hot user cannot pin a reducer. The salt is INTERNAL — the
+    * output equals the plain equi-join — which is exactly what the oracle
+    * checks: the skew machinery must be semantics-preserving. */
+  def saltedDimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("event_id", "user_id", "value")
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.operators.Scale.saltedJoin(e, c, "user_id", col("event_id"), salt = 8)
+      .select("event_id", "user_id", "value", "c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_salted_join"   -> (saltedDimJoin _),
     "events_asof_orders"   -> (asofOrders _),
     "events_value_bands"   -> (valueBands _),
     "events_rolling_avg"   -> (rollingAvg _),
@@ -214,6 +228,9 @@ object Events {
       "epoch_us(CAST(ts AS TIMESTAMP)) AS ep FROM events"
 
   val oracle: Map[String, String] = Map(
+    "events_salted_join" ->
+      """SELECT e.event_id, e.user_id, e.value, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
     "events_asof_orders" ->
       s"""WITH ord AS (
          |  SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS o_ts,
