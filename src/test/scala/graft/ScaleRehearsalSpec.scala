@@ -113,6 +113,22 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(t10 / t1 < 20.0, f"superlinear blowup: $t1%.1f s -> $t10%.1f s")
   }
 
+  test("PQ ANN scales linearly on 10x key-shifted embeddings", SlowRehearsal) {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // queries are vec_id < 20, so only copy 0 carries them — the index-side
+    // work (encoding all vectors, ADC scoring, shortlist re-rank) still
+    // scales 10x, which is the part that must stay linear
+    val (t1, n1) = timed("pq 1x") {
+      runRows(graft.operators.Similarity.pqAnnTopK(emb, 20, 10))
+    }
+    val (t10, n10) = timed("pq 10x") {
+      runRows(graft.operators.Similarity.pqAnnTopK(
+        copies(emb, 10, Seq("vec_id")), 20, 10))
+    }
+    assert(n1 == 200 && n10 == 200, "top-k per query is scale-invariant")
+    assert(t10 / t1 < 20.0, f"superlinear blowup: $t1%.1f s -> $t10%.1f s")
+  }
+
   test("sequence packing scales linearly on a 10x corpus", SlowRehearsal) {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val (t1, n1) = timed("pack 1x")(runRows(TextOps.packSequences(docs)))
