@@ -213,21 +213,46 @@ object Similarity {
     val dim = Portable.Dim
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
+    val cent = pqCodebook(emb, ksub)
+    pqQuery(pqEncode(emb, cent, m, sub), cent, emb, nQueries, k, m, sub, refine)
+  }
+
+  /** Stride-sampled PQ codebook: `ksub` rows (j, emb_c) whose subspace slices
+    * are the per-subspace centroids — deterministic, so both the in-memory
+    * and the persisted-index paths reproduce it bit-for-bit. */
+  private[operators] def pqCodebook(emb: DataFrame, ksub: Int): DataFrame = {
     val stats = emb.agg(greatest(
       (count(lit(1)) / ksub).cast("long"), lit(1L)).as("stride"))
-    val cent = emb.crossJoin(broadcast(stats))
+    emb.crossJoin(broadcast(stats))
       .filter(col("vec_id") % col("stride") === 0 &&
         expr("vec_id div stride") < ksub)
       .select(expr("vec_id div stride").as("j"), col("embedding").as("emb_c"))
-    // encode: per vector, per subspace, nearest codebook entry (ties -> min j)
+  }
+
+  /** PQ codes: per vector, per subspace, the nearest codebook entry (ties to
+    * the lowest centroid id) — one corpus scan x ksub subspace distances. */
+  private[operators] def pqEncode(emb: DataFrame, cent: DataFrame,
+                                  m: Int, sub: Int): DataFrame = {
     val d2Cols = (0 until m).map(mm =>
       expr(Portable.subL2Spark("embedding", "emb_c", mm * sub, sub)).as(s"d2_$mm"))
     val scored = Scale.fanOutScan(emb).crossJoin(broadcast(cent))
       .select(col("vec_id") +: col("j") +: d2Cols: _*)
-    val codes = scored.groupBy("vec_id")
+    scored.groupBy("vec_id")
       .agg(min_by(col("j"), struct(col("d2_0"), col("j"))).as("code_0"),
         (1 until m).map(mm =>
           min_by(col("j"), struct(col(s"d2_$mm"), col("j"))).as(s"code_$mm")): _*)
+  }
+
+  /** ADC scoring + shortlist + exact refinement over PREBUILT codes and
+    * codebook — the serve-side half of the PQ index, shared verbatim by
+    * [[pqAnnTopK]] (in-memory) and [[queryPqIndex]] (lake round trip), so the
+    * persisted path hash-checks against the same oracle. `emb` supplies the
+    * query vectors (LUT) and the full-precision shortlist reads only. */
+  private[operators] def pqQuery(codes: DataFrame, cent: DataFrame, emb: DataFrame,
+                                 nQueries: Int, k: Int, m: Int, sub: Int,
+                                 refine: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val dim = m * sub
     // per-query ADC lookup table: distance from each query subvector to each
     // codebook entry (nQueries x ksub rows — broadcast-sized by construction)
     val qCols = (0 until m).map(mm =>
@@ -268,6 +293,47 @@ object Similarity {
         .filter(col("rnk") <= k)
         .select("query_id", "neighbor_id", "l2_dist", "rnk")
     }
+  }
+
+  /** Build a PQ index as a MATERIALIZED lake artifact: codebook + codes tables
+    * under `prefix` in `lake`. At 100 TB the index is built once and served
+    * many times — the reference's persisted-embedding VECTOR_SEARCH shape
+    * (DEMO.md:204-248: embeddings stored in a gold table, searched
+    * repeatedly); rebuilding codebooks and codes per query (what a bare
+    * [[pqAnnTopK]] call does) re-scans the corpus every time. The codes table
+    * is the ~32x-compressed scan set; the codebook is ksub rows. Rebuilding
+    * over an existing index overwrites it (a new lake snapshot — old readers
+    * keep their pinned version until expiry). */
+  def buildPqIndex(emb: DataFrame, lake: graft.lake.ParquetDirFormat,
+                   prefix: String = "pq", m: Int = 8, ksub: Int = 32): Unit = {
+    GraftFunctions.register(emb.sparkSession)
+    val dim = Portable.Dim
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val cent = pqCodebook(emb, ksub)
+    def put(df: DataFrame, t: String): Unit =
+      if (lake.exists(t)) lake.overwrite(df, t) else lake.create(df, t)
+    put(cent, s"${prefix}_codebook")
+    put(pqEncode(emb, cent, m, sub), s"${prefix}_codes")
+  }
+
+  /** Serve ANN top-k from a PERSISTED PQ index (see [[buildPqIndex]]): reads
+    * the codebook + codes tables back from the lake and runs ADC scoring +
+    * exact refinement. Query cost is independent of index build cost — the
+    * corpus is touched only for the nQueries query vectors and the
+    * refine-deep full-precision shortlist (on a cluster, point lookups).
+    * Parquet round-trips float arrays and integer codes exactly, so the
+    * result is bitwise-identical to [[pqAnnTopK]] on the same corpus. */
+  def queryPqIndex(spark: org.apache.spark.sql.SparkSession,
+                   lake: graft.lake.ParquetDirFormat, emb: DataFrame,
+                   prefix: String = "pq", nQueries: Int = 20, k: Int = 10,
+                   refine: Int = 100): DataFrame = {
+    val cent = lake.read(spark, s"${prefix}_codebook")
+    val codes = lake.read(spark, s"${prefix}_codes")
+    val m = codes.columns.count(_.startsWith("code_"))
+    require(m > 0, s"no code_* columns in ${prefix}_codes — not a PQ index")
+    require(Portable.Dim % m == 0, s"dim ${Portable.Dim} must split into $m subspaces")
+    pqQuery(codes, cent, emb, nQueries, k, m, Portable.Dim / m, refine)
   }
 
   /** IVF (inverted-file) ANN: coarse-quantize vectors into `nCentroids`

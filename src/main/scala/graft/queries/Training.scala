@@ -69,7 +69,24 @@ object Training {
     "ann_brute_force_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_lsh_topk"           -> ((s, d) => Similarity.lshAnnTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_ivf_topk"           -> ((s, d) => Similarity.ivfFlatTopK(Tables.embeddings(s, d), NQueries, TopK)),
-    "ann_pq_topk"            -> ((s, d) => Similarity.pqAnnTopK(Tables.embeddings(s, d), NQueries, TopK)))
+    "ann_pq_topk"            -> ((s, d) => Similarity.pqAnnTopK(Tables.embeddings(s, d), NQueries, TopK)),
+    "ann_pq_index_topk"      -> ((s, d) => Similarity.queryPqIndex(
+                                   s, pqIndexLake(s, d), Tables.embeddings(s, d), "pq", NQueries, TopK)))
+
+  /** One persisted PQ index per source dir (built on first use, then SERVED):
+    * the gate's query path reads codebook+codes back from the lake every call,
+    * so Verify hash-checks the full write→read-back→query round trip while
+    * Bench times what production times — serving from a prebuilt index, not
+    * rebuilding it per query. Thread-safe: Verify/Bench run queries
+    * sequentially, but keep the map synchronized for safety. */
+  private val pqIndexRoots = scala.collection.concurrent.TrieMap.empty[String, graft.lake.ParquetDirFormat]
+  private def pqIndexLake(s: SparkSession, d: String): graft.lake.ParquetDirFormat =
+    pqIndexRoots.getOrElseUpdate(d, {
+      val root = java.nio.file.Files.createTempDirectory("graft_pq_index_").toString
+      val lake = new graft.lake.ParquetDirFormat(root)
+      Similarity.buildPqIndex(Tables.embeddings(s, d), lake)
+      lake
+    })
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -469,6 +486,9 @@ object Training {
 
   val oracle: Map[String, String] = Map(
     "ann_pq_topk"            -> annPqSql,
+    // the persisted-index round trip must return the SAME result as the
+    // in-memory pipeline — one oracle pins both
+    "ann_pq_index_topk"      -> annPqSql,
     "ann_lsh_topk"           -> annLshSql,
     "ann_ivf_topk"           -> annIvfSql,
     "text_token_stats"       -> tokenStatsSql,

@@ -129,6 +129,36 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(t10 / t1 < 20.0, f"superlinear blowup: $t1%.1f s -> $t10%.1f s")
   }
 
+  test("persisted PQ index: query cost is independent of build cost", SlowRehearsal) {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val big = copies(emb, 10, Seq("vec_id"))
+    val root = Files.createTempDirectory("graft-rehearsal-pqindex")
+    val lake = new graft.lake.ParquetDirFormat(root.toString)
+    val (tBuild, _) = timed("pq index build 10x") {
+      graft.operators.Similarity.buildPqIndex(big, lake); 1L
+    }
+    def query(): Long =
+      runRows(graft.operators.Similarity.queryPqIndex(spark, lake, big, "pq", 20, 10))
+    val (tQ1, n1) = timed("pq index query (cold)")(query())
+    val (tQ2, n2) = timed("pq index query (warm)")(query())
+    val (tFull, nF) = timed("pq rebuild-per-query") {
+      runRows(graft.operators.Similarity.pqAnnTopK(big, 20, 10))
+    }
+    assert(n1 == 200 && n2 == 200 && nF == 200)
+    // the split is the point: serving must not pay the per-call corpus-scan
+    // encode that a bare pqAnnTopK call repeats. Build cost is paid once
+    // (tBuild above, amortized over every later query); each served query
+    // reads the compressed codes and touches full vectors only for the
+    // LUT + shortlist.
+    val tQ = math.min(tQ1, tQ2)
+    assert(tQ < tFull,
+      f"served query ($tQ%.1f s) should undercut rebuild-per-query ($tFull%.1f s)")
+    // and the round trip equals the in-memory pipeline bit-for-bit
+    val mem = graft.operators.Similarity.pqAnnTopK(big, 20, 10)
+    val served = graft.operators.Similarity.queryPqIndex(spark, lake, big, "pq", 20, 10)
+    assert(served.exceptAll(mem).isEmpty && mem.exceptAll(served).isEmpty)
+  }
+
   test("sequence packing scales linearly on a 10x corpus", SlowRehearsal) {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val (t1, n1) = timed("pack 1x")(runRows(TextOps.packSequences(docs)))
