@@ -302,6 +302,14 @@ object Dedup {
     val nodes = pe.select(col("u").as("id")).union(pe.select(col("v").as("id")))
       .distinct().localCheckpoint(true)
     var edges = pe
+    // fixpoint detection rides on edge COUNTS: the star rounds only shrink or
+    // rewire the (distinct) edge set, so while contraction is active the
+    // count almost always moves — one cheap agg per round. Only when counts
+    // match do we pay a single anti-join to prove set equality (counts equal
+    // + ss ⊆ edges ⟹ ss = edges, both sides being distinct). This replaces
+    // the two-`except` probe (~4 shuffles/round) that made deep graphs — the
+    // exact workload this variant exists for — pay most per round.
+    var edgeCount = -1L
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -322,8 +330,11 @@ object Dedup {
         .union(smins.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
         .localCheckpoint(true)
-      converged = ss.except(edges).isEmpty && edges.except(ss).isEmpty
+      val ssCount = ss.count()
+      converged = ssCount == (if (edgeCount >= 0) edgeCount else edges.count()) &&
+        ss.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = ss
+      edgeCount = ssCount
       i += 1
     }
     if (!converged) throw new IllegalStateException(

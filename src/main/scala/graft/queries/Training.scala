@@ -59,6 +59,8 @@ object Training {
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, JaccardTau)),
     "dedup_components"       -> ((s, d) => Dedup.connectedComponents(
                                    Dedup.minhashLshPairs(Tables.documents(s, d), 3, tau = JaccardTau))),
+    "dedup_components_stars" -> ((s, d) => Dedup.connectedComponentsStars(
+                                   Dedup.minhashLshPairs(Tables.documents(s, d), 3, tau = JaccardTau))),
     "dedup_survivors"        -> ((s, d) => Dedup.dedupSurvivors(Tables.documents(s, d), 3, JaccardTau)),
     "dedup_embedding_lsh"    -> ((s, d) => Dedup.embeddingNearDupLsh(Tables.embeddings(s, d), CosineTau)),
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), 3, 42, 3, JaccardTau)),
@@ -507,6 +509,8 @@ object Training {
     "dedup_exact"            -> exactSql,
     "dedup_ngram_jaccard"    -> jaccardSql,
     "dedup_components"       -> componentsSql,
+    // star contraction shares the min-label output contract — same oracle
+    "dedup_components_stars" -> componentsSql,
     "dedup_survivors"        -> survivorsSql,
     "dedup_embedding_lsh"    -> embLshSql,
     "dedup_minhash_lsh"      -> jaccardSql,
