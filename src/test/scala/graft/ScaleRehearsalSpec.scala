@@ -40,10 +40,12 @@ class ScaleRehearsalSpec extends AnyFunSuite {
   }
 
   private def runRows(df: DataFrame): Long = {
-    // hash EVERY column before counting so count-style column pruning cannot
-    // skip the expensive projections this rehearsal exists to time
+    // hash EVERY column, then fold the hashes with bit_xor — an aggregate
+    // that must READ each value. count(__h) alone is not enough: __h is
+    // provably non-nullable, so codegen's count update never references the
+    // value and the whole projection chain is dead-code-eliminated.
     val n = df.select(xxhash64(df.columns.map(col): _*).as("__h"))
-      .agg(count(col("__h"))).head.getLong(0)
+      .agg(count(col("__h")), bit_xor(col("__h"))).head.getLong(0)
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     n
@@ -157,6 +159,80 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     val mem = graft.operators.Similarity.pqAnnTopK(big, 20, 10)
     val served = graft.operators.Similarity.queryPqIndex(spark, lake, big, "pq", 20, 10)
     assert(served.exceptAll(mem).isEmpty && mem.exceptAll(served).isEmpty)
+  }
+
+  test("salted join separates a hot key: partition sizes and wall clock", SlowRehearsal) {
+    // hot-key corpus: 90% of 2M fact rows carry key 0, the rest spread over
+    // 10k keys — the one-customer-holds-the-feed shape that pins a reducer.
+    // The joined stage's per-row work is heavy enough that the pinned
+    // reducer's serial cost dominates the plain join; the dim is small
+    // enough that salt-replicating it 64x (640k rows) stays far below the
+    // fact-side spread it buys back.
+    val n = 2000000L
+    val S = 64 // salt fan-out: 64 sub-keys over 32 reducers smooths collisions
+    val big = spark.range(n).select(
+      when(col("id") % 10 < 9, lit(0L))
+        .otherwise(pmod(xxhash64(col("id")), lit(10000L)) + 1L).as("k"),
+      col("id").as("v"))
+    val dim = spark.range(10001).select(col("id").as("k"), (col("id") * 7L).as("w"))
+
+    // (1) partition-size separation — deterministic, the mechanism itself:
+    // keyed exchange pins ~90% of rows in one partition; the salted exchange
+    // spreads the same rows evenly. This is the layout every downstream
+    // consumer of the shuffle (join task, state store, sort) actually sees.
+    def maxPartRows(df: DataFrame): Long =
+      df.groupBy(spark_partition_id().as("p")).count().agg(max("count")).head.getLong(0)
+    val plainMax = maxPartRows(big.repartition(32, col("k")))
+    val saltMax = maxPartRows(big.repartition(32, col("k"),
+      pmod(xxhash64(col("v")), lit(S))))
+    info(f"max rows/partition: plain $plainMax%,d vs salted $saltMax%,d " +
+      f"(${plainMax.toDouble / saltMax}%.1fx separation)")
+    assert(plainMax >= (n * 8) / 10, "hot key should pin one plain partition")
+    assert(saltMax <= n / 8, "salt should spread the hot key across reducers")
+
+    // (2) wall-clock separation on the join. Broadcast and AQE's skew-join
+    // rescue are disabled to isolate what the operator buys: AQE only
+    // rewrites bare sort-merge joins, and the cases saltedJoin exists for
+    // are the ones AQE cannot rewrite (exchange reuse into a same-key agg,
+    // streaming state, engines without runtime replan). The joined stage
+    // feeds a CPU-dense md5 projection — the typical shape downstream of a
+    // fact⋈dim join — so the pinned reducer's serial cost is the real cost
+    // of the rows it holds, not just a merge of presorted longs.
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqeBroadcast =
+      conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prevSkew = conf.get("spark.sql.adaptive.skewJoin.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // AQE re-plans sort-merge -> broadcast through its OWN threshold;
+      // leave either enabled and the "plain" join silently loses its hot
+      // reducer, which is exactly the stand-in for cases AQE can't rescue
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val heavy = md5(repeat(md5(concat_ws("|", col("k"), col("v"), col("w"))), 64))
+        .as("fp")
+      def plainJoin() = runRows(big.join(dim, "k").select(col("k"), heavy))
+      def saltedJoin() = runRows(graft.operators.Scale
+        .saltedJoin(big, dim, "k", col("v"), salt = S)
+        .select(col("k"), heavy))
+      assert(big.join(dim, "k").count() ===
+        graft.operators.Scale.saltedJoin(big, dim, "k", col("v"), salt = S).count(),
+        "salt must be semantics-invisible")
+      plainJoin(); saltedJoin() // codegen/JIT warm for both shapes
+      val (tPlain, _) = timed("hot-key join unsalted")(plainJoin())
+      val (tSalt, _) = timed("hot-key join salted")(saltedJoin())
+      info(f"salted join speedup under 90%% skew: ${tPlain / tSalt}%.2fx")
+      assert(tSalt < tPlain,
+        f"salting should beat the single-reducer join: $tPlain%.1f s vs $tSalt%.1f s")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      prevAqeBroadcast match {
+        case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None    => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+      conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
+    }
   }
 
   test("sequence packing scales linearly on a 10x corpus", SlowRehearsal) {
