@@ -153,7 +153,7 @@ object TextOps {
       else sh.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") > dfCap).select("s")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    Dedup.warnOnTrim("contamination", hot, dfCap)
+    if (dfCap > 0) Dedup.warnOnTrim("contamination", hot, dfCap)
     val rare = sh.join(broadcast(hot), Seq("s"), "left_anti")
     val sharedRare = rare.filter(col("split") === "test")
       .select(col("s"), col("doc_id").as("test_doc"))
@@ -238,18 +238,24 @@ object TextOps {
         terms.map(t => col(s"tf_$t")) :+ col("score"): _*)
   }
 
-  /** Sentence segmentation with stable offsets: one row per '. '-delimited
+  /** Sentence segmentation with stable offsets: one row per sentence-boundary
     * segment with its index and token count — the unit-of-text primitive for
-    * per-sentence filters and span labeling. The delimiter is a LITERAL
-    * period+space (not a regex sentence model) so both engines split
-    * identically; Spark's split keeps trailing empties like DuckDB's
-    * string_split (default limit -1), and empty segments are filtered in
-    * both. A pure explode — linear in corpus bytes, no shuffle. */
-  def segmentSentences(docs: DataFrame): DataFrame = {
+    * per-sentence filters and span labeling. A boundary is any character of
+    * `boundaryClass` (default `[.?!]` — period, question, exclamation)
+    * followed by one whitespace character; the class is a plain character
+    * class, not a sentence model, so Spark's Java regex and DuckDB's RE2
+    * split identically. Both engines keep trailing empties (Spark split
+    * default limit -1 ≡ DuckDB string_split_regex) and empty segments are
+    * filtered in both. A pure explode — linear in corpus bytes, no
+    * shuffle. */
+  def segmentSentences(docs: DataFrame,
+                       boundaryClass: String = "[.?!]"): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     Scale.fanOutScan(docs)
       .select(col("doc_id"),
-        posexplode(expr("split(text, '\\\\. ')")).as(Seq("sent_idx", "sentence")))
+        // SQL-level '\\s' reaches the regex engine as \s
+        posexplode(expr(s"split(text, '$boundaryClass\\\\s')"))
+          .as(Seq("sent_idx", "sentence")))
       .filter(col("sentence") =!= "")
       .withColumn("n_tokens", size(expr("graft_tokens(sentence)")))
       .select("doc_id", "sent_idx", "sentence", "n_tokens")
@@ -267,13 +273,20 @@ object TextOps {
                     defaultRate: Double = 0.0): DataFrame = {
     require(rates.values.forall(r => r >= 0 && r <= 1) &&
       defaultRate >= 0 && defaultRate <= 1, "rates must be in [0, 1]")
+    // Rates resolve to INTEGER bucket thresholds in units of 1/10000 before
+    // any engine sees them: comparing `bucket < rate * 10000` in floating
+    // point invites engines that evaluate the product differently (double
+    // here, exact DECIMAL in an oracle) to disagree on one boundary bucket.
+    // The rounding is driver-side Scala, so both dialects inherit the SAME
+    // integer and the comparison is int-vs-int everywhere.
+    def threshold(r: Double): Int = math.round(r * 10000).toInt
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    val rateCol = rates.toSeq.sortBy(_._1).foldRight(lit(defaultRate)) {
-      case ((src, r), els) => when(col("source") === src, lit(r)).otherwise(els)
+    val thrCol = rates.toSeq.sortBy(_._1).foldRight(lit(threshold(defaultRate))) {
+      case ((src, r), els) => when(col("source") === src, lit(threshold(r))).otherwise(els)
     }
     docs
-      .withColumn("__rate", rateCol)
-      .filter(expr(Portable.sampleBucketSpark("doc_id")) < col("__rate") * 10000)
+      .withColumn("__thr", thrCol)
+      .filter(expr(Portable.sampleBucketSpark("doc_id")) < col("__thr"))
       .select("doc_id", "source")
   }
 

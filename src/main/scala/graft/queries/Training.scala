@@ -50,11 +50,13 @@ object Training {
     "text_mixture_sample"    -> ((s, d) => TextOps.mixtureSample(Tables.documents(s, d), MixRates, MixDefault)),
     // the corpus has no sentence punctuation, so the gate CONSTRUCTS
     // boundaries deterministically (same pattern as the cleaning gates'
-    // dirt): doc text + a prefix echo + a constant tail = 3 segments/doc
+    // dirt): doc text + echoes behind '. ', '? ', and '! ' boundaries = 4
+    // segments/doc, exercising the whole [.?!] boundary class
     "text_sentences"         -> ((s, d) => TextOps.segmentSentences(
                                    Tables.documents(s, d).withColumn("text",
                                      org.apache.spark.sql.functions.expr(
-                                       "concat(text, '. ', substr(text, 1, 97), '. tail marker')")))),
+                                       "concat(text, '. ', substr(text, 1, 97), " +
+                                         "'? ', substr(text, 1, 31), '! tail marker')")))),
     "dedup_exact"            -> ((s, d) => Dedup.exactDupGroups(Tables.documents(s, d))),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, JaccardTau)),
     "dedup_components"       -> ((s, d) => Dedup.connectedComponents(
@@ -231,17 +233,24 @@ object Training {
        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
   }
 
-  /** Oracle twin of extractMeta(syntheticMedia(documents)): the header fields
-    * come straight from the doc_id arithmetic that built them, n_bytes is the
-    * 4-byte header plus the ASCII payload length, and the byte-wise decode
-    * checksum equals the codepoint-wise portable hash because the corpus is
-    * pure ASCII (strlen = length for every row — verified at both SFs). */
+  /** Oracle twin of extractMeta(syntheticMedia(documents)): Spark built a
+    * REAL container header (PNG/WAV/JPEG — [[Multimodal.syntheticMedia]])
+    * from doc_id arithmetic and must parse those bytes back; the oracle
+    * reproduces every decoded field from the same arithmetic. format must
+    * match what magic-byte sniffing found, n_bytes is the fixed per-format
+    * header length (PNG 33 = signature+IHDR chunk, WAV 44 = RIFF+fmt+data
+    * preamble, JPEG 39 = SOI+APP0+SOF0) plus the ASCII payload length, and
+    * the byte-wise payload checksum equals the codepoint-wise portable hash
+    * because the corpus is pure ASCII (strlen = length for every row —
+    * verified at both SFs). */
   private val multimodalMetaSql =
     s"""SELECT doc_id AS media_id,
        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END AS format,
        |  CAST((doc_id % 1024) + 16 AS INTEGER) AS width,
        |  CAST((doc_id % 768) + 16 AS INTEGER) AS height,
-       |  CAST(4 + strlen(text) AS BIGINT) AS n_bytes,
+       |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 33 WHEN 1 THEN 44 ELSE 39 END
+       |    + strlen(text) AS BIGINT) AS n_bytes,
        |  ${Portable.phashDuck("text")} AS checksum
        |FROM documents""".stripMargin
 
@@ -253,25 +262,31 @@ object Training {
        |ORDER BY tf DESC, term ASC LIMIT 50""".stripMargin
 
   /** Mirror of [[TextOps.mixtureSample]]: same sorted-CASE rate resolution,
-    * same salted sampling bucket, same strict-< comparison. */
+    * same salted sampling bucket, same strict-< comparison — against the
+    * same driver-rounded INTEGER thresholds (units of 1/10000), so neither
+    * engine ever multiplies a rate at query time. */
   private val mixtureSampleSql = {
+    def threshold(r: Double): Int = math.round(r * 10000).toInt
     val cases = MixRates.toSeq.sortBy(_._1)
-      .map { case (s, r) => s"WHEN source = '$s' THEN $r" }.mkString(" ")
+      .map { case (s, r) => s"WHEN source = '$s' THEN ${threshold(r)}" }.mkString(" ")
     s"""SELECT doc_id, source FROM documents
        |WHERE ${Portable.sampleBucketDuck("doc_id")} <
-       |  (CASE $cases ELSE $MixDefault END) * 10000""".stripMargin
+       |  (CASE $cases ELSE ${threshold(MixDefault)} END)""".stripMargin
   }
 
   /** Mirror of [[TextOps.segmentSentences]]: generate_subscripts and unnest
     * advance in lockstep in DuckDB, giving the same 0-based sentence index
-    * as Spark's posexplode. */
+    * as Spark's posexplode; string_split_regex splits on the same
+    * `[.?!]` + whitespace boundary class as Spark's split (plain character
+    * classes mean Java regex and RE2 agree). */
   private val sentencesSql =
     s"""WITH d AS (SELECT doc_id,
-       |  text || '. ' || substr(text, 1, 97) || '. tail marker' AS text
+       |  text || '. ' || substr(text, 1, 97) || '? ' || substr(text, 1, 31)
+       |    || '! tail marker' AS text
        |FROM documents),
        |e AS (SELECT doc_id,
-       |  generate_subscripts(string_split(text, '. '), 1) - 1 AS sent_idx,
-       |  unnest(string_split(text, '. ')) AS sentence FROM d)
+       |  generate_subscripts(string_split_regex(text, '[.?!]\\s'), 1) - 1 AS sent_idx,
+       |  unnest(string_split_regex(text, '[.?!]\\s')) AS sentence FROM d)
        |SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx, sentence,
        |  CAST(len(${Portable.tokensDuck("sentence")}) AS INT) AS n_tokens
        |FROM e WHERE sentence <> ''""".stripMargin

@@ -1,5 +1,6 @@
 package graft
 
+import java.nio.{ByteBuffer, ByteOrder}
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.Row
 import graft.operators.Multimodal
@@ -7,26 +8,99 @@ import graft.operators.Multimodal
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  // real container headers, built independently of syntheticMedia's SQL
+  private def png(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(33).order(ByteOrder.BIG_ENDIAN)
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+    b.put(Array[Byte](8, 6, 0, 0, 0)).putInt(0) // bit depth..interlace, CRC
+    b.array() ++ payload
+  }
+  private def jpeg(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(39).order(ByteOrder.BIG_ENDIAN)
+    b.put(Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)).putShort(16)
+    b.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    b.put(Array[Byte](1, 1, 0)).putShort(1).putShort(1).put(Array[Byte](0, 0))
+    b.put(Array(0xff, 0xc0).map(_.toByte)).putShort(17).put(8.toByte)
+    b.putShort(h.toShort).putShort(w.toShort)
+    b.put(3.toByte).put(Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    b.array() ++ payload
+  }
+  private def wav(rate: Int, channels: Int, payload: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + payload.length)
+    b.put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+    b.putInt(16).putShort(1).putShort(channels.toShort).putInt(rate)
+    b.putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(payload.length)
+    b.array() ++ payload
+  }
+
   private def media() = {
-    def fake(w: Int, h: Int, payload: Array[Byte]): Array[Byte] =
-      Array((w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte) ++ payload
     val rows = Seq(
-      Row(1L, "image", fake(640, 480, Array.tabulate(32)(_.toByte))),
-      Row(2L, "image", fake(64, 64, Array.tabulate(8)(i => (i * 3).toByte))),
-      Row(3L, "video", fake(1280, 720, Array.tabulate(512)(i => (i % 251).toByte))))
+      Row(1L, "image", png(640, 480, Array.tabulate(32)(_.toByte))),
+      Row(2L, "audio", wav(44100, 2, Array.tabulate(8)(i => (i * 3).toByte))),
+      Row(3L, "video", jpeg(1280, 720, Array.tabulate(512)(i => (i % 251).toByte))))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
   }
 
-  test("extractMeta decodes width/height and deterministic checksum") {
+  test("parseHeader reads PNG/JPEG dims and WAV fmt at spec offsets") {
+    val p = Multimodal.parseHeader(png(2000, 1125, Array[Byte](1, 2)))
+    assert(p == Multimodal.MediaHeader("png", 2000, 1125, 33))
+    val j = Multimodal.parseHeader(jpeg(4096, 2160, Array.emptyByteArray))
+    assert(j == Multimodal.MediaHeader("jpeg", 4096, 2160, 39))
+    val a = Multimodal.parseHeader(wav(16000, 1, Array[Byte](9)))
+    assert(a == Multimodal.MediaHeader("wav", 16000, 1, 44))
+  }
+
+  test("parseHeader degrades on unknown or truncated content, never throws") {
+    assert(Multimodal.parseHeader("not media".getBytes) ==
+      Multimodal.MediaHeader("unknown", 0, 0, 0))
+    assert(Multimodal.parseHeader(Array.emptyByteArray) ==
+      Multimodal.MediaHeader("unknown", 0, 0, 0))
+    // SOI but no SOF segment: jpeg with no dims rather than a crash
+    val j = Multimodal.parseHeader(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte))
+    assert(j.format == "jpeg" && j.width == 0 && j.height == 0)
+    // PNG signature but truncated before IHDR completes
+    assert(Multimodal.parseHeader(png(1, 1, Array.emptyByteArray).take(20))
+      .format == "unknown")
+  }
+
+  test("extractMeta sniffs format and decodes dims + deterministic checksum") {
     val m = Multimodal.extractMeta(media()).collect()
       .map(r => r.getLong(0) -> r).toMap
-    assert(m(1L).getInt(2) == 640 && m(1L).getInt(3) == 480)
-    assert(m(3L).getInt(2) == 1280 && m(3L).getInt(3) == 720)
-    // checksum is stable across runs
+    assert(m(1L).getString(2) == "png" && m(1L).getInt(3) == 640 && m(1L).getInt(4) == 480)
+    assert(m(2L).getString(2) == "wav" && m(2L).getInt(3) == 44100 && m(2L).getInt(4) == 2)
+    assert(m(3L).getString(2) == "jpeg" && m(3L).getInt(3) == 1280 && m(3L).getInt(4) == 720)
+    // checksum covers the payload only and is stable across runs
+    val expect1 = Multimodal.payloadChecksum(
+      png(640, 480, Array.tabulate(32)(_.toByte)), 33)
+    assert(m(1L).getLong(6) == expect1)
     val again = Multimodal.extractMeta(media()).collect()
-      .map(r => r.getLong(0) -> r.getLong(5)).toMap
-    m.foreach { case (id, r) => assert(again(id) == r.getLong(5)) }
+      .map(r => r.getLong(0) -> r.getLong(6)).toMap
+    m.foreach { case (id, r) => assert(again(id) == r.getLong(6)) }
+  }
+
+  test("syntheticMedia bytes parse back to the arithmetic header fields") {
+    import spark.implicits._
+    val docs = Seq((300L, "alpha beta gamma"), (301L, "delta"), (302L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    val meta = Multimodal.extractMeta(Multimodal.syntheticMedia(docs)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    Seq(300L -> "png", 301L -> "wav", 302L -> "jpeg").foreach { case (id, fmt) =>
+      val r = meta(id)
+      assert(r.getString(2) == fmt, s"doc $id format")
+      assert(r.getInt(3) == (id % 1024 + 16).toInt, s"doc $id width")
+      assert(r.getInt(4) == (id % 768 + 16).toInt, s"doc $id height")
+    }
+    val hdrLen = Map(300L -> 33, 301L -> 44, 302L -> 39)
+    Seq("alpha beta gamma" -> 300L, "delta" -> 301L, "epsilon zeta" -> 302L)
+      .foreach { case (text, id) =>
+        assert(meta(id).getLong(5) == hdrLen(id) + text.length, s"doc $id n_bytes")
+        assert(meta(id).getLong(6) ==
+          Multimodal.payloadChecksum(text.getBytes("US-ASCII"), 0), s"doc $id checksum")
+      }
   }
 
   test("featurize emits fixed-dim float vectors") {
