@@ -15,7 +15,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // 46 queries x several codegen stages each blows through the default
+      // 60+ queries x several codegen stages each blows through the default
       // 100-entry janino cache, so warmup runs stop paying off (iterative
       // queries recompile every round, every run)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
@@ -70,20 +70,29 @@ object Bench {
       }
       val stolen = stealJiffies() - s0
       if (stolen > 0) System.err.println(s"[bench] $name: $stolen steal jiffies during runs")
-      // Judge from the fastest three ONLY when the host accounted steal during
-      // this query's window — discarding slow samples is justified exactly when
-      // the slowness is provably external. Without steal evidence a slow run
-      // may be the query's own behavior (GC pressure, AQE plan flip, bimodal
-      // cache effects) and must stay in the judged set.
+      // Judge from the fastest three ONLY when the host accounted ENOUGH
+      // steal during this query's window to plausibly explain the excess —
+      // discarding slow samples is justified exactly when the slowness is
+      // provably external. On this chronically noisy host steal is rarely
+      // zero, so "any steal at all" would discard genuine slow runs (GC
+      // pressure, AQE plan flip, bimodal cache effects) and mask
+      // regressions; instead require the accounted steal CPU-time (jiffies
+      // are 10 ms of one CPU) to cover at least a quarter of the dropped
+      // samples' wall-clock excess over the fastest run.
       val judged =
         if (runs.isEmpty) runs
-        else if (stolen > 0) {
+        else {
           val dropped = runs.drop(3)
-          if (dropped.nonEmpty) System.err.println(
-            f"[bench] $name: dropping ${dropped.length} slow sample(s) " +
-              f"${dropped.map(d => f"$d%.2f").mkString(", ")} s ($stolen steal jiffies)")
-          runs.take(3)
-        } else runs
+          val excess = dropped.map(_ - runs.head).sum
+          if (dropped.nonEmpty && stolen * 0.01 >= 0.25 * excess) {
+            System.err.println(
+              f"[bench] $name: dropping ${dropped.length} slow sample(s) " +
+                f"${dropped.map(d => f"$d%.2f").mkString(", ")} s " +
+                f"($stolen steal jiffies covers ${stolen * 0.01}%.2f s " +
+                f"of $excess%.2f s excess)")
+            runs.take(3)
+          } else runs
+        }
       // median (lower middle on even counts — length/2 would pick the max of
       // two and bias partially-failing queries upward); failures report -1,
       // never a misleading near-zero timing

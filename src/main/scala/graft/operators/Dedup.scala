@@ -36,9 +36,18 @@ object Dedup {
 
   /** Counts the (persisted, broadcast-sized) hot-shingle list and logs when
     * the df-cap actually trims: recall loss at the contract edge (a pair
-    * sharing ONLY above-the-cap shingles) must leave a runtime signal. The
-    * count is one aggregate over an already-persisted frame — the list is
-    * consumed twice downstream anyway, so materializing it here is free. */
+    * sharing ONLY above-the-cap shingles) must leave a runtime signal.
+    *
+    * CONTRACT NOTE for callers of the operators that use this
+    * ([[ngramJaccardPairs]], [[graft.operators.TextOps.contamination]]):
+    * CONSTRUCTING those DataFrames runs Spark jobs (shingling the corpus to
+    * materialize the hot list) — the count here doubles as the
+    * materialization of a persisted frame both downstream consumers reuse,
+    * so the work is not wasted, but it is EAGER. The persisted intermediates
+    * (shingle rows, hot list) stay cached for the returned plan's lifetime;
+    * callers drop them afterwards via `spark.catalog.clearCache()` (what
+    * Verify/Bench do between queries). When `dfCap <= 0` the guard is
+    * disabled and this is never called — construction stays lazy. */
   private[operators] def warnOnTrim(op: String, hot: DataFrame, dfCap: Int): Unit = {
     val nHot = hot.count()
     if (nHot > 0) log.warn(
@@ -123,7 +132,7 @@ object Dedup {
       else sh.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") > dfCap).select("s")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    warnOnTrim("ngramJaccardPairs", hot, dfCap)
+    if (dfCap > 0) warnOnTrim("ngramJaccardPairs", hot, dfCap)
     val rare = sh.join(broadcast(hot), Seq("s"), "left_anti")
     val interRare = rare.as("a").join(rare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
