@@ -46,10 +46,17 @@ object StreamPipeline {
     * micro-batch, and MERGE the result into a lake table by key — late files
     * carrying newer versions of existing rows land as key-scoped upserts
     * ([[graft.lake.TableFormat.upsert]]'s atomic snapshot flip), not
-    * duplicate appends. Checkpoint gives per-file exactly-once; the lake's
-    * versioned snapshots make each micro-batch commit atomic for readers.
-    * This is the streaming form of the reference's load -> silver -> MERGE
-    * procedure chain (the silver/spark_procedures SQL keep-latest semantics). */
+    * duplicate appends. Delivery is EFFECTIVELY-once, not exactly-once:
+    * `foreachBatch` is at-least-once across checkpoint recovery (a batch
+    * whose upsert committed but whose checkpoint offset didn't is replayed),
+    * and the replay converges only because the keyed upsert is idempotent —
+    * which REQUIRES `transform` to be deterministic. A transform stamping
+    * wall-clock time or generating random ids would rewrite replayed rows
+    * with different values; derive any stamp from the input (or take it as a
+    * parameter) instead. The lake's versioned snapshots make each
+    * micro-batch commit atomic for readers. This is the streaming form of
+    * the reference's load -> silver -> MERGE procedure chain (the
+    * silver/spark_procedures SQL keep-latest semantics). */
   def silverUpsertInbox(spark: SparkSession, inbox: String, schema: StructType,
                         transform: DataFrame => DataFrame,
                         lake: graft.lake.TableFormat, table: String,

@@ -64,4 +64,46 @@ class StreamSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rows == Map(1L -> "alice", 2L -> "robert", 3L -> "carol"))
   }
+
+  test("continuous medallion survives lake maintenance between drains") {
+    // the production interaction most likely to corrupt a continuous
+    // pipeline: compaction + snapshot expiry rewrite the table OUT FROM
+    // UNDER a checkpointed stream, then the stream restarts and must still
+    // merge (not duplicate, not resurrect expired state)
+    val root = Files.createTempDirectory("graft-stream-maint")
+    val inbox = root.resolve("inbox"); Files.createDirectories(inbox)
+    val ckpt = root.resolve("ckpt").toString
+    val lake = new graft.lake.ParquetDirFormat(root.resolve("lake").toString)
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("name", StringType)))
+    def silver(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id").cast("bigint").as("id"),
+        graft.operators.Cleaning.protocol(col("name")).as("name"))
+    def drain(): Unit = StreamPipeline.runAvailableNow(
+      StreamPipeline.silverUpsertInbox(
+        spark, inbox.toString, schema, silver, lake, "t", Seq("id"), ckpt))
+
+    // two drains so the lake accumulates multiple snapshots + file sets
+    Files.write(inbox.resolve("b1.csv"), "id,name\n1,alice\n2,bob\n".getBytes)
+    drain()
+    Files.write(inbox.resolve("b2.csv"), "id,name\n2,robert\n3,carol\n".getBytes)
+    drain()
+
+    // maintenance window: compact rewrites the live snapshot, expiry deletes
+    // every older version the stream's past commits produced
+    lake.compact(spark, "t")
+    val expired = lake.expireSnapshots("t")
+    assert(expired.nonEmpty, "maintenance should have reclaimed old snapshots")
+    assert(lake.versions("t").size == 1)
+
+    // stream restarts from its checkpoint against the rewritten table: the
+    // new file must land as a merge on the compacted state
+    Files.write(inbox.resolve("b3.csv"), "id,name\n3,carole\n4,dan\n".getBytes)
+    drain()
+    val rows = lake.read(spark, "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "alice", 2L -> "robert", 3L -> "carole", 4L -> "dan"))
+    // no duplicate keys survived the compact/expire/restart cycle
+    assert(lake.read(spark, "t").count() == 4)
+  }
 }
