@@ -156,19 +156,9 @@ object Similarity {
                   nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val e = withNorm(emb)
-    val stats = emb.agg(greatest(
-      (count(lit(1)) / nCentroids).cast("long"), lit(1L)).as("stride"))
-    val centroids = emb.crossJoin(broadcast(stats))
-      .filter(col("vec_id") % col("stride") === 0 &&
-        expr("vec_id div stride") < nCentroids)
-      .select(expr("vec_id div stride").as("cell"), col("embedding").as("emb_c"))
+    val centroids = ivfCentroids(emb, nCentroids)
     val v = Scale.fanOutScan(emb).select(col("vec_id"), col("embedding").as("emb_v"))
-    val dist = expr(
-      "(graft_dot(emb_v, emb_v) + graft_dot(emb_c, emb_c)) - CAST(2 AS DOUBLE) * graft_dot(emb_v, emb_c)")
-    val ranked = v.crossJoin(broadcast(centroids))
-      .withColumn("dist", dist)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cell").asc)))
+    val ranked = ivfRankCells(v, centroids)
     val assigned = ranked.filter(col("rn") === 1).select("vec_id", "cell")
     val qCells = ranked.filter(col("vec_id") < nQueries && col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("cell"))
@@ -177,6 +167,77 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
     rerank(e, cand, k)
+  }
+
+  /** Deterministic stride-sampled coarse centroids (cell, emb_c) — the
+    * oracle-checkable quantizer [[ivfFlatTopK]] and [[buildIvfIndex]]
+    * share. */
+  private[operators] def ivfCentroids(emb: DataFrame, nCentroids: Int): DataFrame = {
+    val stats = emb.agg(greatest(
+      (count(lit(1)) / nCentroids).cast("long"), lit(1L)).as("stride"))
+    emb.crossJoin(broadcast(stats))
+      .filter(col("vec_id") % col("stride") === 0 &&
+        expr("vec_id div stride") < nCentroids)
+      .select(expr("vec_id div stride").as("cell"), col("embedding").as("emb_c"))
+  }
+
+  /** Rank every (vector, cell) pair by exact L2 through the fixed-order
+    * graft_dot chain, ties to the lowest cell — shared by corpus assignment
+    * (rn = 1) and query probing (rn <= nProbe), so the served index path is
+    * bitwise-identical to the in-memory one. */
+  private[operators] def ivfRankCells(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val dist = expr(
+      "(graft_dot(emb_v, emb_v) + graft_dot(emb_c, emb_c)) - CAST(2 AS DOUBLE) * graft_dot(emb_v, emb_c)")
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cell").asc)))
+  }
+
+  /** Build an IVF index as a MATERIALIZED lake artifact: centroid + cell
+    * assignment tables under `prefix` in `lake` — the build-once/serve-many
+    * shape ([[buildPqIndex]]'s rationale) for the inverted-file layout. The
+    * assignment table is the cell-partitionable scan set; the centroid table
+    * is nCentroids rows. Rebuilding overwrites (new lake snapshot). */
+  def buildIvfIndex(emb: DataFrame, lake: graft.lake.ParquetDirFormat,
+                    prefix: String = "ivf", nCentroids: Int = 16): Unit = {
+    GraftFunctions.register(emb.sparkSession)
+    val centroids = ivfCentroids(emb, nCentroids)
+    val v = Scale.fanOutScan(emb).select(col("vec_id"), col("embedding").as("emb_v"))
+    val assigned = ivfRankCells(v, centroids)
+      .filter(col("rn") === 1).select("vec_id", "cell")
+    def put(df: DataFrame, t: String): Unit =
+      if (lake.exists(t)) lake.overwrite(df, t) else lake.create(df, t)
+    put(centroids, s"${prefix}_centroids")
+    put(assigned, s"${prefix}_assign")
+  }
+
+  /** Serve ANN top-k from a PERSISTED IVF index (see [[buildIvfIndex]]):
+    * only the nQueries query vectors rank against the read-back centroids;
+    * candidates come from the persisted assignment table's probed cells and
+    * exact cosine re-ranks them from full precision (point lookups on a
+    * cluster). Query cost is independent of index build cost — no corpus
+    * assignment pass at query time. Parquet round-trips float arrays and
+    * cell ids exactly, so the result is bitwise-identical to
+    * [[ivfFlatTopK]] on the same corpus. */
+  def queryIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                    lake: graft.lake.ParquetDirFormat, emb: DataFrame,
+                    prefix: String = "ivf", nQueries: Int = 20, k: Int = 10,
+                    nProbe: Int = 4): DataFrame = {
+    GraftFunctions.register(spark)
+    val centroids = lake.read(spark, s"${prefix}_centroids")
+    require(centroids.columns.contains("emb_c"),
+      s"no emb_c column in ${prefix}_centroids — not an IVF index")
+    val assigned = lake.read(spark, s"${prefix}_assign")
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding").as("emb_v"))
+    val qCells = ivfRankCells(q, centroids).filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = assigned.join(broadcast(qCells), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    rerank(withNorm(emb), cand, k)
   }
 
   /** Product-quantization ANN — the MEMORY-bound scale path: each vector is

@@ -75,20 +75,24 @@ object Training {
     "ann_ivf_topk"           -> ((s, d) => Similarity.ivfFlatTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_pq_topk"            -> ((s, d) => Similarity.pqAnnTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_pq_index_topk"      -> ((s, d) => Similarity.queryPqIndex(
-                                   s, pqIndexLake(s, d), Tables.embeddings(s, d), "pq", NQueries, TopK)))
+                                   s, indexLake(s, d), Tables.embeddings(s, d), "pq", NQueries, TopK)),
+    "ann_ivf_index_topk"     -> ((s, d) => Similarity.queryIvfIndex(
+                                   s, indexLake(s, d), Tables.embeddings(s, d), "ivf", NQueries, TopK)))
 
-  /** One persisted PQ index per source dir (built on first use, then SERVED):
-    * the gate's query path reads codebook+codes back from the lake every call,
-    * so Verify hash-checks the full write→read-back→query round trip while
-    * Bench times what production times — serving from a prebuilt index, not
-    * rebuilding it per query. Thread-safe: Verify/Bench run queries
-    * sequentially, but keep the map synchronized for safety. */
-  private val pqIndexRoots = scala.collection.concurrent.TrieMap.empty[String, graft.lake.ParquetDirFormat]
-  private def pqIndexLake(s: SparkSession, d: String): graft.lake.ParquetDirFormat =
-    pqIndexRoots.getOrElseUpdate(d, {
-      val root = java.nio.file.Files.createTempDirectory("graft_pq_index_").toString
+  /** One persisted ANN index set (PQ + IVF) per source dir (built on first
+    * use, then SERVED): the gates' query paths read the index tables back
+    * from the lake every call, so Verify hash-checks the full
+    * write→read-back→query round trip while Bench times what production
+    * times — serving from a prebuilt index, not rebuilding it per query.
+    * Thread-safe: Verify/Bench run queries sequentially, but keep the map
+    * synchronized for safety. */
+  private val indexRoots = scala.collection.concurrent.TrieMap.empty[String, graft.lake.ParquetDirFormat]
+  private def indexLake(s: SparkSession, d: String): graft.lake.ParquetDirFormat =
+    indexRoots.getOrElseUpdate(d, {
+      val root = java.nio.file.Files.createTempDirectory("graft_ann_index_").toString
       val lake = new graft.lake.ParquetDirFormat(root)
       Similarity.buildPqIndex(Tables.embeddings(s, d), lake)
+      Similarity.buildIvfIndex(Tables.embeddings(s, d), lake)
       lake
     })
 
@@ -508,6 +512,8 @@ object Training {
     "ann_pq_index_topk"      -> annPqSql,
     "ann_lsh_topk"           -> annLshSql,
     "ann_ivf_topk"           -> annIvfSql,
+    // same principle: served-from-lake IVF must equal the in-memory pipeline
+    "ann_ivf_index_topk"     -> annIvfSql,
     "text_token_stats"       -> tokenStatsSql,
     "text_language_id"       -> languageIdSql,
     "text_quality_score"     -> qualityScoreSql,

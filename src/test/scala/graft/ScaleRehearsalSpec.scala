@@ -161,6 +161,34 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(served.exceptAll(mem).isEmpty && mem.exceptAll(served).isEmpty)
   }
 
+  test("persisted IVF index: query cost is independent of build cost", SlowRehearsal) {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val big = copies(emb, 10, Seq("vec_id"))
+    val root = Files.createTempDirectory("graft-rehearsal-ivfindex")
+    val lake = new graft.lake.ParquetDirFormat(root.toString)
+    val (tBuild, _) = timed("ivf index build 10x") {
+      graft.operators.Similarity.buildIvfIndex(big, lake); 1L
+    }
+    def query(): Long =
+      runRows(graft.operators.Similarity.queryIvfIndex(spark, lake, big, "ivf", 20, 10))
+    val (tQ1, n1) = timed("ivf index query (cold)")(query())
+    val (tQ2, n2) = timed("ivf index query (warm)")(query())
+    val (tFull, nF) = timed("ivf rebuild-per-query") {
+      runRows(graft.operators.Similarity.ivfFlatTopK(big, 20, 10))
+    }
+    assert(n1 == 200 && n2 == 200 && nF == 200)
+    // serving must skip the full-corpus cell-assignment pass a bare
+    // ivfFlatTopK call repeats: only the 20 query vectors rank against the
+    // read-back centroids, candidates come from the persisted assignments
+    val tQ = math.min(tQ1, tQ2)
+    assert(tQ < tFull,
+      f"served query ($tQ%.1f s) should undercut rebuild-per-query ($tFull%.1f s)")
+    // and the round trip equals the in-memory pipeline bit-for-bit
+    val mem = graft.operators.Similarity.ivfFlatTopK(big, 20, 10)
+    val served = graft.operators.Similarity.queryIvfIndex(spark, lake, big, "ivf", 20, 10)
+    assert(served.exceptAll(mem).isEmpty && mem.exceptAll(served).isEmpty)
+  }
+
   test("salted join separates a hot key: partition sizes and wall clock", SlowRehearsal) {
     // hot-key corpus: 90% of 2M fact rows carry key 0, the rest spread over
     // 10k keys — the one-customer-holds-the-feed shape that pins a reducer.
