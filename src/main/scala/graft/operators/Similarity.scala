@@ -130,11 +130,49 @@ object Similarity {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val qb = bk.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
-    val cand = bk.join(broadcast(qb), Seq("table", "bucket"))
+    rerank(e, lshCandidates(bk, qb), k)
+  }
+
+  /** (table, bucket) equi-join of the corpus bucket table against the query
+    * buckets — the candidate generator [[lshAnnTopK]] and [[queryLshIndex]]
+    * share, so the served path is identical by construction. */
+  private def lshCandidates(bk: DataFrame, qb: DataFrame): DataFrame =
+    bk.join(broadcast(qb), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
-    rerank(e, cand, k)
+
+  /** Build an LSH index as a MATERIALIZED lake artifact: the exploded
+    * (vec_id, table, bucket) table under `prefix` in `lake` — completing the
+    * build-once/serve-many trilogy with [[buildPqIndex]]/[[buildIvfIndex]].
+    * nTables/nBits are baked into the persisted buckets; the hyperplanes are
+    * a deterministic function of (table, bit), so serve-time bucketing of
+    * query vectors reproduces the same hashes with no stored planes. */
+  def buildLshIndex(emb: DataFrame, lake: graft.lake.ParquetDirFormat,
+                    prefix: String = "lsh", nTables: Int = 16, nBits: Int = 4): Unit = {
+    val bk = lshBuckets(emb, nTables, nBits).drop("embedding")
+    def put(df: DataFrame, t: String): Unit =
+      if (lake.exists(t)) lake.overwrite(df, t) else lake.create(df, t)
+    put(bk, s"${prefix}_buckets")
+  }
+
+  /** Serve ANN top-k from a PERSISTED LSH index (see [[buildLshIndex]]):
+    * only the nQueries query vectors are bucketed at serve time (the
+    * deterministic hyperplanes regenerate from seeds); candidates come from
+    * the persisted bucket table and exact cosine re-ranks them from full
+    * precision. nTables/nBits must match the build (the bucketing is seeded
+    * per table, so a mismatch yields empty joins rather than wrong
+    * neighbors). Bitwise-identical to [[lshAnnTopK]] on the same corpus. */
+  def queryLshIndex(spark: org.apache.spark.sql.SparkSession,
+                    lake: graft.lake.ParquetDirFormat, emb: DataFrame,
+                    prefix: String = "lsh", nQueries: Int = 20, k: Int = 10,
+                    nTables: Int = 16, nBits: Int = 4): DataFrame = {
+    val bk = lake.read(spark, s"${prefix}_buckets")
+    require(bk.columns.contains("bucket"),
+      s"no bucket column in ${prefix}_buckets — not an LSH index")
+    val qb = lshBuckets(emb.filter(col("vec_id") < nQueries), nTables, nBits)
+      .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
+    rerank(withNorm(emb), lshCandidates(bk, qb), k)
   }
 
   /** Deterministic IVF-flat ANN — the oracle-checkable coarse quantizer.

@@ -77,9 +77,11 @@ object Training {
     "ann_pq_index_topk"      -> ((s, d) => Similarity.queryPqIndex(
                                    s, indexLake(s, d), Tables.embeddings(s, d), "pq", NQueries, TopK)),
     "ann_ivf_index_topk"     -> ((s, d) => Similarity.queryIvfIndex(
-                                   s, indexLake(s, d), Tables.embeddings(s, d), "ivf", NQueries, TopK)))
+                                   s, indexLake(s, d), Tables.embeddings(s, d), "ivf", NQueries, TopK)),
+    "ann_lsh_index_topk"     -> ((s, d) => Similarity.queryLshIndex(
+                                   s, indexLake(s, d), Tables.embeddings(s, d), "lsh", NQueries, TopK)))
 
-  /** One persisted ANN index set (PQ + IVF) per source dir (built on first
+  /** One persisted ANN index set (PQ + IVF + LSH) per source dir (built on first
     * use, then SERVED): the gates' query paths read the index tables back
     * from the lake every call, so Verify hash-checks the full
     * write→read-back→query round trip while Bench times what production
@@ -93,6 +95,7 @@ object Training {
       val lake = new graft.lake.ParquetDirFormat(root)
       Similarity.buildPqIndex(Tables.embeddings(s, d), lake)
       Similarity.buildIvfIndex(Tables.embeddings(s, d), lake)
+      Similarity.buildLshIndex(Tables.embeddings(s, d), lake)
       lake
     })
 
@@ -512,8 +515,9 @@ object Training {
     "ann_pq_index_topk"      -> annPqSql,
     "ann_lsh_topk"           -> annLshSql,
     "ann_ivf_topk"           -> annIvfSql,
-    // same principle: served-from-lake IVF must equal the in-memory pipeline
+    // same principle: served-from-lake IVF/LSH must equal the in-memory pipelines
     "ann_ivf_index_topk"     -> annIvfSql,
+    "ann_lsh_index_topk"     -> annLshSql,
     "text_token_stats"       -> tokenStatsSql,
     "text_language_id"       -> languageIdSql,
     "text_quality_score"     -> qualityScoreSql,

@@ -83,6 +83,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall was $recall")
   }
 
+  test("LSH index round trip serves results identical to the in-memory path") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lsh-index")
+    val lake = new graft.lake.ParquetDirFormat(root.toString)
+    Similarity.buildLshIndex(emb, lake)
+    val served = Similarity.queryLshIndex(spark, lake, emb, "lsh", 10, 10)
+    val mem = Similarity.lshAnnTopK(emb, nQueries = 10, k = 10)
+    assert(served.exceptAll(mem).isEmpty && mem.exceptAll(served).isEmpty)
+    // rebuilding over an existing index overwrites, not appends
+    Similarity.buildLshIndex(emb, lake)
+    val again = Similarity.queryLshIndex(spark, lake, emb, "lsh", 10, 10)
+    assert(again.count() == mem.count())
+  }
+
   test("PQ ANN recall@10 against exact L2 brute force") {
     // PQ ranks by (approximate) squared L2, so the honest reference is the
     // exact L2 top-k, computed driver-side on the (tiny) test table
