@@ -169,13 +169,52 @@ object Clean {
        |  strftime(parsed_date, '%Y-%m-%d') AS std_date
        |FROM q""".stripMargin
 
+  // ---- fuzzy join ----------------------------------------------------------
+
+  /** Fuzzy-join gate corpus: the clean side derives an 8-hex-char identifier
+    * per document (md5 of doc_id — varied strings, so bigram blocking is
+    * exercised for real, unlike the constant-prefix TPC-H names); the dirty
+    * side deletes one character at a doc_id-determined position. The join
+    * must link every dirty id back to its source at distance 1 (plus any
+    * coincidental <= 1 pairs — both engines report the same set). */
+  def fuzzyJoinIds(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val id8 = "substring(md5(CAST(doc_id AS STRING)), 1, 8)"
+    val clean = docs.select(col("doc_id").as("cid"), expr(id8).as("cs"))
+    val dirty = docs.select(col("doc_id").as("did"),
+      expr(s"concat(substring($id8, 1, CAST(doc_id % 8 AS INT)), " +
+        s"substring($id8, CAST(doc_id % 8 AS INT) + 2))").as("ds"))
+    graft.operators.FuzzyJoin.fuzzyJoin(clean, dirty, "cid", "cs", "did", "ds",
+      maxDist = 1)
+  }
+
+  /** Mirror of [[graft.operators.FuzzyJoin.fuzzyJoin]] over the same
+    * construction: identical bigram blocking (so the oracle is tractable at
+    * sf0.1 too), identical length band, identical levenshtein verify. */
+  private val fuzzyJoinSql =
+    """WITH c AS (SELECT doc_id AS id_a,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS s_a FROM documents),
+      |d0 AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS s,
+      |    CAST(doc_id % 8 AS INT) AS p0 FROM documents),
+      |d AS (SELECT doc_id AS id_b, substr(s, 1, p0) || substr(s, p0 + 2) AS s_b FROM d0),
+      |ca AS (SELECT id_a, s_a, unnest(list_distinct(list_transform(
+      |    generate_series(1, length(s_a) - 1), i -> substr(s_a, i, 2)))) AS bg FROM c),
+      |cb AS (SELECT id_b, s_b, unnest(list_distinct(list_transform(
+      |    generate_series(1, length(s_b) - 1), i -> substr(s_b, i, 2)))) AS bg FROM d),
+      |cand AS (SELECT DISTINCT id_a, s_a, id_b, s_b FROM ca JOIN cb USING (bg)
+      |  WHERE abs(length(s_a) - length(s_b)) <= 1)
+      |SELECT id_a, id_b, s_a, s_b, CAST(levenshtein(s_a, s_b) AS INT) AS dist
+      |FROM cand WHERE levenshtein(s_a, s_b) <= 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "clean_customer_pipeline" -> (customerPipeline _),
     "clean_currency_extract"  -> (currencyExtract _),
-    "clean_dates_multiformat" -> (datesMultiformat _))
+    "clean_dates_multiformat" -> (datesMultiformat _),
+    "clean_fuzzy_join"        -> (fuzzyJoinIds _))
 
   val oracle: Map[String, String] = Map(
     "clean_customer_pipeline" -> customerPipelineSql,
     "clean_currency_extract"  -> currencyExtractSql,
-    "clean_dates_multiformat" -> datesMultiformatSql)
+    "clean_dates_multiformat" -> datesMultiformatSql,
+    "clean_fuzzy_join"        -> fuzzyJoinSql)
 }
