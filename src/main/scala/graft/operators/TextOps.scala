@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.Portable
 
 /** Text-analysis operators for a training-data pipeline: token statistics,
@@ -288,6 +289,49 @@ object TextOps {
       .withColumn("__thr", thrCol)
       .filter(expr(Portable.sampleBucketSpark("doc_id")) < col("__thr"))
       .select("doc_id", "source")
+  }
+
+  /** Repetition-based quality signals (the Gopher-style filters — Rae et
+    * al., "Scaling Language Models: ... Gopher", arXiv 2112.11446 §A1.1,
+    * public paper): per document, the duplicate-token fraction, the most
+    * frequent token's share, and the most frequent word-bigram's share —
+    * machine-generated and boilerplate text tips these long before a human
+    * reads it. `is_repetitive` applies the thresholds.
+    *
+    * Scale shape: explode + TWO-LEVEL hash aggregation — (doc, term) partial
+    * counts combine map-side, then one |vocab-per-doc|-sized per-doc
+    * aggregate; no window, no sort, no per-doc collect. The bigram pass
+    * reuses the same shape on zip_with-adjacent pairs. At 100 TB both
+    * shuffles carry distinct-term rows, not token occurrences. */
+  def repetitionScore(docs: DataFrame,
+                      topTokenMax: Double = 0.2,
+                      topBigramMax: Double = 0.18): DataFrame = {
+    val toks = withToks(docs).select(col("doc_id"), col("toks"))
+      .filter(size(col("toks")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def topShare(exploded: DataFrame, out: String): DataFrame =
+      exploded.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id").agg(
+          sum(col("tf")).as(s"__n_$out"),
+          count(lit(1)).as(s"__d_$out"),
+          max(col("tf")).as(s"__top_$out"))
+    val uni = topShare(toks.select(col("doc_id"), explode(col("toks")).as("t")), "uni")
+    val bi = topShare(toks
+      .filter(size(col("toks")) > 1)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), " +
+          "(a, b) -> concat(a, ' ', b))")).as("t")), "bi")
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("__n_uni").cast("bigint").as("n_tokens"),
+        ((col("__n_uni") - col("__d_uni")).cast("double") / col("__n_uni"))
+          .as("dup_token_frac"),
+        (col("__top_uni").cast("double") / col("__n_uni")).as("top_token_frac"),
+        coalesce(col("__top_bi").cast("double") / col("__n_bi"), lit(0.0))
+          .as("top_bigram_frac"))
+      .withColumn("is_repetitive",
+        col("top_token_frac") > topTokenMax || col("top_bigram_frac") > topBigramMax)
   }
 
   /** Corpus vocabulary heavy hitters: the `k` most frequent terms with their

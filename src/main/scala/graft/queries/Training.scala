@@ -48,6 +48,12 @@ object Training {
     "text_pack_sequences"    -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
     "text_heavy_hitters"     -> ((s, d) => TextOps.heavyHitterTerms(Tables.documents(s, d))),
     "text_mixture_sample"    -> ((s, d) => TextOps.mixtureSample(Tables.documents(s, d), MixRates, MixDefault)),
+    // every 7th doc gets a 30-token spam run appended, so the repetition
+    // thresholds trip on constructed dirt while clean docs stay under them
+    "text_repetition"        -> ((s, d) => TextOps.repetitionScore(
+                                   Tables.documents(s, d).withColumn("text",
+                                     org.apache.spark.sql.functions.expr(
+                                       "CASE WHEN doc_id % 7 = 0 THEN concat(text, repeat(' spamtok', 30)) ELSE text END")))),
     // the corpus has no sentence punctuation, so the gate CONSTRUCTS
     // boundaries deterministically (same pattern as the cleaning gates'
     // dirt): doc text + echoes behind '. ', '? ', and '! ' boundaries = 4
@@ -260,6 +266,32 @@ object Training {
        |    + strlen(text) AS BIGINT) AS n_bytes,
        |  ${Portable.phashDuck("text")} AS checksum
        |FROM documents""".stripMargin
+
+  /** Mirror of [[TextOps.repetitionScore]] over the same spam construction:
+    * identical two-level counting, identical double divisions, identical
+    * thresholds. */
+  private val repetitionSql =
+    s"""WITH d AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 7 = 0 THEN text || repeat(' spamtok', 30) ELSE text END AS text
+       |FROM documents),
+       |tt AS (SELECT doc_id, $toks AS toks FROM d),
+       |tk AS (SELECT doc_id, toks FROM tt WHERE len(toks) > 0),
+       |uc AS (SELECT doc_id, t, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS t FROM tk) GROUP BY doc_id, t),
+       |ua AS (SELECT doc_id, SUM(tf) AS n, COUNT(*) AS dt, MAX(tf) AS top
+       |  FROM uc GROUP BY doc_id),
+       |bc AS (SELECT doc_id, t, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS t FROM tk WHERE len(toks) > 1)
+       |  GROUP BY doc_id, t),
+       |ba AS (SELECT doc_id, SUM(tf) AS n, MAX(tf) AS top FROM bc GROUP BY doc_id)
+       |SELECT ua.doc_id, CAST(ua.n AS BIGINT) AS n_tokens,
+       |  (ua.n - ua.dt)::DOUBLE / ua.n AS dup_token_frac,
+       |  ua.top::DOUBLE / ua.n AS top_token_frac,
+       |  COALESCE(ba.top::DOUBLE / ba.n, 0.0) AS top_bigram_frac,
+       |  (ua.top::DOUBLE / ua.n > 0.2
+       |    OR COALESCE(ba.top::DOUBLE / ba.n, 0.0) > 0.18) AS is_repetitive
+       |FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id""".stripMargin
 
   private val heavyHittersSql =
     s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents)
@@ -529,6 +561,7 @@ object Training {
     "text_pack_sequences"    -> packSequencesSql,
     "text_heavy_hitters"     -> heavyHittersSql,
     "text_mixture_sample"    -> mixtureSampleSql,
+    "text_repetition"        -> repetitionSql,
     "text_sentences"         -> sentencesSql,
     "multimodal_meta"        -> multimodalMetaSql,
     "dedup_exact"            -> exactSql,

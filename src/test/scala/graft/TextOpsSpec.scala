@@ -87,4 +87,26 @@ class TextOpsSpec extends AnyFunSuite {
       assert(n == (if (samePair((a, b))) 4L else 1L))
     }
   }
+
+  test("repetitionScore: exact fractions on a hand corpus, thresholds flag spam") {
+    import spark.implicits._
+    val docs = Seq(
+      // 10 distinct tokens: dup 0, top 1/10, top bigram 1/9 — under both
+      // thresholds (the fractions are length-sensitive: a 5-token doc's top
+      // bigram is already 1/4, which is WHY these filters target long docs)
+      (1L, "one two three four five six seven eight nine ten"),
+      // "spam spam spam spam ham": dup 3/5, top 4/5, bigram "spam spam" 3/4
+      (2L, "spam spam spam spam ham"),
+      // single token: no bigrams -> bigram frac 0, top 1/1 trips threshold
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val m = TextOps.repetitionScore(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(1) == 10 && m(1L).getDouble(2) == 0.0)
+    assert(m(1L).getDouble(3) == 0.1 && m(1L).getDouble(4) == 1.0 / 9 &&
+      !m(1L).getBoolean(5))
+    assert(m(2L).getDouble(2) == 0.6 && m(2L).getDouble(3) == 0.8)
+    assert(m(2L).getDouble(4) == 0.75 && m(2L).getBoolean(5))
+    assert(m(3L).getLong(1) == 1 && m(3L).getDouble(4) == 0.0 && m(3L).getBoolean(5))
+  }
 }
