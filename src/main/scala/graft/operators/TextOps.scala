@@ -291,6 +291,39 @@ object TextOps {
       .select("doc_id", "source")
   }
 
+  /** Token-budget corpus sampling: per source, keep documents in a
+    * deterministic shuffled order (salted hash bucket, then doc_id — the
+    * order a mixer uses to avoid temporal/positional bias) until the
+    * cumulative token count reaches `budgetPerSource` — the "take N tokens
+    * of each source" step that turns mixture WEIGHTS into an actual corpus.
+    *
+    * Scale shape: the naive form is one unbounded running-sum window per
+    * source, which serializes a 100 TB source through one task. Here the
+    * prefix sum is TWO-PHASE: per-(source, bucket) partial sums roll up
+    * map-side, a tiny window over the ≤10k bucket rows per source computes
+    * each bucket's exclusive prefix, and row-level cumulation happens only
+    * WITHIN a bucket (~1/10000th of a source per window partition). Output
+    * is identical to the naive window — the oracle states the semantics in
+    * one SUM OVER — but no task ever scans a whole source. */
+  def tokenBudgetSample(docs: DataFrame, budgetPerSource: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetPerSource > 0, "budget must be positive")
+    val t = withToks(docs).select(col("doc_id"), col("source"),
+      size(col("toks")).cast("bigint").as("n_tokens"),
+      expr(Portable.sampleBucketSpark("doc_id")).as("bkt"))
+    val bucketAgg = t.groupBy("source", "bkt").agg(sum(col("n_tokens")).as("b_sum"))
+    val wBuckets = Window.partitionBy("source").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bounds = bucketAgg.withColumn("cum_before",
+      coalesce(sum(col("b_sum")).over(wBuckets), lit(0L)))
+    val wInBucket = Window.partitionBy("source", "bkt").orderBy("doc_id")
+    t.join(bounds.select("source", "bkt", "cum_before"), Seq("source", "bkt"))
+      .withColumn("cum_tokens",
+        col("cum_before") + sum(col("n_tokens")).over(wInBucket))
+      .filter(col("cum_tokens") <= budgetPerSource)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+  }
+
   /** Repetition-based quality signals (the Gopher-style filters — Rae et
     * al., "Scaling Language Models: ... Gopher", arXiv 2112.11446 §A1.1,
     * public paper): per document, the duplicate-token fraction, the most

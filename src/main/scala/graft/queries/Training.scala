@@ -48,6 +48,7 @@ object Training {
     "text_pack_sequences"    -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
     "text_heavy_hitters"     -> ((s, d) => TextOps.heavyHitterTerms(Tables.documents(s, d))),
     "text_mixture_sample"    -> ((s, d) => TextOps.mixtureSample(Tables.documents(s, d), MixRates, MixDefault)),
+    "text_token_budget"      -> ((s, d) => TextOps.tokenBudgetSample(Tables.documents(s, d), 200L)),
     // every 7th doc gets a 30-token spam run appended, so the repetition
     // thresholds trip on constructed dirt while clean docs stay under them
     "text_repetition"        -> ((s, d) => TextOps.repetitionScore(
@@ -266,6 +267,18 @@ object Training {
        |    + strlen(text) AS BIGINT) AS n_bytes,
        |  ${Portable.phashDuck("text")} AS checksum
        |FROM documents""".stripMargin
+
+  /** Mirror of [[TextOps.tokenBudgetSample]]: the oracle states the greedy
+    * prefix semantics in ONE running-sum window — Spark's two-phase
+    * bucket-prefix implementation must land on the identical rows. */
+  private val tokenBudgetSql =
+    s"""WITH t AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens,
+       |  ${Portable.sampleBucketDuck("doc_id")} AS bkt FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY bkt, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM t)
+       |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM c WHERE cum_tokens <= 200""".stripMargin
 
   /** Mirror of [[TextOps.repetitionScore]] over the same spam construction:
     * identical two-level counting, identical double divisions, identical
@@ -562,6 +575,7 @@ object Training {
     "text_heavy_hitters"     -> heavyHittersSql,
     "text_mixture_sample"    -> mixtureSampleSql,
     "text_repetition"        -> repetitionSql,
+    "text_token_budget"      -> tokenBudgetSql,
     "text_sentences"         -> sentencesSql,
     "multimodal_meta"        -> multimodalMetaSql,
     "dedup_exact"            -> exactSql,

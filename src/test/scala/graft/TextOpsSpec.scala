@@ -88,6 +88,31 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetSample: two-phase prefix sum equals the naive window; boundary kept") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // 400 docs in one hot source + 20 in a small one; token counts vary by id
+    val docs = ((0L until 400L).map(i => (i, "hot", ("tok " * ((i % 7) + 1).toInt).trim)) ++
+      (1000L until 1020L).map(i => (i, "cold", ("tok " * 3).trim)))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.tokenBudgetSample(docs, 100L)
+    // naive single-window formulation = the oracle's semantics
+    val t = docs.withColumn("n_tokens",
+        size(org.apache.spark.sql.functions.split(col("text"), " ")).cast("bigint"))
+      .withColumn("bkt", expr(graft.functions.Portable.sampleBucketSpark("doc_id")))
+    val naive = t.withColumn("cum_tokens", sum(col("n_tokens")).over(
+        Window.partitionBy("source").orderBy("bkt", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= 100L)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    // every source's kept prefix lands within one doc of the budget
+    val cold = got.filter(col("source") === "cold")
+      .agg(max("cum_tokens"), count(lit(1))).head
+    assert(cold.getLong(0) <= 100L && cold.getLong(1) > 0)
+  }
+
   test("repetitionScore: exact fractions on a hand corpus, thresholds flag spam") {
     import spark.implicits._
     val docs = Seq(
