@@ -43,11 +43,20 @@ object FuzzyJoin {
       explode(bigrams(aStr)).as("bg"))
     val bv = b.select(col(bId).as("id_b"), col(bStr).as("s_b"),
       explode(bigrams(bStr)).as("bg"))
+    // Verify BEFORE dedup: levenshtein runs once per shared bigram (average
+    // duplication ~1.2x on varied strings) and the distinct then shuffles
+    // only the surviving matches instead of every candidate pair — on the
+    // sf0.1 gate ~6k rows deduped instead of ~5M. The dominant cost stays
+    // the candidate-verify stage itself (bigram fan-out x levenshtein),
+    // which is the irreducible work of the contract. If a corpus has
+    // heavy-tailed bigram sharing (natural-language stopword bigrams), the
+    // duplication factor grows and a dedup-first variant (or a bigram
+    // df-cap, losing the blocking guarantee) becomes the better trade.
     av.join(bv, "bg")
       .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
-      .select("id_a", "id_b", "s_a", "s_b")
-      .distinct() // one row per candidate pair, not per shared bigram
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
       .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "s_a", "s_b", "dist")
+      .distinct() // one row per matched pair, not per shared bigram
   }
 }
