@@ -72,4 +72,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       "LUT lookups must never degrade to sort-merge")
   }
+
+  test("served ANN indexes read persisted tables; nothing re-derives the corpus index") {
+    // the build/serve split's whole point: at serve time the index is a
+    // FileScan of the materialized lake table, not a recomputation
+    val pq = plan("ann_pq_index_topk")
+    assert(pq.contains("pq_codes"), "PQ serve must scan the persisted codes table")
+    assert(pq.contains("pq_codebook"), "PQ serve must scan the persisted codebook")
+    assert(!pq.contains("SortMergeJoin"), "served LUT lookups must broadcast")
+    val ivf = plan("ann_ivf_index_topk")
+    assert(ivf.contains("ivf_assign"), "IVF serve must scan the persisted assignments")
+    assert(ivf.contains("ivf_centroids"), "IVF serve must scan the persisted centroids")
+    val lsh = plan("ann_lsh_index_topk")
+    assert(lsh.contains("lsh_buckets"), "LSH serve must scan the persisted buckets")
+    // query-side bucketing hashes ONLY the nQueries filtered vectors: the
+    // native bucket expression must sit above a pushed vec_id range filter
+    assert(lsh.contains("graft_lsh_buckets"), "query vectors still hash at serve time")
+  }
+
+  test("fuzzy join: blocked equi-join, never a cartesian product") {
+    val p = plan("clean_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join degraded to all-pairs:\n${p.take(600)}")
+    assert(p.contains("levenshtein"), "exact verify must be present")
+  }
 }
