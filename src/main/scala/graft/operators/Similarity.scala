@@ -416,6 +416,27 @@ object Similarity {
     put(pqEncode(emb, cent, m, sub), s"${prefix}_codes")
   }
 
+  /** Incrementally extend a persisted PQ index with new vectors — the daily
+    * embedding increment of a materialized 100 TB index. The FROZEN codebook
+    * is read back and only `embNew` is encoded and appended to the codes
+    * table (a new lake snapshot; served queries see either the old or the
+    * new index atomically, never half). Codebook drift is the documented
+    * trade: codes stay optimal for the distribution the codebook was trained
+    * on, which is why production systems rebuild the codebook on a schedule
+    * and append between rebuilds. Caller owns vec_id uniqueness (same
+    * contract as the lake's append). */
+  def appendPqIndex(embNew: DataFrame, lake: graft.lake.ParquetDirFormat,
+                    prefix: String = "pq"): Unit = {
+    GraftFunctions.register(embNew.sparkSession)
+    val spark = embNew.sparkSession
+    val cent = lake.read(spark, s"${prefix}_codebook")
+    val m = lake.read(spark, s"${prefix}_codes")
+      .columns.count(_.startsWith("code_"))
+    require(m > 0, s"no code_* columns in ${prefix}_codes — not a PQ index")
+    require(Portable.Dim % m == 0, s"dim ${Portable.Dim} must split into $m subspaces")
+    lake.append(pqEncode(embNew, cent, m, Portable.Dim / m), s"${prefix}_codes")
+  }
+
   /** Serve ANN top-k from a PERSISTED PQ index (see [[buildPqIndex]]): reads
     * the codebook + codes tables back from the lake and runs ADC scoring +
     * exact refinement. Query cost is independent of index build cost — the

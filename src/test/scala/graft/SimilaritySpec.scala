@@ -96,6 +96,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again.count() == mem.count())
   }
 
+  test("appendPqIndex: frozen codebook, appended vectors encode identically") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-pq-append")
+    val lake = new graft.lake.ParquetDirFormat(root.toString)
+    Similarity.buildPqIndex(emb, lake)
+    val before = lake.read(spark, "pq_codes").count()
+    // the "increment": the same embeddings under shifted ids — same vectors
+    // through the frozen codebook MUST produce byte-identical codes
+    Similarity.appendPqIndex(emb.withColumn("vec_id", col("vec_id") + 100000L), lake)
+    val codes = lake.read(spark, "pq_codes")
+    assert(codes.count() == before * 2, "append must add, not overwrite")
+    val orig = codes.filter(col("vec_id") < 100000L)
+    val shifted = codes.filter(col("vec_id") >= 100000L)
+      .withColumn("vec_id", col("vec_id") - 100000L)
+    assert(shifted.exceptAll(orig).isEmpty && orig.exceptAll(shifted).isEmpty,
+      "appended codes must match the build-time encoding of the same vectors")
+    // and the served query still runs against the doubled index
+    val served = Similarity.queryPqIndex(spark, lake, emb, "pq", 5, 10)
+    assert(served.groupBy("query_id").count().collect().forall(_.getLong(1) == 10))
+  }
+
   test("PQ ANN recall@10 against exact L2 brute force") {
     // PQ ranks by (approximate) squared L2, so the honest reference is the
     // exact L2 top-k, computed driver-side on the (tiny) test table
