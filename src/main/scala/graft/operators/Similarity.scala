@@ -250,6 +250,20 @@ object Similarity {
     put(assigned, s"${prefix}_assign")
   }
 
+  /** Incrementally extend a persisted IVF index: new vectors are assigned to
+    * the FROZEN centroids and appended to the assignment table — same
+    * contract and drift trade as [[appendPqIndex]]. */
+  def appendIvfIndex(embNew: DataFrame, lake: graft.lake.ParquetDirFormat,
+                     prefix: String = "ivf"): Unit = {
+    GraftFunctions.register(embNew.sparkSession)
+    val centroids = lake.read(embNew.sparkSession, s"${prefix}_centroids")
+    require(centroids.columns.contains("emb_c"),
+      s"no emb_c column in ${prefix}_centroids — not an IVF index")
+    val v = Scale.fanOutScan(embNew).select(col("vec_id"), col("embedding").as("emb_v"))
+    lake.append(ivfRankCells(v, centroids)
+      .filter(col("rn") === 1).select("vec_id", "cell"), s"${prefix}_assign")
+  }
+
   /** Serve ANN top-k from a PERSISTED IVF index (see [[buildIvfIndex]]):
     * only the nQueries query vectors rank against the read-back centroids;
     * candidates come from the persisted assignment table's probed cells and

@@ -117,6 +117,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(served.groupBy("query_id").count().collect().forall(_.getLong(1) == 10))
   }
 
+  test("appendIvfIndex: frozen centroids, appended vectors assign identically") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-append")
+    val lake = new graft.lake.ParquetDirFormat(root.toString)
+    Similarity.buildIvfIndex(emb, lake)
+    val before = lake.read(spark, "ivf_assign").count()
+    Similarity.appendIvfIndex(emb.withColumn("vec_id", col("vec_id") + 100000L), lake)
+    val assign = lake.read(spark, "ivf_assign")
+    assert(assign.count() == before * 2)
+    val orig = assign.filter(col("vec_id") < 100000L)
+    val shifted = assign.filter(col("vec_id") >= 100000L)
+      .withColumn("vec_id", col("vec_id") - 100000L)
+    assert(shifted.exceptAll(orig).isEmpty && orig.exceptAll(shifted).isEmpty,
+      "appended assignments must match the build-time cells of the same vectors")
+  }
+
   test("PQ ANN recall@10 against exact L2 brute force") {
     // PQ ranks by (approximate) squared L2, so the honest reference is the
     // exact L2 top-k, computed driver-side on the (tiny) test table
