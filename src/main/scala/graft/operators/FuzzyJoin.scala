@@ -39,9 +39,12 @@ object FuzzyJoin {
                 aId: String, aStr: String, bId: String, bStr: String,
                 maxDist: Int = 2): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
-    val av = a.select(col(aId).as("id_a"), col(aStr).as("s_a"),
+    // CPU-dense operator entry: a small parquet input scans as ONE partition,
+    // which would run the entire candidate fan-out + levenshtein stage on a
+    // single thread; fan the scan out first (no-op on cluster-sized inputs)
+    val av = Scale.fanOutScan(a).select(col(aId).as("id_a"), col(aStr).as("s_a"),
       explode(bigrams(aStr)).as("bg"))
-    val bv = b.select(col(bId).as("id_b"), col(bStr).as("s_b"),
+    val bv = Scale.fanOutScan(b).select(col(bId).as("id_b"), col(bStr).as("s_b"),
       explode(bigrams(bStr)).as("bg"))
     // Verify BEFORE dedup: levenshtein runs once per shared bigram (average
     // duplication ~1.2x on varied strings) and the distinct then shuffles

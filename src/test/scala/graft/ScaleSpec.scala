@@ -35,6 +35,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("fanOutScan ENGAGES on a narrow file scan under AQE, passes through local relations") {
+    import spark.implicits._
+    // regression for the silent no-op: with AQE on, executedPlan is an
+    // AdaptiveSparkPlanExec LEAF, so a leaf probe on it never sees the file
+    // scan; the probe must read the pre-adaptive sparkPlan. Without this
+    // assert the function can no-op engine-wide and every test still passes.
+    val dir = java.nio.file.Files.createTempDirectory("graft-fanout")
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val narrow = spark.read.parquet(dir.toString)
+    val fanned = Scale.fanOutScan(narrow)
+    assert(fanned.queryExecution.sparkPlan.toString.contains("RoundRobinPartitioning"),
+      "one-split scan must fan out to session parallelism")
+    assert(fanned.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    // non-file-scan inputs (local relations) pass through untouched
+    val local = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    assert(Scale.fanOutScan(local) eq local)
+  }
+
   test("bucketed join plan has no shuffle exchange") {
     import spark.implicits._
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("id", "va")
