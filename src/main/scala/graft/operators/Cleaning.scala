@@ -139,18 +139,34 @@ object Cleaning {
   val DateFormats: Seq[String] = Portable.DateDispatch.map(_._2)
   def parseDateMulti(colName: String, formats: Seq[String] = DateFormats): Column =
     if (formats == DateFormats) {
-      // regex dispatch instead of COALESCE: prefixes are mutually exclusive
-      // (see Portable.DateDispatch), so at most ONE try_to_timestamp runs per
-      // value — this projection is inlined multiple times by projection
-      // collapse (parsed_date + std_date), which made the 4-way coalesce the
-      // whole query's cost
-      val c = col(colName)
-      Portable.DateDispatch.foldRight(lit(null).cast("date")) {
-        case ((re, f, _), els) =>
-          when(c.rlike(re), expr(s"to_date(try_to_timestamp($colName, '$f'))"))
-            .otherwise(els)
-      }
+      // native one-pass dispatch+parse (plans/MultiFormatParse) — bitwise
+      // twin of [[parseDateMultiPortable]] (PortableParitySpec), one sniff
+      // and ≤1 format parse per value even after projection collapse inlines
+      // this at every use site (parsed_date + std_date)
+      registerNative()
+      call_function("graft_date_multi", col(colName))
     } else coalesce(formats.map(f => expr(s"to_date(try_to_timestamp($colName, '$f'))")): _*)
+
+  /** The portable CASE/rlike dispatch chain [[parseDateMulti]] replaced —
+    * kept as the parity-spec reference: at most ONE try_to_timestamp runs per
+    * value because the dispatch prefixes are mutually exclusive
+    * (see Portable.DateDispatch). */
+  def parseDateMultiPortable(colName: String): Column = {
+    val c = col(colName)
+    Portable.DateDispatch.foldRight(lit(null).cast("date")) {
+      case ((re, f, _), els) =>
+        when(c.rlike(re), expr(s"to_date(try_to_timestamp($colName, '$f'))"))
+          .otherwise(els)
+    }
+  }
+
+  /** Idempotent native-function registration on the thread's active session —
+    * Cleaning builders are session-less `Column` factories, so they register
+    * through the active-session handle their caller's DataFrame will resolve
+    * against (all entry points run on the driver with a session active). */
+  private def registerNative(): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.GraftFunctions.register)
 
   /** Step: standardize castable date strings to ISO (reference: standardize_date.sql). */
   def dateStandardize(colName: String, formats: Seq[String] = DateFormats): Column =
@@ -170,15 +186,26 @@ object Cleaning {
   val TimestampFormats: Seq[String] = Portable.TsDispatch.map(_._2)
   def parseTimestampMulti(colName: String, formats: Seq[String] = TimestampFormats): Column =
     if (formats == TimestampFormats) {
-      val t = trim(col(colName))
-      Portable.TsDispatch.foldRight(lit(null).cast("timestamp_ntz")) {
-        case ((re, f, _), els) =>
-          when(t.rlike(re),
-            expr(s"cast(try_to_timestamp(trim($colName), '$f') as timestamp_ntz)"))
-            .otherwise(els)
-      }
+      // native one-pass trim+sniff+parse (plans/MultiFormatParse) — bitwise
+      // twin of [[parseTimestampMultiPortable]] (PortableParitySpec); the
+      // 9-branch chain re-trimmed and regex-scanned per branch and was the
+      // silver family's dominant residual cost
+      registerNative()
+      call_function("graft_ts_multi", col(colName))
     } else coalesce(formats.map(f =>
       expr(s"cast(try_to_timestamp(trim($colName), '$f') as timestamp_ntz)")): _*)
+
+  /** The portable CASE/rlike dispatch chain [[parseTimestampMulti]] replaced —
+    * kept as the parity-spec reference. */
+  def parseTimestampMultiPortable(colName: String): Column = {
+    val t = trim(col(colName))
+    Portable.TsDispatch.foldRight(lit(null).cast("timestamp_ntz")) {
+      case ((re, f, _), els) =>
+        when(t.rlike(re),
+          expr(s"cast(try_to_timestamp(trim($colName), '$f') as timestamp_ntz)"))
+          .otherwise(els)
+    }
+  }
 
   /** Keep-first duplicate flag over all columns (reference: flag_duplicates.sql
     * keep-first via MIN(rowid); here: row_number over an all-columns partition

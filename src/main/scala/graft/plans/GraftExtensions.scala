@@ -500,6 +500,20 @@ object GraftFunctions {
       s"graft_tokens takes exactly 1 argument, got ${other.size}")
   }
 
+  val tsMultiInfo = new ExpressionInfo(classOf[MultiFormatTimestamp].getName, "graft_ts_multi")
+  val tsMultiBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => MultiFormatTimestamp(a)
+    case other => throw new IllegalArgumentException(
+      s"graft_ts_multi takes exactly 1 argument, got ${other.size}")
+  }
+
+  val dateMultiInfo = new ExpressionInfo(classOf[MultiFormatDate].getName, "graft_date_multi")
+  val dateMultiBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => MultiFormatDate(a)
+    case other => throw new IllegalArgumentException(
+      s"graft_date_multi takes exactly 1 argument, got ${other.size}")
+  }
+
   val lshInfo = new ExpressionInfo(classOf[LshBucketIds].getName, "graft_lsh_buckets")
   val lshBuilder: Seq[Expression] => Expression = {
     case Seq(a, Literal(t: Int, IntegerType), Literal(b: Int, IntegerType)) => LshBucketIds(a, t, b)
@@ -517,6 +531,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_simhash", simhashBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_tokens", tokensBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_lsh_buckets", lshBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_ts_multi", tsMultiBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_date_multi", dateMultiBuilder, "built-in")
   }
 }
 
@@ -530,5 +546,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash"), GraftFunctions.simhashInfo, GraftFunctions.simhashBuilder))
     ext.injectFunction((FunctionIdentifier("graft_tokens"), GraftFunctions.tokensInfo, GraftFunctions.tokensBuilder))
     ext.injectFunction((FunctionIdentifier("graft_lsh_buckets"), GraftFunctions.lshInfo, GraftFunctions.lshBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_ts_multi"), GraftFunctions.tsMultiInfo, GraftFunctions.tsMultiBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_date_multi"), GraftFunctions.dateMultiInfo, GraftFunctions.dateMultiBuilder))
   }
 }

@@ -49,6 +49,59 @@ class PortableParitySpec extends AnyFunSuite {
     }
   }
 
+  /** Edge corpus for the multi-format parse twins: every dispatch family
+    * padded and unpadded, dispatch-matching-but-unparseable values, regex
+    * backtracking traps (3-digit runs, letter-run boundaries), whitespace
+    * shapes, and garbage. */
+  private val tsEdgeCorpus = Seq(
+    "2023-01-15 10:20:30", "2023-1-5 1:2:3", "2023/01/15 10:20:30",
+    "2023/1/5 1:2:3", "1/5/2023 1:2:3", "01/15/2023 10:20:30",
+    "1-5-2023 1:2:3", "01-15-2023 10:20:30", "15.01.2023 10:20:30",
+    "5.1.2023 1:2:3", "20230115 10:20:30", "Jan 15 2023 10:20:30",
+    "Jan 5 2023 1:2:3", "15 Jan 2023 10:20:30", "5 Jan 2023 1:2:3",
+    "January 15, 2023 10:20:30", "January 5, 2023 1:2:3",
+    // dispatch matches, parse must fail -> NULL in both
+    "2023-13-40 99:99:99", "Notamonth 15 2023 10:20:30", "99/99/9999 1:2:3",
+    "20230115 10:20", "2023-01-15", "1/5/2023",
+    // regex traps: 3-digit runs, digits after the 1-2 digit match, commas
+    "123 Jan 2023 1:2:3", "Jan 123 2023 1:2:3", "123/5/2023 1:2:3",
+    "January 15 2023 10:20:30", "Jan 15, 2023 10:20:30",
+    // whitespace: the ts chain trims before dispatch
+    "  2023-01-15 10:20:30  ", " Jan 15 2023 10:20:30", "\t2023-01-15 10:20:30",
+    // garbage / empties
+    "", " ", "-", "not a date", "2023", "20230115", "ä 5 2023 1:2:3")
+
+  test("graft_ts_multi == portable CASE/rlike chain, bitwise") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = tsEdgeCorpus.toDF("s")
+    val rows = df.select(
+      expr("graft_ts_multi(s)").as("native"),
+      graft.operators.Cleaning.parseTimestampMultiPortable("s").as("portable"),
+      col("s")).collect()
+    rows.foreach { r =>
+      assert(r.get(0) == r.get(1), s"ts mismatch on '${r.getString(2)}'")
+    }
+  }
+
+  test("graft_date_multi == portable CASE/rlike chain, bitwise") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val dateCorpus = Seq(
+      "2023-01-15", "2023-1-5", "1/5/2023", "01/15/2023", "15.01.2023",
+      "5.1.2023", "20230115", "2023-13-40", "99/99/9999", "123.5.2023",
+      "202301159", "2023011", "1/5/2023 extra", "20230115 ", " 2023-01-15",
+      "", " ", "not a date", "15-01-2023")
+    val df = dateCorpus.toDF("s")
+    val rows = df.select(
+      expr("graft_date_multi(s)").as("native"),
+      graft.operators.Cleaning.parseDateMultiPortable("s").as("portable"),
+      col("s")).collect()
+    rows.foreach { r =>
+      assert(r.get(0) == r.get(1), s"date mismatch on '${r.getString(2)}'")
+    }
+  }
+
   test("graft_dot == fixed-order expression chain, bitwise") {
     GraftFunctions.register(spark)
     val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet").limit(50)
