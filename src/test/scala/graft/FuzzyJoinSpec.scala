@@ -42,6 +42,35 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(join(Seq(1L -> "a"), Seq(2L -> "a"), 0).isEmpty)
   }
 
+  test("hot-bigram df-cap bounds candidates, matches unchanged") {
+    // Stopword-bigram corpus: every string opens with the boilerplate
+    // "xqname" (5 bigrams at combined df 160 -> 5 * 80 * 80 candidate rows
+    // when unguarded). The suffix is a repetition code c1 c1 c2 c2 over
+    // disjoint alphabets, so (a) non-aligned pairs differ in >= 2 positions
+    // -> edit distance >= 2 -> outside maxDist=1, and (b) every aligned pair
+    // shares its unique c1c2 bigram (df 2, far under the cap) — the capped
+    // join must therefore find exactly the same 80 matches.
+    def s(i: Long): String = {
+      val c1 = ('a' + i / 10).toChar; val c2 = ('A' + i % 10).toChar
+      s"xqname$c1$c1$c2$c2"
+    }
+    val left  = (0L until 80L).map(i => i -> s(i))
+    val right = (0L until 80L).map(i => (1000L + i) -> s(i))
+    val (a, b) = (left.toDF("id", "s"), right.toDF("id", "s"))
+    def cand(cap: Int) = graft.operators.FuzzyJoin
+      .candidates(a, b, "id", "s", "id", "s", 1, cap).count()
+    val unguarded = cand(0)
+    val capped = cand(20)
+    // the hot boilerplate bigrams alone contribute 80*80 rows each unguarded
+    assert(unguarded > 6400, s"corpus not hot enough: $unguarded")
+    assert(capped < unguarded / 4, s"cap did not bound candidates: $capped vs $unguarded")
+    def matches(cap: Int) = graft.operators.FuzzyJoin
+      .fuzzyJoin(a, b, "id", "s", "id", "s", maxDist = 1, dfCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matches(20) == matches(0))
+    assert(matches(20).size >= 80) // every aligned pair found (dist 0)
+  }
+
   test("length band prunes before levenshtein") {
     // shares bigram "ka" but lengths differ by 3 > maxDist
     assert(join(Seq(1L -> "kate"), Seq(2L -> "katerina"), 2).isEmpty)
