@@ -24,6 +24,40 @@ import graft.plans.GraftFunctions
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Rebuild threshold for the append-time drift ratio (appended mean
+    * quantization error / build-time mean quantization error). 1.5 means the
+    * increment quantizes 50% worse than the corpus the codebook/centroids
+    * were built on — the point where raw compressed-domain ranks measurably
+    * rot (SimilaritySpec pins the coupling) and a scheduled rebuild should
+    * trigger. */
+  val DriftRebuildThreshold: Double = 1.5
+
+  /** Append-time drift ratio against the build-time stats table; warns past
+    * `threshold`. NaN (with a warning) for indexes built before the stats
+    * table existed. */
+  private def driftRatio(op: String, spark: org.apache.spark.sql.SparkSession,
+                         lake: graft.lake.ParquetDirFormat,
+                         statsTable: String, appendErr: Double,
+                         threshold: Double): Double = {
+    if (!lake.exists(statsTable)) {
+      log.warn(s"$op: no $statsTable table (index predates drift tracking) — " +
+        "drift unmeasured; rebuild to enable")
+      return Double.NaN
+    }
+    val buildErr = lake.read(spark, statsTable).head().getDouble(0)
+    val ratio =
+      if (buildErr > 0) appendErr / buildErr
+      else if (appendErr == 0) 1.0
+      else Double.PositiveInfinity
+    if (ratio > threshold) log.warn(
+      f"$op: drift ratio $ratio%.2f exceeds rebuild threshold $threshold%.2f " +
+        f"(append mean qerr $appendErr%.4f vs build $buildErr%.4f) — the frozen " +
+        "codebook/centroids no longer fit the appended distribution; schedule a rebuild")
+    ratio
+  }
+
   /** Row count from the parquet footers of a scan-only DataFrame — a driver
     * metadata read (KBs per file), no Spark job, no corpus pass. Returns None
     * unless the plan is a BARE parquet scan (optionally projected/aliased):
@@ -243,25 +277,38 @@ object Similarity {
     val centroids = ivfCentroids(emb, nCentroids)
     val v = Scale.fanOutScan(emb).select(col("vec_id"), col("embedding").as("emb_v"))
     val assigned = ivfRankCells(v, centroids)
-      .filter(col("rn") === 1).select("vec_id", "cell")
+      .filter(col("rn") === 1).persist(StorageLevel.MEMORY_AND_DISK)
     def put(df: DataFrame, t: String): Unit =
       if (lake.exists(t)) lake.overwrite(df, t) else lake.create(df, t)
     put(centroids, s"${prefix}_centroids")
-    put(assigned, s"${prefix}_assign")
+    put(assigned.select("vec_id", "cell"), s"${prefix}_assign")
+    // build-time mean cell distance: the drift baseline ([[appendIvfIndex]])
+    put(assigned.agg(avg("dist").as("mean_qerr")), s"${prefix}_stats")
+    assigned.unpersist()
   }
 
   /** Incrementally extend a persisted IVF index: new vectors are assigned to
     * the FROZEN centroids and appended to the assignment table — same
-    * contract and drift trade as [[appendPqIndex]]. */
+    * contract, drift metric, and rebuild threshold as [[appendPqIndex]]
+    * (here the error is the assigned-cell distance). Returns the measured
+    * drift ratio. */
   def appendIvfIndex(embNew: DataFrame, lake: graft.lake.ParquetDirFormat,
-                     prefix: String = "ivf"): Unit = {
+                     prefix: String = "ivf",
+                     driftThreshold: Double = DriftRebuildThreshold): Double = {
     GraftFunctions.register(embNew.sparkSession)
-    val centroids = lake.read(embNew.sparkSession, s"${prefix}_centroids")
+    val spark = embNew.sparkSession
+    val centroids = lake.read(spark, s"${prefix}_centroids")
     require(centroids.columns.contains("emb_c"),
       s"no emb_c column in ${prefix}_centroids — not an IVF index")
     val v = Scale.fanOutScan(embNew).select(col("vec_id"), col("embedding").as("emb_v"))
-    lake.append(ivfRankCells(v, centroids)
-      .filter(col("rn") === 1).select("vec_id", "cell"), s"${prefix}_assign")
+    val assigned = ivfRankCells(v, centroids)
+      .filter(col("rn") === 1).persist(StorageLevel.MEMORY_AND_DISK)
+    lake.append(assigned.select("vec_id", "cell"), s"${prefix}_assign")
+    val errRow = assigned.agg(avg("dist")).head()
+    assigned.unpersist()
+    if (errRow.isNullAt(0)) Double.NaN // empty increment: nothing to measure
+    else driftRatio("appendIvfIndex", spark, lake, s"${prefix}_stats",
+      errRow.getDouble(0), driftThreshold)
   }
 
   /** Serve ANN top-k from a PERSISTED IVF index (see [[buildIvfIndex]]):
@@ -342,19 +389,30 @@ object Similarity {
       .select(expr("vec_id div stride").as("j"), col("embedding").as("emb_c"))
   }
 
-  /** PQ codes: per vector, per subspace, the nearest codebook entry (ties to
-    * the lowest centroid id) — one corpus scan x ksub subspace distances. */
-  private[operators] def pqEncode(emb: DataFrame, cent: DataFrame,
-                                  m: Int, sub: Int): DataFrame = {
+  /** PQ codes + per-vector quantization error: per subspace, the nearest
+    * codebook entry (ties to the lowest centroid id) plus `qerr` = the sum of
+    * the chosen subspace distances — the reconstruction error the drift
+    * metric tracks. One corpus scan x ksub subspace distances; the error
+    * aggregates ride the same hash agg as the argmins. */
+  private[operators] def pqEncodeFull(emb: DataFrame, cent: DataFrame,
+                                      m: Int, sub: Int): DataFrame = {
     val d2Cols = (0 until m).map(mm =>
       expr(Portable.subL2Spark("embedding", "emb_c", mm * sub, sub)).as(s"d2_$mm"))
     val scored = Scale.fanOutScan(emb).crossJoin(broadcast(cent))
       .select(col("vec_id") +: col("j") +: d2Cols: _*)
+    val qerr = (0 until m).map(mm => min(col(s"d2_$mm"))).reduce(_ + _).as("qerr")
     scored.groupBy("vec_id")
       .agg(min_by(col("j"), struct(col("d2_0"), col("j"))).as("code_0"),
         (1 until m).map(mm =>
-          min_by(col("j"), struct(col(s"d2_$mm"), col("j"))).as(s"code_$mm")): _*)
+          min_by(col("j"), struct(col(s"d2_$mm"), col("j"))).as(s"code_$mm")) :+ qerr: _*)
   }
+
+  /** PQ codes only — the persisted/served schema (qerr pruned, and with it
+    * the error aggregates: Catalyst column pruning removes them from the
+    * plan, so this is exactly the pre-drift-metric encode). */
+  private[operators] def pqEncode(emb: DataFrame, cent: DataFrame,
+                                  m: Int, sub: Int): DataFrame =
+    pqEncodeFull(emb, cent, m, sub).drop("qerr")
 
   /** ADC scoring + shortlist + exact refinement over PREBUILT codes and
     * codebook — the serve-side half of the PQ index, shared verbatim by
@@ -427,7 +485,13 @@ object Similarity {
     def put(df: DataFrame, t: String): Unit =
       if (lake.exists(t)) lake.overwrite(df, t) else lake.create(df, t)
     put(cent, s"${prefix}_codebook")
-    put(pqEncode(emb, cent, m, sub), s"${prefix}_codes")
+    val full = pqEncodeFull(emb, cent, m, sub).persist(StorageLevel.MEMORY_AND_DISK)
+    put(full.drop("qerr"), s"${prefix}_codes")
+    // build-time mean quantization error: the drift baseline appends compare
+    // against ([[appendPqIndex]]); one tiny row, not oracle-checked (float
+    // sum order varies in the low bits)
+    put(full.agg(avg("qerr").as("mean_qerr")), s"${prefix}_stats")
+    full.unpersist()
   }
 
   /** Incrementally extend a persisted PQ index with new vectors — the daily
@@ -438,9 +502,18 @@ object Similarity {
     * trade: codes stay optimal for the distribution the codebook was trained
     * on, which is why production systems rebuild the codebook on a schedule
     * and append between rebuilds. Caller owns vec_id uniqueness (same
-    * contract as the lake's append). */
+    * contract as the lake's append).
+    *
+    * Drift is MEASURED, not just documented: returns the ratio of the
+    * increment's mean quantization error to the build-time mean persisted in
+    * `{prefix}_stats`, and warns past [[DriftRebuildThreshold]]. ~1.0 means
+    * the increment matches the build distribution; past the threshold the
+    * frozen codebook is stale and the caller should schedule a rebuild
+    * (SimilaritySpec shows raw ADC recall rotting exactly as the ratio
+    * crosses). NaN when the index predates the stats table. */
   def appendPqIndex(embNew: DataFrame, lake: graft.lake.ParquetDirFormat,
-                    prefix: String = "pq"): Unit = {
+                    prefix: String = "pq",
+                    driftThreshold: Double = DriftRebuildThreshold): Double = {
     GraftFunctions.register(embNew.sparkSession)
     val spark = embNew.sparkSession
     val cent = lake.read(spark, s"${prefix}_codebook")
@@ -448,7 +521,14 @@ object Similarity {
       .columns.count(_.startsWith("code_"))
     require(m > 0, s"no code_* columns in ${prefix}_codes — not a PQ index")
     require(Portable.Dim % m == 0, s"dim ${Portable.Dim} must split into $m subspaces")
-    lake.append(pqEncode(embNew, cent, m, Portable.Dim / m), s"${prefix}_codes")
+    val full = pqEncodeFull(embNew, cent, m, Portable.Dim / m)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    lake.append(full.drop("qerr"), s"${prefix}_codes")
+    val errRow = full.agg(avg("qerr")).head()
+    full.unpersist()
+    if (errRow.isNullAt(0)) Double.NaN // empty increment: nothing to measure
+    else driftRatio("appendPqIndex", spark, lake, s"${prefix}_stats",
+      errRow.getDouble(0), driftThreshold)
   }
 
   /** Serve ANN top-k from a PERSISTED PQ index (see [[buildPqIndex]]): reads

@@ -133,6 +133,81 @@ class SimilaritySpec extends AnyFunSuite {
       "appended assignments must match the build-time cells of the same vectors")
   }
 
+  test("append drift metric crosses the rebuild threshold exactly when raw recall rots") {
+    import org.apache.spark.sql.functions._
+    val thr = Similarity.DriftRebuildThreshold
+    // Base corpus: the original table minus the query id range, so served
+    // queries (vec_id < 10) come from the APPENDED increment — the
+    // production shape where fresh data is what gets queried. Ids stay dense
+    // from 10, so the stride-sampled codebook is intact.
+    val base = emb.filter(col("vec_id") >= 10)
+    // The increment re-ids everything except the query range out of the way.
+    def reId(df: org.apache.spark.sql.DataFrame) = df.withColumn("vec_id",
+      when(col("vec_id") < 10, col("vec_id")).otherwise(col("vec_id") + 1000000L))
+    // In-distribution increment: the same vectors.
+    val incSame = reId(emb)
+    // Drifted increment: a constant per-component offset. Translation
+    // preserves every within-increment L2 distance (true neighbors among the
+    // increment are unchanged, and they ARE the true top-k — base vectors
+    // sit ||delta||^2 = 256 away), so any recall loss is PURELY the frozen
+    // codebook's fault.
+    val incShift = reId(emb).withColumn("embedding",
+      expr("transform(embedding, x -> cast(x + 2.0 as float))"))
+
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    def scenario(inc: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val root = java.nio.file.Files.createTempDirectory("graft-pq-drift")
+      val lake = new graft.lake.ParquetDirFormat(root.toString)
+      Similarity.buildPqIndex(base, lake)
+      val ratio = Similarity.appendPqIndex(inc, lake)
+      val combined = base.union(inc)
+      // RAW ADC ranks (refine=0): code quality unmasked by exact refinement
+      val approx = Similarity.queryPqIndex(spark, lake, combined, "pq", 10, 10, refine = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val vecs = combined.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val exact = (0L until 10L).flatMap { q =>
+        vecs.keys.filter(_ != q).toSeq
+          .sortBy(v => (l2(vecs(q), vecs(v)), v)).take(10).map(v => (q, v))
+      }.toSet
+      (ratio, (exact & approx).size.toDouble / exact.size)
+    }
+    val (rSame, recSame) = scenario(incSame)
+    val (rShift, recShift) = scenario(incShift)
+    info(f"in-distribution: ratio $rSame%.2f recall $recSame%.2f; " +
+      f"shifted: ratio $rShift%.2f recall $recShift%.2f")
+    // the metric itself: ~1.0 for matching distributions, past the threshold
+    // for the shifted one
+    assert(rSame < thr, s"in-distribution append flagged as drift: $rSame")
+    assert(rShift > thr, s"shifted append not flagged: $rShift")
+    // the coupling VERDICT asks for: the threshold crossing coincides with
+    // the recall floor (half the healthy raw recall)
+    val floor = recSame / 2
+    assert((rSame > thr) == (recSame < floor))
+    assert((rShift > thr) == (recShift < floor),
+      s"drift flagged but recall did not rot: $recShift vs floor $floor")
+  }
+
+  test("append drift metric: IVF twin orders the same way") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-drift")
+    val lake = new graft.lake.ParquetDirFormat(root.toString)
+    Similarity.buildIvfIndex(emb, lake)
+    val rSame = Similarity.appendIvfIndex(
+      emb.withColumn("vec_id", col("vec_id") + 1000000L), lake)
+    val rShift = Similarity.appendIvfIndex(
+      emb.withColumn("vec_id", col("vec_id") + 2000000L)
+        .withColumn("embedding", expr("transform(embedding, x -> cast(x + 2.0 as float))")),
+      lake)
+    info(f"IVF drift: same $rSame%.2f shifted $rShift%.2f")
+    assert(rSame < Similarity.DriftRebuildThreshold)
+    assert(rShift > Similarity.DriftRebuildThreshold)
+  }
+
   test("PQ ANN recall@10 against exact L2 brute force") {
     // PQ ranks by (approximate) squared L2, so the honest reference is the
     // exact L2 top-k, computed driver-side on the (tiny) test table
