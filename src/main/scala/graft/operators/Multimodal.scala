@@ -58,17 +58,25 @@ object Multimodal {
     } else if (n >= 4 && (content(0) & 0xff) == 0xff && (content(1) & 0xff) == 0xd8) {
       // JPEG: walk marker segments from SOI until a start-of-frame marker
       // (C0-CF minus C4/C8/CC which are tables); dims are big-endian int16
-      // at frame-data offsets 1 (height) and 3 (width).
+      // at frame-data offsets 1 (height) and 3 (width). Per the spec, a
+      // marker may be preceded by any number of 0xFF fill bytes (consume the
+      // run, the marker code is the first non-FF), and FF 00 is a stuffed
+      // data byte, not a length-bearing segment.
       var i = 2
-      while (i + 3 < n && (content(i) & 0xff) == 0xff) {
-        val marker = content(i + 1) & 0xff
+      while (i + 1 < n && (content(i) & 0xff) == 0xff) {
+        var j = i + 1
+        while (j < n && (content(j) & 0xff) == 0xff) j += 1 // fill bytes
+        if (j >= n) return MediaHeader("jpeg", 0, 0, 2)
+        val marker = content(j) & 0xff
         val isSof = marker >= 0xc0 && marker <= 0xcf &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc
-        if (isSof && i + 8 < n)
-          return MediaHeader("jpeg", be16(content, i + 7), be16(content, i + 5),
-            i + 2 + be16(content, i + 2))
-        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
-        else i += 2 + be16(content, i + 2)
+        if (isSof && j + 7 < n)
+          return MediaHeader("jpeg", be16(content, j + 6), be16(content, j + 4),
+            j + 1 + be16(content, j + 1))
+        else if (marker == 0x00 || marker == 0x01 ||
+          (marker >= 0xd0 && marker <= 0xd9)) i = j + 1 // stuffed/standalone
+        else if (j + 2 < n) i = j + 1 + be16(content, j + 1)
+        else return MediaHeader("jpeg", 0, 0, 2)
       }
       MediaHeader("jpeg", 0, 0, 2)
     } else if (ascii(content, 0, "RIFF") && ascii(content, 8, "WAVE")) {
@@ -77,11 +85,17 @@ object Multimodal {
       var rate = 0; var channels = 0; var payload = n; var i = 12
       var done = false
       while (!done && i + 8 <= n) {
-        val size = le32(content, i + 4)
+        // chunk size is UNSIGNED le32: a crafted/corrupt size like
+        // 0xFFFFFFF8 read signed is -8, freezing the walk at one offset —
+        // an executor task that never ends. Unsigned, next > i always holds
+        // (the walk strictly advances) and an oversized chunk simply runs
+        // past n, exiting to the degraded header.
+        val size = le32(content, i + 4) & 0xffffffffL
         if (ascii(content, i, "fmt ") && i + 16 <= n) {
           channels = le16(content, i + 10); rate = le32(content, i + 12)
         } else if (ascii(content, i, "data")) { payload = i + 8; done = true }
-        i += 8 + size + (size & 1) // chunks are word-aligned
+        val next = i + 8L + size + (size & 1L) // chunks are word-aligned
+        if (next > n) done = true else i = next.toInt
       }
       MediaHeader("wav", rate, channels, payload)
     } else MediaHeader("unknown", 0, 0, 0)

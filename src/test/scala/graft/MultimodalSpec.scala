@@ -67,6 +67,40 @@ class MultimodalSpec extends AnyFunSuite {
       .format == "unknown")
   }
 
+  test("JPEG fill bytes and stuffed FF 00 pairs parse per spec") {
+    // fill bytes: FF D8, then a run of padding FFs before the SOF marker
+    val fill = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xc0).map(_.toByte) ++
+      Array[Byte](0, 17, 8) ++ // len=17, precision
+      Array[Byte](0, 16, 0, 32) ++ // height 16, width 32
+      Array.fill[Byte](12)(0)
+    val f = Multimodal.parseHeader(fill)
+    assert(f.format == "jpeg" && f.width == 32 && f.height == 16,
+      s"fill bytes misparsed: $f")
+    // stuffed byte: FF 00 must advance by 2, not read a garbage length
+    val stuffed = Array(0xff, 0xd8, 0xff, 0x00, 0xff, 0xc0).map(_.toByte) ++
+      Array[Byte](0, 17, 8) ++ Array[Byte](0, 8, 0, 9) ++ Array.fill[Byte](12)(0)
+    val s = Multimodal.parseHeader(stuffed)
+    assert(s.format == "jpeg" && s.width == 9 && s.height == 8,
+      s"stuffed byte misparsed: $s")
+    // all-FF tail degrades instead of running off the buffer
+    val ffTail = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff).map(_.toByte)
+    assert(Multimodal.parseHeader(ffTail) == Multimodal.MediaHeader("jpeg", 0, 0, 2))
+  }
+
+  test("WAV chunk walk terminates on corrupt/crafted chunk sizes") {
+    // a chunk size of 0xFFFFFFF8 is -8 signed: the old walk advanced by
+    // zero and hung the task forever; unsigned it runs past n and degrades
+    val b = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(16)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("junk".getBytes("US-ASCII")).putInt(0xfffffff8)
+    val h = Multimodal.parseHeader(b.array()) // must return, not hang
+    assert(h.format == "wav" && h.width == 0 && h.height == 0)
+    // size that lands the next offset exactly at n still parses fine
+    val ok = wav(8000, 2, Array[Byte](1, 2, 3, 4))
+    assert(Multimodal.parseHeader(ok) == Multimodal.MediaHeader("wav", 8000, 2, 44))
+  }
+
   test("extractMeta sniffs format and decodes dims + deterministic checksum") {
     val m = Multimodal.extractMeta(media()).collect()
       .map(r => r.getLong(0) -> r).toMap
