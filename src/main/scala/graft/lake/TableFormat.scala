@@ -40,6 +40,39 @@ trait TableFormat {
   def upsert(df: DataFrame, table: String, keys: Seq[String]): Unit
   def read(spark: SparkSession, table: String): DataFrame
   def exists(table: String): Boolean
+
+  /** Version-aware MERGE: apply only incoming rows STRICTLY newer (per
+    * `orderCol`) than the current row for their key — the event-time floor
+    * that keeps a replayed stale file from resurrecting old row versions
+    * (the continuous-medallion hazard [[upsert]]'s last-write-wins semantics
+    * cannot see; mirrors StreamingDedup's horizon eviction, but keyed).
+    *
+    * Within the incoming batch itself keep-latest-per-key applies first (a
+    * redelivery plus a fresh file may carry two versions of one key), so
+    * `orderCol` must order versions of a key uniquely, the same contract as
+    * the silver dedup. A wholly-stale batch commits NOTHING — no new
+    * snapshot, the table is byte-identical. Matched keys whose current
+    * `orderCol` is NULL accept any incoming version. Keys compare null-safe,
+    * like [[upsert]].
+    *
+    * Cost: one key+orderCol-pruned aggregate over the target on top of the
+    * implementation's own upsert — the price of the floor. */
+  def upsertVersioned(df: DataFrame, table: String, keys: Seq[String],
+                      orderCol: String): Unit = {
+    if (!exists(table)) { create(df, table); return }
+    val cols = df.columns
+    val latest = df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), col(orderCol)).as("__row"))
+      .select(cols.map(c => col(s"__row.`$c`").as(c)).toIndexedSeq: _*)
+    val cur = read(df.sparkSession, table)
+      .groupBy(keys.map(k => col(k).as(s"__k_$k")): _*)
+      .agg(max(col(orderCol)).as("__cur"))
+    val cond = keys.map(k => latest(k) <=> cur(s"__k_$k")).reduce(_ && _)
+    val fresh = latest.join(cur, cond, "left")
+      .filter(col("__cur").isNull || col(orderCol) > col("__cur"))
+      .select(cols.map(latest(_)).toIndexedSeq: _*)
+    if (!fresh.isEmpty) upsert(fresh, table, keys)
+  }
 }
 
 private[lake] object Align {

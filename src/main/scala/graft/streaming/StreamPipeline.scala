@@ -56,11 +56,22 @@ object StreamPipeline {
     * parameter) instead. The lake's versioned snapshots make each
     * micro-batch commit atomic for readers. This is the streaming form of
     * the reference's load -> silver -> MERGE procedure chain (the
-    * silver/spark_procedures SQL keep-latest semantics). */
+    * silver/spark_procedures SQL keep-latest semantics).
+    *
+    * The checkpoint ledger is FILE-grain: a stale file re-delivered under a
+    * new name (an upstream redrive, a backfill gone wrong) is new to the
+    * ledger, and a plain last-write-wins upsert would resurrect the old row
+    * versions it carries. Pass `orderCol` (the transform's processed_at-like
+    * version stamp) to apply the event-time floor instead:
+    * [[graft.lake.TableFormat.upsertVersioned]] rejects rows not strictly
+    * newer than the key's current version, so replaying ANY old file leaves
+    * silver byte-identical (StreamSpec pins this). None keeps the raw
+    * last-write-wins merge for inputs without a version column. */
   def silverUpsertInbox(spark: SparkSession, inbox: String, schema: StructType,
                         transform: DataFrame => DataFrame,
                         lake: graft.lake.TableFormat, table: String,
                         keys: Seq[String], checkpoint: String,
+                        orderCol: Option[String] = None,
                         maxFilesPerTrigger: Int = 16): StreamingQuery =
     spark.readStream
       .schema(schema)
@@ -71,7 +82,10 @@ object StreamPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        lake.upsert(transform(batch), table, keys)
+        orderCol match {
+          case Some(oc) => lake.upsertVersioned(transform(batch), table, keys, oc)
+          case None     => lake.upsert(transform(batch), table, keys)
+        }
       }
       .start()
 

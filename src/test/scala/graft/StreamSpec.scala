@@ -65,6 +65,50 @@ class StreamSpec extends AnyFunSuite {
     assert(rows == Map(1L -> "alice", 2L -> "robert", 3L -> "carol"))
   }
 
+  test("event-time floor: a replayed stale file leaves silver byte-identical") {
+    val root = Files.createTempDirectory("graft-stream-floor")
+    val inbox = root.resolve("inbox"); Files.createDirectories(inbox)
+    val ckpt = root.resolve("ckpt").toString
+    val lake = new graft.lake.ParquetDirFormat(root.resolve("lake").toString)
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("name", StringType),
+      StructField("seq", StringType)))
+    def silver(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id").cast("bigint").as("id"),
+        graft.operators.Cleaning.protocol(col("name")).as("name"),
+        col("seq").cast("bigint").as("processed_at"))
+    def drain(): Unit = StreamPipeline.runAvailableNow(
+      StreamPipeline.silverUpsertInbox(
+        spark, inbox.toString, schema, silver, lake, "t", Seq("id"), ckpt,
+        orderCol = Some("processed_at")))
+
+    val b1 = "id,name,seq\n1,alice,1\n2,bob,1\n"
+    Files.write(inbox.resolve("b1.csv"), b1.getBytes)
+    drain()
+    Files.write(inbox.resolve("b2.csv"), "id,name,seq\n2,robert,2\n".getBytes)
+    drain()
+    def state() = lake.read(spark, "t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val before = state()
+    assert(before == Set((1L, "alice", 1L), (2L, "robert", 2L)))
+    val versionsBefore = lake.versions("t").size
+
+    // the hazard: b1's CONTENT re-delivered under a NEW name after a restart.
+    // The checkpoint's file ledger sees a new file; only the event-time
+    // floor knows the rows are stale.
+    Files.write(inbox.resolve("b1_redelivered.csv"), b1.getBytes)
+    drain()
+    assert(state() == before, "stale replay resurrected old row versions")
+    assert(lake.versions("t").size == versionsBefore,
+      "a wholly-stale batch must commit nothing")
+
+    // mixed batch: the stale row is rejected, the genuinely new one lands
+    Files.write(inbox.resolve("b3.csv"), "id,name,seq\n1,zombie,0\n4,dan,5\n".getBytes)
+    drain()
+    assert(state() == before + ((4L, "dan", 5L)),
+      "mixed batch must apply only the strictly-newer rows")
+  }
+
   test("continuous medallion survives lake maintenance between drains") {
     // the production interaction most likely to corrupt a continuous
     // pipeline: compaction + snapshot expiry rewrite the table OUT FROM
