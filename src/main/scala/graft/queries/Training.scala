@@ -99,6 +99,16 @@ object Training {
   private def indexLake(s: SparkSession, d: String): graft.lake.ParquetDirFormat =
     indexRoots.getOrElseUpdate(d, {
       val root = java.nio.file.Files.createTempDirectory("graft_ann_index_").toString
+      // index-sized tree per JVM run: delete on exit or every Verify/Bench
+      // invocation leaks one under /tmp
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        val p = Path.of(root)
+        if (Files.exists(p))
+          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+      }))
       val lake = new graft.lake.ParquetDirFormat(root)
       Similarity.buildPqIndex(Tables.embeddings(s, d), lake)
       Similarity.buildIvfIndex(Tables.embeddings(s, d), lake)

@@ -121,11 +121,15 @@ def main(sf_dir, oracle_json, repo_dir="."):
     if os.path.exists(graft_path):
         graft = json.load(open(graft_path))
         duck = json.loads(line)
-        shared = sorted(set(graft["queries"]) & set(duck["queries"]))
-        g_shared = sum(graft["queries"][q] for q in shared
-                       if graft["queries"][q] >= 0)
-        d_shared = sum(duck["queries"][q] for q in shared
-                       if duck["queries"][q] >= 0)
+        # compare ONLY queries where BOTH engines produced a median: a query
+        # that failed in one engine (median -1) must drop from both totals,
+        # or its surviving-engine time skews the ratio toward the failing one
+        both = sorted(set(graft["queries"]) & set(duck["queries"]))
+        shared = [q for q in both
+                  if graft["queries"][q] >= 0 and duck["queries"][q] >= 0]
+        failed_one = sorted(set(both) - set(shared))
+        g_shared = sum(graft["queries"][q] for q in shared)
+        d_shared = sum(duck["queries"][q] for q in shared)
         compare = {
             "shared_queries": len(shared),
             "graft_total_sec": round(g_shared, 3),
@@ -133,6 +137,7 @@ def main(sf_dir, oracle_json, repo_dir="."):
             "graft_over_duckdb": round(g_shared / d_shared, 4) if d_shared else None,
             "graft_steal_jiffies": graft.get("steal_jiffies"),
             "duckdb_steal_jiffies": duck["steal_jiffies"],
+            "failed_in_one_engine": failed_one,
             "graft_only": sorted(set(graft["queries"]) - set(duck["queries"])),
             "duckdb_only": sorted(set(duck["queries"]) - set(graft["queries"])),
             "sf": sf_dir,
