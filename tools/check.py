@@ -44,14 +44,16 @@ def table_hash(rows, colnames):
     return h.hexdigest()
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, record_json=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    record = {}
     for name, sql in sorted(oracles.items()):
+        record[name] = "fail"
         try:
             spark_tbl = pq.read_table(f"{out_dir}/{name}")
         except Exception as e:
@@ -86,6 +88,7 @@ def main(sf_dir, out_dir):
         hd = table_hash(duck_rows, duck_cols)
         if hs == hd:
             print(f"PASS {name} ({len(s_rows)} rows)")
+            record[name] = f"pass ({len(s_rows)} rows)"
             n_pass += 1
         else:
             print(f"FAIL {name}: hash mismatch rows spark={len(s_rows)} duck={len(duck_rows)}")
@@ -102,8 +105,13 @@ def main(sf_dir, out_dir):
                     shown += 1
             n_fail += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
+    if record_json:  # committed per-round record (e.g. CORRECTNESS_sf01.json)
+        with open(record_json, "w") as f:
+            json.dump({"sf": sf_dir, "passed": n_pass, "failed": n_fail,
+                       "queries": record}, f, indent=1, sort_keys=True)
+            f.write("\n")
     sys.exit(1 if n_fail else 0)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], *sys.argv[3:])
