@@ -235,4 +235,38 @@ object Cleaning {
     * by callers that know the inferred types). */
   def protocol(c: Column): Column =
     sentinelToNull(emptyToNull(trimWs(mojibakeRepair(c))))
+
+  /** PII masks for training text: (category, pattern, mask), applied in this
+    * fixed order. Patterns avoid lookaround/backreferences so Java regex
+    * (Spark) and RE2 (the DuckDB oracle) match identically. Order matters:
+    * email before IP (an IPv4 can appear as an email host), phone before SSN
+    * (both are dashed digit runs; the mask removes digits so later patterns
+    * cannot re-match inside an earlier category's span). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "[SSN]"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "[IP]"))
+
+  /** Redact all [[PiiPatterns]] categories from a text column — the
+    * scrub-before-training step of an LLM data pipeline. Pure codegen'd
+    * regexp_replace chain, no UDFs; cost is one pass per category over the
+    * string, independent of corpus size per row. */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (_, pat, mask)) =>
+      regexp_replace(acc, pat, java.util.regex.Matcher.quoteReplacement(mask))
+    }
+
+  /** Per-category PII hit counts, evaluated on the PROGRESSIVELY masked text
+    * in the same order [[redactPii]] applies (so overlapping categories are
+    * attributed to the first matching pattern, never double-counted).
+    * Returns (category -> count column), counts as BIGINT. */
+  def piiCounts(c: Column): Seq[(String, Column)] = {
+    var cur = c
+    PiiPatterns.map { case (cat, pat, mask) =>
+      val n = regexp_count(cur, lit(pat)).cast("bigint")
+      cur = regexp_replace(cur, pat, java.util.regex.Matcher.quoteReplacement(mask))
+      (cat, n)
+    }
+  }
 }

@@ -418,4 +418,46 @@ object Dedup {
       .filter(col("cosine") >= tau)
       .select("vec_a", "vec_b", "cosine")
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540 —
+    * public method): coarse-quantize embeddings into IVF cells (the same
+    * deterministic stride-centroid quantizer the ann_ivf gate checks),
+    * compute cosine only WITHIN a cell, connect pairs >= tau into
+    * components, keep the minimum vec_id per component. Returns the full
+    * decision table (vec_id, keep_id); survivors are rows with
+    * keep_id = vec_id.
+    *
+    * Scale shape: candidates are cell-blocked, never all-pairs — within-cell
+    * pair volume is sum over cells of k_c², so `nCells` must grow ~N/target
+    * cell size at 100 TB (pass it explicitly; the default suits the test
+    * SF). Cross-cell near-dups are missed by construction — SemDeDup's
+    * documented approximation, owned by the quantizer's error budget. */
+  def semanticDedupKeep(emb: DataFrame, tau: Double = 0.4,
+                        nCells: Int = 16): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val centroids = Similarity.ivfCentroids(emb, nCells)
+    val v = Scale.fanOutScan(emb).select(col("vec_id"), col("embedding").as("emb_v"))
+    val asg = Similarity.ivfRankCells(v, centroids).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"))
+    val e = Scale.fanOutScan(emb)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("graft_dot(embedding, embedding)")).as("nrm"))
+      .join(asg, "vec_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = e.select(col("cell"), col("vec_id").as("doc_a"),
+      col("embedding").as("emb_a"), col("nrm").as("norm_a"))
+    val b = e.select(col("cell").as("cell_b"), col("vec_id").as("doc_b"),
+      col("embedding").as("emb_b"), col("nrm").as("norm_b"))
+    val pairs = a.join(b, col("cell") === col("cell_b") && col("doc_a") < col("doc_b"))
+      .withColumn("cosine",
+        expr("graft_dot(emb_a, emb_b)") / (col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= tau)
+      .select("doc_a", "doc_b")
+    val comp = connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("component_id"))
+    emb.select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component_id"), col("vec_id")).as("keep_id"))
+  }
 }

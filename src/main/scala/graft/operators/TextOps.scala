@@ -402,4 +402,37 @@ object TextOps {
         min(col("quality_score")).as("min_quality_kept"),
         max(col("quality_score")).as("max_quality_kept"))
   }
+
+  /** Unigram-LM surprisal quality signal — the corpus-frequency filtering of
+    * CCNet (Wenzek et al. 2020, arXiv:1911.00359 — public method), made
+    * engine-exact: a token's surprisal is the INTEGER bit width
+    * floor(log2(total_tokens / token_count)) instead of -ln(p), because
+    * transcendental ln is not bitwise portable across engines (measured:
+    * DuckDB's ln and the JVM's Math.log disagree by 1 ULP on ~5e-5 of
+    * inputs), while the integer-division + bit-length formulation is exact
+    * in both. Every aggregate is then an integer sum (associative,
+    * order-independent); the mean is one double division on identical
+    * operands.
+    *
+    * Scale shape: one token-frequency aggregate (vocabulary-sized result,
+    * broadcast back), one exploded-token join against it, one per-doc
+    * aggregate with map-side combine — no stage holds more than the
+    * vocabulary in memory, and the corpus is scanned twice. */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val tok = withToks(docs)
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+    val tf = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum(col("cnt")).as("total"))
+    tok.join(broadcast(tf), "t")
+      .crossJoin(broadcast(total))
+      .withColumn("bits",
+        (length(conv(expr("CAST(total div cnt AS STRING)"), 10, 2)) - 1).cast("bigint"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_tokens"),
+        sum(col("bits")).cast("bigint").as("sum_surprisal_bits"),
+        max(col("bits")).cast("bigint").as("max_surprisal_bits"))
+      .withColumn("mean_surprisal_bits",
+        col("sum_surprisal_bits").cast("double") / col("n_tokens"))
+  }
 }

@@ -206,15 +206,88 @@ object Clean {
       |SELECT id_a, id_b, s_a, s_b, CAST(levenshtein(s_a, s_b) AS INT) AS dist
       |FROM cand WHERE levenshtein(s_a, s_b) <= 1""".stripMargin
 
+  // ---- PII redaction -------------------------------------------------------
+
+  /** PII-bearing text is CONSTRUCTED deterministically from customer keys
+    * (emails, +1 phone numbers, SSN-shaped ids, dotted-quad IPs appear on
+    * key-modular subsets), then scrubbed by [[Cleaning.redactPii]] with
+    * per-category counts from [[Cleaning.piiCounts]] — the
+    * redact-before-training step, gate-proven against the identical DuckDB
+    * construction + RE2 regexes. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .withColumn("contact_note", expr(PiiTextSpark))
+    val counts = Cleaning.piiCounts(col("contact_note"))
+      .map { case (cat, n) => n.as(s"n_$cat") }
+    c.select(Seq(col("c_custkey"), col("contact_note"),
+      Cleaning.redactPii(col("contact_note")).as("redacted")) ++ counts: _*)
+  }
+
+  /** The dirty-text construction, Spark dialect (k = c_custkey). */
+  private val PiiTextSpark =
+    """concat(c_name, ' (', c_mktsegment, ') contact: ',
+      |  CASE WHEN c_custkey % 3 = 0 THEN concat('user', CAST(c_custkey AS STRING),
+      |    CASE CAST(c_custkey % 2 AS INT) WHEN 0 THEN '@example.com' ELSE '@mail.test.org' END)
+      |    ELSE 'none' END,
+      |  CASE WHEN c_custkey % 4 = 0 THEN concat(' tel +1-',
+      |    CAST(100 + c_custkey % 900 AS STRING), '-',
+      |    lpad(CAST(c_custkey % 1000 AS STRING), 3, '0'), '-',
+      |    lpad(CAST(c_custkey % 10000 AS STRING), 4, '0')) ELSE '' END,
+      |  CASE WHEN c_custkey % 5 = 0 THEN concat(' ssn ',
+      |    CAST(100 + c_custkey % 900 AS STRING), '-',
+      |    lpad(CAST(c_custkey % 100 AS STRING), 2, '0'), '-',
+      |    lpad(CAST(c_custkey % 10000 AS STRING), 4, '0')) ELSE '' END,
+      |  CASE WHEN c_custkey % 2 = 0 THEN concat(' last-ip 10.',
+      |    CAST(c_custkey % 256 AS STRING), '.',
+      |    CAST((c_custkey div 7) % 256 AS STRING), '.',
+      |    CAST((c_custkey div 13) % 256 AS STRING)) ELSE '' END)""".stripMargin
+
+  private val piiRedactSql = {
+    // identical construction in DuckDB dialect
+    val text =
+      """c_name || ' (' || c_mktsegment || ') contact: ' ||
+        |  CASE WHEN c_custkey % 3 = 0 THEN 'user' || CAST(c_custkey AS VARCHAR) ||
+        |    (CASE CAST(c_custkey % 2 AS INT) WHEN 0 THEN '@example.com' ELSE '@mail.test.org' END)
+        |    ELSE 'none' END ||
+        |  CASE WHEN c_custkey % 4 = 0 THEN ' tel +1-' ||
+        |    CAST(100 + c_custkey % 900 AS VARCHAR) || '-' ||
+        |    lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |  CASE WHEN c_custkey % 5 = 0 THEN ' ssn ' ||
+        |    CAST(100 + c_custkey % 900 AS VARCHAR) || '-' ||
+        |    lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+        |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |  CASE WHEN c_custkey % 2 = 0 THEN ' last-ip 10.' ||
+        |    CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+        |    CAST((c_custkey // 7) % 256 AS VARCHAR) || '.' ||
+        |    CAST((c_custkey // 13) % 256 AS VARCHAR) ELSE '' END""".stripMargin
+    // progressive mask/count chain, one CTE per category in redaction order
+    val stages = Cleaning.PiiPatterns.zipWithIndex.map {
+      case ((cat, pat, mask), i) =>
+        s"""p${i + 1} AS (SELECT c_custkey, contact_note,
+           |  CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT) AS n_$cat,
+           |  regexp_replace(t, '$pat', '$mask', 'g') AS t
+           |  ${(1 to i).map(j => s", n_${Cleaning.PiiPatterns(j - 1)._1}").mkString(" ")}
+           |  FROM p$i)""".stripMargin
+    }
+    val names = Cleaning.PiiPatterns.map { case (cat, _, _) => s"n_$cat" }
+    s"""WITH p0 AS (SELECT c_custkey, $text AS contact_note, $text AS t FROM customer),
+       |${stages.mkString(",\n")}
+       |SELECT c_custkey, contact_note, t AS redacted, ${names.mkString(", ")}
+       |FROM p${Cleaning.PiiPatterns.size}""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "clean_customer_pipeline" -> (customerPipeline _),
     "clean_currency_extract"  -> (currencyExtract _),
     "clean_dates_multiformat" -> (datesMultiformat _),
-    "clean_fuzzy_join"        -> (fuzzyJoinIds _))
+    "clean_fuzzy_join"        -> (fuzzyJoinIds _),
+    "clean_pii_redact"        -> (piiRedact _))
 
   val oracle: Map[String, String] = Map(
     "clean_customer_pipeline" -> customerPipelineSql,
     "clean_currency_extract"  -> currencyExtractSql,
     "clean_dates_multiformat" -> datesMultiformatSql,
-    "clean_fuzzy_join"        -> fuzzyJoinSql)
+    "clean_fuzzy_join"        -> fuzzyJoinSql,
+    "clean_pii_redact"        -> piiRedactSql)
 }

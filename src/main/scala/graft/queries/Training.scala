@@ -75,6 +75,8 @@ object Training {
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), 3, 42, 3, JaccardTau)),
     "dedup_simhash"          -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d), MaxHamming)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), CosineTau)),
+    "dedup_semantic"         -> ((s, d) => Dedup.semanticDedupKeep(Tables.embeddings(s, d), CosineTau)),
+    "text_unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(Tables.documents(s, d))),
     "multimodal_meta"        -> ((s, d) => Multimodal.extractMeta(
                                    Multimodal.syntheticMedia(Tables.documents(s, d)))),
     "ann_brute_force_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), NQueries, TopK)),
@@ -131,6 +133,23 @@ object Training {
        |  ${Portable.phashDuck("text")} AS fingerprint,
        |  CASE WHEN len(toks) > 0 THEN n_token_chars::DOUBLE / len(toks) ELSE 0::DOUBLE END AS avg_token_len
        |FROM s""".stripMargin
+
+  /** Exact replica of [[graft.operators.TextOps.unigramSurprisal]]: integer
+    * bit-width surprisal (printf binary length here, conv-base-2 length on
+    * the Spark side — identical for positive BIGINTs), integer sums, one
+    * double division. */
+  private val unigramSurprisalSql =
+    s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM docs),
+       |tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY t),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tf),
+       |sc AS (SELECT doc_id, CAST(length(printf('%b', total // cnt)) - 1 AS BIGINT) AS bits
+       |  FROM tok JOIN tf USING (t) CROSS JOIN tot)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(bits) AS BIGINT) AS sum_surprisal_bits,
+       |  CAST(MAX(bits) AS BIGINT) AS max_surprisal_bits,
+       |  CAST(SUM(bits) AS BIGINT)::DOUBLE / COUNT(*) AS mean_surprisal_bits
+       |FROM sc GROUP BY doc_id""".stripMargin
 
   private val langCase =
     """CASE
@@ -394,6 +413,36 @@ object Training {
        |  FROM cand JOIN e a ON a.vec_id = cand.vec_a JOIN e b ON b.vec_id = cand.vec_b)
        |WHERE cosine >= $CosineTau""".stripMargin
 
+  /** Exact replica of [[Dedup.semanticDedupKeep]] (16 cells, tau =
+    * CosineTau): the ann_ivf stride-centroid assignment, within-cell cosine
+    * pairs, recursive-CTE transitive closure, min-reachable keep id. */
+  private val semanticDedupSql =
+    s"""WITH RECURSIVE st AS (SELECT GREATEST(COUNT(*) // 16, 1) AS stride FROM embeddings),
+       |c AS (SELECT vec_id // stride AS cell, embedding AS emb_c FROM embeddings, st
+       |  WHERE vec_id % stride = 0 AND vec_id // stride < 16),
+       |v AS (SELECT vec_id, embedding AS emb_v FROM embeddings),
+       |d AS (SELECT v.vec_id, c.cell,
+       |    ((${Portable.dotDuck("emb_v", "emb_v")}) + (${Portable.dotDuck("emb_c", "emb_c")}))
+       |      - CAST(2 AS DOUBLE) * (${Portable.dotDuck("emb_v", "emb_c")}) AS dist
+       |  FROM v CROSS JOIN c),
+       |rk AS (SELECT vec_id, cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM d),
+       |asg AS (SELECT vec_id, cell FROM rk WHERE rn = 1),
+       |e AS (SELECT a0.vec_id, a0.embedding, ${Portable.normDuck("a0.embedding")} AS nrm, asg.cell
+       |  FROM embeddings a0 JOIN asg ON a0.vec_id = asg.vec_id),
+       |pairs AS (SELECT x.vec_id AS pa, y.vec_id AS pb FROM e x JOIN e y
+       |  ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE ((${Portable.dotDuck("x.embedding", "y.embedding")}) / (x.nrm * y.nrm)) >= $CosineTau),
+       |edges AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+       |comp AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS component_id
+       |  FROM reach GROUP BY a)
+       |SELECT emb.vec_id, COALESCE(comp.component_id, emb.vec_id) AS keep_id
+       |FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.vec_id""".stripMargin
+
   /** Exact all-pairs n-gram Jaccard CTE list + final select, shared by the
     * pair queries and (under WITH RECURSIVE) the component oracle. */
   private val jaccardCtes =
@@ -598,5 +647,7 @@ object Training {
     "dedup_minhash_lsh"      -> jaccardSql,
     "dedup_simhash"          -> simhashSql,
     "dedup_embedding_cosine" -> embCosineSql,
+    "dedup_semantic"         -> semanticDedupSql,
+    "text_unigram_surprisal" -> unigramSurprisalSql,
     "ann_brute_force_topk"   -> annBruteSql)
 }

@@ -131,4 +131,33 @@ class CleaningSpec extends AnyFunSuite {
     assert(parsed == Set("2025-08-12", "8/12/2025", "12/8/2025",
       "1/2/2025", "12.08.2025", "20250812"))
   }
+
+  test("PII redaction: all categories masked, counts attribute to first match") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob@x.com and +1-555-123-4567 then 123-45-6789 at 10.1.2.3"),
+      (2L, "no pii here"),
+      (3L, "two mails a@b.co c@d.org"),
+      // '10.1.2.3' is not a valid email host (TLD must be alphabetic), so the
+      // dotted quad is attributed to the IP category, not swallowed by email
+      (4L, "host user@10.1.2.3 pinged")
+    ).toDF("id", "t")
+    val red = df.select(col("id"), Cleaning.redactPii(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) == "mail [EMAIL] and [PHONE] then [SSN] at [IP]")
+    assert(red(2L) == "no pii here")
+    assert(red(3L) == "two mails [EMAIL] [EMAIL]")
+    assert(red(4L) == "host user@[IP] pinged")
+    val counts = df.select(col("id") +:
+        Cleaning.piiCounts(col("t")).map { case (c, n) => n.as(c) }: _*)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(counts(1L) == ((1L, 1L, 1L, 1L)))
+    assert(counts(2L) == ((0L, 0L, 0L, 0L)))
+    assert(counts(3L) == ((2L, 0L, 0L, 0L)))
+    assert(counts(4L) == ((0L, 0L, 0L, 1L)))
+    // a phone's dashed digit run must not double-count as an SSN: the mask
+    // applied between counts removes the digits before the SSN pattern runs
+  }
 }

@@ -146,4 +146,22 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getDouble(2) >= 0.4)
     }
   }
+
+  test("semantic dedup decision table: total, min-representative, self-kept") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val keep = Dedup.semanticDedupKeep(emb, 0.4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep.size == emb.count(), "every vector gets a decision")
+    assert(keep.forall { case (v, k) => k <= v }, "keeper is the component min")
+    assert(keep.values.toSet.forall(k => keep(k) == k), "keepers keep themselves")
+    assert(keep.exists { case (v, k) => k != v },
+      "corpus has within-cell near-dups at tau=0.4 (embeddingNearDupPairs finds pairs)")
+    // cell-blocking only ever DROPS pairs vs the all-pairs graph: every
+    // merged member must also merge under the unblocked tau graph
+    val allPairs = Dedup.embeddingNearDupPairs(emb, 0.4)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    keep.collect { case (v, k) if k != v => v }
+      .foreach(v => assert(allPairs.contains(v),
+        s"vec $v merged without any all-pairs edge at tau"))
+  }
 }

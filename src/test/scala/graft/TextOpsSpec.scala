@@ -134,4 +134,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m(2L).getDouble(4) == 0.75 && m(2L).getBoolean(5))
     assert(m(3L).getLong(1) == 1 && m(3L).getDouble(4) == 0.0 && m(3L).getBoolean(5))
   }
+
+  test("unigram surprisal: exact integer bit widths, rarer tokens score higher") {
+    import spark.implicits._
+    // total = 10 tokens; 'common' cnt 8 -> 10 div 8 = 1 -> 0 bits;
+    // 'rare' cnt 2 -> 10 div 2 = 5 -> floor(log2 5) = 2 bits
+    val docs = Seq(
+      (1L, "common common common common common common common common"),
+      (2L, "rare rare")
+    ).toDF("doc_id", "text")
+    val r = TextOps.unigramSurprisal(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("n_tokens") == 8)
+    assert(r(1L).getAs[Long]("sum_surprisal_bits") == 0)
+    assert(r(1L).getAs[Long]("max_surprisal_bits") == 0)
+    assert(r(1L).getAs[Double]("mean_surprisal_bits") == 0.0)
+    assert(r(2L).getAs[Long]("n_tokens") == 2)
+    assert(r(2L).getAs[Long]("sum_surprisal_bits") == 4)
+    assert(r(2L).getAs[Long]("max_surprisal_bits") == 2)
+    assert(r(2L).getAs[Double]("mean_surprisal_bits") == 2.0)
+  }
 }
