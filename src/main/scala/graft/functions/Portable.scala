@@ -237,6 +237,16 @@ object Portable {
   def sampleBucketDuck(id: String): String =
     s"(${phashDuck(s"('mix-' || CAST($id AS VARCHAR))")} % 10000)"
 
+  // ---- corpus-shuffle key --------------------------------------------------
+  /** Full-range deterministic shuffle key, independent of both the train/test
+    * and mixture buckets ('shuf-' salt): the training-order permutation must
+    * not correlate with either selection. Values stay < 2^30 (non-negative),
+    * so `%` and pmod agree in both engines. */
+  def shuffleKeySpark(id: String): String =
+    s"graft_phash(concat('shuf-', cast($id as string)))"
+  def shuffleKeyDuck(id: String): String =
+    phashDuck(s"('shuf-' || CAST($id AS VARCHAR))")
+
   // ---- stopword lexica for the language-ID heuristic -----------------------
   val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
   val StopEs: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por")

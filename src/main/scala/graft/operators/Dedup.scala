@@ -156,6 +156,32 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Folds each LSH band's `rowsPerBand` signature minima into one band hash
+    * with the shared polynomial combiner — the band key both the self-join
+    * pair path and the persisted incremental index derive from, so their
+    * bucket assignments are identical by construction. Expects a `sig` array
+    * column in scope. */
+  private def bandKeyCols(bands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until bands).map { j =>
+      val rows = (0 until rowsPerBand).map(r => s"sig[${j * rowsPerBand + r}]")
+      expr(rows.reduceLeft((acc, m) => s"(($acc * ${Portable.Mult} + $m) % ${Portable.P})"))
+    }
+
+  /** (doc_id, band, bh) MinHash band-key table for a corpus: the persisted
+    * currency of incremental dedup. Signature is the same one-pass native
+    * projection as [[minhashLshPairs]]; documents too short to shingle have
+    * no bands (they can only be exact duplicates). */
+  def minhashBandTable(docs: DataFrame, n: Int = 3, bands: Int = 42,
+                       rowsPerBand: Int = 3): DataFrame = {
+    val k = bands * rowsPerBand
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    Scale.fanOutScan(docs).select(col("doc_id"),
+        expr(s"graft_minhash(graft_shingle_hashes(text, $n), $k)").as("sig"))
+      .filter(size(col("sig")) > 0 && expr("sig[0]") =!= Long.MaxValue)
+      .select(col("doc_id"),
+        posexplode(array(bandKeyCols(bands, rowsPerBand): _*)).as(Seq("band", "bh")))
+  }
+
   /** MinHash + LSH near-dup pairs, LSH-candidates verified by exact Jaccard.
     *
     * numHashes = bands * rowsPerBand min-aggregates in ONE wide agg; band keys
@@ -179,12 +205,8 @@ object Dedup {
         expr(s"graft_minhash(graft_shingle_hashes(text, $n), $k)").as("sig"))
       .filter(size(col("sig")) > 0 && expr("sig[0]") =!= Long.MaxValue)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val bandCols: Seq[Column] = (0 until bands).map { j =>
-      val rows = (0 until rowsPerBand).map(r => s"sig[${j * rowsPerBand + r}]")
-      expr(rows.reduceLeft((acc, m) => s"(($acc * ${Portable.Mult} + $m) % ${Portable.P})"))
-    }
     val bandsDf = sig.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+      posexplode(array(bandKeyCols(bands, rowsPerBand): _*)).as(Seq("band", "bh")))
     val cand = bandsDf.as("x").join(bandsDf.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -195,6 +217,90 @@ object Dedup {
     // oracle), computed only for documents that appear in a candidate pair —
     // O(candidates), not O(corpus).
     verifyJaccard(docs, cand, n, tau)
+  }
+
+  /** Builds the PERSISTED dedup index for incremental (batch-vs-corpus)
+    * deduplication: `<prefix>_keys` = distinct md5 text keys (exact dups),
+    * `<prefix>_bands` = the MinHash band-key table (near dups). Build cost is
+    * one corpus scan; the index is signature-sized (k longs + 16 bytes per
+    * document), NOT corpus-sized — the original text stays in the corpus
+    * store and is only fetched for candidate verification at serve time.
+    * This is the daily-increment path: build once over the accumulated
+    * corpus, serve every incoming batch against it, fold accepted batches in
+    * via [[appendDedupIndex]]. */
+  def buildDedupIndex(corpus: DataFrame, lake: graft.lake.ParquetDirFormat,
+                      n: Int = 3, bands: Int = 42, rowsPerBand: Int = 3,
+                      prefix: String = "dedup"): Unit = {
+    def put(df: DataFrame, t: String): Unit =
+      if (lake.exists(t)) lake.overwrite(df, t) else lake.create(df, t)
+    put(corpus.select(md5(col("text")).as("text_md5")).distinct(), s"${prefix}_keys")
+    put(minhashBandTable(corpus, n, bands, rowsPerBand), s"${prefix}_bands")
+  }
+
+  /** Folds an ACCEPTED batch into a persisted [[buildDedupIndex]] — the step
+    * after [[incrementalDedup]] admits its `new` verdicts: pure parquet
+    * appends of the batch's md5 keys and band rows, no index rebuild, no
+    * read-modify-write of existing rows. Unlike the ANN index appends
+    * (frozen codebooks, measured drift), dedup index quality CANNOT drift:
+    * md5 keys and MinHash band hashes are content-determined with no trained
+    * component, so an appended index is byte-equivalent to one rebuilt from
+    * scratch over the union (up to row order, which no consumer observes —
+    * both tables are join inputs). */
+  def appendDedupIndex(batch: DataFrame, lake: graft.lake.ParquetDirFormat,
+                       n: Int = 3, bands: Int = 42, rowsPerBand: Int = 3,
+                       prefix: String = "dedup"): Unit = {
+    lake.append(batch.select(md5(col("text")).as("text_md5")).distinct(),
+      s"${prefix}_keys")
+    lake.append(minhashBandTable(batch, n, bands, rowsPerBand), s"${prefix}_bands")
+  }
+
+  /** Classifies an incoming batch against a persisted [[buildDedupIndex]]:
+    * one row per batch document with verdict `exact_dup` (md5 key already in
+    * the corpus), `near_dup` (true n-gram Jaccard >= tau against some corpus
+    * document), or `new`. Exact-dup wins when both hold.
+    *
+    * Scale shape: the batch is the small side — its md5/band tables broadcast
+    * against the corpus-sized index, candidate generation is the (band, bh)
+    * equi-join, and exact verification joins `corpusText` (the fetch-by-id
+    * corpus store) ONLY for documents appearing in a candidate pair, so serve
+    * cost is O(batch + candidates) regardless of corpus size. `bands` /
+    * `rowsPerBand` / `n` must match the build (band keys are positional).
+    * Recall contract is [[minhashLshPairs]]'s: a true pair at J=0.7 is missed
+    * with p ≈ 2e-8 under the default 42×3 scheme. */
+  def incrementalDedup(lake: graft.lake.ParquetDirFormat,
+                       corpusText: DataFrame, batch: DataFrame,
+                       n: Int = 3, tau: Double = 0.5, bands: Int = 42,
+                       rowsPerBand: Int = 3, prefix: String = "dedup"): DataFrame = {
+    val spark = batch.sparkSession
+    // distinct: appends ([[appendDedupIndex]]) may re-add an md5 the index
+    // already holds, and a duplicated key row would fan out the left join
+    val keys = lake.read(spark, s"${prefix}_keys").distinct()
+      .withColumn("is_exact", lit(true))
+    val cBands = lake.read(spark, s"${prefix}_bands")
+      .select(col("doc_id").as("corpus_doc"), col("band"), col("bh"))
+    val bBands = minhashBandTable(batch, n, bands, rowsPerBand)
+      .select(col("doc_id").as("batch_doc"), col("band"), col("bh"))
+    val cand = bBands.join(cBands, Seq("band", "bh"))
+      .select("batch_doc", "corpus_doc").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bSets = shingleSets(
+        batch.join(cand.select(col("batch_doc").as("doc_id")).distinct(), "doc_id"), n)
+      .select(col("doc_id").as("batch_doc"), col("shingles").as("sa"), col("n_shingles").as("na"))
+    val cSets = shingleSets(
+        corpusText.join(cand.select(col("corpus_doc").as("doc_id")).distinct(), "doc_id"), n)
+      .select(col("doc_id").as("corpus_doc"), col("shingles").as("sb"), col("n_shingles").as("nb"))
+    val near = cand.join(bSets, "batch_doc").join(cSets, "corpus_doc")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= tau)
+      .select(col("batch_doc").as("doc_id")).distinct()
+      .withColumn("is_near", lit(true))
+    batch.withColumn("text_md5", md5(col("text")))
+      .join(keys, Seq("text_md5"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact"), lit("exact_dup"))
+          .when(col("is_near"), lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"))
   }
 
   /** Count-weighted 60-bit simhash fingerprints: doc_id, fp1, fp2 (two 30-bit

@@ -44,10 +44,12 @@ object TextOps {
           .otherwise(lit(0.0)))
   }
 
-  /** Stopword-ratio language scores + argmax prediction (deterministic
-    * left-biased tie-break: en > es > de > fr > unknown). */
-  def languageId(docs: DataFrame): DataFrame =
-    withToks(docs)
+  /** Appends r_en/r_es/r_de/r_fr stopword ratios + argmax `lang_pred` to a
+    * tokenized frame — a pure projection shared by [[languageId]] and
+    * [[curationDecisions]] (which fuses it with the quality projection into
+    * one corpus scan). */
+  private def withLangScores(tokenized: DataFrame): DataFrame =
+    tokenized
       .withColumn("r_en", expr(Portable.stopRatioSpark("toks", Portable.StopEn)))
       .withColumn("r_es", expr(Portable.stopRatioSpark("toks", Portable.StopEs)))
       .withColumn("r_de", expr(Portable.stopRatioSpark("toks", Portable.StopDe)))
@@ -60,13 +62,18 @@ object TextOps {
           |  WHEN r_de >= r_fr THEN 'de'
           |  ELSE 'fr'
           |END""".stripMargin))
+
+  /** Stopword-ratio language scores + argmax prediction (deterministic
+    * left-biased tie-break: en > es > de > fr > unknown). */
+  def languageId(docs: DataFrame): DataFrame =
+    withLangScores(withToks(docs))
       .select("doc_id", "lang_pred", "r_en", "r_es", "r_de", "r_fr")
 
-  /** Heuristic quality score in [0, 4]: length window + stopword presence +
-    * lexical diversity + alpha-space purity. Integer comparisons and single
-    * double divisions only, so the score is engine-portable. */
-  def qualityScore(docs: DataFrame): DataFrame =
-    withToks(docs)
+  /** Appends the quality metric columns through `quality_score` to a
+    * tokenized frame — pure projection, shared by [[qualityScore]] and
+    * [[curationDecisions]]. */
+  private def withQualityCols(tokenized: DataFrame): DataFrame =
+    tokenized
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_distinct", size(array_distinct(col("toks"))))
       .withColumn("stop_ratio", expr(Portable.stopRatioSpark("toks", Portable.StopEn)))
@@ -81,6 +88,12 @@ object TextOps {
         (when(col("n_tokens").between(20, 1000), lit(1.0)).otherwise(lit(0.0))) +
         (when(col("stop_ratio") > 0, lit(1.0)).otherwise(lit(0.0))) +
         col("diversity") + col("alpha_ratio"))
+
+  /** Heuristic quality score in [0, 4]: length window + stopword presence +
+    * lexical diversity + alpha-space purity. Integer comparisons and single
+    * double divisions only, so the score is engine-portable. */
+  def qualityScore(docs: DataFrame): DataFrame =
+    withQualityCols(withToks(docs))
       .select("doc_id", "n_tokens", "n_distinct", "stop_ratio", "alpha_ratio",
         "diversity", "quality_score")
 
@@ -365,6 +378,66 @@ object TextOps {
           .as("top_bigram_frac"))
       .withColumn("is_repetitive",
         col("top_token_frac") > topTokenMax || col("top_bigram_frac") > topBigramMax)
+  }
+
+  /** Deterministic corpus shuffle + shard assignment — the training-order
+    * permutation a dataloader consumes: every document gets a (shard,
+    * pos_in_shard) slot ordered by a salted polynomial hash of its id, NOT by
+    * an RNG, so the order is reproducible across runs, engines, and
+    * repartitioning, and independent of both the train/test split and the
+    * mixture sample (distinct hash salts). Ties (hash collisions) break by
+    * doc_id, so the permutation is total.
+    *
+    * Scale shape: the hash is a projection; the rank is a per-shard window —
+    * parallelism = nShards, so size nShards to the cluster (a few thousand
+    * for 100 TB: each shard sorts corpus/nShards rows, and shard files are
+    * what the dataloader wants anyway). No global sort, no single-reducer
+    * bottleneck. */
+  def shuffleShards(docs: DataFrame, nShards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val w = Window.partitionBy("shard").orderBy(col("shuffle_key"), col("doc_id"))
+    Scale.fanOutScan(docs)
+      .withColumn("shuffle_key", expr(Portable.shuffleKeySpark("doc_id")))
+      .withColumn("shard", expr(s"cast(shuffle_key % $nShards as int)"))
+      .withColumn("pos_in_shard", row_number().over(w).cast("bigint"))
+      .select("doc_id", "shard", "pos_in_shard")
+  }
+
+  /** End-to-end corpus curation: one row per document with a keep/drop
+    * decision and the FIRST failing filter as the reason, in the fixed
+    * priority order every curation pipeline needs to make drop attribution
+    * deterministic: exact_dup > lang > quality > repetition > keep.
+    *
+    * Scale shape: the language and quality signals are pure projections
+    * fused into ONE corpus scan ([[withLangScores]] then [[withQualityCols]]
+    * on the same frame — no self-join); the two inherently aggregating
+    * signals (md5 keep-first dedup, repetition token shares) join back by
+    * key. Total cost: one projection scan + one 128-bit-key hash aggregate +
+    * one exploded token aggregate — each already proven at corpus scale by
+    * its standalone gate. Documents that tokenize to nothing have no
+    * repetition row (left join, never repetitive) and predict 'unknown',
+    * so they fall out at the `lang` stage. */
+  def curationDecisions(docs: DataFrame, targetLangs: Seq[String] = Seq("en"),
+                        minQuality: Double = 2.0): DataFrame = {
+    val keepers = docs.groupBy(md5(col("text")).as("k"))
+      .agg(min(col("doc_id")).as("keep_doc_id"))
+    val ex = docs.select(col("doc_id"), md5(col("text")).as("k"))
+      .join(keepers, "k")
+      .select(col("doc_id"), (col("doc_id") =!= col("keep_doc_id")).as("is_exact_dup"))
+    val perDoc = withQualityCols(withLangScores(withToks(docs)))
+      .select("doc_id", "lang_pred", "quality_score")
+    val rep = repetitionScore(docs).select("doc_id", "is_repetitive")
+    perDoc
+      .join(ex, "doc_id")
+      .join(rep, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("is_exact_dup"), lit("exact_dup"))
+          .when(!col("lang_pred").isin(targetLangs: _*), lit("lang"))
+          .when(col("quality_score") < minQuality, lit("quality"))
+          .when(coalesce(col("is_repetitive"), lit(false)), lit("repetition"))
+          .otherwise(lit("keep")))
+      .select(col("doc_id"), (col("reason") === "keep").as("keep"), col("reason"))
   }
 
   /** Corpus vocabulary heavy hitters: the `k` most frequent terms with their

@@ -76,7 +76,12 @@ object Training {
     "dedup_simhash"          -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d), MaxHamming)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), CosineTau)),
     "dedup_semantic"         -> ((s, d) => Dedup.semanticDedupKeep(Tables.embeddings(s, d), CosineTau)),
+    "dedup_incremental"      -> ((s, d) => Dedup.incrementalDedup(
+                                   indexLake(s, d), corpusSplit(s, d), batchSplit(s, d),
+                                   3, JaccardTau)),
     "text_unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(Tables.documents(s, d))),
+    "text_curation"          -> ((s, d) => TextOps.curationDecisions(Tables.documents(s, d))),
+    "text_shuffle_shards"    -> ((s, d) => TextOps.shuffleShards(Tables.documents(s, d))),
     "multimodal_meta"        -> ((s, d) => Multimodal.extractMeta(
                                    Multimodal.syntheticMedia(Tables.documents(s, d)))),
     "ann_brute_force_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), NQueries, TopK)),
@@ -115,8 +120,18 @@ object Training {
       Similarity.buildPqIndex(Tables.embeddings(s, d), lake)
       Similarity.buildIvfIndex(Tables.embeddings(s, d), lake)
       Similarity.buildLshIndex(Tables.embeddings(s, d), lake)
+      Dedup.buildDedupIndex(corpusSplit(s, d), lake)
       lake
     })
+
+  /** Corpus/batch split for the incremental-dedup gate: every 10th document
+    * is "today's batch", the rest the accumulated corpus the index is built
+    * over. Modulo (not range) split so batch docs interleave with their
+    * near-dup cluster neighbors in the corpus. */
+  private def corpusSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0)
+  private def batchSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -150,6 +165,55 @@ object Training {
        |  CAST(MAX(bits) AS BIGINT) AS max_surprisal_bits,
        |  CAST(SUM(bits) AS BIGINT)::DOUBLE / COUNT(*) AS mean_surprisal_bits
        |FROM sc GROUP BY doc_id""".stripMargin
+
+  /** Mirror of [[TextOps.curationDecisions]] (targets = en, minQuality 2.0):
+    * the same signal chains as the language-ID, quality, repetition, and
+    * exact-dedup oracles, folded by the same first-failing-filter CASE.
+    * lazy: composes [[langCase]], declared further down. */
+  private lazy val curationSql =
+    s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+       |k AS (SELECT md5(text) AS k, MIN(doc_id) AS keep FROM documents GROUP BY 1),
+       |ex AS (SELECT d.doc_id, d.doc_id <> k.keep AS is_exact_dup
+       |  FROM documents d JOIN k ON md5(d.text) = k.k),
+       |lg AS (SELECT doc_id,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopEn)} AS r_en,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopEs)} AS r_es,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopDe)} AS r_de,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopFr)} AS r_fr
+       |FROM t),
+       |lp AS (SELECT doc_id, $langCase AS lang_pred FROM lg),
+       |c AS (SELECT doc_id, text, toks,
+       |  len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopEn)} AS stop_ratio,
+       |  length(regexp_replace(text, '[^a-z ]', '', 'g')) AS alpha_chars
+       |FROM t),
+       |q AS (SELECT doc_id,
+       |  (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) +
+       |  (CASE WHEN stop_ratio > 0 THEN 1.0 ELSE 0.0 END) +
+       |  CASE WHEN n_tokens > 0 THEN n_distinct::DOUBLE / n_tokens ELSE 0::DOUBLE END +
+       |  CASE WHEN length(text) > 0 THEN alpha_chars::DOUBLE / length(text) ELSE 0::DOUBLE END AS quality_score
+       |FROM c),
+       |tk AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+       |uc AS (SELECT doc_id, t, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS t FROM tk) GROUP BY doc_id, t),
+       |ua AS (SELECT doc_id, SUM(tf) AS n, MAX(tf) AS top FROM uc GROUP BY doc_id),
+       |bc AS (SELECT doc_id, t, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS t FROM tk WHERE len(toks) > 1)
+       |  GROUP BY doc_id, t),
+       |ba AS (SELECT doc_id, SUM(tf) AS n, MAX(tf) AS top FROM bc GROUP BY doc_id),
+       |rep AS (SELECT ua.doc_id,
+       |  (ua.top::DOUBLE / ua.n > 0.2 OR COALESCE(ba.top::DOUBLE / ba.n, 0.0) > 0.18) AS is_rep
+       |  FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id),
+       |r AS (SELECT ex.doc_id,
+       |  CASE WHEN ex.is_exact_dup THEN 'exact_dup'
+       |       WHEN lp.lang_pred NOT IN ('en') THEN 'lang'
+       |       WHEN q.quality_score < 2.0 THEN 'quality'
+       |       WHEN COALESCE(rep.is_rep, FALSE) THEN 'repetition'
+       |       ELSE 'keep' END AS reason
+       |FROM ex JOIN lp ON ex.doc_id = lp.doc_id JOIN q ON ex.doc_id = q.doc_id
+       |LEFT JOIN rep ON ex.doc_id = rep.doc_id)
+       |SELECT doc_id, reason = 'keep' AS keep, reason FROM r""".stripMargin
 
   private val langCase =
     """CASE
@@ -335,6 +399,16 @@ object Training {
        |    OR COALESCE(ba.top::DOUBLE / ba.n, 0.0) > 0.18) AS is_repetitive
        |FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id""".stripMargin
 
+  /** Mirror of [[TextOps.shuffleShards]] (16 shards): same salted polynomial
+    * shuffle key, same modulo shard, same (key, doc_id)-ordered rank. */
+  private val shuffleShardsSql =
+    s"""WITH h AS (SELECT doc_id, ${Portable.shuffleKeyDuck("doc_id")} AS shuffle_key
+       |  FROM documents)
+       |SELECT doc_id, CAST(shuffle_key % 16 AS INT) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 16
+       |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos_in_shard
+       |FROM h""".stripMargin
+
   private val heavyHittersSql =
     s"""WITH tok AS (SELECT doc_id, unnest($toks) AS term FROM documents)
        |SELECT term, CAST(COUNT(*) AS BIGINT) AS tf,
@@ -397,6 +471,35 @@ object Training {
        |SELECT doc_id FROM documents
        |WHERE doc_id NOT IN (SELECT doc_id FROM near_removed
        |                     UNION SELECT doc_id FROM exact_removed)""".stripMargin
+
+  /** Mirror of [[Dedup.incrementalDedup]] over the modulo corpus/batch split:
+    * exact verdicts by md5 key membership, near-dup by exact all-pairs
+    * batch × corpus Jaccard on the same distinct-shingle sets — the MinHash
+    * index's verified candidates equal the exact result under the 42×3
+    * band scheme's 2e-8 miss contract, so the persisted-index round trip is
+    * hash-checked end to end. */
+  private val incrementalSql =
+    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+       |batch AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+       |ck AS (SELECT DISTINCT md5(text) AS k FROM corpus),
+       |bt AS (SELECT doc_id, $toks AS toks FROM batch),
+       |ct AS (SELECT doc_id, $toks AS toks FROM corpus),
+       |bs AS (SELECT doc_id, list_distinct(${Portable.shinglesDuck("toks", 3)}) AS sh FROM bt),
+       |cs AS (SELECT doc_id, list_distinct(${Portable.shinglesDuck("toks", 3)}) AS sh FROM ct),
+       |bs2 AS (SELECT doc_id, sh, len(sh) AS n FROM bs WHERE len(sh) > 0),
+       |cs2 AS (SELECT doc_id, sh, len(sh) AS n FROM cs WHERE len(sh) > 0),
+       |bshr AS (SELECT doc_id, unnest(sh) AS s FROM bs2),
+       |cshr AS (SELECT doc_id, unnest(sh) AS s FROM cs2),
+       |pr AS (SELECT b.doc_id AS bd, c.doc_id AS cd, COUNT(*) AS inter
+       |  FROM bshr b JOIN cshr c ON b.s = c.s GROUP BY 1, 2),
+       |nd AS (SELECT DISTINCT bd AS doc_id FROM pr
+       |  JOIN bs2 x ON bd = x.doc_id JOIN cs2 y ON cd = y.doc_id
+       |  WHERE inter::DOUBLE / (x.n + y.n - inter) >= $JaccardTau)
+       |SELECT b.doc_id,
+       |  CASE WHEN md5(b.text) IN (SELECT k FROM ck) THEN 'exact_dup'
+       |       WHEN b.doc_id IN (SELECT doc_id FROM nd) THEN 'near_dup'
+       |       ELSE 'new' END AS verdict
+       |FROM batch b""".stripMargin
 
   /** LSH-blocked embedding near-dup pairs — full-algorithm oracle: the same
     * bucket CTEs as the ANN index, candidates from the (tbl, bucket)
@@ -648,6 +751,9 @@ object Training {
     "dedup_simhash"          -> simhashSql,
     "dedup_embedding_cosine" -> embCosineSql,
     "dedup_semantic"         -> semanticDedupSql,
+    "dedup_incremental"      -> incrementalSql,
+    "text_curation"          -> curationSql,
+    "text_shuffle_shards"    -> shuffleShardsSql,
     "text_unigram_surprisal" -> unigramSurprisalSql,
     "ann_brute_force_topk"   -> annBruteSql)
 }

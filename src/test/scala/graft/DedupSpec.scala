@@ -147,6 +147,50 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: exact / near / new / short-doc verdicts via a persisted index") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different text about spark shuffles and partitions at scale"),
+      (5L, "a third corpus document mentioning streams, state, and watermarks here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (20L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (30L, "totally unrelated fresh content sharing nothing with anything stored before"),
+      (40L, "hi")
+    ).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_dedup_idx_spec_").toString
+    try {
+      val lake = new graft.lake.ParquetDirFormat(root)
+      Dedup.buildDedupIndex(corpus, lake)
+      val v = Dedup.incrementalDedup(lake, corpus, batch).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // 10 = byte-identical to corpus doc 1 (exact wins over its J=1 near hit);
+      // 20 = one trailing token changed (J = 8/14 >= 0.5); 30 = no shared
+      // shingles; 40 = too short to shingle, only exact matching can apply
+      assert(v == Map(10L -> "exact_dup", 20L -> "near_dup", 30L -> "new", 40L -> "new"))
+      // fold the admitted batch in (pure parquet append) and re-serve the same
+      // batch against the grown corpus: every doc now collides with itself
+      Dedup.appendDedupIndex(batch, lake)
+      val again = Dedup.incrementalDedup(lake, corpus.union(batch), batch).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(again == Map(10L -> "exact_dup", 20L -> "exact_dup",
+        30L -> "exact_dup", 40L -> "exact_dup"))
+      // and a near-dup of a doc that entered via append is caught by its bands
+      val probe = Seq((60L,
+        "totally unrelated fresh content sharing nothing with anything stored today"))
+        .toDF("doc_id", "text")
+      val v60 = Dedup.incrementalDedup(lake, corpus.union(batch), probe).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(v60 == Map(60L -> "near_dup"))
+    } finally {
+      import java.nio.file.{Files, Path}
+      Files.walk(Path.of(root)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+  }
+
   test("semantic dedup decision table: total, min-representative, self-kept") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val keep = Dedup.semanticDedupKeep(emb, 0.4).collect()

@@ -154,4 +154,48 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r(2L).getAs[Long]("max_surprisal_bits") == 2)
     assert(r(2L).getAs[Double]("mean_surprisal_bits") == 2.0)
   }
+
+  test("shuffle shards: total deterministic permutation, contiguous positions") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    val a = TextOps.shuffleShards(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val b = TextOps.shuffleShards(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1)), "permutation is deterministic")
+    assert(a.length == 200 && a.map(_._1).distinct.length == 200)
+    assert(a.forall(t => t._2 >= 0 && t._2 < 8))
+    // positions within each shard are exactly 1..n
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    }
+    // the order is a real shuffle, not identity: doc_ids in (shard, pos) order
+    // must not be globally ascending
+    val ordered = a.sortBy(t => (t._2, t._3)).map(_._1)
+    assert(!ordered.sameElements(ordered.sorted), "hash order differs from id order")
+  }
+
+  test("curation decisions: first failing filter wins in priority order") {
+    import spark.implicits._
+    val goodEn = "the quick brown fox jumps over a lazy dog while many other " +
+      "plain words appear here and there with steady variety throughout this text"
+    val docs = Seq(
+      (1L, goodEn),                                                   // keep
+      (2L, goodEn),                                                   // exact_dup of 1
+      (3L, "el perro corre y los gatos duermen se ven por la noche"), // lang (es)
+      // short + two-token vocabulary + digits: no length point, diversity and
+      // alpha both low -> score < 2 (quality outranks the repetition it also has)
+      (4L, "the the the the the the the the the the 9999999999999999999999999999999999999"),
+      // in the length window and diverse overall, but one token at 6/25 > 0.2
+      (5L, "the quick brown fox spam spam spam spam spam spam jumps over lazy " +
+        "dogs while many other words appear here now then soon later often")
+    ).toDF("doc_id", "text")
+    val r = TextOps.curationDecisions(docs).collect()
+      .map(x => x.getLong(0) -> (x.getBoolean(1), x.getString(2))).toMap
+    assert(r(1L) == (true, "keep"))
+    assert(r(2L) == (false, "exact_dup"))
+    assert(r(3L) == (false, "lang"))
+    assert(r(4L) == (false, "quality"))
+    assert(r(5L) == (false, "repetition"))
+  }
 }
