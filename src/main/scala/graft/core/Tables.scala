@@ -25,15 +25,22 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright. Read nanos as raw longs (legacy conf) and convert
-    * to TIMESTAMP_NTZ microseconds — lossless for this corpus (every value is
-    * an exact microsecond) and NTZ so written results match DuckDB's naive
+  /** events.parquet has shipped with two `ts` encodings across driver testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects unless
+    * nanos are read as raw longs via the legacy conf) and plain TIMESTAMP(MICROS)
+    * NTZ. Sniff the schema after the scan and normalize either shape to
+    * TIMESTAMP_NTZ microseconds — lossless for this corpus (every value is an
+    * exact microsecond) and NTZ so written results match DuckDB's naive
     * TIMESTAMP rendering byte-for-byte. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ =>
+        raw.withColumn("ts", expr("cast(ts as timestamp_ntz)"))
+    }
   }
   /** Bare scans. The single-row-group fan-out for CPU-dense work lives at the
     * operator entry points ([[graft.operators.Scale.fanOutScan]] call sites in
