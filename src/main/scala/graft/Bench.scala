@@ -36,10 +36,17 @@ object Bench {
       } catch { case _: Exception => 0L }
 
     val stealStart = stealJiffies()
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run to named queries — the
+    // iterate-on-one-plan loop. Filtered runs never overwrite bench_last.json
+    // (the durable full-surface record).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // Per-query warm run (codegen + JIT for that plan shape) outside the
     // timed region, then timed steady-state runs — each run rebuilds the
     // whole DataFrame so no cached results carry over, only compiled code.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
         val r =
@@ -112,9 +119,10 @@ object Bench {
     println(line)
     // the driver captures stdout (and can truncate the tail); the in-repo copy
     // is the durable record the next round's analysis reads
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Exception => System.err.println(s"[bench] bench_last.json write failed: $e") }
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Exception => System.err.println(s"[bench] bench_last.json write failed: $e") }
     spark.stop()
   }
 }

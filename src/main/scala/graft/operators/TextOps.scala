@@ -476,6 +476,41 @@ object TextOps {
         max(col("quality_score")).as("max_quality_kept"))
   }
 
+  /** Line-level exact dedup (the CCNet/C4 boilerplate-removal pass — Wenzek et
+    * al. 2020 §3.1, Raffel et al. 2020 §2.2, both public methods): split each
+    * document into newline-delimited lines, count each distinct line's document
+    * frequency across the corpus, drop lines appearing in more than `maxDf`
+    * documents (navigation chrome, disclaimers, cookie banners), and reassemble
+    * the surviving lines in original order.
+    *
+    * Scale shape: one posexplode, one hash aggregate keyed on the line string
+    * (map-side combine makes the shuffle |distinct lines|-sized), one
+    * many-to-one equi-join back (hot boilerplate lines are exactly the join's
+    * skewed keys — AQE skew-join splits them, and each probe row matches one
+    * build row, so there is no fan-out), and one per-doc aggregate whose
+    * `collect_list` holds a single document's lines — bounded by document size,
+    * never by corpus size. Docs whose every line is boilerplate survive with
+    * empty `clean_text`, so downstream filters see them rather than silently
+    * losing rows. */
+  def dedupLines(docs: DataFrame, maxDf: Int = 5): DataFrame = {
+    val lines = Scale.fanOutScan(docs)
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .filter(col("line") =!= "")
+    val lineDf = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+    val kept = lines.join(lineDf, "line").filter(col("line_df") <= maxDf)
+    val totals = lines.groupBy("doc_id").agg(count(lit(1)).cast("bigint").as("n_lines"))
+    val reassembled = kept.groupBy("doc_id").agg(
+      count(lit(1)).cast("bigint").as("n_lines_kept"),
+      expr("array_join(transform(array_sort(collect_list(struct(pos, line))), s -> s.line), '\\n')")
+        .as("clean_text"))
+    totals.join(reassembled, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_lines"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Unigram-LM surprisal quality signal — the corpus-frequency filtering of
     * CCNet (Wenzek et al. 2020, arXiv:1911.00359 — public method), made
     * engine-exact: a token's surprisal is the INTEGER bit width

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Tables
 import graft.functions.Portable
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps, UrlOps}
 
 /** Training-data pipeline queries over `documents` / `embeddings`, with DuckDB
   * oracles generated from the SAME [[Portable]] builders as the Spark plans —
@@ -35,6 +35,11 @@ object Training {
   val MixRates: Map[String, Double] = Map(
     "src0" -> 1.0, "src1" -> 0.7, "src2" -> 0.25, "src3" -> 0.0)
   val MixDefault = 0.5
+  /** Line-dedup gate: lines shared by more than this many docs are boilerplate. */
+  val LineMaxDf = 5
+  /** Domain-cap gate: blocked registrable domains + per-domain contribution cap. */
+  val BlockedDomains: Seq[String] = Seq("src3-example.com", "src3-example.org")
+  val DomainCap = 10
 
   val queries: Map[String, Q] = Map(
     "text_token_stats"       -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
@@ -82,6 +87,28 @@ object Training {
     "text_unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(Tables.documents(s, d))),
     "text_curation"          -> ((s, d) => TextOps.curationDecisions(Tables.documents(s, d))),
     "text_shuffle_shards"    -> ((s, d) => TextOps.shuffleShards(Tables.documents(s, d))),
+    // the corpus has no newlines, so the gate CONSTRUCTS a 4-line document:
+    // two content lines (split of the original text), one per-source
+    // disclaimer (df ~ docs/source, over the cap) and one global copyright
+    // line (df = corpus size) — the boilerplate shapes line dedup exists for
+    "text_line_dedup"        -> ((s, d) => TextOps.dedupLines(
+                                   Tables.documents(s, d).withColumn("text",
+                                     org.apache.spark.sql.functions.concat_ws("\n",
+                                       org.apache.spark.sql.functions.expr("substr(text, 1, 40)"),
+                                       org.apache.spark.sql.functions.expr("'standard disclaimer for ' || source"),
+                                       org.apache.spark.sql.functions.expr("substr(text, 41)"),
+                                       org.apache.spark.sql.functions.lit("copyright corpus collection"))),
+                                   LineMaxDf)),
+    // constructed URL with rotating subdomain (www/cdn/bare), per-source
+    // registrable domain over two TLDs, and an occasional query string —
+    // exercises host/path/domain extraction, the blocklist, and the cap
+    "text_domain_cap"        -> ((s, d) => UrlOps.domainCap(
+                                   Tables.documents(s, d).withColumn("url",
+                                     org.apache.spark.sql.functions.expr(
+                                       "'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END)" +
+                                       " || source || '-example.' || (CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END)" +
+                                       " || '/docs/' || doc_id || (CASE WHEN doc_id % 5 = 0 THEN '?ref=feed' ELSE '' END)")),
+                                   BlockedDomains, DomainCap)),
     "multimodal_meta"        -> ((s, d) => Multimodal.extractMeta(
                                    Multimodal.syntheticMedia(Tables.documents(s, d)))),
     "ann_brute_force_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), NQueries, TopK)),
@@ -446,6 +473,56 @@ object Training {
        |  CAST(len(${Portable.tokensDuck("sentence")}) AS INT) AS n_tokens
        |FROM e WHERE sentence <> ''""".stripMargin
 
+  /** Mirror of [[TextOps.dedupLines]] over the same constructed 4-line text:
+    * generate_subscripts/unnest advance in lockstep (same 0-based pos as
+    * posexplode), string_split on chr(10) is the same literal-newline split as
+    * Spark's regex-free pattern, and string_agg ORDER BY pos rebuilds the
+    * document in the same order as Spark's array_sort(collect_list(struct)). */
+  private val lineDedupSql =
+    s"""WITH d AS (SELECT doc_id,
+       |  substr(text, 1, 40) || chr(10) || 'standard disclaimer for ' || source
+       |    || chr(10) || substr(text, 41) || chr(10) || 'copyright corpus collection' AS text
+       |FROM documents),
+       |l AS (SELECT doc_id,
+       |  generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+       |  unnest(string_split(text, chr(10))) AS line FROM d),
+       |nz AS (SELECT * FROM l WHERE line <> ''),
+       |f AS (SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM nz GROUP BY line),
+       |k AS (SELECT nz.doc_id, nz.pos, nz.line FROM nz JOIN f USING (line)
+       |  WHERE f.line_df <= $LineMaxDf),
+       |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM nz GROUP BY doc_id),
+       |ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+       |  string_agg(line, chr(10) ORDER BY pos) AS clean_text FROM k GROUP BY doc_id)
+       |SELECT tot.doc_id, tot.n_lines,
+       |  CAST(COALESCE(ka.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+       |  COALESCE(ka.clean_text, '') AS clean_text
+       |FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id""".stripMargin
+
+  /** Mirror of [[UrlOps.domainCap]]: same constructed URL, same RE2 extraction
+    * regexes (DuckDB and Spark both compile plain character-class patterns
+    * identically), and a single ROW_NUMBER window — the oracle states the
+    * SEMANTICS; Spark's two-phase salted top-N must equal it because the
+    * (n_chars DESC, doc_id ASC) ordering is total. */
+  private val domainCapSql = {
+    val blocked = BlockedDomains.map(b => s"'$b'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, n_chars,
+       |  'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END)
+       |    || source || '-example.' || (CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END)
+       |    || '/docs/' || doc_id || (CASE WHEN doc_id % 5 = 0 THEN '?ref=feed' ELSE '' END) AS url
+       |FROM documents),
+       |p AS (SELECT doc_id, n_chars, url,
+       |  lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+       |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path
+       |FROM d),
+       |p2 AS (SELECT *, regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS registrable_domain FROM p),
+       |f AS (SELECT * FROM p2 WHERE registrable_domain NOT IN ($blocked)),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY registrable_domain
+       |  ORDER BY n_chars DESC, doc_id ASC) AS domain_rank FROM f)
+       |SELECT doc_id, url, host, path, registrable_domain,
+       |  CAST(domain_rank AS INT) AS domain_rank
+       |FROM r WHERE domain_rank <= $DomainCap""".stripMargin
+  }
+
   private val exactSql =
     """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text)""".stripMargin
@@ -754,6 +831,8 @@ object Training {
     "dedup_incremental"      -> incrementalSql,
     "text_curation"          -> curationSql,
     "text_shuffle_shards"    -> shuffleShardsSql,
+    "text_line_dedup"        -> lineDedupSql,
+    "text_domain_cap"        -> domainCapSql,
     "text_unigram_surprisal" -> unigramSurprisalSql,
     "ann_brute_force_topk"   -> annBruteSql)
 }

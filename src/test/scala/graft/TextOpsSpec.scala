@@ -50,6 +50,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("dedupLines: boilerplate dropped, order kept, all-boilerplate doc survives empty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "only in one\nSHARED EVERYWHERE\nPAIR LINE\ntail one"),
+      (2L, "different body\nSHARED EVERYWHERE\nPAIR LINE\n"),
+      (3L, "SHARED EVERYWHERE")
+    ).toDF("doc_id", "text")
+    val got = TextOps.dedupLines(docs, maxDf = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // SHARED df=3 > 2 dropped; PAIR df=2 kept; trailing empty line in doc 2
+    // never counted; doc 3 keeps nothing but still appears
+    assert(got(1L) == ((4L, 3L, "only in one\nPAIR LINE\ntail one")))
+    assert(got(2L) == ((3L, 2L, "different body\nPAIR LINE")))
+    assert(got(3L) == ((1L, 0L, "")))
+    assert(got.size == 3)
+  }
+
   test("split bucket hash has no residue structure over sequential ids") {
     // the multiplicative (id * 2654435761) % 100 form this replaced satisfies
     // bucket(i) == bucket(i + 100) for EVERY i — any id-correlated corpus
