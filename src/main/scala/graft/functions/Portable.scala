@@ -271,4 +271,31 @@ object Portable {
     s"CASE WHEN size($toks) > 0 THEN cast(size(filter($toks, t -> t IN ${inList(words)})) as double) / size($toks) ELSE cast(0 as double) END"
   def stopRatioDuck(toks: String, words: Seq[String]): String =
     s"CASE WHEN len($toks) > 0 THEN len(list_filter($toks, t -> t IN ${inList(words)}))::DOUBLE / len($toks) ELSE 0::DOUBLE END"
+
+  // ---- z-order curve (bit-interleaved multi-column clustering key) ---------
+  /** Min/max-linear bucket of a numeric column into [0, 2^bits): identical
+    * IEEE sub/mul/div/floor in both engines (same operand order), so the
+    * bucket — and therefore the z-value — is bitwise portable. Degenerate
+    * range (min = max) maps everything to bucket 0. NULL stays NULL. */
+  def zBucketSpark(x: String, min: String, max: String, bits: Int): String =
+    s"CASE WHEN $max > $min THEN CAST(floor((CAST($x AS DOUBLE) - CAST($min AS DOUBLE)) * " +
+      s"CAST(${(1 << bits) - 1} AS DOUBLE) / (CAST($max AS DOUBLE) - CAST($min AS DOUBLE))) AS BIGINT) " +
+      s"ELSE CAST(0 AS BIGINT) END"
+  def zBucketDuck(x: String, min: String, max: String, bits: Int): String =
+    s"CASE WHEN $max > $min THEN CAST(floor((CAST($x AS DOUBLE) - CAST($min AS DOUBLE)) * " +
+      s"CAST(${(1 << bits) - 1} AS DOUBLE) / (CAST($max AS DOUBLE) - CAST($min AS DOUBLE))) AS BIGINT) " +
+      s"ELSE CAST(0 AS BIGINT) END"
+
+  /** Round-robin bit interleave of k bucket expressions, `bits` bits each:
+    * bit i of bucket j lands at position i*k + j. Pure integer shift/mask
+    * arithmetic — codegen'd on Spark, vectorized on DuckDB; k*bits must stay
+    * under 63 so the z-value fits a BIGINT. */
+  def zInterleaveSpark(buckets: Seq[String], bits: Int): String =
+    buckets.zipWithIndex.flatMap { case (b, j) =>
+      (0 until bits).map(i => s"shiftleft(shiftright($b, $i) & 1, ${i * buckets.size + j})")
+    }.mkString(" + ")
+  def zInterleaveDuck(buckets: Seq[String], bits: Int): String =
+    buckets.zipWithIndex.flatMap { case (b, j) =>
+      (0 until bits).map(i => s"(((($b) >> $i) & 1) << ${i * buckets.size + j})")
+    }.mkString(" + ")
 }

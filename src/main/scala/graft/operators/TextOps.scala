@@ -543,4 +543,68 @@ object TextOps {
       .withColumn("mean_surprisal_bits",
         col("sum_surprisal_bits").cast("double") / col("n_tokens"))
   }
+
+  /** DSIR-style importance resampling scores (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", arXiv:2302.03169 — public
+    * method): featurize every document as hashed n-gram (unigram + bigram)
+    * bucket counts, fit bag-of-buckets unigram models on a small "target"
+    * (high-quality) slice and on the raw pool, and score each document by its
+    * estimated log-likelihood ratio under the two models — documents that look
+    * like the target distribution score high and get `selected` for training.
+    *
+    * Engine-exactness: the per-bucket log ratio uses INTEGER floor-log2 bit
+    * widths (`floor(log2(p_b+1)) - floor(log2(p_tot+B)) - floor(log2(q_b+1)) +
+    * floor(log2(q_tot+B))`, add-1/add-B smoothing) instead of transcendental
+    * `ln` — the same formulation as [[unigramSurprisal]], exact and identical
+    * in both engines, and free of the BIGINT overflow a cross-multiplied
+    * `log2(p_b * q_tot)` would hit at corpus scale. The difference form never
+    * multiplies counts.
+    *
+    * Scale shape: the feature explode is token-count sized and immediately
+    * hash-aggregated per (doc, bucket) with map-side combine; both language
+    * models and the log-ratio table are at most `buckets` rows — a broadcast,
+    * never a shuffle; scoring is one broadcast join + one per-doc hash agg.
+    * The selection threshold is an exact percentile here (one single-node agg
+    * buffer of per-doc scores) — at 100 TB swap for `approx_percentile`, the
+    * same caveat as [[qualityFilter]].
+    *
+    * `isTarget` must be a deterministic predicate on the input columns (a
+    * provenance flag, a quality gate, or a hash split) — never a random
+    * sample, or the scores stop being reproducible. */
+  def dsirScores(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+                 buckets: Int = 512, keepPct: Double = 0.75): DataFrame = {
+    def bw(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      length(conv(e.cast("string"), 10, 2)).cast("int") - 1
+    val base = withToks(docs).select(col("doc_id"), col("toks"), isTarget.as("is_target"))
+    val feats = base.select(col("doc_id"), col("is_target"),
+        explode(expr(s"concat(toks, ${Portable.shinglesSpark("toks", 2)})")).as("f"))
+      .withColumn("b", pmod(expr("graft_phash(f)"), lit(buckets)))
+    val docBucket = feats.groupBy("doc_id", "is_target", "b")
+      .agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val p = docBucket.filter(col("is_target")).groupBy("b")
+      .agg(sum(col("c")).cast("bigint").as("p_cnt"))
+    val q = docBucket.filter(!col("is_target")).groupBy("b")
+      .agg(sum(col("c")).cast("bigint").as("q_cnt"))
+    val counts = p.join(q, Seq("b"), "full_outer")
+      .select(col("b"),
+        coalesce(col("p_cnt"), lit(0L)).as("p_cnt"),
+        coalesce(col("q_cnt"), lit(0L)).as("q_cnt"))
+    val tots = counts.agg(
+      sum(col("p_cnt")).cast("bigint").as("p_tot"),
+      sum(col("q_cnt")).cast("bigint").as("q_tot"))
+    val llr = counts.crossJoin(broadcast(tots))
+      .select(col("b"),
+        (bw(col("p_cnt") + 1) - bw(col("p_tot") + buckets)
+          - bw(col("q_cnt") + 1) + bw(col("q_tot") + buckets)).as("llr"))
+    val scored = docBucket.join(broadcast(llr), "b")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).cast("bigint").as("n_feats"),
+        sum(col("c") * col("llr")).cast("bigint").as("dsir_score"))
+    val thr = scored.agg(expr(s"percentile(dsir_score, $keepPct)").as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_feats"), col("dsir_score"),
+        (col("dsir_score").cast("double") >= col("thr")).as("selected"))
+  }
 }

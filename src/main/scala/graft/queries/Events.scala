@@ -210,7 +210,33 @@ object Events {
       .select("event_id", "user_id", "value", "c_mktsegment")
   }
 
+  /** Z-ordered rewrite of the events fact on (user_id, value) — see
+    * [[graft.lake.ZOrder]]. Written once per source dir to a temp layout and
+    * then read BACK, so the gate hash-checks the full write->read round trip:
+    * the clustered rewrite must lose/duplicate no rows and the portable
+    * z-value must match the oracle's bucket+interleave arithmetic bitwise. */
+  private val zorderRoots = scala.collection.concurrent.TrieMap.empty[String, String]
+  def zorderCluster(spark: SparkSession, dir: String): DataFrame = {
+    val path = zorderRoots.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        val p = Path.of(root)
+        if (Files.exists(p))
+          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+      }))
+      val src = Tables.events(spark, dir).select("event_id", "user_id", "value")
+      graft.lake.ZOrder.writeZOrdered(src, s"$root/events_z",
+        Seq("user_id", "value"), nFiles = 32)
+      s"$root/events_z"
+    })
+    spark.read.parquet(path).select("event_id", "user_id", "value", "zv")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_zorder_cluster" -> (zorderCluster _),
     "events_salted_join"   -> (saltedDimJoin _),
     "events_asof_orders"   -> (asofOrders _),
     "events_value_bands"   -> (valueBands _),
@@ -228,6 +254,17 @@ object Events {
       "epoch_us(CAST(ts AS TIMESTAMP)) AS ep FROM events"
 
   val oracle: Map[String, String] = Map(
+    "events_zorder_cluster" -> {
+      import graft.functions.Portable
+      val bu = Portable.zBucketDuck("user_id", "min_u", "max_u", 16)
+      val bv = Portable.zBucketDuck("value", "min_v", "max_v", 16)
+      s"""WITH st AS (SELECT MIN(user_id) AS min_u, MAX(user_id) AS max_u,
+         |  MIN(value) AS min_v, MAX(value) AS max_v FROM events),
+         |b AS (SELECT event_id, user_id, value, $bu AS bu, $bv AS bv FROM events, st)
+         |SELECT event_id, user_id, value,
+         |  CAST(${Portable.zInterleaveDuck(Seq("bu", "bv"), 16)} AS BIGINT) AS zv
+         |FROM b""".stripMargin
+    },
     "events_salted_join" ->
       """SELECT e.event_id, e.user_id, e.value, c.c_mktsegment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,

@@ -40,6 +40,11 @@ object Training {
   /** Domain-cap gate: blocked registrable domains + per-domain contribution cap. */
   val BlockedDomains: Seq[String] = Seq("src3-example.com", "src3-example.org")
   val DomainCap = 10
+  /** DSIR gate: two sources (10% of the corpus) play the high-quality target
+    * slice; hashed-ngram bucket count and top-25% selection. */
+  val DsirTargetSources: Seq[String] = Seq("src0", "src1")
+  val DsirBuckets = 512
+  val DsirKeepPct = 0.75
 
   val queries: Map[String, Q] = Map(
     "text_token_stats"       -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
@@ -85,6 +90,11 @@ object Training {
                                    indexLake(s, d), corpusSplit(s, d), batchSplit(s, d),
                                    3, JaccardTau)),
     "text_unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(Tables.documents(s, d))),
+    "text_dsir_sample"       -> ((s, d) => TextOps.dsirScores(
+                                   Tables.documents(s, d),
+                                   org.apache.spark.sql.functions.col("source")
+                                     .isin(DsirTargetSources: _*),
+                                   DsirBuckets, DsirKeepPct)),
     "text_curation"          -> ((s, d) => TextOps.curationDecisions(Tables.documents(s, d))),
     "text_shuffle_shards"    -> ((s, d) => TextOps.shuffleShards(Tables.documents(s, d))),
     // the corpus has no newlines, so the gate CONSTRUCTS a 4-line document:
@@ -192,6 +202,35 @@ object Training {
        |  CAST(MAX(bits) AS BIGINT) AS max_surprisal_bits,
        |  CAST(SUM(bits) AS BIGINT)::DOUBLE / COUNT(*) AS mean_surprisal_bits
        |FROM sc GROUP BY doc_id""".stripMargin
+
+  /** Exact replica of [[graft.operators.TextOps.dsirScores]]: hashed
+    * unigram+bigram bucket counts, integer floor-log2 log-likelihood ratios
+    * (difference form, add-1/add-B smoothing — never a count product), exact
+    * 75th-percentile selection threshold. */
+  private val dsirSql = {
+    val targets = DsirTargetSources.map(s => s"'$s'").mkString(", ")
+    val B = DsirBuckets
+    s"""WITH t AS (SELECT doc_id, source IN ($targets) AS is_target, $toks AS toks FROM documents),
+       |f AS (SELECT doc_id, is_target,
+       |  unnest(list_concat(toks, ${Portable.shinglesDuck("toks", 2)})) AS f FROM t),
+       |fb AS (SELECT doc_id, is_target, ${Portable.phashDuck("f")} % $B AS b FROM f),
+       |db AS (SELECT doc_id, is_target, b, CAST(COUNT(*) AS BIGINT) AS c FROM fb GROUP BY 1, 2, 3),
+       |p AS (SELECT b, CAST(SUM(c) AS BIGINT) AS p_cnt FROM db WHERE is_target GROUP BY b),
+       |q AS (SELECT b, CAST(SUM(c) AS BIGINT) AS q_cnt FROM db WHERE NOT is_target GROUP BY b),
+       |l AS (SELECT COALESCE(p.b, q.b) AS b, COALESCE(p_cnt, 0) AS p_cnt, COALESCE(q_cnt, 0) AS q_cnt
+       |  FROM p FULL OUTER JOIN q ON p.b = q.b),
+       |tot AS (SELECT CAST(SUM(p_cnt) AS BIGINT) AS p_tot, CAST(SUM(q_cnt) AS BIGINT) AS q_tot FROM l),
+       |lr AS (SELECT b,
+       |  (length(printf('%b', p_cnt + 1)) - 1) - (length(printf('%b', p_tot + $B)) - 1)
+       |  - (length(printf('%b', q_cnt + 1)) - 1) + (length(printf('%b', q_tot + $B)) - 1) AS llr
+       |  FROM l, tot),
+       |sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+       |  CAST(SUM(c * llr) AS BIGINT) AS dsir_score
+       |  FROM db JOIN lr USING (b) GROUP BY doc_id),
+       |thr AS (SELECT quantile_cont(dsir_score, $DsirKeepPct) AS thr FROM sc)
+       |SELECT doc_id, n_feats, dsir_score, dsir_score::DOUBLE >= thr AS selected
+       |FROM sc, thr""".stripMargin
+  }
 
   /** Mirror of [[TextOps.curationDecisions]] (targets = en, minQuality 2.0):
     * the same signal chains as the language-ID, quality, repetition, and
@@ -834,5 +873,6 @@ object Training {
     "text_line_dedup"        -> lineDedupSql,
     "text_domain_cap"        -> domainCapSql,
     "text_unigram_surprisal" -> unigramSurprisalSql,
+    "text_dsir_sample"       -> dsirSql,
     "ann_brute_force_topk"   -> annBruteSql)
 }

@@ -215,4 +215,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r(4L) == (false, "quality"))
     assert(r(5L) == (false, "repetition"))
   }
+
+  test("dsirScores: target-like docs outscore off-distribution docs, selection deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // target slice (ids 0-4) speaks "quality prose"; raw pool is half
+    // target-like (ids 10-14) and half spam (ids 20-24). DSIR must rank the
+    // target-like raw docs above the spam ones — that is the whole point of
+    // the importance weight.
+    val docs = (
+      (0L to 4L).map(i => (i, s"the quick brown fox jumps over fence $i", "tgt")) ++
+      (10L to 14L).map(i => (i, s"the quick brown fox walks past fence $i", "raw")) ++
+      (20L to 24L).map(i => (i, s"buy cheap pills now click here win $i", "raw"))
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.dsirScores(docs, col("source") === "tgt", buckets = 64, keepPct = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    val proseScores = (10L to 14L).map(out(_)._1)
+    val spamScores  = (20L to 24L).map(out(_)._1)
+    assert(proseScores.min > spamScores.max,
+      s"target-like raw docs must outscore spam: $proseScores vs $spamScores")
+    // with a top-half cut over 15 docs, the 5 spam docs all fall below it
+    assert((20L to 24L).forall(i => !out(i)._2), s"spam selected: $out")
+    // determinism: a second run produces identical scores
+    val again = TextOps.dsirScores(docs, col("source") === "tgt", buckets = 64, keepPct = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(again == out)
+  }
 }

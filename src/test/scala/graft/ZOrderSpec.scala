@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.lake.ZOrder
+
+/** What the gate can't pin: the LAYOUT payoff. The gate proves the z-ordered
+  * rewrite is content-preserving and the z-value arithmetic portable; this
+  * spec proves the layout actually buys multi-column file pruning — the whole
+  * reason to z-order 100 TB instead of sorting it.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def spansIntersecting(spans: Array[(Long, Long)], lo: Long, hi: Long): Int =
+    spans.count { case (mn, mx) => mx >= lo && mn <= hi }
+
+  test("z-ordered layout prunes on BOTH columns; single-sort prunes on one") {
+    import spark.implicits._
+    // two independent uniform columns: the adversarial case for single-column
+    // sorting (sorting by x makes every file span all of y)
+    val n = 40000L
+    val df = spark.range(n).select(
+      col("id"),
+      (col("id") * 48271L % 65521L).as("x"),
+      (col("id") * 69621L % 65497L).as("y"))
+    val root = java.nio.file.Files.createTempDirectory("graft_zorder_spec_").toString
+    try {
+      df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+        .write.parquet(s"$root/by_x")
+      ZOrder.writeZOrdered(df, s"$root/z", Seq("x", "y"), nFiles = 16)
+
+      def spans(path: String, c: String): Array[(Long, Long)] =
+        ZOrder.fileSpans(spark, path, Seq("x", "y"))
+          .select(col(s"min_$c"), col(s"max_$c"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+      // a y-selective box: ~6% of the y range
+      val (yLo, yHi) = (10000L, 14000L)
+      val plainY = spansIntersecting(spans(s"$root/by_x", "y"), yLo, yHi)
+      val zY     = spansIntersecting(spans(s"$root/z", "y"), yLo, yHi)
+      info(s"files to read for y-box: by_x=$plainY of 16, zorder=$zY of 16")
+      assert(plainY == 16, "x-sorted layout cannot prune on y")
+      assert(zY <= 8, s"z-order should prune most files on y, read $zY")
+
+      // x stays pruned too (worse than a perfect x-sort, far better than none)
+      val (xLo, xHi) = (20000L, 24000L)
+      val zX = spansIntersecting(spans(s"$root/z", "x"), xLo, xHi)
+      info(s"files to read for x-box: zorder=$zX of 16")
+      assert(zX <= 8, s"z-order should still prune on x, read $zX")
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(Path.of(root)).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+  }
+
+  test("z-ordered rewrite preserves content exactly") {
+    import spark.implicits._
+    val df = spark.range(5000).select(col("id"),
+      (col("id") % 97L).as("x"), (col("id") % 89L).as("y"))
+    val root = java.nio.file.Files.createTempDirectory("graft_zorder_rt_").toString
+    try {
+      ZOrder.writeZOrdered(df, s"$root/z", Seq("x", "y"), nFiles = 8)
+      val back = spark.read.parquet(s"$root/z")
+      assert(back.count() == 5000)
+      assert(back.select("id", "x", "y").except(df).isEmpty &&
+        df.except(back.select("id", "x", "y")).isEmpty)
+      // zv is a pure function of (x, y): equal inputs, equal z-values
+      val distinctPerKey = back.groupBy("x", "y")
+        .agg(countDistinct(col("zv")).as("nzv"))
+        .agg(max(col("nzv"))).head().getLong(0)
+      assert(distinctPerKey == 1L)
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(Path.of(root)).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+  }
+}
