@@ -582,14 +582,12 @@ object TextOps {
     val docBucket = feats.groupBy("doc_id", "is_target", "b")
       .agg(count(lit(1)).as("c"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val p = docBucket.filter(col("is_target")).groupBy("b")
-      .agg(sum(col("c")).cast("bigint").as("p_cnt"))
-    val q = docBucket.filter(!col("is_target")).groupBy("b")
-      .agg(sum(col("c")).cast("bigint").as("q_cnt"))
-    val counts = p.join(q, Seq("b"), "full_outer")
-      .select(col("b"),
-        coalesce(col("p_cnt"), lit(0L)).as("p_cnt"),
-        coalesce(col("q_cnt"), lit(0L)).as("q_cnt"))
+    // both models in ONE bucket aggregate (a FILTER-style conditional sum):
+    // same result set as separate target/raw aggs full-outer-joined on b,
+    // with one shuffle instead of two plus a join
+    val counts = docBucket.groupBy("b").agg(
+      sum(when(col("is_target"), col("c")).otherwise(0L)).cast("bigint").as("p_cnt"),
+      sum(when(!col("is_target"), col("c")).otherwise(0L)).cast("bigint").as("q_cnt"))
     val tots = counts.agg(
       sum(col("p_cnt")).cast("bigint").as("p_tot"),
       sum(col("q_cnt")).cast("bigint").as("q_tot"))
