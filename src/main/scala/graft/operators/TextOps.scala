@@ -483,32 +483,59 @@ object TextOps {
     * documents (navigation chrome, disclaimers, cookie banners), and reassemble
     * the surviving lines in original order.
     *
-    * Scale shape: one posexplode, one hash aggregate keyed on the line string
-    * (map-side combine makes the shuffle |distinct lines|-sized), one
-    * many-to-one equi-join back (hot boilerplate lines are exactly the join's
-    * skewed keys — AQE skew-join splits them, and each probe row matches one
-    * build row, so there is no fan-out), and one per-doc aggregate whose
-    * `collect_list` holds a single document's lines — bounded by document size,
-    * never by corpus size. Docs whose every line is boilerplate survive with
-    * empty `clean_text`, so downstream filters see them rather than silently
-    * losing rows. */
-  def dedupLines(docs: DataFrame, maxDf: Int = 5): DataFrame = {
-    val lines = Scale.fanOutScan(docs)
+    * Scale shape, two regimes switched on the measured size of the BAD-line
+    * set (lines with df > maxDf — the hot boilerplate, usually a tiny
+    * fraction of distinct lines):
+    *
+    *  - broadcast regime (bad set <= `broadcastBadLimit`): one posexplode +
+    *    one |distinct lines|-sized hash aggregate derive the bad set, which
+    *    collapses to a single broadcast row; the output is then ONE scan over
+    *    the documents filtering each line array in place — no join back, no
+    *    per-doc reassembly aggregate, and original line order is preserved by
+    *    construction instead of by sort. The membership probe is a linear
+    *    array scan per line, which is why the regime is capped.
+    *  - join regime (pathological corpora with a huge bad set): the original
+    *    many-to-one equi-join back (AQE splits the hot boilerplate keys; each
+    *    probe row matches one build row, so there is no fan-out) plus a
+    *    per-doc `collect_list` reassembly bounded by document size.
+    *
+    * Both regimes produce bitwise-identical output. Docs whose every line is
+    * boilerplate survive with empty `clean_text`, so downstream filters see
+    * them rather than silently losing rows. */
+  def dedupLines(docs: DataFrame, maxDf: Int = 5,
+                 broadcastBadLimit: Long = 100000L): DataFrame = {
+    val src = Scale.fanOutScan(docs)
+    val lines = src
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
       .filter(col("line") =!= "")
-    val lineDf = lines.groupBy("line")
+    val badDf = lines.groupBy("line")
       .agg(countDistinct(col("doc_id")).as("line_df"))
-    val kept = lines.join(lineDf, "line").filter(col("line_df") <= maxDf)
-    val totals = lines.groupBy("doc_id").agg(count(lit(1)).cast("bigint").as("n_lines"))
-    val reassembled = kept.groupBy("doc_id").agg(
-      count(lit(1)).cast("bigint").as("n_lines_kept"),
-      expr("array_join(transform(array_sort(collect_list(struct(pos, line))), s -> s.line), '\\n')")
-        .as("clean_text"))
-    totals.join(reassembled, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"), col("n_lines"),
-        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .filter(col("line_df") > maxDf)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (badDf.count() <= broadcastBadLimit) {
+      val bad = badDf.agg(collect_set(col("line")).as("bad"))
+      src.crossJoin(broadcast(bad))
+        .withColumn("__ne", filter(split(col("text"), "\n"), l => l =!= ""))
+        .filter(size(col("__ne")) > 0)
+        .withColumn("__kept", filter(col("__ne"), l => not(array_contains(col("bad"), l))))
+        .select(
+          col("doc_id"),
+          size(col("__ne")).cast("bigint").as("n_lines"),
+          size(col("__kept")).cast("bigint").as("n_lines_kept"),
+          array_join(col("__kept"), "\n").as("clean_text"))
+    } else {
+      val kept = lines.join(badDf.select("line"), Seq("line"), "left_anti")
+      val totals = lines.groupBy("doc_id").agg(count(lit(1)).cast("bigint").as("n_lines"))
+      val reassembled = kept.groupBy("doc_id").agg(
+        count(lit(1)).cast("bigint").as("n_lines_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, line))), s -> s.line), '\\n')")
+          .as("clean_text"))
+      totals.join(reassembled, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("n_lines"),
+          coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+    }
   }
 
   /** Unigram-LM surprisal quality signal — the corpus-frequency filtering of

@@ -65,6 +65,11 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(2L) == ((3L, 2L, "different body\nPAIR LINE")))
     assert(got(3L) == ((1L, 0L, "")))
     assert(got.size == 3)
+    // regime parity: forcing the join path (broadcastBadLimit = 0) must be
+    // bitwise-identical to the broadcast path taken above
+    val joined = TextOps.dedupLines(docs, maxDf = 2, broadcastBadLimit = 0L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(joined == got)
   }
 
   test("split bucket hash has no residue structure over sequential ids") {
