@@ -45,6 +45,9 @@ object Training {
   val DsirTargetSources: Seq[String] = Seq("src0", "src1")
   val DsirBuckets = 512
   val DsirKeepPct = 0.75
+  /** Exact-substring-dedup gate: token window length (the near-dup clusters
+    * share long passages, so plenty of windows repeat at every sf). */
+  val SubstrWindow = 8
 
   val queries: Map[String, Q] = Map(
     "text_token_stats"       -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
@@ -89,6 +92,8 @@ object Training {
     "dedup_incremental"      -> ((s, d) => Dedup.incrementalDedup(
                                    indexLake(s, d), corpusSplit(s, d), batchSplit(s, d),
                                    3, JaccardTau)),
+    "dedup_substr_excise"    -> ((s, d) => Dedup.exactSubstrExcise(
+                                   Tables.documents(s, d), SubstrWindow)),
     "text_unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(Tables.documents(s, d))),
     "text_dsir_sample"       -> ((s, d) => TextOps.dsirScores(
                                    Tables.documents(s, d),
@@ -230,6 +235,35 @@ object Training {
        |thr AS (SELECT quantile_cont(dsir_score, $DsirKeepPct) AS thr FROM sc)
        |SELECT doc_id, n_feats, dsir_score, dsir_score::DOUBLE >= thr AS selected
        |FROM sc, thr""".stripMargin
+  }
+
+  /** Exact replica of [[graft.operators.Dedup.exactSubstrExcise]]: same
+    * ordered window shingles, md5 window identity, island-merge span logic
+    * (same COALESCE(-1) break test), and per-token NOT EXISTS excision. */
+  private val substrExciseSql = {
+    val shingles = Portable.shinglesDuck("toks", SubstrWindow)
+    val L = SubstrWindow
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |w0 AS (SELECT doc_id, generate_subscripts($shingles, 1) - 1 AS pos,
+       |  unnest($shingles) AS win FROM t),
+       |wh AS (SELECT doc_id, pos, md5(win) AS whash FROM w0),
+       |rep AS (SELECT whash FROM wh GROUP BY whash HAVING COUNT(*) > 1),
+       |r AS (SELECT wh.doc_id, wh.pos FROM wh JOIN rep USING (whash)),
+       |i1 AS (SELECT doc_id, pos,
+       |  CASE WHEN pos > COALESCE(MAX(pos + $L) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+       |  FROM r),
+       |i2 AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid FROM i1),
+       |sp AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + $L AS e FROM i2 GROUP BY doc_id, gid),
+       |tp AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS i, unnest(toks) AS tok FROM t),
+       |kept AS (SELECT tp.doc_id, tp.i, tp.tok FROM tp WHERE NOT EXISTS
+       |  (SELECT 1 FROM sp WHERE sp.doc_id = tp.doc_id AND tp.i >= sp.s AND tp.i < sp.e)),
+       |fin AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |  string_agg(tok, ' ' ORDER BY i) AS clean_text FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(toks) - COALESCE(fin.n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(fin.clean_text, '') AS clean_text
+       |FROM t LEFT JOIN fin USING (doc_id)""".stripMargin
   }
 
   /** Mirror of [[TextOps.curationDecisions]] (targets = en, minQuality 2.0):
@@ -868,6 +902,7 @@ object Training {
     "dedup_embedding_cosine" -> embCosineSql,
     "dedup_semantic"         -> semanticDedupSql,
     "dedup_incremental"      -> incrementalSql,
+    "dedup_substr_excise"    -> substrExciseSql,
     "text_curation"          -> curationSql,
     "text_shuffle_shards"    -> shuffleShardsSql,
     "text_line_dedup"        -> lineDedupSql,

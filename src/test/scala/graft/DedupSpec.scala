@@ -208,4 +208,39 @@ class DedupSpec extends AnyFunSuite {
       .foreach(v => assert(allPairs.contains(v),
         s"vec $v merged without any all-pairs edge at tau"))
   }
+
+  test("exactSubstrExcise: shared passage excised from both docs, unique text kept") {
+    import spark.implicits._
+    val passage = "one two three four five six seven eight"  // exactly l=8 tokens
+    val docs = Seq(
+      (1L, s"alpha bravo $passage charlie delta"),
+      (2L, s"echo foxtrot golf $passage hotel"),
+      (3L, "india juliet kilo lima mike november oscar papa quebec")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.exactSubstrExcise(docs, l = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the shared window occurs twice -> excised everywhere; overlapping
+    // windows containing parts of the passage are unique, so the excised
+    // span is exactly the 8 shared tokens
+    assert(got(1L) == ((12L, 8L, "alpha bravo charlie delta")))
+    assert(got(2L) == ((12L, 8L, "echo foxtrot golf hotel")))
+    // doc 3 has 9 tokens -> two windows, both unique -> untouched
+    assert(got(3L) == ((9L, 0L,
+      "india juliet kilo lima mike november oscar papa quebec")))
+  }
+
+  test("exactSubstrExcise: overlapping repeated windows merge into one maximal span") {
+    import spark.implicits._
+    // docs share a 10-token passage -> three overlapping repeated windows
+    // per doc (starts 0, 1, 2) must merge into one span of 10 tokens
+    val passage = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq(
+      (1L, s"$passage tail1 tail2"),
+      (2L, s"$passage other3 other4")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.exactSubstrExcise(docs, l = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((12L, 10L, "tail1 tail2")))
+    assert(got(2L) == ((12L, 10L, "other3 other4")))
+  }
 }
