@@ -96,4 +96,30 @@ class PlanSpec extends AnyFunSuite {
       s"fuzzy join degraded to all-pairs:\n${p.take(600)}")
     assert(p.contains("levenshtein"), "exact verify must be present")
   }
+
+  test("DSIR: bucket-sized LLR model broadcasts to the scorer; no sort-merge join") {
+    val p = plan("text_dsir_sample")
+    assert(p.contains("BroadcastHashJoin"), "llr table must broadcast to the scorer")
+    assert(!p.contains("SortMergeJoin"),
+      s"model-sized tables must never shuffle-join:\n${p.take(600)}")
+  }
+
+  test("substring excise: no all-pairs; island merge is a per-doc window") {
+    val p = plan("dedup_substr_excise")
+    assert(!p.contains("CartesianProduct"), "no all-pairs anywhere")
+    assert(p.contains("Window"), "island merge must be a per-doc window function")
+  }
+
+  test("z-order: zv is scan-fused arithmetic over one broadcast stats row") {
+    val df = graft.lake.ZOrder.withZValue(
+      graft.core.Tables.events(spark, TestSpark.sfDir)
+        .select("event_id", "user_id", "value"),
+      Seq("user_id", "value"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), "stats row must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    val exchanges = "\\bExchange\\b".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"only the stats aggregate may exchange, saw $exchanges:\n${p.take(600)}")
+  }
 }
