@@ -35,15 +35,32 @@ object Bench {
         finally src.close()
       } catch { case _: Exception => 0L }
 
-    val stealStart = stealJiffies()
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run to named queries — the
     // iterate-on-one-plan loop. Filtered runs never overwrite bench_last.json
-    // (the durable full-surface record).
+    // (the durable full-surface record). A misspelled name is an ERROR, not a
+    // silently empty run (r7 ADVICE).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println("[bench] unknown SPARK_GRAFT_ONLY queries: " +
+          unknown.toSeq.sorted.mkString(", ") + "\n[bench] known: " +
+          SparkEntry.queries.keySet.toSeq.sorted.mkString(", "))
+        spark.stop()
+        sys.exit(2)
+      }
+    }
+    // A full-bench window whose accounted steal exceeds this is CONTENDED:
+    // its per-query numbers are noise-confounded (r6/r7 records at steal
+    // 2,341-18,233 jiffies produced phantom 3-20x "regressions"); quiet
+    // windows on this host land well under it.
+    val ContendedJiffies = 500L
     // Per-query warm run (codegen + JIT for that plan shape) outside the
     // timed region, then timed steady-state runs — each run rebuilds the
     // whole DataFrame so no cached results carry over, only compiled code.
+    def measure(): (Seq[(String, (Double, Double, Double))], Long) = {
+    val stealStart = stealJiffies()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -108,21 +125,63 @@ object Bench {
       val spread = if (judged.isEmpty) -1.0 else judged.last - judged.head
       name -> (median, minRun, spread)
     }
-    val stealTotal = stealJiffies() - stealStart
+    (results, stealJiffies() - stealStart)
+    }
+
+    // Bounded whole-run retry: when the window's accounted steal marks it
+    // contended, the per-query medians are not worth recording — try again
+    // (the second pass is also fully warm) and keep the quieter attempt.
+    val maxAttempts = sys.env.get("SPARK_GRAFT_STEAL_RETRIES")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(1) + 1
+    var (results, stealTotal) = measure()
+    var attempt = 1
+    while (stealTotal > ContendedJiffies && attempt < maxAttempts) {
+      attempt += 1
+      System.err.println(s"[bench] window contended ($stealTotal steal jiffies > " +
+        s"$ContendedJiffies), retry $attempt/$maxAttempts")
+      val (r2, s2) = measure()
+      if (s2 < stealTotal) { results = r2; stealTotal = s2 }
+    }
+    val contended = stealTotal > ContendedJiffies
     def jmap(f: ((Double, Double, Double)) => Double): String =
       results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},""" +
         s""""queries_min":${jmap(_._2)},"queries_spread":${jmap(_._3)},""" +
-        s""""steal_jiffies":$stealTotal,"sf":"$sfDir"}"""
+        s""""steal_jiffies":$stealTotal,"contended":$contended,"sf":"$sfDir"}"""
     println(line)
     // the driver captures stdout (and can truncate the tail); the in-repo copy
-    // is the durable record the next round's analysis reads
-    if (only.isEmpty)
-      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
-        (line + "\n").getBytes("UTF-8"))
-      catch { case e: Exception => System.err.println(s"[bench] bench_last.json write failed: $e") }
+    // is the durable record the next round's analysis reads. A CONTENDED run
+    // must not clobber a materially quieter committed record (the r7 driver
+    // bench at steal 18,233 overwrote the quiet 2,623 one) — it lands in
+    // bench_contended.json instead.
+    if (only.isEmpty) {
+      val path = java.nio.file.Paths.get("bench_last.json")
+      val prev: Option[String] =
+        if (java.nio.file.Files.exists(path))
+          Some(new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
+        else None
+      val prevSteal = prev.flatMap(
+        "\"steal_jiffies\":(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toLong))
+      val prevSf = prev.flatMap(
+        "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(_).map(_.group(1)))
+      // two ways a run is NOT the durable record: a different scale factor
+      // than the standing record (a sf0.001 smoke must not clobber the sf0.1
+      // chain), or a contended window over a materially quieter record
+      val target =
+        if (prevSf.exists(_ != sfDir)) {
+          System.err.println(s"[bench] bench_last.json is for ${prevSf.get}, " +
+            s"this run is $sfDir; writing bench_smoke.json")
+          java.nio.file.Paths.get("bench_smoke.json")
+        } else if (contended && prevSteal.exists(p => p < stealTotal / 4)) {
+          System.err.println(s"[bench] refusing to overwrite bench_last.json " +
+            s"(prev steal ${prevSteal.get} << current $stealTotal); writing bench_contended.json")
+          java.nio.file.Paths.get("bench_contended.json")
+        } else path
+      try java.nio.file.Files.write(target, (line + "\n").getBytes("UTF-8"))
+      catch { case e: Exception => System.err.println(s"[bench] ${target.getFileName} write failed: $e") }
+    }
     spark.stop()
   }
 }

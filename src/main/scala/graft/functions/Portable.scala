@@ -277,14 +277,18 @@ object Portable {
     * IEEE sub/mul/div/floor in both engines (same operand order), so the
     * bucket — and therefore the z-value — is bitwise portable. Degenerate
     * range (min = max) maps everything to bucket 0. NULL stays NULL. */
-  def zBucketSpark(x: String, min: String, max: String, bits: Int): String =
+  def zBucketSpark(x: String, min: String, max: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 62, s"zBucket bits must be in [1, 62], got $bits")
     s"CASE WHEN $max > $min THEN CAST(floor((CAST($x AS DOUBLE) - CAST($min AS DOUBLE)) * " +
-      s"CAST(${(1 << bits) - 1} AS DOUBLE) / (CAST($max AS DOUBLE) - CAST($min AS DOUBLE))) AS BIGINT) " +
+      s"CAST(${(1L << bits) - 1} AS DOUBLE) / (CAST($max AS DOUBLE) - CAST($min AS DOUBLE))) AS BIGINT) " +
       s"ELSE CAST(0 AS BIGINT) END"
-  def zBucketDuck(x: String, min: String, max: String, bits: Int): String =
+  }
+  def zBucketDuck(x: String, min: String, max: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 62, s"zBucket bits must be in [1, 62], got $bits")
     s"CASE WHEN $max > $min THEN CAST(floor((CAST($x AS DOUBLE) - CAST($min AS DOUBLE)) * " +
-      s"CAST(${(1 << bits) - 1} AS DOUBLE) / (CAST($max AS DOUBLE) - CAST($min AS DOUBLE))) AS BIGINT) " +
+      s"CAST(${(1L << bits) - 1} AS DOUBLE) / (CAST($max AS DOUBLE) - CAST($min AS DOUBLE))) AS BIGINT) " +
       s"ELSE CAST(0 AS BIGINT) END"
+  }
 
   /** Round-robin bit interleave of k bucket expressions, `bits` bits each:
     * bit i of bucket j lands at position i*k + j. Pure integer shift/mask

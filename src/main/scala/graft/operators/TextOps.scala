@@ -508,10 +508,15 @@ object TextOps {
     val lines = src
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
       .filter(col("line") =!= "")
+    // localCheckpoint, NOT persist: the returned plan still references the
+    // bad set, so an in-function unpersist can never be safe, and a persist
+    // is pinned by the CacheManager until one — repeated calls in a long
+    // session would accumulate cached blocks (r7 ADVICE). Checkpoint blocks
+    // are freed by the ContextCleaner once the plan is unreachable.
     val badDf = lines.groupBy("line")
       .agg(countDistinct(col("doc_id")).as("line_df"))
       .filter(col("line_df") > maxDf)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     if (badDf.count() <= broadcastBadLimit) {
       val bad = badDf.agg(collect_set(col("line")).as("bad"))
       src.crossJoin(broadcast(bad))
@@ -606,9 +611,12 @@ object TextOps {
     val feats = base.select(col("doc_id"), col("is_target"),
         explode(expr(s"concat(toks, ${Portable.shinglesSpark("toks", 2)})")).as("f"))
       .withColumn("b", pmod(expr("graft_phash(f)"), lit(buckets)))
+    // lazy localCheckpoint (not persist): materialized once on first action,
+    // shared by both downstream branches, and freed by the ContextCleaner
+    // when unreachable — a persist here leaks one cache pin per call
     val docBucket = feats.groupBy("doc_id", "is_target", "b")
       .agg(count(lit(1)).as("c"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // both models in ONE bucket aggregate (a FILTER-style conditional sum):
     // same result set as separate target/raw aggs full-outer-joined on b,
     // with one shuffle instead of two plus a join

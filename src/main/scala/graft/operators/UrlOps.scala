@@ -25,13 +25,17 @@ object UrlOps {
     * excluded) and `registrable_domain` (last two dot-labels — a deliberate
     * simplification of the public-suffix list, which is a versioned external
     * artifact; swap the regex for a suffix-table join when operating on real
-    * web crawl). Pure projection: zero shuffle, scan-fused. */
+    * web crawl). The port is stripped BEFORE deriving `registrable_domain`:
+    * otherwise 'cdn.site.org:8080' yields 'site.org:8080' and a blocklisted
+    * domain slips through [[blocklistFilter]] on any URL carrying an explicit
+    * port. Pure projection: zero shuffle, scan-fused. */
   def parseUrls(df: DataFrame, urlCol: String = "url"): DataFrame =
     df.withColumn("scheme", regexp_extract(col(urlCol), SchemeRe, 1))
       .withColumn("host", lower(regexp_extract(col(urlCol), HostRe, 1)))
       .withColumn("path", regexp_extract(col(urlCol), PathRe, 1))
       .withColumn("registrable_domain",
-        regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+        regexp_extract(regexp_extract(col("host"), "^([^:]+)", 1),
+          "([^.]+\\.[^.]+)$", 1))
 
   /** Drops rows whose `registrable_domain` is on the blocklist. The list is a
     * literal `isin` (a broadcast-sized in-filter that pushes into the scan);

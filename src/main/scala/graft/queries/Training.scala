@@ -587,7 +587,7 @@ object Training {
        |  lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)) AS host,
        |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path
        |FROM d),
-       |p2 AS (SELECT *, regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS registrable_domain FROM p),
+       |p2 AS (SELECT *, regexp_extract(regexp_extract(host, '^([^:]+)', 1), '([^.]+\\.[^.]+)$$', 1) AS registrable_domain FROM p),
        |f AS (SELECT * FROM p2 WHERE registrable_domain NOT IN ($blocked)),
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY registrable_domain
        |  ORDER BY n_chars DESC, doc_id ASC) AS domain_rank FROM f)

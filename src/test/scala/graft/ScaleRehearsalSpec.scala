@@ -274,7 +274,11 @@ class ScaleRehearsalSpec extends AnyFunSuite {
         timed("ivf serve on 100x index")(qi(lake100, b100))._1)
     }
     info(f"ivf serve slope: ${tI100 / tI10}%.2fx wall for a 10x larger index")
-    assert(tI100 / tI10 < 6.0,
+    // r8 tightened from 6.0: with the cell-partitioned assignment table and
+    // candidate-sized norms the serve reads scale with probed-cell volume
+    // (~sqrt(10) = 3.2x here), not the corpus — the pre-fix corpus-sized
+    // norm pass measured 4.60x
+    assert(tI100 / tI10 < 4.0,
       f"ivf serve did not stay sublinear: $tI10%.2f s -> $tI100%.2f s")
   }
 

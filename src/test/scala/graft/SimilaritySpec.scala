@@ -96,6 +96,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again.count() == mem.count())
   }
 
+  test("appendLshIndex: frozen planes, appended vectors bucket identically") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-lsh-append")
+    val lake = new graft.lake.ParquetDirFormat(root.toString)
+    // non-default params: the append MUST read them back from lsh_params
+    // rather than trust caller defaults, or it would hash into a different
+    // bucket space than the build
+    Similarity.buildLshIndex(emb, lake, nTables = 8, nBits = 3)
+    val before = lake.read(spark, "lsh_buckets").count()
+    Similarity.appendLshIndex(emb.withColumn("vec_id", col("vec_id") + 100000L), lake)
+    val bk = lake.read(spark, "lsh_buckets")
+    assert(bk.count() == before * 2, "append must add, not overwrite")
+    val orig = bk.filter(col("vec_id") < 100000L)
+    val shifted = bk.filter(col("vec_id") >= 100000L)
+      .withColumn("vec_id", col("vec_id") - 100000L)
+    assert(shifted.exceptAll(orig).isEmpty && orig.exceptAll(shifted).isEmpty,
+      "appended buckets must match the build-time bucketing of the same vectors")
+    // the served query still runs against the doubled index, k rows per query
+    val served = Similarity.queryLshIndex(spark, lake, emb, "lsh", 5, 10,
+      nTables = 8, nBits = 3)
+    assert(served.groupBy("query_id").count().collect().forall(_.getLong(1) == 10))
+    // appending where no index exists must fail loudly, not create one
+    intercept[IllegalArgumentException] {
+      Similarity.appendLshIndex(emb, new graft.lake.ParquetDirFormat(
+        java.nio.file.Files.createTempDirectory("graft-lsh-none").toString))
+    }
+  }
+
   test("appendPqIndex: frozen codebook, appended vectors encode identically") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("graft-pq-append")
