@@ -152,6 +152,192 @@ object Multimodal {
         "cast(text as binary))").as("content"))
   }
 
+  // ---- pixel/sample-level decode -------------------------------------------
+  //
+  // The r7 codec-slot boundary, filled for the two containers a JDK can
+  // decode without an external codec: PNG pixel data (IDAT is zlib —
+  // java.util.zip.Inflater IS the reference decompressor) and WAV PCM16
+  // (raw little-endian samples). JPEG stays header-only: entropy-coded DCT
+  // needs a real codec library, which this container does not ship.
+
+  /** Deterministic pixel model for the synthetic PNG corpus: grayscale 8-bit,
+    * pixel(r, c) = (id*31 + r*17 + c*7) mod 256 — plain integer arithmetic,
+    * so the oracle reproduces every decoded pixel without parsing a byte. */
+  private[operators] def pngPixel(id: Long, r: Int, c: Int): Int =
+    ((id * 31L + r * 17L + c * 7L) % 256L).toInt
+  /** Deterministic PCM model for the synthetic WAV corpus: signed 16-bit,
+    * sample(i) = ((id*131 + i*17) mod 4096) - 2048. */
+  private[operators] def wavSample(id: Long, i: Int): Int =
+    ((id * 131L + i * 17L) % 4096L).toInt - 2048
+
+  private def crc32(bs: Array[Byte]*): Long = {
+    val c = new java.util.zip.CRC32
+    bs.foreach(c.update)
+    c.getValue
+  }
+  private def be32Bytes(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** A REAL PNG: signature, IHDR (grayscale-8), one IDAT holding the
+    * zlib-DEFLATEd filter-0 scanlines, IEND — every chunk CRC32-correct, so
+    * any standards-compliant decoder (not just ours) reads it back. */
+  private[operators] def encodePng(id: Long, w: Int = 16, h: Int = 8): Array[Byte] = {
+    val raw = new Array[Byte](h * (1 + w))
+    var r = 0
+    while (r < h) {
+      raw(r * (1 + w)) = 0 // filter type 0 (None) per scanline
+      var c = 0
+      while (c < w) { raw(r * (1 + w) + 1 + c) = pngPixel(id, r, c).toByte; c += 1 }
+      r += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = defl.deflate(buf); defl.end()
+    val idat = java.util.Arrays.copyOf(buf, n)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val t = typ.getBytes("US-ASCII")
+      out.write(be32Bytes(data.length.toLong)); out.write(t); out.write(data)
+      out.write(be32Bytes(crc32(t, data)))
+    }
+    chunk("IHDR", be32Bytes(w.toLong) ++ be32Bytes(h.toLong) ++
+      Array[Byte](8, 0, 0, 0, 0)) // depth 8, greyscale, deflate, filter 0, no interlace
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** A REAL WAV: RIFF/fmt/data with `n` little-endian PCM16 mono samples. */
+  private[operators] def encodeWav(id: Long, n: Int = 64, rate: Int = 8000): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    out.write("RIFF".getBytes("US-ASCII")); le32(36 + n * 2)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1); le16(1); le32(rate); le32(rate * 2); le16(2); le16(16)
+    out.write("data".getBytes("US-ASCII")); le32(n * 2)
+    var i = 0
+    while (i < n) { le16(wavSample(id, i) & 0xffff); i += 1 }
+    out.toByteArray
+  }
+
+  /** Pixel-carrying synthetic media table: PNG for doc_id % 3 == 0, WAV for
+    * % 3 == 1 (the % 3 == 2 "video" slot is header-only — JPEG pixel decode
+    * needs a codec library). Unlike [[syntheticMedia]]'s SQL-built headers,
+    * these bodies need zlib, so the encoder is a typed mapPartitions — the
+    * same batch shape the decoder uses. */
+  def syntheticPixelMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Scale.fanOutScan(docs).filter(col("doc_id") % 3 =!= 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          if (id % 3 == 0) MediaIn(id, "image", encodePng(id))
+          else MediaIn(id, "audio", encodeWav(id))
+        }
+      }.toDF()
+  }
+
+  /** Inflate all IDAT chunks and strip the per-scanline filter bytes;
+    * None for anything that is not a filter-0 grayscale-8 PNG (degrade,
+    * don't throw — quarantine semantics, same as [[parseHeader]]). */
+  private[operators] def decodePngPixels(content: Array[Byte]): Option[Array[Int]] = {
+    if (content.length < 33 || !content.startsWith(PngSig)) return None
+    var w = 0; var h = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    while (i + 8 <= content.length) {
+      val len = be32(content, i)
+      if (len < 0 || i + 12 + len > content.length) return None
+      val typ = new String(content, i + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = be32(content, i + 8); h = be32(content, i + 12)
+          // only the layout we wrote: depth 8, color type 0 (grayscale)
+          if (content(i + 16) != 8 || content(i + 17) != 0) return None
+        case "IDAT" => idat.write(content, i + 8, len)
+        case _ => ()
+      }
+      i += 12 + len
+    }
+    if (w <= 0 || h <= 0 || idat.size == 0) return None
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    val raw = new Array[Byte](h * (1 + w))
+    try {
+      val n = infl.inflate(raw)
+      if (n != raw.length || !infl.finished()) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally infl.end()
+    val px = new Array[Int](h * w)
+    var r = 0
+    while (r < h) {
+      if (raw(r * (1 + w)) != 0) return None // only filter None decodable here
+      var c = 0
+      while (c < w) { px(r * w + c) = raw(r * (1 + w) + 1 + c) & 0xff; c += 1 }
+      r += 1
+    }
+    Some(px)
+  }
+
+  /** Signed PCM16 samples from the data chunk located by [[parseHeader]]'s
+    * RIFF walk; None for non-WAV or odd-length bodies. */
+  private[operators] def decodeWavSamples(content: Array[Byte]): Option[Array[Int]] = {
+    val hdr = parseHeader(content)
+    if (hdr.format != "wav" || hdr.payloadOffset >= content.length) return None
+    val body = content.length - hdr.payloadOffset
+    if (body % 2 != 0) return None
+    val s = new Array[Int](body / 2)
+    var i = 0
+    while (i < s.length) {
+      s(i) = (le16(content, hdr.payloadOffset + 2 * i) << 16) >> 16 // sign-extend
+      i += 1
+    }
+    Some(s)
+  }
+
+  case class MediaValues(media_id: Long, kind: String, n_values: Long,
+                         val_sum: Long, val_min: Long, val_max: Long,
+                         checksum: Long)
+
+  /** Decode pixel/sample VALUES per partition and reduce each media item to
+    * integer stats + a polynomial value checksum (same constants as
+    * graft_phash; negative samples hash as their unsigned-16 representation,
+    * so every hashed value is non-negative and the modular arithmetic is
+    * engine-portable). Undecodable rows degrade to kind='undecoded' with
+    * zero stats — visible downstream, never dropped silently. */
+  def decodeSamples(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    def stats(id: Long, kind: String, vals: Array[Int]): MediaValues = {
+      var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue; var acc = 7L
+      var i = 0
+      while (i < vals.length) {
+        val v = vals(i)
+        sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+        acc = (acc * 131L + (v & 0xffff)) % 1000000007L
+        i += 1
+      }
+      if (vals.isEmpty) MediaValues(id, kind, 0L, 0L, 0L, 0L, 7L)
+      else MediaValues(id, kind, vals.length.toLong, sum, mn, mx, acc)
+    }
+    Scale.fanOutScan(media).select("media_id", "content").as[MediaContent]
+      .mapPartitions { it =>
+        it.map { m =>
+          val content = Option(m.content).getOrElse(Array.emptyByteArray)
+          decodePngPixels(content).map(stats(m.media_id, "png", _))
+            .orElse(decodeWavSamples(content).map(stats(m.media_id, "wav", _)))
+            .getOrElse(MediaValues(m.media_id, "undecoded", 0L, 0L, 0L, 0L, 7L))
+        }
+      }.toDF()
+  }
+
   // public: encoder codegen instantiates these from generated Java
   case class MediaIn(media_id: Long, modality: String, content: Array[Byte])
   case class MediaContent(media_id: Long, content: Array[Byte])

@@ -212,14 +212,19 @@ object Similarity {
     * [[rerank]], so results stay bitwise-equal to the in-memory paths. At
     * cluster scale, bucket the embeddings table by vec_id to turn the
     * candidate fetch from a full scan into pruned bucket reads. */
-  private def rerankOnDemand(emb: DataFrame, cand: DataFrame,
-                             nQueries: Int, k: Int): DataFrame = {
+  /** Exact cosine re-rank of candidates whose vectors were already FETCHED
+    * from the index's own probed partitions (`candV` = (query_id,
+    * neighbor_id, emb_v)) — the fully-sublinear serve half of the persisted
+    * paths: the only corpus-table touch left is the pushdown-pruned
+    * `vec_id < nQueries` query read. Identical per-row float math, so
+    * results stay bitwise-equal to the in-memory paths. */
+  private def rerankFetched(emb: DataFrame, candV: DataFrame,
+                            nQueries: Int, k: Int): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"),
         sqrt(expr("graft_dot(embedding, embedding)")).as("norm_q"))
-    val v = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_v"))
-    val scored = v.join(broadcast(cand.join(broadcast(q), "query_id")), "neighbor_id")
+    val scored = candV.join(broadcast(q), "query_id")
       .withColumn("norm_v", sqrt(expr("graft_dot(emb_v, emb_v)")))
       .withColumn("cosine", cosineCol)
     val w = Window.partitionBy("query_id")
@@ -241,7 +246,14 @@ object Similarity {
   def buildLshIndex(emb: DataFrame, lake: graft.lake.ParquetDirFormat,
                     prefix: String = "lsh", nTables: Int = 16, nBits: Int = 4): Unit = {
     val spark = emb.sparkSession
-    val bk = lshBuckets(emb, nTables, nBits).drop("embedding")
+    // vector-carrying buckets (same rationale as [[buildIvfIndex]]'s
+    // inverted lists): serve fetches candidate vectors from the probed
+    // (table, bucket) directories alone — no corpus embedding scan. The
+    // nTables-fold vector duplication is the classic multi-table LSH storage
+    // trade; a deployment that can't afford it keeps a vector-less bucket
+    // table and fetches candidates via vec_id-bucketed point lookups into
+    // the source table instead.
+    val bk = lshBuckets(emb, nTables, nBits)
     putPartitioned(lake, bk, s"${prefix}_buckets", Seq("table", "bucket"))
     import spark.implicits._
     val params = Seq((nTables, nBits)).toDF("n_tables", "n_bits")
@@ -265,8 +277,7 @@ object Similarity {
       s"no ${prefix}_params table (index predates param tracking) — rebuild to enable appends")
     val p = lake.read(spark, s"${prefix}_params").head()
     val (nTables, nBits) = (p.getInt(0), p.getInt(1))
-    lake.append(lshBuckets(embNew, nTables, nBits).drop("embedding"),
-      s"${prefix}_buckets")
+    lake.append(lshBuckets(embNew, nTables, nBits), s"${prefix}_buckets")
   }
 
   /** Serve ANN top-k from a PERSISTED LSH index (see [[buildLshIndex]]):
@@ -297,10 +308,21 @@ object Similarity {
     val qb = qbRows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
       .toDF("query_id", "table", "bucket")
     val probedBuckets = qbRows.map(_.getLong(2)).distinct.toSeq
+    require(bkRaw.columns.contains("embedding"),
+      s"${prefix}_buckets carries no vectors (pre-r8 layout) — rebuild the index")
     val bk = prunedTo(bkRaw, "bucket", probedBuckets)
-      .select(col("vec_id"), col("table").cast("int").as("table"),
+      .select(col("vec_id"), col("embedding"), col("table").cast("int").as("table"),
         col("bucket").cast("long").as("bucket"))
-    rerankOnDemand(emb, lshCandidates(bk, qb), nQueries, k)
+    // candidate vectors come from the probed bucket directories themselves;
+    // a vector colliding with a query in SEVERAL tables dedups by key, and
+    // every row in a (query, vector) group carries the identical stored
+    // embedding, so first() is deterministic here
+    val candV = bk.join(broadcast(qb), Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(first(col("embedding")).as("emb_v"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("emb_v"))
+    rerankFetched(emb, candV, nQueries, k)
   }
 
   /** Deterministic IVF-flat ANN — the oracle-checkable coarse quantizer.
@@ -375,9 +397,15 @@ object Similarity {
     def put(df: DataFrame, t: String): Unit =
       if (lake.exists(t)) lake.overwrite(df, t) else lake.create(df, t)
     put(centroids, s"${prefix}_centroids")
-    // cell-partitioned: a served query reads only its nProbe probed
-    // directories, not the corpus-sized assignment table
-    putPartitioned(lake, assigned.select("vec_id", "cell"), s"${prefix}_assign", Seq("cell"))
+    // cell-partitioned AND vector-carrying — the inverted-list layout
+    // (FAISS IVF-flat stores each cell's vectors inside the list): a served
+    // query reads only its nProbe probed directories and gets the candidate
+    // VECTORS from them, so re-rank never scans the corpus embedding table.
+    // Parquet round-trips float arrays exactly, so serving from the list
+    // copy is bitwise-identical to serving from the source table.
+    putPartitioned(lake,
+      assigned.select(col("vec_id"), col("emb_v").as("embedding"), col("cell")),
+      s"${prefix}_assign", Seq("cell"))
     // build-time mean cell distance: the drift baseline ([[appendIvfIndex]])
     put(assigned.agg(avg("dist").as("mean_qerr")), s"${prefix}_stats")
     assigned.unpersist()
@@ -399,7 +427,9 @@ object Similarity {
     val v = Scale.fanOutScan(embNew).select(col("vec_id"), col("embedding").as("emb_v"))
     val assigned = ivfRankCells(v, centroids)
       .filter(col("rn") === 1).persist(StorageLevel.MEMORY_AND_DISK)
-    lake.append(assigned.select("vec_id", "cell"), s"${prefix}_assign")
+    lake.append(
+      assigned.select(col("vec_id"), col("emb_v").as("embedding"), col("cell")),
+      s"${prefix}_assign")
     val errRow = assigned.agg(avg("dist")).head()
     assigned.unpersist()
     if (errRow.isNullAt(0)) Double.NaN // empty increment: nothing to measure
@@ -438,13 +468,17 @@ object Similarity {
     val qCells = qCellRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
       .toDF("query_id", "cell")
     val probed = qCellRows.map(_.getLong(1)).distinct.toSeq
+    // the probed inverted lists carry the candidate vectors (build-time
+    // layout) — no (query, vector) pair can repeat (one cell per vector,
+    // distinct probed cells per query), so no dedup and NO corpus-sized
+    // embedding scan: serve reads probed-cell volume only
     val assigned = prunedTo(lake.read(spark, s"${prefix}_assign"), "cell", probed)
-      .select(col("vec_id"), col("cell").cast("long").as("cell"))
-    val cand = assigned.join(broadcast(qCells), "cell")
+      .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
+    val candV = assigned.join(broadcast(qCells), "cell")
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      .distinct()
-    rerankOnDemand(emb, cand, nQueries, k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("emb_v"))
+    rerankFetched(emb, candV, nQueries, k)
   }
 
   /** Product-quantization ANN — the MEMORY-bound scale path: each vector is

@@ -640,4 +640,72 @@ object TextOps {
       .select(col("doc_id"), col("n_feats"), col("dsir_score"),
         (col("dsir_score").cast("double") >= col("thr")).as("selected"))
   }
+
+  /** The full curation pipeline COMPOSED end to end — the shape every corpus
+    * build actually runs (the reference's own lifecycle is a strict ordered
+    * chain, tools/cleaning.py:3-14): line-level boilerplate dedup, then exact
+    * substring excision, then DSIR importance selection, then the
+    * first-failing-filter curation decision, then per-source token-budget
+    * sampling, then sequence packing, then deterministic shuffle sharding.
+    * Each stage re-reads the PREVIOUS stage's cleaned text, so column-contract
+    * drift between stages (the classic composition bug the standalone gates
+    * cannot see) breaks this gate immediately.
+    *
+    * Output: one row per fully-surviving document with its post-cleaning
+    * token count, budget position, pack assignment, and final shard/position —
+    * integer/string columns only, every one oracle-comparable.
+    *
+    * Scale shape: the composition adds nothing beyond its stages — each is
+    * individually scale-proven; the two text-rewriting intermediates (post-
+    * excision, post-curation) are lazily localCheckpointed because 4+
+    * downstream consumers would otherwise re-run the whole upstream chain
+    * per reference (a cluster job would land them to storage between stages
+    * for the same reason). */
+  def curationPipeline(docs: DataFrame,
+                       targetSources: Seq[String],
+                       lineMaxDf: Int = 5, substrWindow: Int = 8,
+                       dsirBuckets: Int = 512, dsirKeepPct: Double = 0.75,
+                       targetLangs: Seq[String] = Seq("en"),
+                       minQuality: Double = 2.0,
+                       budgetPerSource: Long = 1000L,
+                       packBudget: Int = 2048, packShards: Int = 16,
+                       nShards: Int = 16): DataFrame = {
+    val meta = docs.select("doc_id", "source", "lang")
+    // 1. line-level boilerplate dedup -> text v1
+    val d1 = TextOps.dedupLines(docs, lineMaxDf)
+      .select(col("doc_id"), col("clean_text"))
+      .join(meta, "doc_id")
+      .select(col("doc_id"), col("source"), col("lang"), col("clean_text").as("text"))
+    // 2. exact substring excision -> text v2 (checkpoint: 5 downstream scans)
+    val d2 = Dedup.exactSubstrExcise(d1, substrWindow)
+      .select(col("doc_id"), col("clean_text"))
+      .join(meta, "doc_id")
+      .select(col("doc_id"), col("source"), col("lang"), col("clean_text").as("text"))
+      .localCheckpoint(false)
+    // 3. DSIR importance selection on the cleaned text (token-less docs have
+    //    no features, hence no score row — they fall out here by construction)
+    val sel = dsirScores(d2, col("source").isin(targetSources: _*),
+        dsirBuckets, dsirKeepPct)
+      .filter(col("selected")).select("doc_id")
+    val d3 = d2.join(sel, "doc_id")
+    // 4. first-failing-filter curation decision
+    val keep = curationDecisions(d3, targetLangs, minQuality)
+      .filter(col("keep")).select("doc_id")
+    val d4 = d3.join(keep, "doc_id").localCheckpoint(false)
+    // 5. per-source token-budget sampling
+    val tb = tokenBudgetSample(d4, budgetPerSource)
+    val d5 = d4.join(tb.select("doc_id"), "doc_id")
+    // 6. sequence packing + 7. deterministic shuffle shards, both over the
+    //    final surviving set
+    val pk = packSequences(d5, packBudget, packShards)
+    val sh = shuffleShards(d5, nShards)
+    pk.select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("shard").as("pack_shard"), col("tok_offset"),
+        col("first_pack"), col("last_pack"))
+      .join(tb.select("doc_id", "source", "cum_tokens"), "doc_id")
+      .join(sh, "doc_id")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("cum_tokens"), col("pack_shard"), col("tok_offset"),
+        col("first_pack"), col("last_pack"), col("shard"), col("pos_in_shard"))
+  }
 }

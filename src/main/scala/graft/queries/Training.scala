@@ -48,6 +48,10 @@ object Training {
   /** Exact-substring-dedup gate: token window length (the near-dup clusters
     * share long passages, so plenty of windows repeat at every sf). */
   val SubstrWindow = 8
+  /** Composed-pipeline gate: per-source token budget for the sampling stage
+    * (~54 tokens/doc, a handful of post-curation survivors per source, so a
+    * 200-token budget genuinely cuts instead of passing everything). */
+  val E2eBudget = 200L
 
   val queries: Map[String, Q] = Map(
     "text_token_stats"       -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
@@ -101,6 +105,19 @@ object Training {
                                      .isin(DsirTargetSources: _*),
                                    DsirBuckets, DsirKeepPct)),
     "text_curation"          -> ((s, d) => TextOps.curationDecisions(Tables.documents(s, d))),
+    // the COMPOSED curation chain over the same constructed 4-line text as
+    // text_line_dedup: line dedup -> substring excision -> DSIR -> curation
+    // decisions -> token budget -> pack -> shuffle shards, one gate
+    "text_curation_e2e"      -> ((s, d) => TextOps.curationPipeline(
+                                   Tables.documents(s, d).withColumn("text",
+                                     org.apache.spark.sql.functions.concat_ws("\n",
+                                       org.apache.spark.sql.functions.expr("substr(text, 1, 40)"),
+                                       org.apache.spark.sql.functions.expr("'standard disclaimer for ' || source"),
+                                       org.apache.spark.sql.functions.expr("substr(text, 41)"),
+                                       org.apache.spark.sql.functions.lit("copyright corpus collection"))),
+                                   DsirTargetSources, LineMaxDf, SubstrWindow,
+                                   DsirBuckets, DsirKeepPct,
+                                   budgetPerSource = E2eBudget)),
     "text_shuffle_shards"    -> ((s, d) => TextOps.shuffleShards(Tables.documents(s, d))),
     // the corpus has no newlines, so the gate CONSTRUCTS a 4-line document:
     // two content lines (split of the original text), one per-source
@@ -126,6 +143,13 @@ object Training {
                                    BlockedDomains, DomainCap)),
     "multimodal_meta"        -> ((s, d) => Multimodal.extractMeta(
                                    Multimodal.syntheticMedia(Tables.documents(s, d)))),
+    // Spark ENCODES real containers (zlib IDAT via Deflater, PCM16 LE) and
+    // must DECODE its own bytes back (Inflater, RIFF walk) to integer pixel/
+    // sample stats; the oracle replays the deterministic value model with
+    // arithmetic alone — a byte-level encode or decode bug lands on stats
+    // the arithmetic twin won't produce
+    "multimodal_pixels"      -> ((s, d) => Multimodal.decodeSamples(
+                                   Multimodal.syntheticPixelMedia(Tables.documents(s, d)))),
     "ann_brute_force_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_lsh_topk"           -> ((s, d) => Similarity.lshAnnTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_ivf_topk"           -> ((s, d) => Similarity.ivfFlatTopK(Tables.embeddings(s, d), NQueries, TopK)),
@@ -315,6 +339,139 @@ object Training {
        |LEFT JOIN rep ON ex.doc_id = rep.doc_id)
        |SELECT doc_id, reason = 'keep' AS keep, reason FROM r""".stripMargin
 
+  /** Oracle twin of [[TextOps.curationPipeline]] over the constructed 4-line
+    * text: SEVEN stages CTE-composed in one statement, each stage's fragment
+    * the same SQL its standalone oracle uses, re-rooted on the previous
+    * stage's output — so a column-contract drift between stages breaks the
+    * hash even when every standalone gate stays green. Every output column is
+    * BIGINT/INT/VARCHAR (no floats cross the comparator). lazy: composes
+    * [[langCase]], declared further down. */
+  private lazy val curationE2ESql = {
+    val targets = DsirTargetSources.map(s => s"'$s'").mkString(", ")
+    val B = DsirBuckets
+    val L = SubstrWindow
+    val sh8 = Portable.shinglesDuck("toks", L)
+    s"""WITH d0 AS (SELECT doc_id, source, lang,
+       |  substr(text, 1, 40) || chr(10) || 'standard disclaimer for ' || source
+       |    || chr(10) || substr(text, 41) || chr(10) || 'copyright corpus collection' AS text
+       |FROM documents),
+       |ll AS (SELECT doc_id,
+       |  generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+       |  unnest(string_split(text, chr(10))) AS line FROM d0),
+       |lnz AS (SELECT * FROM ll WHERE line <> ''),
+       |lf AS (SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM lnz GROUP BY line),
+       |lk AS (SELECT lnz.doc_id, lnz.pos, lnz.line FROM lnz JOIN lf USING (line)
+       |  WHERE lf.line_df <= $LineMaxDf),
+       |lka AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+       |  FROM lk GROUP BY doc_id),
+       |d1 AS (SELECT d0.doc_id, d0.source, d0.lang, COALESCE(lka.clean_text, '') AS text
+       |  FROM d0 LEFT JOIN lka USING (doc_id)),
+       |t2 AS (SELECT doc_id, $toks AS toks FROM d1),
+       |w0 AS (SELECT doc_id, generate_subscripts($sh8, 1) - 1 AS pos,
+       |  unnest($sh8) AS win FROM t2),
+       |wh AS (SELECT doc_id, pos, md5(win) AS whash FROM w0),
+       |wrep AS (SELECT whash FROM wh GROUP BY whash HAVING COUNT(*) > 1),
+       |wr AS (SELECT wh.doc_id, wh.pos FROM wh JOIN wrep USING (whash)),
+       |wi1 AS (SELECT doc_id, pos,
+       |  CASE WHEN pos > COALESCE(MAX(pos + $L) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+       |  FROM wr),
+       |wi2 AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid FROM wi1),
+       |wsp AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + $L AS e FROM wi2 GROUP BY doc_id, gid),
+       |wtp AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS i, unnest(toks) AS tok FROM t2),
+       |wkept AS (SELECT wtp.doc_id, wtp.i, wtp.tok FROM wtp WHERE NOT EXISTS
+       |  (SELECT 1 FROM wsp WHERE wsp.doc_id = wtp.doc_id AND wtp.i >= wsp.s AND wtp.i < wsp.e)),
+       |wfin AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text FROM wkept GROUP BY doc_id),
+       |d2 AS (SELECT d1.doc_id, d1.source, d1.lang, COALESCE(wfin.clean_text, '') AS text
+       |  FROM d1 LEFT JOIN wfin USING (doc_id)),
+       |st AS (SELECT doc_id, source IN ($targets) AS is_target, $toks AS toks FROM d2),
+       |sf AS (SELECT doc_id, is_target,
+       |  unnest(list_concat(toks, ${Portable.shinglesDuck("toks", 2)})) AS f FROM st),
+       |sfb AS (SELECT doc_id, is_target, ${Portable.phashDuck("f")} % $B AS b FROM sf),
+       |sdb AS (SELECT doc_id, is_target, b, CAST(COUNT(*) AS BIGINT) AS c FROM sfb GROUP BY 1, 2, 3),
+       |sp AS (SELECT b, CAST(SUM(c) AS BIGINT) AS p_cnt FROM sdb WHERE is_target GROUP BY b),
+       |sq AS (SELECT b, CAST(SUM(c) AS BIGINT) AS q_cnt FROM sdb WHERE NOT is_target GROUP BY b),
+       |sl AS (SELECT COALESCE(sp.b, sq.b) AS b, COALESCE(p_cnt, 0) AS p_cnt, COALESCE(q_cnt, 0) AS q_cnt
+       |  FROM sp FULL OUTER JOIN sq ON sp.b = sq.b),
+       |stot AS (SELECT CAST(SUM(p_cnt) AS BIGINT) AS p_tot, CAST(SUM(q_cnt) AS BIGINT) AS q_tot FROM sl),
+       |slr AS (SELECT b,
+       |  (length(printf('%b', p_cnt + 1)) - 1) - (length(printf('%b', p_tot + $B)) - 1)
+       |  - (length(printf('%b', q_cnt + 1)) - 1) + (length(printf('%b', q_tot + $B)) - 1) AS llr
+       |  FROM sl CROSS JOIN stot),
+       |ssc AS (SELECT doc_id, CAST(SUM(c * llr) AS BIGINT) AS dsir_score
+       |  FROM sdb JOIN slr USING (b) GROUP BY doc_id),
+       |sthr AS (SELECT quantile_cont(dsir_score, $DsirKeepPct) AS thr FROM ssc),
+       |d3 AS (SELECT d2.* FROM d2 JOIN ssc USING (doc_id) CROSS JOIN sthr
+       |  WHERE ssc.dsir_score::DOUBLE >= sthr.thr),
+       |ck AS (SELECT md5(text) AS k, MIN(doc_id) AS keep FROM d3 GROUP BY 1),
+       |cex AS (SELECT d.doc_id, d.doc_id <> ck.keep AS is_exact_dup
+       |  FROM d3 d JOIN ck ON md5(d.text) = ck.k),
+       |ct AS (SELECT doc_id, text, $toks AS toks FROM d3),
+       |clg AS (SELECT doc_id,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopEn)} AS r_en,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopEs)} AS r_es,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopDe)} AS r_de,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopFr)} AS r_fr
+       |FROM ct),
+       |clp AS (SELECT doc_id, $langCase AS lang_pred FROM clg),
+       |cc AS (SELECT doc_id, text, toks,
+       |  len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopEn)} AS stop_ratio,
+       |  length(regexp_replace(text, '[^a-z ]', '', 'g')) AS alpha_chars
+       |FROM ct),
+       |cq AS (SELECT doc_id,
+       |  (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) +
+       |  (CASE WHEN stop_ratio > 0 THEN 1.0 ELSE 0.0 END) +
+       |  CASE WHEN n_tokens > 0 THEN n_distinct::DOUBLE / n_tokens ELSE 0::DOUBLE END +
+       |  CASE WHEN length(text) > 0 THEN alpha_chars::DOUBLE / length(text) ELSE 0::DOUBLE END AS quality_score
+       |FROM cc),
+       |ctk AS (SELECT doc_id, toks FROM ct WHERE len(toks) > 0),
+       |cuc AS (SELECT doc_id, t, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS t FROM ctk) GROUP BY doc_id, t),
+       |cua AS (SELECT doc_id, SUM(tf) AS n, MAX(tf) AS top FROM cuc GROUP BY doc_id),
+       |cbc AS (SELECT doc_id, t, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS t FROM ctk WHERE len(toks) > 1)
+       |  GROUP BY doc_id, t),
+       |cba AS (SELECT doc_id, SUM(tf) AS n, MAX(tf) AS top FROM cbc GROUP BY doc_id),
+       |crep AS (SELECT cua.doc_id,
+       |  (cua.top::DOUBLE / cua.n > 0.2 OR COALESCE(cba.top::DOUBLE / cba.n, 0.0) > 0.18) AS is_rep
+       |  FROM cua LEFT JOIN cba ON cua.doc_id = cba.doc_id),
+       |cr AS (SELECT cex.doc_id,
+       |  CASE WHEN cex.is_exact_dup THEN 'exact_dup'
+       |       WHEN clp.lang_pred NOT IN ('en') THEN 'lang'
+       |       WHEN cq.quality_score < 2.0 THEN 'quality'
+       |       WHEN COALESCE(crep.is_rep, FALSE) THEN 'repetition'
+       |       ELSE 'keep' END AS reason
+       |FROM cex JOIN clp ON cex.doc_id = clp.doc_id JOIN cq ON cex.doc_id = cq.doc_id
+       |LEFT JOIN crep ON cex.doc_id = crep.doc_id),
+       |d4 AS (SELECT d3.* FROM d3 JOIN cr USING (doc_id) WHERE cr.reason = 'keep'),
+       |bt AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens,
+       |  ${Portable.sampleBucketDuck("doc_id")} AS bkt FROM d4),
+       |bcum AS (SELECT doc_id, source, n_tokens,
+       |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY bkt, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM bt),
+       |tb AS (SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |  FROM bcum WHERE cum_tokens <= $E2eBudget),
+       |d5 AS (SELECT d4.* FROM d4 WHERE doc_id IN (SELECT doc_id FROM tb)),
+       |pt AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens FROM d5),
+       |pf AS (SELECT doc_id, lang, doc_id % 16 AS shard, n_tokens FROM pt WHERE n_tokens > 0),
+       |po AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |    PARTITION BY lang, shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset FROM pf),
+       |pk AS (SELECT doc_id, lang, CAST(shard AS BIGINT) AS pack_shard, n_tokens, tok_offset,
+       |  CAST(tok_offset // 2048 AS BIGINT) AS first_pack,
+       |  CAST((tok_offset + n_tokens - 1) // 2048 AS BIGINT) AS last_pack FROM po),
+       |sk AS (SELECT doc_id, ${Portable.shuffleKeyDuck("doc_id")} AS shuffle_key FROM d5),
+       |ssh AS (SELECT doc_id, CAST(shuffle_key % 16 AS INT) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 16
+       |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos_in_shard FROM sk)
+       |SELECT pk.doc_id, tb.source, pk.lang, pk.n_tokens, tb.cum_tokens,
+       |  pk.pack_shard, pk.tok_offset, pk.first_pack, pk.last_pack,
+       |  ssh.shard, ssh.pos_in_shard
+       |FROM pk JOIN tb ON pk.doc_id = tb.doc_id JOIN ssh ON pk.doc_id = ssh.doc_id""".stripMargin
+  }
+
   private val langCase =
     """CASE
       |  WHEN r_en = 0 AND r_es = 0 AND r_de = 0 AND r_fr = 0 THEN 'unknown'
@@ -460,6 +617,32 @@ object Training {
        |    + strlen(text) AS BIGINT) AS n_bytes,
        |  ${Portable.phashDuck("text")} AS checksum
        |FROM documents""".stripMargin
+
+  /** Oracle twin of decodeSamples(syntheticPixelMedia(documents)): Spark
+    * built a real zlib-compressed PNG / PCM16 WAV per document and decoded
+    * the BYTES back ([[Multimodal.decodePngPixels]]/[[Multimodal
+    * .decodeWavSamples]]); the oracle reproduces the decoded value stream
+    * from the generating arithmetic ([[Multimodal.pngPixel]] 16x8 grayscale,
+    * [[Multimodal.wavSample]] 64 signed samples) — all-integer sums, bounds,
+    * and the polynomial checksum over unsigned-16 value representations. */
+  private val multimodalPixelsSql =
+    s"""WITH m AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m3 FROM documents
+       |  WHERE doc_id % 3 <> 2),
+       |v AS (SELECT doc_id,
+       |  CASE WHEN m3 = 0 THEN 'png' ELSE 'wav' END AS kind,
+       |  CASE WHEN m3 = 0
+       |    THEN [(doc_id * 31 + (i // 16) * 17 + (i % 16) * 7) % 256 for i in range(0, 128)]
+       |    ELSE [(doc_id * 131 + i * 17) % 4096 - 2048 for i in range(0, 64)]
+       |  END AS vals FROM m)
+       |SELECT doc_id AS media_id, kind,
+       |  CAST(len(vals) AS BIGINT) AS n_values,
+       |  CAST(list_reduce(list_prepend(0::BIGINT, vals), (a, x) -> a + x) AS BIGINT) AS val_sum,
+       |  CAST(list_min(vals) AS BIGINT) AS val_min,
+       |  CAST(list_max(vals) AS BIGINT) AS val_max,
+       |  CAST(list_reduce(list_prepend(7::BIGINT,
+       |    list_transform(vals, x -> CASE WHEN x < 0 THEN x + 65536 ELSE x END)),
+       |    (a, x) -> (a * 131 + x) % 1000000007) AS BIGINT) AS checksum
+       |FROM v""".stripMargin
 
   /** Mirror of [[TextOps.tokenBudgetSample]]: the oracle states the greedy
     * prefix semantics in ONE running-sum window — Spark's two-phase
@@ -890,6 +1073,7 @@ object Training {
     "text_token_budget"      -> tokenBudgetSql,
     "text_sentences"         -> sentencesSql,
     "multimodal_meta"        -> multimodalMetaSql,
+    "multimodal_pixels"      -> multimodalPixelsSql,
     "dedup_exact"            -> exactSql,
     "dedup_ngram_jaccard"    -> jaccardSql,
     "dedup_components"       -> componentsSql,
@@ -904,6 +1088,7 @@ object Training {
     "dedup_incremental"      -> incrementalSql,
     "dedup_substr_excise"    -> substrExciseSql,
     "text_curation"          -> curationSql,
+    "text_curation_e2e"      -> curationE2ESql,
     "text_shuffle_shards"    -> shuffleShardsSql,
     "text_line_dedup"        -> lineDedupSql,
     "text_domain_cap"        -> domainCapSql,

@@ -25,7 +25,9 @@ class UrlOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) ->
         ((r.getString(1), r.getString(2), r.getString(3), r.getString(4)))).toMap
     assert(got(1L) == (("https", "www.example.com", "/a/b", "example.com")))
-    assert(got(2L) == (("http", "cdn.site.org:8080", "/x", "site.org:8080")))
+    // port stays in host but is STRIPPED from registrable_domain, so a
+    // blocklist on 'site.org' also catches explicit-port URLs (r7 ADVICE)
+    assert(got(2L) == (("http", "cdn.site.org:8080", "/x", "site.org")))
     assert(got(3L) == (("ftp", "deep.sub.host.net", "/", "host.net")))
     assert(got(4L) == (("", "", "", "")))
   }
