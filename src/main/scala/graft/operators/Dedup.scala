@@ -280,9 +280,13 @@ object Dedup {
       .select(col("doc_id").as("corpus_doc"), col("band"), col("bh"))
     val bBands = minhashBandTable(batch, n, bands, rowsPerBand)
       .select(col("doc_id").as("batch_doc"), col("band"), col("bh"))
+    // localCheckpoint, NOT persist: the streaming curation path calls this
+    // once per micro-batch in a long-lived session, and a persist here would
+    // pin one candidate-table cache entry per batch forever (the dedupLines
+    // lesson); checkpoint blocks free once the verdict frame is unreachable
     val cand = bBands.join(cBands, Seq("band", "bh"))
       .select("batch_doc", "corpus_doc").distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val bSets = shingleSets(
         batch.join(cand.select(col("batch_doc").as("doc_id")).distinct(), "doc_id"), n)
       .select(col("doc_id").as("batch_doc"), col("shingles").as("sa"), col("n_shingles").as("na"))

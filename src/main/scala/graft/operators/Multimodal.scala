@@ -163,11 +163,11 @@ object Multimodal {
   /** Deterministic pixel model for the synthetic PNG corpus: grayscale 8-bit,
     * pixel(r, c) = (id*31 + r*17 + c*7) mod 256 — plain integer arithmetic,
     * so the oracle reproduces every decoded pixel without parsing a byte. */
-  private[operators] def pngPixel(id: Long, r: Int, c: Int): Int =
+  private[graft] def pngPixel(id: Long, r: Int, c: Int): Int =
     ((id * 31L + r * 17L + c * 7L) % 256L).toInt
   /** Deterministic PCM model for the synthetic WAV corpus: signed 16-bit,
     * sample(i) = ((id*131 + i*17) mod 4096) - 2048. */
-  private[operators] def wavSample(id: Long, i: Int): Int =
+  private[graft] def wavSample(id: Long, i: Int): Int =
     ((id * 131L + i * 17L) % 4096L).toInt - 2048
 
   private def crc32(bs: Array[Byte]*): Long = {
@@ -182,7 +182,7 @@ object Multimodal {
   /** A REAL PNG: signature, IHDR (grayscale-8), one IDAT holding the
     * zlib-DEFLATEd filter-0 scanlines, IEND — every chunk CRC32-correct, so
     * any standards-compliant decoder (not just ours) reads it back. */
-  private[operators] def encodePng(id: Long, w: Int = 16, h: Int = 8): Array[Byte] = {
+  private[graft] def encodePng(id: Long, w: Int = 16, h: Int = 8): Array[Byte] = {
     val raw = new Array[Byte](h * (1 + w))
     var r = 0
     while (r < h) {
@@ -211,7 +211,7 @@ object Multimodal {
   }
 
   /** A REAL WAV: RIFF/fmt/data with `n` little-endian PCM16 mono samples. */
-  private[operators] def encodeWav(id: Long, n: Int = 64, rate: Int = 8000): Array[Byte] = {
+  private[graft] def encodeWav(id: Long, n: Int = 64, rate: Int = 8000): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
@@ -246,7 +246,7 @@ object Multimodal {
   /** Inflate all IDAT chunks and strip the per-scanline filter bytes;
     * None for anything that is not a filter-0 grayscale-8 PNG (degrade,
     * don't throw — quarantine semantics, same as [[parseHeader]]). */
-  private[operators] def decodePngPixels(content: Array[Byte]): Option[Array[Int]] = {
+  private[graft] def decodePngPixels(content: Array[Byte]): Option[Array[Int]] = {
     if (content.length < 33 || !content.startsWith(PngSig)) return None
     var w = 0; var h = 0
     val idat = new java.io.ByteArrayOutputStream()
@@ -288,7 +288,7 @@ object Multimodal {
 
   /** Signed PCM16 samples from the data chunk located by [[parseHeader]]'s
     * RIFF walk; None for non-WAV or odd-length bodies. */
-  private[operators] def decodeWavSamples(content: Array[Byte]): Option[Array[Int]] = {
+  private[graft] def decodeWavSamples(content: Array[Byte]): Option[Array[Int]] = {
     val hdr = parseHeader(content)
     if (hdr.format != "wav" || hdr.payloadOffset >= content.length) return None
     val body = content.length - hdr.payloadOffset

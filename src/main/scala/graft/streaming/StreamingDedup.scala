@@ -1,8 +1,10 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
 
 /** Streaming exact deduplication — the streaming twin of the batch
   * [[graft.operators.Dedup.exactDupGroups]]: every distinct document CONTENT
@@ -77,6 +79,65 @@ object StreamingDedup {
         Iterator.single(Survivor(first.docId, first.ts, first.text))
     }
   }
+
+  /** Streaming NEAR-dup curation against the PERSISTED dedup index — the
+    * streaming twin of the daily-increment story ([[graft.operators.Dedup
+    * .incrementalDedup]]): a file source watches `inbox` for document CSVs;
+    * each micro-batch is verdicted (`exact_dup` / `near_dup` / `new`)
+    * against the index built over everything accepted so far, the verdict
+    * record lands under `verdictDir/batch_id=N`, and ONLY `new` documents
+    * fold into the corpus table and the index ([[graft.operators.Dedup
+    * .appendDedupIndex]] — MinHash band appends are drift-free by
+    * construction). Because the index is lake-persisted, the rejection
+    * boundary survives restarts: a batch processed after a stop/start is
+    * still verdicted against every previously accepted document.
+    *
+    * Delivery is EFFECTIVELY-once, same contract as [[StreamPipeline
+    * .silverUpsertInbox]]: the verdict directory (keyed by the replay-stable
+    * batchId, written LAST) is the batch's commit marker, so a batch whose
+    * checkpoint offset was lost is skipped on replay instead of being
+    * re-verdicted against an index that already absorbed it; the corpus
+    * fold-in is a keyed upsert, so the one crash window left (appends
+    * committed, marker not) re-admits nothing and loses nothing — at worst
+    * that batch's re-written verdict record says `exact_dup` where the lost
+    * one said `new`, while corpus and index state stay exactly correct.
+    *
+    * Scale shape per micro-batch: the batch side is the small side
+    * everywhere (broadcast md5/band probes against the corpus-sized index),
+    * candidate verification fetches corpus text only for candidate pairs —
+    * serve cost O(batch + candidates), the incremental-dedup contract. */
+  def curationInbox(spark: SparkSession, inbox: String, schema: StructType,
+                    lake: graft.lake.ParquetDirFormat, corpusTable: String,
+                    verdictDir: String, checkpoint: String,
+                    n: Int = 3, tau: Double = 0.5, bands: Int = 42,
+                    rowsPerBand: Int = 3, prefix: String = "dedup",
+                    maxFilesPerTrigger: Int = 16): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("header", true)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(inbox)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new java.io.File(s"$verdictDir/batch_id=$batchId")
+        if (!marker.exists()) {
+          val corpusText =
+            if (lake.exists(corpusTable)) lake.read(spark, corpusTable)
+            else batch.filter(lit(false))
+          val verdicts = graft.operators.Dedup
+            .incrementalDedup(lake, corpusText, batch, n, tau, bands, rowsPerBand, prefix)
+            .localCheckpoint(true) // two consumers; freed when unreachable
+          val accepted = batch.join(
+            verdicts.filter(col("verdict") === "new").select("doc_id"), "doc_id")
+          if (lake.exists(corpusTable)) lake.upsert(accepted, corpusTable, Seq("doc_id"))
+          else lake.create(accepted, corpusTable)
+          graft.operators.Dedup.appendDedupIndex(accepted, lake, n, bands, rowsPerBand, prefix)
+          verdicts.write.mode("overwrite").parquet(marker.getPath) // commit marker
+        }
+      }
+      .start()
 
   /** Wire the dedup onto a typed document stream. `horizon` bounds both the
     * watermark (how late a duplicate may arrive) and state retention. */

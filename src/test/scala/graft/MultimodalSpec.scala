@@ -149,4 +149,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fr.map(_.getInt(1)).toSet == Set(0, 1, 2, 3))
     fr.foreach(r => assert(r.getAs[Array[Byte]]("frame").length == 64))
   }
+
+  test("encodePng is a SPEC-compliant PNG: the JDK's own ImageIO decodes it " +
+    "to the same pixels our Inflater path reads back") {
+    for (id <- Seq(0L, 3L, 999L)) {
+      val bytes = Multimodal.encodePng(id)
+      // independent decoder: javax.imageio's full PNG pipeline (zlib, CRC,
+      // filters) — if our chunk lengths, CRCs, or IDAT stream were wrong in
+      // any byte, this read returns null or garbage
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected the PNG for id $id")
+      assert(img.getWidth == 16 && img.getHeight == 8)
+      for (r <- 0 until 8; c <- 0 until 16) {
+        val expected = Multimodal.pngPixel(id, r, c)
+        assert((img.getRaster.getSample(c, r, 0)) == expected, s"px($r,$c) id $id")
+      }
+      // and our own decoder agrees with the generating model
+      val own = Multimodal.decodePngPixels(bytes).get
+      assert(own.length == 128)
+      for (r <- 0 until 8; c <- 0 until 16)
+        assert(own(r * 16 + c) == Multimodal.pngPixel(id, r, c))
+    }
+  }
+
+  test("encodeWav round-trips signed PCM16 through the RIFF walk") {
+    for (id <- Seq(1L, 4L, 1000L)) {
+      val s = Multimodal.decodeWavSamples(Multimodal.encodeWav(id)).get
+      assert(s.length == 64)
+      for (i <- 0 until 64) assert(s(i) == Multimodal.wavSample(id, i), s"sample $i id $id")
+      assert(s.exists(_ < 0), "sample model must exercise sign extension")
+    }
+  }
+
+  test("decodeSamples degrades undecodable content instead of throwing") {
+    import spark.implicits._
+    val junk = Seq(
+      (1L, "image", Array[Byte](1, 2, 3)),                       // not a container
+      (2L, "image", Multimodal.encodePng(7L).dropRight(30)),     // truncated into IDAT
+      (3L, "audio", "RIFFxxxxWAVE".getBytes("US-ASCII")),        // WAV with no data chunk
+      (4L, "audio", null.asInstanceOf[Array[Byte]]))             // null content
+      .toDF("media_id", "modality", "content")
+    val out = Multimodal.decodeSamples(junk).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.values.forall(_ == "undecoded"), s"expected degrade, got $out")
+  }
 }

@@ -150,4 +150,58 @@ class StreamSpec extends AnyFunSuite {
     // no duplicate keys survived the compact/expire/restart cycle
     assert(lake.read(spark, "t").count() == 4)
   }
+
+  test("streaming near-dup curation: rejections hold across the restart boundary") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-stream-curate")
+    val inbox = root.resolve("inbox"); Files.createDirectories(inbox)
+    val ckpt = root.resolve("ckpt").toString
+    val verdictDir = root.resolve("verdicts").toString
+    val lake = new graft.lake.ParquetDirFormat(root.resolve("lake").toString)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    def toks(prefix: String) = (1 to 20).map(i => f"$prefix$i%02d").mkString(" ")
+    val seedText = toks("w")
+    val textA = toks("x")
+    val textB = toks("y")
+    // one token changed out of 20 -> 3 of 18 trigram shingles differ,
+    // J = 15/21 = 0.714 >= tau 0.5 (and the fixed 42x3 band family finds it)
+    def nearDup(t: String) = t.replace("05", "99")
+
+    // accumulated corpus + its persisted index exist BEFORE the stream starts
+    lake.create(Seq((100L, seedText)).toDF("doc_id", "text"), "corpus")
+    graft.operators.Dedup.buildDedupIndex(lake.read(spark, "corpus"), lake)
+
+    def drain(): Unit = StreamPipeline.runAvailableNow(
+      graft.streaming.StreamingDedup.curationInbox(
+        spark, inbox.toString, schema, lake, "corpus", verdictDir, ckpt))
+
+    Files.write(inbox.resolve("b1.csv"),
+      s"doc_id,text\n1,$textA\n2,$seedText\n3,${nearDup(seedText)}\n".getBytes)
+    drain()
+    val v1 = spark.read.parquet(verdictDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v1 == Map(1L -> "new", 2L -> "exact_dup", 3L -> "near_dup"))
+    assert(lake.read(spark, "corpus").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 100L), "only the new doc folds into the corpus")
+
+    // RESTART: fresh query, same checkpoint + lake. Batch 2 replays nothing
+    // and must reject duplicates of what batch 1 ACCEPTED — the rejection
+    // state lives in the persisted index, not in stream memory.
+    Files.write(inbox.resolve("b2.csv"),
+      s"doc_id,text\n11,$textA\n12,${nearDup(textA)}\n13,$textB\n".getBytes)
+    drain()
+    val v2 = spark.read.parquet(verdictDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v2 -- v1.keys == Map(11L -> "exact_dup", 12L -> "near_dup", 13L -> "new"))
+    assert(v2.view.filterKeys(v1.contains).toMap == v1, "replay rewrote old verdicts")
+    assert(lake.read(spark, "corpus").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 13L, 100L))
+
+    // idempotent drain: nothing new in the inbox changes nothing
+    drain()
+    assert(spark.read.parquet(verdictDir).count() == 6)
+    assert(lake.read(spark, "corpus").count() == 3)
+  }
 }
