@@ -302,4 +302,48 @@ object Portable {
     buckets.zipWithIndex.flatMap { case (b, j) =>
       (0 until bits).map(i => s"(((($b) >> $i) & 1) << ${i * buckets.size + j})")
     }.mkString(" + ")
+
+  // ---- integer-grid vector quantization (k-means clustering) ---------------
+  /** Power-of-two scale for snapping float embeddings onto an integer grid:
+    * v*1024 is EXACT in double (exponent shift, no mantissa rounding), +0.5
+    * and floor are exact, so the BIGINT grid coordinate is bitwise portable —
+    * and everything downstream (distances, sums) is pure integer arithmetic,
+    * immune to float association order entirely. */
+  val QuantScale = 1024L
+
+  /** BIGINT array of grid coordinates for a float vector column. Unrolled
+    * (codegen'd on Spark, no interpreted lambda in the hot path). */
+  def quantVecSpark(a: String): String =
+    (1 to Dim).map(i =>
+      s"CAST(floor(CAST(element_at($a, $i) AS DOUBLE) * $QuantScale + 0.5) AS BIGINT)")
+      .mkString("array(", ", ", ")")
+  def quantVecDuck(a: String): String =
+    (1 to Dim).map(i =>
+      s"CAST(floor(CAST($a[$i] AS DOUBLE) * $QuantScale + 0.5) AS BIGINT)")
+      .mkString("[", ", ", "]")
+
+  /** Squared L2 between two BIGINT grid vectors — a pure-integer unrolled
+    * chain, so the value (not just its rounding) is identical in any engine
+    * and any evaluation order. Coordinates are bounded by |v|<=1 ⇒ |q|<=1025,
+    * so the 64-term sum stays below 2^33 — no BIGINT overflow on either side
+    * (DuckDB throws; Spark ANSI throws). */
+  def qL2Spark(a: String, b: String): String =
+    (1 to Dim).map { i =>
+      val (x, y) = (s"element_at($a, $i)", s"element_at($b, $i)")
+      s"($x - $y) * ($x - $y)"
+    }.mkString(" + ")
+  def qL2Duck(a: String, b: String): String =
+    (1 to Dim).map { i =>
+      val (x, y) = (s"$a[$i]", s"$b[$i]")
+      s"($x - $y) * ($x - $y)"
+    }.mkString(" + ")
+
+  /** Integer-grid centroid component: nearest grid point to sx/cnt. The
+    * division is one IEEE double op on exactly-representable BIGINTs (|sx| <
+    * 2^33 · corpus count), so floor(sx/cnt + 0.5) lands on the same integer
+    * in both engines. */
+  def qMeanSpark(sx: String, cnt: String): String =
+    s"CAST(floor(CAST($sx AS DOUBLE) / CAST($cnt AS DOUBLE) + 0.5) AS BIGINT)"
+  def qMeanDuck(sx: String, cnt: String): String =
+    s"CAST(floor(CAST($sx AS DOUBLE) / CAST($cnt AS DOUBLE) + 0.5) AS BIGINT)"
 }

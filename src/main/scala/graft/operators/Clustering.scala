@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** Distributed k-means clustering over the embedding corpus — the curation
+  * primitive behind cluster-balanced data mixing, SemDeDup cell structure,
+  * and per-topic corpus accounting (reference analogue: the corpus-profiling
+  * stage of services/loader; clustering itself is beyond the reference,
+  * prompt-mandated training-data tooling).
+  *
+  * Oracle-checkability is the design constraint: parallel FLOAT centroid
+  * means are association-order nondeterministic, so a naive k-means can
+  * never hash-match a DuckDB twin. Instead the corpus is snapped onto an
+  * integer grid once ([[Portable.quantVecSpark]], exact in double), and from
+  * there every step is pure integer arithmetic:
+  *
+  *  - assignment: unrolled BIGINT squared-L2 ([[Portable.qL2Spark]]) against
+  *    broadcast centroids, ties to the lowest cell id;
+  *  - update: per-(cell, dim) BIGINT sums (order-independent), centroid
+  *    components re-snapped to the grid via one IEEE division
+  *    ([[Portable.qMeanSpark]]);
+  *  - init: the same deterministic stride sample as
+  *    [[Similarity.ivfCentroids]].
+  *
+  * Cells that lose every member simply disappear (documented; stride init on
+  * a shuffled corpus makes this rare). The result is a bitwise-portable
+  * k-means whose DuckDB oracle replays the identical unrolled iterations.
+  *
+  * Scale shape: each iteration is one broadcast-join scan (centroids are
+  * k·Dim values) plus one (cell, dim)-keyed aggregate of k·Dim rows — no
+  * all-pairs stage, no driver-side loop over rows. Iteration count is a
+  * constant; the per-round localCheckpoint keeps lineage flat exactly like
+  * [[Dedup.connectedComponents]].
+  */
+object Clustering {
+
+  /** vec_id + BIGINT grid coordinates, materialized so projection collapse
+    * cannot inline the 64-term quantization into every downstream consumer. */
+  private[operators] def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), expr(Portable.quantVecSpark("embedding")).as("q"))
+      .localCheckpoint(false)
+
+  /** Stride-sampled initial centroids on the grid: cell j = the quantized
+    * vector at vec_id j*stride (stride = n/k) — zero-iteration start shared
+    * with the IVF oracle family. */
+  private def initCentroids(q: DataFrame, k: Int): DataFrame = {
+    val stats = q.agg(greatest((count(lit(1)) / k).cast("long"), lit(1L)).as("stride"))
+    q.crossJoin(broadcast(stats))
+      .filter(col("vec_id") % col("stride") === 0 && expr("vec_id div stride") < k)
+      .select(expr("vec_id div stride").as("cell"), col("q").as("c"))
+  }
+
+  /** Nearest-centroid assignment: (vec_id, cell, dist, q); dist is the exact
+    * integer squared L2, ties to the lowest cell. */
+  private def assign(q: DataFrame, cent: DataFrame): DataFrame =
+    q.crossJoin(broadcast(cent))
+      .withColumn("dist", expr(Portable.qL2Spark("q", "c")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cell").asc)))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell", "dist", "q")
+
+  /** Mean-update on the integer grid: per-(cell, dim) BIGINT sums, re-snapped
+    * componentwise; the array is rebuilt in dim order. k·Dim rows total —
+    * broadcast-sized by construction. */
+  private def update(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy("cell", "d")
+      .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("cv", expr(Portable.qMeanSpark("sx", "cnt")))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(d, cv))), s -> s.cv)").as("c"))
+
+  /** Lloyd iterations on the integer grid; returns the final assignment with
+    * its cluster size: (vec_id, cluster, dist, cluster_size), all BIGINT —
+    * a float-free result that hash-checks against the DuckDB replay. */
+  def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1; got k=$k iters=$iters")
+    val q = quantized(emb)
+    var cent = initCentroids(q, k).localCheckpoint(true)
+    for (_ <- 1 to iters)
+      cent = update(assign(q, cent)).localCheckpoint(true)
+    val fin = assign(q, cent)
+    val sizes = fin.groupBy("cell").agg(count(lit(1)).as("cluster_size"))
+    fin.join(broadcast(sizes), "cell")
+      .select(col("vec_id"), col("cell").as("cluster"), col("dist"),
+        col("cluster_size"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Tables
 import graft.functions.Portable
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps, UrlOps}
+import graft.operators.{Clustering, Dedup, Multimodal, Similarity, TextOps, UrlOps}
 
 /** Training-data pipeline queries over `documents` / `embeddings`, with DuckDB
   * oracles generated from the SAME [[Portable]] builders as the Spark plans —
@@ -52,6 +52,10 @@ object Training {
     * (~54 tokens/doc, a handful of post-curation survivors per source, so a
     * 200-token budget genuinely cuts instead of passing everything). */
   val E2eBudget = 200L
+  /** Integer-grid k-means gate: 8 cells, 2 Lloyd iterations (the oracle
+    * unrolls the identical iterations as CTEs). */
+  val KmeansK = 8
+  val KmeansIters = 2
 
   val queries: Map[String, Q] = Map(
     "text_token_stats"       -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
@@ -150,6 +154,7 @@ object Training {
     // the arithmetic twin won't produce
     "multimodal_pixels"      -> ((s, d) => Multimodal.decodeSamples(
                                    Multimodal.syntheticPixelMedia(Tables.documents(s, d)))),
+    "embed_kmeans"           -> ((s, d) => Clustering.kmeans(Tables.embeddings(s, d), KmeansK, KmeansIters)),
     "ann_brute_force_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_lsh_topk"           -> ((s, d) => Similarity.lshAnnTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_ivf_topk"           -> ((s, d) => Similarity.ivfFlatTopK(Tables.embeddings(s, d), NQueries, TopK)),
@@ -1048,7 +1053,42 @@ object Training {
        |SELECT query_id, neighbor_id, l2_dist, rnk FROM rr WHERE rnk <= $TopK""".stripMargin
   }
 
+  /** One unrolled Lloyd iteration of [[Clustering.kmeans]]'s DuckDB replay:
+    * integer squared-L2 assignment against the previous centroid CTE (ties to
+    * the lowest cell), per-(cell, dim) BIGINT sums, grid re-snap, array
+    * rebuild in dim order. Pure integer arithmetic end to end — the float
+    * association-order problem that makes naive k-means un-oracle-able never
+    * arises. */
+  private def kmeansIterCte(i: Int, prevC: String): String =
+    s"""d$i AS (SELECT q.vec_id, c.cell, ${Portable.qL2Duck("q.q", "c.c")} AS dist, q.q AS q
+       |  FROM q CROSS JOIN $prevC c),
+       |a$i AS (SELECT vec_id, cell, q FROM (SELECT vec_id, cell, q,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM d$i)
+       |  WHERE rn = 1),
+       |e$i AS (SELECT cell, ix.d AS d, q[ix.d] AS x FROM a$i, ix),
+       |s$i AS (SELECT cell, d, CAST(SUM(x) AS BIGINT) AS sx, COUNT(*) AS cnt FROM e$i GROUP BY cell, d),
+       |c$i AS (SELECT cell, list(${Portable.qMeanDuck("sx", "cnt")} ORDER BY d) AS c FROM s$i GROUP BY cell),""".stripMargin
+
+  private val kmeansSql = {
+    val iters = (1 to KmeansIters).map(i => kmeansIterCte(i, s"c${i - 1}")).mkString("\n")
+    s"""WITH q AS (SELECT vec_id, ${Portable.quantVecDuck("embedding")} AS q FROM embeddings),
+       |ix AS (SELECT unnest(range(1, ${Portable.Dim + 1})) AS d),
+       |st AS (SELECT GREATEST(COUNT(*) // $KmeansK, 1) AS stride FROM embeddings),
+       |c0 AS (SELECT vec_id // stride AS cell, q AS c FROM q, st
+       |  WHERE vec_id % stride = 0 AND vec_id // stride < $KmeansK),
+       |$iters
+       |fd AS (SELECT q.vec_id, c.cell, ${Portable.qL2Duck("q.q", "c.c")} AS dist
+       |  FROM q CROSS JOIN c$KmeansIters c),
+       |fa AS (SELECT vec_id, cell, dist FROM (SELECT vec_id, cell, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM fd)
+       |  WHERE rn = 1),
+       |sz AS (SELECT cell, COUNT(*) AS cluster_size FROM fa GROUP BY cell)
+       |SELECT fa.vec_id, fa.cell AS cluster, fa.dist, sz.cluster_size
+       |FROM fa JOIN sz USING (cell)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "embed_kmeans"           -> kmeansSql,
     "ann_pq_topk"            -> annPqSql,
     // the persisted-index round trip must return the SAME result as the
     // in-memory pipeline — one oracle pins both
