@@ -206,7 +206,18 @@ object Gold {
           .cast("double").as("total_usd"))
   }
 
+  /** SCD2 history of each customer's order-priority dimension, with the order
+    * stream as the change log ([[graft.lake.Scd2.history]]): one window chain
+    * — same-day collapse (highest o_orderkey wins), null-safe change detect,
+    * interval stitch. The incremental lake merge twin
+    * ([[graft.lake.Scd2.applyChanges]]) is pinned equal to this rebuild by
+    * Scd2Spec. */
+  def scd2Priority(spark: SparkSession, dir: String): DataFrame =
+    graft.lake.Scd2.history(Tables.orders(spark, dir), "o_custkey",
+      Seq("o_orderpriority"), "o_orderdate", "o_orderkey")
+
   val queries: Map[String, Q] = Map(
+    "gold_scd2_priority"         -> (scd2Priority _),
     "gold_cohort_retention"      -> (cohortRetention _),
     "gold_revenue_usd"           -> (revenueUsd _),
     "gold_q1_pricing_summary"    -> (q1Agg _),
@@ -217,6 +228,25 @@ object Gold {
     "gold_top_parts_by_revenue"  -> (topPartsByRevenue _))
 
   val oracle: Map[String, String] = Map(
+    "gold_scd2_priority" ->
+      """WITH collapsed AS (SELECT o_custkey, o_orderdate, o_orderpriority FROM (
+        |    SELECT o_custkey, o_orderdate, o_orderpriority,
+        |      ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |        ORDER BY o_orderkey DESC) AS rn FROM orders) WHERE rn = 1),
+        |chg AS (SELECT o_custkey, o_orderdate, o_orderpriority FROM (
+        |    SELECT o_custkey, o_orderdate, o_orderpriority,
+        |      LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate ASC) AS prev FROM collapsed)
+        |  WHERE prev IS NULL OR prev IS DISTINCT FROM o_orderpriority),
+        |v AS (SELECT o_custkey, o_orderpriority,
+        |    o_orderdate AS valid_from,
+        |    LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate ASC) AS valid_to,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate ASC) AS BIGINT) AS version_no
+        |  FROM chg)
+        |SELECT o_custkey, o_orderpriority, valid_from, valid_to, version_no,
+        |  valid_to IS NULL AS is_current FROM v""".stripMargin,
     "gold_cohort_retention" ->
       """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
         |m AS (SELECT o_custkey, year(d) * 12 + month(d) AS midx FROM o),
