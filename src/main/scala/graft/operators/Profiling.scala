@@ -120,4 +120,36 @@ object Profiling {
       countDistinct(h).as("distinct_rows"),
       (count(lit(1)) - countDistinct(h)).as("duplicate_rows"))
   }
+
+  /** Mergeable per-shard stats partials — the incremental-profiling building
+    * block for a 100 TB lake: every ingest batch (or table partition)
+    * contributes ONE partial row per shard, persisted alongside the data;
+    * [[mergeStatsPartials]] folds any subset of partials into the exact
+    * global profile WITHOUT rescanning a byte of the corpus. Exactness is
+    * what makes the merge legal: COUNT/MIN/MAX are trivially associative and
+    * the sums are DECIMAL ([[graft.core.Exact]]), so partial + partial loses
+    * nothing — a float running sum would drift per merge order. */
+  def statsPartials(df: DataFrame, shardCol: String, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      min(col(c)).as(s"min_$c"),
+      max(col(c)).as(s"max_$c"),
+      sum(col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2))).as(s"dsum_$c")))
+    df.groupBy(col(shardCol)).agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Fold stats partials into the global profile (same shape the direct
+    * single-scan aggregate would produce): total/non-null counts, min/max,
+    * exact sum and the [[graft.core.Exact.davg]]-style reproducible mean.
+    * The decimal grand total is exact, so its one cast to DOUBLE matches the
+    * direct scan bit-for-bit — the property the oracle gate pins. */
+  def mergeStatsPartials(partials: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap(c => Seq(
+      sum(col(s"nn_$c")).cast("long").as(s"nn_$c"),
+      min(col(s"min_$c")).as(s"min_$c"),
+      max(col(s"max_$c")).as(s"max_$c"),
+      sum(col(s"dsum_$c")).cast("double").as(s"sum_$c"),
+      (sum(col(s"dsum_$c")).cast("double") / sum(col(s"nn_$c"))).as(s"avg_$c")))
+    partials.agg(sum(col("n_rows")).cast("long").as("total_rows"), aggs: _*)
+  }
 }

@@ -130,7 +130,23 @@ object Profile {
       .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
       .limit(100)
 
+  /** Incremental profiling round trip: 32 synthetic ingest shards each
+    * contribute one mergeable partial ([[Profiling.statsPartials]]), and the
+    * merge ([[Profiling.mergeStatsPartials]]) must land bit-for-bit on the
+    * oracle's DIRECT single-scan profile — the no-rescan maintenance story
+    * for a 100 TB lake, legal only because every partial field is exactly
+    * associative (decimal sums, not float). */
+  def lineitemIncrementalStats(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice")
+    Profiling.mergeStatsPartials(
+      Profiling.statsPartials(
+        Tables.lineitem(spark, dir).withColumn("shard", pmod(col("l_orderkey"), lit(32L))),
+        "shard", cols),
+      cols)
+  }
+
   val queries: Map[String, Q] = Map(
+    "profile_incremental_stats" -> (lineitemIncrementalStats _),
     "profile_lineitem_nulls"    -> (lineitemNulls _),
     "profile_lineitem_stats"    -> (lineitemStats _),
     "profile_events_dup_keys"   -> (eventsDupKeys _),
@@ -144,6 +160,14 @@ object Profile {
     "profile_number_potential"  -> (ordersNumberPotential _))
 
   val oracle: Map[String, String] = Map(
+    // the DIRECT single-scan profile: the Spark side answers from 32 merged
+    // shard partials instead, and must land on the identical bits
+    "profile_incremental_stats" ->
+      Seq("l_quantity", "l_extendedprice").map { c =>
+        s"""COUNT($c) AS nn_$c, MIN($c) AS min_$c, MAX($c) AS max_$c,
+           |  CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sum_$c,
+           |  CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / COUNT($c) AS avg_$c""".stripMargin
+      }.mkString("SELECT COUNT(*) AS total_rows,\n  ", ",\n  ", "\nFROM lineitem"),
     "profile_lineitem_nulls" ->
       ("SELECT COUNT(*) AS total_rows, " +
         liCols.map(c => s"COUNT($c) AS nn_$c").mkString(", ") +
