@@ -346,4 +346,31 @@ object Portable {
     s"CAST(floor(CAST($sx AS DOUBLE) / CAST($cnt AS DOUBLE) + 0.5) AS BIGINT)"
   def qMeanDuck(sx: String, cnt: String): String =
     s"CAST(floor(CAST($sx AS DOUBLE) / CAST($cnt AS DOUBLE) + 0.5) AS BIGINT)"
+
+  // ---- int8 scalar quantization (SQ8 compressed embeddings) ----------------
+  /** Per-dim corpus MIN/MAX aggregate list (`mn_j`/`mx_j`, doubles) — the
+    * train step of SQ8. MIN/MAX are order-independent, so the stats row is
+    * trivially portable. */
+  def sq8StatsSpark(a: String): Seq[String] =
+    (1 to Dim).flatMap(j => Seq(
+      s"min(CAST(element_at($a, $j) AS DOUBLE)) AS mn_$j",
+      s"max(CAST(element_at($a, $j) AS DOUBLE)) AS mx_$j"))
+  def sq8StatsDuck(a: String): Seq[String] =
+    (1 to Dim).flatMap(j => Seq(
+      s"MIN(CAST($a[$j] AS DOUBLE)) AS mn_$j",
+      s"MAX(CAST($a[$j] AS DOUBLE)) AS mx_$j"))
+
+  /** One SQ8 code: nearest of 256 evenly-spaced levels on [mn_j, mx_j]. The
+    * affine map is a fixed-order IEEE chain, the rounding a floor, the clamp
+    * least/greatest — identical in both engines; degenerate ranges code 0. */
+  private def sq8Code(vj: String, j: Int): String =
+    s"CASE WHEN mx_$j > mn_$j THEN least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+      s"CAST(floor(($vj - mn_$j) * CAST(255 AS DOUBLE) / (mx_$j - mn_$j) + 0.5) AS BIGINT))) " +
+      s"ELSE CAST(0 AS BIGINT) END"
+  def sq8VecSpark(a: String): String =
+    (1 to Dim).map(j => sq8Code(s"CAST(element_at($a, $j) AS DOUBLE)", j))
+      .mkString("array(", ", ", ")")
+  def sq8VecDuck(a: String): String =
+    (1 to Dim).map(j => sq8Code(s"CAST($a[$j] AS DOUBLE)", j))
+      .mkString("[", ", ", "]")
 }

@@ -608,6 +608,48 @@ object Similarity {
     }
   }
 
+  /** SQ8 scalar-quantized top-k — the middle rung of the compression ladder
+    * (float32 scan → 4x-smaller SQ8 scan → 32x-smaller PQ scan): each
+    * dimension is snapped to the nearest of 256 levels on its corpus
+    * [min, max] range, approximate distances are pure-integer unrolled
+    * chains over the code arrays ([[Portable.qL2Spark]] — no float rounding
+    * to disagree about, unlike PQ's ADC doubles), and the shortlist gets the
+    * same exact full-precision L2 refinement as PQ. Train cost is ONE
+    * min/max aggregate (128 outputs, one scan) — no codebook iteration —
+    * which is why SQ8 is the default first compression step at 100 TB:
+    * near-zero build time, decode-free integer scan, ~4x I/O cut. */
+  def sq8AnnTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 10,
+                 refine: Int = 100): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val dim = Portable.Dim
+    val stats = emb.agg(count(lit(1)).as("__n"),
+      Portable.sq8StatsSpark("embedding").map(expr): _*).drop("__n")
+    // materialized codes: the 64-term affine chain must evaluate once per
+    // row, not once per (row, query) through projection collapse
+    val codes = Scale.fanOutScan(emb).crossJoin(broadcast(stats))
+      .select(col("vec_id"), expr(Portable.sq8VecSpark("embedding")).as("c"))
+      .localCheckpoint(false)
+    val q = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("c").as("cq"))
+    val approx = codes.select(col("vec_id").as("neighbor_id"), col("c").as("cv"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_dist", expr(Portable.qL2Spark("cq", "cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
+    val short = approx.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= refine).select("query_id", "neighbor_id")
+    val qv = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
+    val nv = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_v"))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("l2_dist").asc, col("neighbor_id").asc)
+    short.join(broadcast(qv), "query_id").join(nv, "neighbor_id")
+      .withColumn("l2_dist", expr(Portable.subL2Spark("emb_q", "emb_v", 0, dim)))
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "l2_dist", "rnk")
+  }
+
   /** Build a PQ index as a MATERIALIZED lake artifact: codebook + codes tables
     * under `prefix` in `lake`. At 100 TB the index is built once and served
     * many times — the reference's persisted-embedding VECTOR_SEARCH shape

@@ -158,6 +158,7 @@ object Training {
     "ann_brute_force_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_lsh_topk"           -> ((s, d) => Similarity.lshAnnTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_ivf_topk"           -> ((s, d) => Similarity.ivfFlatTopK(Tables.embeddings(s, d), NQueries, TopK)),
+    "ann_sq8_topk"           -> ((s, d) => Similarity.sq8AnnTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_pq_topk"            -> ((s, d) => Similarity.pqAnnTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_pq_index_topk"      -> ((s, d) => Similarity.queryPqIndex(
                                    s, indexLake(s, d), Tables.embeddings(s, d), "pq", NQueries, TopK)),
@@ -1087,8 +1088,33 @@ object Training {
        |FROM fa JOIN sz USING (cell)""".stripMargin
   }
 
+  /** Exact replica of [[Similarity.sq8AnnTopK]]: per-dim min/max train, the
+    * 256-level affine snap, pure-integer approximate distances over the code
+    * arrays, exact L2 refinement of the shortlist. */
+  private val annSq8Sql = {
+    val refine = 100
+    s"""WITH st AS (SELECT ${Portable.sq8StatsDuck("embedding").mkString(", ")} FROM embeddings),
+       |c AS (SELECT vec_id, ${Portable.sq8VecDuck("embedding")} AS c FROM embeddings, st),
+       |q AS (SELECT vec_id AS query_id, c AS cq FROM c WHERE vec_id < $NQueries),
+       |s AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+       |    ${Portable.qL2Duck("q.cq", "v.c")} AS approx_dist
+       |  FROM c v CROSS JOIN q WHERE v.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_dist ASC, neighbor_id ASC) AS rnk
+       |  FROM s) WHERE rnk <= $refine),
+       |ref AS (SELECT r.query_id, r.neighbor_id,
+       |    ${Portable.subL2Duck("eq.embedding", "ev.embedding", 0, Portable.Dim)} AS l2_dist
+       |  FROM r JOIN embeddings eq ON eq.vec_id = r.query_id
+       |  JOIN embeddings ev ON ev.vec_id = r.neighbor_id),
+       |rr AS (SELECT query_id, neighbor_id, l2_dist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY l2_dist ASC, neighbor_id ASC) AS rnk
+       |  FROM ref)
+       |SELECT query_id, neighbor_id, l2_dist, rnk FROM rr WHERE rnk <= $TopK""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "embed_kmeans"           -> kmeansSql,
+    "ann_sq8_topk"           -> annSq8Sql,
     "ann_pq_topk"            -> annPqSql,
     // the persisted-index round trip must return the SAME result as the
     // in-memory pipeline — one oracle pins both

@@ -270,4 +270,23 @@ class SimilaritySpec extends AnyFunSuite {
         assert(sorted == sorted.sorted && sorted.forall(_ >= 0.0))
       })
   }
+
+  test("SQ8 recall@10 beats PQ's floor (256 levels/dim is near-lossless)") {
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    val exact = (0L until 10L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(v => (l2(vecs(q), vecs(v)), v)).take(10).map(v => (q, v))
+    }.toSet
+    val approx = Similarity.sq8AnnTopK(emb, nQueries = 10, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"SQ8+refine recall@10 = $recall%.2f")
+    assert(recall >= 0.9, s"SQ8 refined recall was $recall")
+  }
 }
