@@ -216,7 +216,40 @@ object Gold {
     graft.lake.Scd2.history(Tables.orders(spark, dir), "o_custkey",
       Seq("o_orderpriority"), "o_orderdate", "o_orderkey")
 
+  /** Snapshot-diff gate: two versions of an orders snapshot land in a temp
+    * [[graft.lake.ParquetDirFormat]] (v0 drops every 4th key; v1 drops every
+    * 5th and rewrites priority on every 3rd), then
+    * [[graft.lake.SnapshotDiff.diff]] reads both immutable versions back and
+    * must reproduce the oracle's full-outer added/removed/changed ledger —
+    * the write→time-travel→diff round trip, not just the join. */
+  private val diffRoots = scala.collection.concurrent.TrieMap.empty[String, String]
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val root = diffRoots.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("graft_snapdiff_").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        val p = Path.of(r)
+        if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+      }))
+      val lake = new graft.lake.ParquetDirFormat(r)
+      val o = Tables.orders(spark, dir)
+      lake.create(o.filter(col("o_orderkey") % 4 =!= 0), "orders_snap")
+      lake.overwrite(o.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 3 === 0, lit("CHANGED"))
+            .otherwise(col("o_orderpriority"))), "orders_snap")
+      r
+    })
+    val lake = new graft.lake.ParquetDirFormat(root)
+    val vs = lake.versions("orders_snap")
+    graft.lake.SnapshotDiff.diff(spark, lake, "orders_snap",
+      vs.min, vs.max, Seq("o_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "gold_snapshot_diff"         -> (snapshotDiff _),
     "gold_scd2_priority"         -> (scd2Priority _),
     "gold_cohort_retention"      -> (cohortRetention _),
     "gold_revenue_usd"           -> (revenueUsd _),
@@ -228,6 +261,23 @@ object Gold {
     "gold_top_parts_by_revenue"  -> (topPartsByRevenue _))
 
   val oracle: Map[String, String] = Map(
+    "gold_snapshot_diff" -> {
+      val cmp = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority")
+        .map(c => s"(v1.$c IS DISTINCT FROM v2.$c)").mkString(" OR ")
+      s"""WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 0),
+         |v2 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         |    CASE WHEN o_orderkey % 3 = 0 THEN 'CHANGED' ELSE o_orderpriority END
+         |      AS o_orderpriority
+         |  FROM orders WHERE o_orderkey % 5 <> 0),
+         |j AS (SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+         |    CASE WHEN v2.o_orderkey IS NULL THEN 'removed'
+         |         WHEN v1.o_orderkey IS NULL THEN 'added'
+         |         WHEN $cmp THEN 'changed'
+         |         ELSE 'unchanged' END AS change_type
+         |  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+         |SELECT o_orderkey, change_type FROM j WHERE change_type <> 'unchanged'""".stripMargin
+    },
     "gold_scd2_priority" ->
       """WITH collapsed AS (SELECT o_custkey, o_orderdate, o_orderpriority FROM (
         |    SELECT o_custkey, o_orderdate, o_orderpriority,

@@ -283,4 +283,17 @@ class LakeSpec extends AnyFunSuite {
     assert(before.count() == 1)
     assert(t.read(spark, "t5").head().getLong(0) == 2L)
   }
+
+  test("snapshot diff classifies added/removed/changed and drops unchanged") {
+    import spark.implicits._
+    val t = fmt()
+    t.create(Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, null, 40))
+      .toDF("id", "v", "n"), "sd")
+    t.overwrite(Seq((2L, "b", 20), (3L, "C2", 30), (4L, "d", 40), (5L, "e", 50))
+      .toDF("id", "v", "n"), "sd")
+    val got = graft.lake.SnapshotDiff.diff(spark, t, "sd", 0, 1, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed",
+      4L -> "changed", 5L -> "added"))
+  }
 }

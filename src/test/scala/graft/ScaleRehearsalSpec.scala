@@ -131,6 +131,22 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(t10 / t1 < 20.0, f"superlinear blowup: $t1%.1f s -> $t10%.1f s")
   }
 
+  test("k-means scales linearly on 10x key-shifted embeddings", SlowRehearsal) {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // each Lloyd round is one broadcast-join scan + a (cell, dim)-keyed
+    // aggregate of k*Dim rows — both linear in the corpus; a quadratic
+    // stage (all-pairs, unkeyed window) would blow the ratio bound
+    val (t1, n1) = timed("kmeans 1x") {
+      runRows(graft.operators.Clustering.kmeans(emb, 8, 2))
+    }
+    val big = copies(emb, 10, Seq("vec_id"))
+    val (t10, n10) = timed("kmeans 10x") {
+      runRows(graft.operators.Clustering.kmeans(big, 8, 2))
+    }
+    assert(n10 == n1 * 10, "every vector keeps exactly one assignment")
+    assert(t10 / t1 < 20.0, f"superlinear blowup: $t1%.1f s -> $t10%.1f s")
+  }
+
   test("persisted PQ index: query cost is independent of build cost", SlowRehearsal) {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val big = copies(emb, 10, Seq("vec_id"))
