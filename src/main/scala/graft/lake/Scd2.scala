@@ -42,12 +42,18 @@ object Scd2 {
   def history(changes: DataFrame, keyCol: String, attrCols: Seq[String],
               tsCol: String, tieCol: String): DataFrame = {
     require(attrCols.nonEmpty, "need at least one tracked attribute")
-    val byKeyTs = Window.partitionBy(keyCol, tsCol).orderBy(col(tieCol).desc)
+    // Every stage rides ONE key partitioning (PlanSpec pins the single
+    // exchange): the collapse window sorts (ts ASC, tie DESC) so the first
+    // row of each ts run IS the max-tie winner — no (key, ts)-keyed shuffle —
+    // and both later windows need only the (ts) sort prefix, which filter
+    // preserves, so no re-sort either.
+    val byKeyTie = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col(tieCol).desc)
     val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol).asc)
     val attrTuple = struct(attrCols.map(col): _*)
     val collapsed = changes
-      .withColumn("__rn", row_number().over(byKeyTs))
-      .filter(col("__rn") === 1)
+      .withColumn("__prevTs", lag(col(tsCol), 1).over(byKeyTie))
+      .filter(col("__prevTs").isNull || col("__prevTs") =!= col(tsCol))
       .select(keyCol, (attrCols :+ tsCol): _*)
     val changed = collapsed
       .withColumn("__prev", lag(attrTuple, 1).over(byKey))

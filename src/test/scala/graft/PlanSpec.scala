@@ -129,6 +129,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), "island merge must be a per-doc window function")
   }
 
+  test("scd2 history: all three windows ride ONE key exchange and one sort") {
+    val p = plan("gold_scd2_priority")
+    // collapse (ts ASC, tie DESC), change-detect, and interval-stitch windows
+    // all partition by the key; a (key, ts)-keyed collapse would add a second
+    // exchange, and an incompatible sort order would add a second Sort
+    val exchanges = "\\bExchange\\b".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, saw $exchanges:\n${p.take(600)}")
+    val sorts = "\\bSort\\b".r.findAllIn(p).length
+    assert(sorts == 1, s"expected 1 sort, saw $sorts:\n${p.take(600)}")
+  }
+
+  test("snapshot diff: keyed full-outer join, no broadcast of a corpus side") {
+    val p = plan("gold_snapshot_diff")
+    assert(p.contains("FullOuter"), "diff must be a full-outer join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("k-means: assignment is broadcast centroids, update is keyed agg") {
+    val df = graft.operators.Clustering.kmeans(
+      graft.core.Tables.embeddings(spark, TestSpark.sfDir), 8, 1)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Broadcast"), "centroids must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "no shuffled join anywhere in the Lloyd round")
+  }
+
   test("z-order: zv is scan-fused arithmetic over one broadcast stats row") {
     val df = graft.lake.ZOrder.withZValue(
       graft.core.Tables.events(spark, TestSpark.sfDir)
