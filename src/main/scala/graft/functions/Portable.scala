@@ -247,6 +247,33 @@ object Portable {
   def shuffleKeyDuck(id: String): String =
     phashDuck(s"('shuf-' || CAST($id AS VARCHAR))")
 
+  // ---- temperature-sampling key --------------------------------------------
+  /** Per-row order key for temperature-scaled domain sampling, independent of
+    * the split / mixture / shuffle selections ('temp-' salt — same
+    * decorrelation argument as [[sampleBucketSpark]]). Values < 2^30. */
+  def tempKeySpark(id: String): String =
+    s"graft_phash(concat('temp-', cast($id as string)))"
+  def tempKeyDuck(id: String): String =
+    phashDuck(s"('temp-' || CAST($id AS VARCHAR))")
+
+  // ---- exact integer square root -------------------------------------------
+  /** floor(sqrt(c)) for a non-negative BIGINT, EXACT in both engines: IEEE
+    * sqrt is correctly rounded, but floor(correctly-rounded-sqrt(k^2 - 1)) can
+    * land on k once k^2 crosses 2^52 (the double ulp at k exceeds 1/(2k)), so
+    * the candidate from floating sqrt is re-anchored with two integer
+    * comparisons — a branchless Newton clamp. Valid for any c whose (w+1)^2
+    * stays under 2^63 (c < ~8.5e37 is irrelevant; counts are < 2^62). */
+  def isqrtSpark(c: String): String = {
+    val w = s"cast(floor(sqrt(cast(($c) as double))) as bigint)"
+    s"($w + (case when ($w + 1) * ($w + 1) <= ($c) then 1 else 0 end)" +
+      s" - (case when $w * $w > ($c) then 1 else 0 end))"
+  }
+  def isqrtDuck(c: String): String = {
+    val w = s"CAST(FLOOR(SQRT(CAST(($c) AS DOUBLE))) AS BIGINT)"
+    s"($w + (CASE WHEN ($w + 1) * ($w + 1) <= ($c) THEN 1 ELSE 0 END)" +
+      s" - (CASE WHEN $w * $w > ($c) THEN 1 ELSE 0 END))"
+  }
+
   // ---- stopword lexica for the language-ID heuristic -----------------------
   val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
   val StopEs: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por")

@@ -138,6 +138,58 @@ object Profiling {
     df.groupBy(col(shardCol)).agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 
+  /** Mergeable fixed-grid histogram partials — the QUANTILE companion to
+    * [[statsPartials]]: per shard, counts over `nBins` equal-width bins of
+    * `[lo, lo + nBins*width)` (values outside clamp to the edge bins). Bin
+    * counts are integers, so partial + partial = exact merged histogram —
+    * unlike engine-native quantile sketches (t-digest/KLL/GK), whose merge
+    * is approximate AND implementation-specific, this grid is deterministic,
+    * engine-portable, and merges without error growth; the price is a fixed
+    * value domain (known a priori in telemetry/metrics pipelines) and
+    * resolution bounded by the bin width. One hash aggregate, map-side
+    * combinable; the partial is at most shards x nBins rows, persisted
+    * alongside each ingest batch so quantile queries never rescan data. */
+  def histogramPartials(df: DataFrame, shardCol: String, c: String,
+                        lo: Double, width: Double, nBins: Int): DataFrame = {
+    require(width > 0 && nBins > 0, "need positive width and nBins")
+    df.filter(col(c).isNotNull)
+      .withColumn("bin", least(greatest(floor((col(c) - lo) / width), lit(0.0)),
+        lit((nBins - 1).toDouble)).cast("long"))
+      .groupBy(col(shardCol), col("bin"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+  }
+
+  /** Fold histogram partials into interpolated quantile estimates at `qs` —
+    * one output row: `n_rows, est_p<q1>, est_p<q2>, …`. For each q the
+    * target rank is ceil(q*N); the first bin whose cumulative count reaches
+    * it contributes `lo + width*bin + width*(target - cum_before)/cnt` —
+    * every term integer-derived, so the estimate is bit-reproducible across
+    * engines and merge orders (the oracle computes the same arithmetic from
+    * a direct single scan). Error is bounded by one bin width. The cum-sum
+    * window runs over at most nBins rows — a single tiny task. */
+  def mergeHistogramQuantiles(partials: DataFrame, qs: Seq[Double],
+                              lo: Double, width: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs must be in (0, 1]")
+    val merged = partials.groupBy("bin").agg(sum(col("cnt")).cast("bigint").as("cnt"))
+    val wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    val cum = merged
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(wcum), lit(0L)))
+      .crossJoin(broadcast(merged.agg(sum(col("cnt")).cast("bigint").as("n_rows"))))
+    // Column-API literals throughout: a `0.95` inside SQL text parses as
+    // DECIMAL in both engines, and decimal-vs-double rank arithmetic can
+    // disagree by one at exact-multiple boundaries; lit(Double) pins DOUBLE
+    val qFrames = qs.map { q =>
+      val name = s"est_p${(q * 100).round}"
+      cum.withColumn("target", ceil(lit(q) * col("n_rows")).cast("long"))
+        .filter(col("cum_before") < col("target") &&
+          col("target") <= col("cum_before") + col("cnt"))
+        .select((lit(lo) + lit(width) * col("bin") +
+          lit(width) * ((col("target") - col("cum_before")) / col("cnt"))).as(name))
+    }
+    qFrames.foldLeft(cum.select(col("n_rows")).distinct())((acc, f) => acc.crossJoin(broadcast(f)))
+  }
+
   /** Fold stats partials into the global profile (same shape the direct
     * single-scan aggregate would produce): total/non-null counts, min/max,
     * exact sum and the [[graft.core.Exact.davg]]-style reproducible mean.

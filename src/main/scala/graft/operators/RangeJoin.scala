@@ -37,4 +37,34 @@ object RangeJoin {
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join — pair every left interval `[lLo, lHi)` with every
+    * right interval `[rLo, rHi)` they intersect (sessions x campaigns,
+    * readings x maintenance windows, genomic ranges). Same bin-blocking idea
+    * as [[joinRange]], but BOTH sides explode to the bins they cover, so a
+    * pair overlapping many bins would meet once per shared bin; instead of a
+    * distinct (an extra full shuffle of the output), each candidate pair is
+    * kept only in its CANONICAL bin — the bin containing the overlap's start
+    * `max(lLo, rLo)`. That point lies inside both intervals by definition of
+    * overlap, so both sides exploded into its bin (exactly-once by
+    * construction, no dedup pass). Cost: linear in rows x (interval span /
+    * binWidth); pick `binWidth` near the median interval length. Column name
+    * sets must be disjoint across the two frames. */
+  def joinOverlap(left: DataFrame, lLo: String, lHi: String,
+                  right: DataFrame, rLo: String, rHi: String,
+                  binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bins(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("__bin", explode(sequence(
+        floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    bins(left, lLo, lHi).join(bins(right, rLo, rHi), Seq("__bin"))
+      // canonical overlap test max(lo) < min(hi), NOT the two-inequality
+      // form (lLo < rHi && rLo < lHi): the forms agree on non-empty
+      // intervals but the latter lets an EMPTY interval "overlap" anything
+      // that contains its point
+      .filter(greatest(col(lLo), col(rLo)) < least(col(lHi), col(rHi)))
+      .filter(col("__bin") === floor(greatest(col(lLo), col(rLo)) / binWidth).cast("long"))
+      .drop("__bin")
+  }
 }

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.functions.Portable
 
 /** Text-analysis operators for a training-data pipeline: token statistics,
@@ -153,7 +152,6 @@ object TextOps {
     * logged when it happens. `dfCap <= 0` disables the guard. */
   def contamination(docs: DataFrame, n: Int = 8, pctTrain: Int = 90,
                     dfCap: Int = 1000): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     graft.plans.GraftFunctions.register(docs.sparkSession)
     val sh = Scale.fanOutScan(docs)
       .withColumn("split",
@@ -161,12 +159,17 @@ object TextOps {
           .otherwise(lit("test")))
       .select(col("doc_id"), col("split"),
         explode(expr(s"graft_shingles(text, $n)")).as("s"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // lazy localCheckpoint, not persist: the returned plan references the
+      // shingle stream through three consumers, so an in-function unpersist
+      // is never safe, and a bare persist pins one cache entry per call in a
+      // long-lived session (r7 ADVICE class). Checkpointed blocks are freed
+      // by the ContextCleaner when the frame becomes unreachable.
+      .localCheckpoint(false)
     val hot = (
       if (dfCap <= 0) sh.limit(0).select("s")
       else sh.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") > dfCap).select("s")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(false)
     if (dfCap > 0) Dedup.warnOnTrim("contamination", hot, dfCap)
     val rare = sh.join(broadcast(hot), Seq("s"), "left_anti")
     val sharedRare = rare.filter(col("split") === "test")
@@ -354,7 +357,10 @@ object TextOps {
                       topBigramMax: Double = 0.18): DataFrame = {
     val toks = withToks(docs).select(col("doc_id"), col("toks"))
       .filter(size(col("toks")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // lazy localCheckpoint for the same reason as [[contamination]]: two
+      // downstream explodes share it, the returned plan still references it,
+      // and a persist would pin a cache entry per call (r7 ADVICE class)
+      .localCheckpoint(false)
     def topShare(exploded: DataFrame, out: String): DataFrame =
       exploded.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
         .groupBy("doc_id").agg(
@@ -707,5 +713,128 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
         col("cum_tokens"), col("pack_shard"), col("tok_offset"),
         col("first_pack"), col("last_pack"), col("shard"), col("pos_in_shard"))
+  }
+
+  /** Bigram-LM conditional surprisal per document (the CCNet/KenLM-style
+    * perplexity filter one model order up from [[unigramSurprisal]]: Wenzek et
+    * al., "CCNet", arXiv 1911.00359 uses LM perplexity as its quality axis —
+    * public method). The LM is the corpus itself: p(w2 | w1) = c(w1 w2) /
+    * c_ctx(w1), where c_ctx sums bigram counts by first token, and per-bigram
+    * surprisal is the INTEGER bit width floor(log2(c_ctx / c(w1 w2))) — the
+    * same transcendental-free formulation the unigram gate proved bitwise
+    * across engines. Repetitive/boilerplate text scores near 0 bits;
+    * incoherent token soup scores high — thresholding mean bits is the
+    * filter.
+    *
+    * Scale shape: unlike the unigram LM (vocab-sized, broadcast), the bigram
+    * table is DISTINCT-BIGRAM-sized — far too big to broadcast at corpus
+    * scale — so scoring joins the exploded bigram stream against it with a
+    * plain shuffle equi-join on the bigram key (both sides hash-partition;
+    * AQE handles the head of the Zipf curve via skew split). The context
+    * table IS vocab-sized (it is a group-by of the bigram table on the first
+    * token) and broadcasts. One explode, two hash aggregates, one shuffle
+    * join, one broadcast join, one per-doc aggregate — corpus scanned once,
+    * token stream shuffled once. Documents with fewer than two tokens have
+    * no bigrams and produce no row, in both engines by construction. */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val bg = withToks(docs)
+      .select(col("doc_id"), explode(expr(Portable.shinglesSpark("toks", 2))).as("bg"))
+    val bf = bg.groupBy("bg").agg(count(lit(1)).cast("bigint").as("cnt"))
+    val ctx = bf
+      .withColumn("w1", expr("element_at(split(bg, ' '), 1)"))
+      .groupBy("w1").agg(sum(col("cnt")).cast("bigint").as("ctx_cnt"))
+    bg.join(bf, "bg")
+      .withColumn("w1", expr("element_at(split(bg, ' '), 1)"))
+      .join(broadcast(ctx), "w1")
+      .withColumn("bits",
+        (length(conv(expr("CAST(ctx_cnt div cnt AS STRING)"), 10, 2)) - 1).cast("bigint"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_bigrams"),
+        sum(col("bits")).cast("bigint").as("sum_surprisal_bits"),
+        max(col("bits")).cast("bigint").as("max_surprisal_bits"))
+      .withColumn("mean_surprisal_bits",
+        col("sum_surprisal_bits").cast("double") / col("n_bigrams"))
+  }
+
+  /** Overlapping token-window chunking — the context-window slicer every
+    * RAG/embedding/training-data pipeline runs between cleaning and encoding:
+    * each document becomes ceil-covering windows of `chunkSize` tokens
+    * advancing by `stride` (overlap = chunkSize - stride), with stable
+    * 0-based chunk ids and 1-based token offsets so a chunk can always be
+    * traced back to its source span. The last window is the only short one;
+    * a document shorter than one window is a single chunk; empty documents
+    * produce none.
+    *
+    * Scale shape: pure per-row work — one projection computing the chunk
+    * count arithmetic, one posexplode over a `sequence` of that length, one
+    * `slice` per chunk. No shuffle, no window function, no state; chunk
+    * output size is input tokens x (chunkSize/stride) and streams through
+    * whole-stage codegen. */
+  def chunkWindows(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    withToks(docs)
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("bigint").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks",
+        when(col("n") <= chunkSize, lit(1L))
+          .otherwise(expr(s"1 + ((n - $chunkSize + ${stride - 1}) div $stride)")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("bigint").as("chunk_idx"),
+        (col("chunk_idx") * stride + 1).cast("bigint").as("tok_start"),
+        least(lit(chunkSize.toLong), col("n") - col("chunk_idx") * stride)
+          .cast("bigint").as("n_chunk_toks"),
+        expr(s"concat_ws(' ', slice(toks, cast(chunk_idx * $stride + 1 as int), $chunkSize))")
+          .as("chunk_text"))
+  }
+
+  /** Temperature-scaled domain sampling (the multilingual-corpus rebalancing
+    * rule — p_d proportional to c_d^alpha with alpha = 1/2, as in public
+    * multilingual-pretraining recipes, e.g. Conneau & Lample, arXiv
+    * 1901.07291 §3.1): per-domain quotas quota_d = floor(N * w_d / sum(w)),
+    * w_d = isqrt(c_d), computed with EXACT integer arithmetic
+    * ([[Portable.isqrtSpark]] — floating sqrt re-anchored by two integer
+    * comparisons), then the first quota_d documents of each domain in a
+    * deterministic salted-hash order. Down-weights head domains, up-weights
+    * tail domains, fully reproducible — no RNG anywhere.
+    *
+    * Scale shape: the quota table is |domains|-sized (a broadcast). The
+    * per-domain rank would naively be one row_number window per domain = one
+    * reducer per 100 TB domain; instead the rank is TWO-PHASE like
+    * [[tokenBudgetSample]]: documents bucket by a salted hash ([0, 10000)),
+    * per-(domain, bucket) counts roll up map-side, a tiny window over bucket
+    * rows yields each bucket's exclusive prefix, and row_number runs only
+    * WITHIN a bucket (1/10000th of a domain per window partition). The
+    * resulting rank equals row_number over (bucket, key, doc_id) — exactly
+    * the order the oracle states in one window. */
+  def temperatureSample(docs: DataFrame, targetDocs: Long,
+                        by: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetDocs > 0, "targetDocs must be positive")
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val t = docs.select(col("doc_id"), col(by).as("dom"),
+      expr(Portable.sampleBucketSpark("doc_id")).as("bkt"),
+      expr(Portable.tempKeySpark("doc_id")).as("tk"))
+    val cnts = t.groupBy("dom").agg(count(lit(1)).cast("bigint").as("c"))
+      .withColumn("w", expr(Portable.isqrtSpark("c")))
+    val tot = cnts.agg(sum(col("w")).cast("bigint").as("tw"))
+    val quota = cnts.crossJoin(broadcast(tot))
+      .select(col("dom"), expr(s"CAST(($targetDocs * w) div tw AS BIGINT)").as("quota"))
+    val bucketAgg = t.groupBy("dom", "bkt").agg(count(lit(1)).as("b_cnt"))
+    val wBuckets = Window.partitionBy("dom").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bounds = bucketAgg.withColumn("rank_before",
+      coalesce(sum(col("b_cnt")).over(wBuckets), lit(0L)))
+    val wInBucket = Window.partitionBy("dom", "bkt").orderBy(col("tk"), col("doc_id"))
+    t.join(bounds.select("dom", "bkt", "rank_before"), Seq("dom", "bkt"))
+      .withColumn("dom_rank",
+        (col("rank_before") + row_number().over(wInBucket)).cast("bigint"))
+      .join(broadcast(quota), "dom")
+      .filter(col("dom_rank") <= col("quota"))
+      .select(col("doc_id"), col("dom").as(by), col("dom_rank"), col("quota"))
   }
 }

@@ -60,6 +60,36 @@ object Events {
         (max(col("ep")) - min(col("ep"))).as("duration_us"))
   }
 
+  /** Interval-overlap join ([[graft.operators.RangeJoin.joinOverlap]]):
+    * user sessions (30-min-gap sessionization, as half-open epoch-us
+    * intervals) against 16 OVERLAPPING "campaign" windows derived from the
+    * corpus time range with pure integer arithmetic (window i starts at
+    * mn + i*(span div 16) and runs span div 8 — each instant is covered by
+    * ~2 campaigns, so the join genuinely multi-matches). The bin-blocked
+    * plan produces each overlapping pair exactly once via the canonical-bin
+    * rule; the oracle states the semantics as the plain theta join. Output
+    * includes the exact overlap length in microseconds — all BIGINTs. */
+  def sessionCampaignOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionize(spark, dir)
+      .select(col("user_id"), col("session_seq"),
+        expr("unix_micros(cast(session_start as timestamp))").as("s_lo"),
+        (expr("unix_micros(cast(session_end as timestamp))") + 1L).as("s_hi"))
+    val bounds = Tables.events(spark, dir)
+      .agg(min(expr(epUs)).as("mn"), max(expr(epUs)).as("mx"))
+    val camps = bounds
+      .select(explode(sequence(lit(0L), lit(15L))).as("campaign_id"),
+        col("mn"), col("mx"))
+      .withColumn("c_lo", expr("mn + campaign_id * ((mx - mn + 1) div 16)"))
+      .withColumn("c_hi", expr("c_lo + ((mx - mn + 1) div 8)"))
+      .select("campaign_id", "c_lo", "c_hi")
+    graft.operators.RangeJoin.joinOverlap(
+        sess, "s_lo", "s_hi", camps, "c_lo", "c_hi", binWidth = 86400e6)
+      .select(col("user_id"), col("session_seq"), col("campaign_id"),
+        col("s_lo"), col("s_hi"), col("c_lo"), col("c_hi"),
+        (least(col("s_hi"), col("c_hi")) - greatest(col("s_lo"), col("c_lo")))
+          .as("overlap_us"))
+  }
+
   /** Hourly rollup per event type — hash aggregate with exact decimal sums. */
   def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -210,6 +240,24 @@ object Events {
       .select("event_id", "user_id", "value", "c_mktsegment")
   }
 
+  /** Bloom-pruned fact⋈dim join ([[graft.operators.Scale.bloomPrunedJoin]]):
+    * the events fact joins a pre-aggregated "big spenders" order dimension
+    * through a distributed Bloom filter that drops non-matching fact rows
+    * BEFORE the join exchange. Like the salted join, the machinery is
+    * INTERNAL — the output equals the plain equi-join (Bloom false positives
+    * are removed by the exact join; there are no false negatives), which is
+    * exactly what the oracle checks. */
+  def bloomDimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("event_id", "user_id", "value")
+    val d = graft.core.Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 450000.0)
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_big_orders"),
+        max(col("o_totalprice")).as("max_big_price"))
+    graft.operators.Scale.bloomPrunedJoin(e, d, "user_id", bits = 1 << 16)
+      .select("event_id", "user_id", "value", "n_big_orders", "max_big_price")
+  }
+
   /** Z-ordered rewrite of the events fact on (user_id, value) — see
     * [[graft.lake.ZOrder]]. Written once per source dir to a temp layout and
     * then read BACK, so the gate hash-checks the full write->read round trip:
@@ -238,11 +286,13 @@ object Events {
   val queries: Map[String, Q] = Map(
     "events_zorder_cluster" -> (zorderCluster _),
     "events_salted_join"   -> (saltedDimJoin _),
+    "events_bloom_join"    -> (bloomDimJoin _),
     "events_asof_orders"   -> (asofOrders _),
     "events_value_bands"   -> (valueBands _),
     "events_rolling_avg"   -> (rollingAvg _),
     "events_dedup_latest"  -> (dedupLatest _),
     "events_sessionize"    -> (sessionize _),
+    "events_session_overlap" -> (sessionCampaignOverlap _),
     "events_hourly_rollup" -> (hourlyRollup _),
     "events_salted_rollup" -> (saltedRollup _),
     "events_json_props"    -> (jsonPropStats _),
@@ -268,6 +318,13 @@ object Events {
     "events_salted_join" ->
       """SELECT e.event_id, e.user_id, e.value, c.c_mktsegment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+    "events_bloom_join" ->
+      """WITH d AS (SELECT o_custkey AS user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+        |  MAX(o_totalprice) AS max_big_price
+        |  FROM orders WHERE o_totalprice > 450000.0 GROUP BY 1)
+        |SELECT e.event_id, e.user_id, e.value, d.n_big_orders, d.max_big_price
+        |FROM events e JOIN d USING (user_id)""".stripMargin,
     "events_asof_orders" ->
       s"""WITH ord AS (
          |  SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS o_ts,
@@ -315,6 +372,23 @@ object Events {
          |  MIN(ts) AS session_start, MAX(ts) AS session_end,
          |  MAX(ep) - MIN(ep) AS duration_us
          |FROM h GROUP BY user_id, session_seq""".stripMargin,
+    "events_session_overlap" ->
+      s"""WITH e AS ($eCte),
+         |f AS (SELECT *, LAG(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ep FROM e),
+         |g AS (SELECT *, CASE WHEN prev_ep IS NULL OR ep - prev_ep > $SessionGapUs THEN 1 ELSE 0 END AS new_session FROM f),
+         |h AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |  ROWS UNBOUNDED PRECEDING) AS session_seq FROM g),
+         |sess AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         |  MIN(ep) AS s_lo, MAX(ep) + 1 AS s_hi FROM h GROUP BY user_id, session_seq),
+         |b AS (SELECT MIN(ep) AS mn, MAX(ep) AS mx FROM e),
+         |camps AS (SELECT i AS campaign_id,
+         |  mn + i * ((mx - mn + 1) // 16) AS c_lo,
+         |  mn + i * ((mx - mn + 1) // 16) + ((mx - mn + 1) // 8) AS c_hi
+         |  FROM b, range(0, 16) r(i))
+         |SELECT sess.user_id, sess.session_seq, camps.campaign_id,
+         |  sess.s_lo, sess.s_hi, camps.c_lo, camps.c_hi,
+         |  least(sess.s_hi, camps.c_hi) - greatest(sess.s_lo, camps.c_lo) AS overlap_us
+         |FROM sess JOIN camps ON sess.s_lo < camps.c_hi AND camps.c_lo < sess.s_hi""".stripMargin,
     "events_hourly_rollup" ->
       s"""WITH e AS ($eCte)
          |SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events,

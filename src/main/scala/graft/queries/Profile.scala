@@ -145,7 +145,22 @@ object Profile {
       cols)
   }
 
+  /** Mergeable histogram-quantile sketch over events.value: 16 shard
+    * partials ([[Profiling.histogramPartials]], 64 bins of width 8 over
+    * [0, 512) — the telemetry domain is known a priori) merged into
+    * interpolated p25/p50/p75/p95 WITHOUT rescanning ([[Profiling
+    * .mergeHistogramQuantiles]]). The oracle computes the identical grid
+    * arithmetic from one direct scan — legal because integer bin counts
+    * merge exactly, the property native sketches (t-digest/KLL) don't have. */
+  def eventsQuantileSketch(spark: SparkSession, dir: String): DataFrame =
+    Profiling.mergeHistogramQuantiles(
+      Profiling.histogramPartials(
+        Tables.events(spark, dir).withColumn("shard", pmod(col("user_id"), lit(16L))),
+        "shard", "value", lo = 0.0, width = 8.0, nBins = 64),
+      Seq(0.25, 0.5, 0.75, 0.95), lo = 0.0, width = 8.0)
+
   val queries: Map[String, Q] = Map(
+    "profile_quantile_sketch"   -> (eventsQuantileSketch _),
     "profile_incremental_stats" -> (lineitemIncrementalStats _),
     "profile_lineitem_nulls"    -> (lineitemNulls _),
     "profile_lineitem_stats"    -> (lineitemStats _),
@@ -160,6 +175,30 @@ object Profile {
     "profile_number_potential"  -> (ordersNumberPotential _))
 
   val oracle: Map[String, String] = Map(
+    // direct-scan twin of the merged histogram sketch: same grid, same
+    // integer ranks, same interpolation arithmetic (every numeric literal
+    // CAST AS DOUBLE — a bare 0.95 is DECIMAL in both parsers and decimal
+    // rank math can differ by one at exact multiples)
+    "profile_quantile_sketch" -> {
+      def estCte(q: String, name: String) =
+        s"""e_$name AS (SELECT (CAST(0 AS DOUBLE) + CAST(8 AS DOUBLE) * bin
+           |    + CAST(8 AS DOUBLE) * ((target - cum_before) / cnt)) AS $name
+           |  FROM (SELECT c.*, CAST(CEIL(CAST($q AS DOUBLE) * n.n_rows) AS BIGINT) AS target FROM c, n)
+           |  WHERE cum_before < target AND target <= cum_before + cnt)""".stripMargin
+      s"""WITH v AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+         |b AS (SELECT CAST(least(greatest(floor((v - CAST(0 AS DOUBLE)) / CAST(8 AS DOUBLE)),
+         |  CAST(0 AS DOUBLE)), CAST(63 AS DOUBLE)) AS BIGINT) AS bin FROM v),
+         |m AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bin),
+         |c AS (SELECT bin, cnt, CAST(COALESCE(SUM(cnt) OVER (ORDER BY bin
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM m),
+         |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows FROM m),
+         |${estCte("0.25", "est_p25")},
+         |${estCte("0.5", "est_p50")},
+         |${estCte("0.75", "est_p75")},
+         |${estCte("0.95", "est_p95")}
+         |SELECT n.n_rows, est_p25, est_p50, est_p75, est_p95
+         |FROM n, e_est_p25, e_est_p50, e_est_p75, e_est_p95""".stripMargin
+    },
     // the DIRECT single-scan profile: the Spark side answers from 32 merged
     // shard partials instead, and must land on the identical bits
     "profile_incremental_stats" ->

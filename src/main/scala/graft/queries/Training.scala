@@ -56,6 +56,19 @@ object Training {
     * unrolls the identical iterations as CTEs). */
   val KmeansK = 8
   val KmeansIters = 2
+  /** Chunking gate: ~54-token docs become ~3 overlapping 24-token windows
+    * advancing by 16 (8-token overlap) — short, exact, and every doc
+    * exercises the short-last-window arm. */
+  val ChunkSize = 24
+  val ChunkStride = 16
+  /** Temperature-sampling gate: target draw size (40% of the sf0.01 corpus,
+    * 4% at sf0.1 — the quota formula is scale-free) over a CONSTRUCTED
+    * 8:4:2:1:1 skewed domain split (the natural `source` column is uniform,
+    * which would make sqrt-flattening a no-op). */
+  val TempTargetDocs = 200L
+  val TempDomExpr =
+    "CASE WHEN doc_id % 16 < 8 THEN 'd0' WHEN doc_id % 16 < 12 THEN 'd1' " +
+      "WHEN doc_id % 16 < 14 THEN 'd2' WHEN doc_id % 16 < 15 THEN 'd3' ELSE 'd4' END"
 
   val queries: Map[String, Q] = Map(
     "text_token_stats"       -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
@@ -103,6 +116,15 @@ object Training {
     "dedup_substr_excise"    -> ((s, d) => Dedup.exactSubstrExcise(
                                    Tables.documents(s, d), SubstrWindow)),
     "text_unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(Tables.documents(s, d))),
+    "text_bigram_surprisal"  -> ((s, d) => TextOps.bigramSurprisal(Tables.documents(s, d))),
+    "text_chunk_windows"     -> ((s, d) => TextOps.chunkWindows(
+                                   Tables.documents(s, d), ChunkSize, ChunkStride)),
+    // constructed skewed domains (see TempDomExpr): sqrt-temperature quotas
+    // over an 8:4:2:1:1 split, deterministic salted-hash draw order
+    "text_temperature_sample" -> ((s, d) => TextOps.temperatureSample(
+                                   Tables.documents(s, d).withColumn("dom",
+                                     org.apache.spark.sql.functions.expr(TempDomExpr)),
+                                   TempTargetDocs, "dom")),
     "text_dsir_sample"       -> ((s, d) => TextOps.dsirScores(
                                    Tables.documents(s, d),
                                    org.apache.spark.sql.functions.col("source")
@@ -237,6 +259,62 @@ object Training {
        |  CAST(MAX(bits) AS BIGINT) AS max_surprisal_bits,
        |  CAST(SUM(bits) AS BIGINT)::DOUBLE / COUNT(*) AS mean_surprisal_bits
        |FROM sc GROUP BY doc_id""".stripMargin
+
+  /** Exact replica of [[graft.operators.TextOps.bigramSurprisal]]: corpus
+    * bigram LM (context counts = bigram counts re-grouped by first token),
+    * integer bit-width conditional surprisal floor(log2(ctx // cnt)), integer
+    * sums, one double division. Docs with < 2 tokens have no bigrams and no
+    * row, in both engines by shingle construction. */
+  private val bigramSurprisalSql =
+    s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+       |bgr AS (SELECT doc_id, unnest(${Portable.shinglesDuck("toks", 2)}) AS bg FROM docs),
+       |bf AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt FROM bgr GROUP BY bg),
+       |ctx AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(cnt) AS BIGINT) AS ctx_cnt
+       |  FROM bf GROUP BY 1),
+       |sc AS (SELECT doc_id, CAST(length(printf('%b', ctx_cnt // cnt)) - 1 AS BIGINT) AS bits
+       |  FROM bgr JOIN bf USING (bg) JOIN ctx ON string_split(bgr.bg, ' ')[1] = ctx.w1)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(bits) AS BIGINT) AS sum_surprisal_bits,
+       |  CAST(MAX(bits) AS BIGINT) AS max_surprisal_bits,
+       |  CAST(SUM(bits) AS BIGINT)::DOUBLE / COUNT(*) AS mean_surprisal_bits
+       |FROM sc GROUP BY doc_id""".stripMargin
+
+  /** Exact replica of [[graft.operators.TextOps.chunkWindows]]: ceil-covering
+    * chunk count, range-unnest per chunk, inclusive 1-based list slice joined
+    * by single spaces — all integer arithmetic. */
+  private val chunkWindowsSql = {
+    val (cs, st) = (ChunkSize, ChunkStride)
+    s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+       |nn AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d WHERE len(toks) > 0),
+       |c AS (SELECT doc_id, toks, n,
+       |  CASE WHEN n <= $cs THEN 1 ELSE 1 + ((n - $cs + ${st - 1}) // $st) END AS n_chunks FROM nn),
+       |x AS (SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS idx FROM c)
+       |SELECT doc_id, CAST(idx AS BIGINT) AS chunk_idx,
+       |  CAST(idx * $st + 1 AS BIGINT) AS tok_start,
+       |  CAST(least($cs, n - idx * $st) AS BIGINT) AS n_chunk_toks,
+       |  array_to_string(toks[(idx * $st + 1):(idx * $st + $cs)], ' ') AS chunk_text
+       |FROM x""".stripMargin
+  }
+
+  /** Exact replica of [[graft.operators.TextOps.temperatureSample]]: the
+    * oracle states the SEMANTICS in one per-domain window (row_number ordered
+    * by bucket, salted key, id) — the Spark side computes the identical rank
+    * two-phase. Quotas are exact-integer: isqrt weights, bigint multiply,
+    * floor division. */
+  private val temperatureSampleSql =
+    s"""WITH t AS (SELECT doc_id, $TempDomExpr AS dom,
+       |  ${Portable.sampleBucketDuck("doc_id")} AS bkt,
+       |  ${Portable.tempKeyDuck("doc_id")} AS tk FROM documents),
+       |cc AS (SELECT dom, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY dom),
+       |w AS (SELECT dom, ${Portable.isqrtDuck("c")} AS w FROM cc),
+       |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+       |q AS (SELECT dom, CAST(($TempTargetDocs * w) // tw AS BIGINT) AS quota
+       |  FROM w CROSS JOIN tot),
+       |r AS (SELECT doc_id, dom,
+       |  CAST(row_number() OVER (PARTITION BY dom ORDER BY bkt, tk, doc_id) AS BIGINT) AS dom_rank
+       |  FROM t)
+       |SELECT r.doc_id, r.dom, r.dom_rank, q.quota
+       |FROM r JOIN q USING (dom) WHERE r.dom_rank <= q.quota""".stripMargin
 
   /** Exact replica of [[graft.operators.TextOps.dsirScores]]: hashed
     * unigram+bigram bucket counts, integer floor-log2 log-likelihood ratios
@@ -1159,6 +1237,9 @@ object Training {
     "text_line_dedup"        -> lineDedupSql,
     "text_domain_cap"        -> domainCapSql,
     "text_unigram_surprisal" -> unigramSurprisalSql,
+    "text_bigram_surprisal" -> bigramSurprisalSql,
+    "text_chunk_windows" -> chunkWindowsSql,
+    "text_temperature_sample" -> temperatureSampleSql,
     "text_dsir_sample"       -> dsirSql,
     "ann_brute_force_topk"   -> annBruteSql)
 }

@@ -48,4 +48,31 @@ class IncrementalStatsSpec extends AnyFunSuite {
       assert(merged.getAs[Any](f) == full.getAs[Any](f), s"field $f differs")
     }
   }
+
+  test("histogram quantiles: sharding-invariant merge, bounded error, edge clamping") {
+    import spark.implicits._
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    // deterministic non-uniform values in [0, 100), plus out-of-domain
+    // outliers that must clamp into the edge bins instead of crashing
+    val vals = (0 until 2000).map(i => (i.toLong, ((i * i * 31) % 1000) / 10.0)) ++
+      Seq((9001L, -50.0), (9002L, 640.0))
+    val df = vals.toDF("id", "value")
+    def sketch(shards: Long) = Profiling.mergeHistogramQuantiles(
+      Profiling.histogramPartials(
+        df.withColumn("shard", pmod(col("id"), lit(shards))),
+        "shard", "value", lo = 0.0, width = 4.0, nBins = 32),
+      qs, lo = 0.0, width = 4.0).collect()(0)
+    val a = sketch(4L)
+    val b = sketch(17L)  // different sharding must merge to identical bits
+    assert(a == b, s"merge must be sharding-invariant:\n$a\n$b")
+    assert(a.getLong(0) == 2002L)
+    // each estimate within one bin width of the true quantile (clamped vals
+    // distort only the extreme bins; p95 of the in-domain data is ~90)
+    val sorted = vals.map(_._2).sorted
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val exact = sorted(math.ceil(q * sorted.size).toInt - 1)
+      val est = a.getDouble(i + 1)
+      assert(math.abs(est - exact) <= 4.0, s"p$q: est $est vs exact $exact")
+    }
+  }
 }

@@ -155,6 +155,76 @@ class PlanSpec extends AnyFunSuite {
       "no shuffled join anywhere in the Lloyd round")
   }
 
+  test("bloom join: membership probe filters the fact side BELOW the join exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // force the final join to shuffle (the 100 TB regime the filter exists
+    // for): with broadcast off, the bit-test must still run map-side — i.e.
+    // inside the subtree UNDER the join's shuffle exchange
+    val prevA = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevB = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val big = (1L to 4000L).map(i => (i, i % 500)).toDF("row_id", "k")
+      val small = (0L to 9L).map(i => (i * 7, s"t$i")).toDF("k", "tag")
+      val df = graft.operators.Scale.bloomPrunedJoin(big, small, "k", bits = 1 << 12)
+      df.collect() // materialize so AQE finalizes the executed plan
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      // AQE wraps finalized stages in QueryStageExec LEAF nodes (including
+      // Spark 4's ResultQueryStage around the whole final plan), so a plain
+      // collect never descends into them — expand through stage boundaries
+      def nodes(p: SparkPlan): Seq[SparkPlan] = {
+        val through = p match {
+          case q: QueryStageExec => nodes(q.plan)
+          case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+          case _ => Seq.empty
+        }
+        p +: (p.children.flatMap(nodes) ++ through)
+      }
+      val exchanges = nodes(df.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeExec => e.toString }
+      assert(exchanges.nonEmpty, "expected a shuffled join with broadcast disabled")
+      assert(exchanges.exists(_.contains("shiftright")),
+        "the bloom bit-test must sit below a join exchange (map-side prune), " +
+          s"not above it:\n${df.queryExecution.executedPlan.toString.take(900)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevA)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevB)
+    }
+  }
+
+  test("session-campaign overlap: bin equi-join, never a nested-loop theta join") {
+    val p = plan("events_session_overlap")
+    assert(!p.contains("CartesianProduct"),
+      s"overlap join degraded to all-pairs:\n${p.take(600)}")
+    // the only nested-loop allowed is the 1-row bounds broadcast building the
+    // campaign table — never one carrying the session side
+    assert(p.contains("__bin") || p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"expected the bin-blocked equi-join in the plan:\n${p.take(600)}")
+  }
+
+  test("bigram surprisal: LM join shuffles, vocab-sized context broadcasts") {
+    val p = plan("text_bigram_surprisal")
+    assert(p.contains("BroadcastHashJoin"), "context counts must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("temperature sample: quota broadcast; windows only over (domain, bucket)") {
+    val p = plan("text_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"), "quota table must broadcast")
+    // every window partitions by (dom, bkt) or dom over BUCKET rows — the
+    // row-level window must never be a bare per-domain partition (one
+    // reducer per 100 TB domain); dom-only windows are legal solely on the
+    // bucket-aggregate side, which this string-level probe can't separate,
+    // so pin the stronger invariant: the row_number window carries bkt
+    assert("row_number.*windowspecdefinition\\(dom[^,]*, bkt".r.findFirstIn(p).isDefined ||
+      "windowspecdefinition\\(dom[^)]*bkt".r.findFirstIn(p).isDefined,
+      s"row_number must partition by (dom, bkt):\n${p.take(900)}")
+  }
+
   test("z-order: zv is scan-fused arithmetic over one broadcast stats row") {
     val df = graft.lake.ZOrder.withZValue(
       graft.core.Tables.events(spark, TestSpark.sfDir)

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{greatest, least}
 import graft.operators.RangeJoin
 
 class RangeJoinSpec extends AnyFunSuite {
@@ -20,6 +21,43 @@ class RangeJoinSpec extends AnyFunSuite {
 
   private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  // left intervals: varied lengths (incl. multi-bin spans), a touching pair,
+  // nested, and zero-length — all the overlap-predicate corners
+  private def leftIvals = Seq(
+    (0L, 0.0, 10.0), (1L, 10.0, 20.0),   // touch at 10: NOT overlapping [*,10) vs [10,*)
+    (2L, 5.0, 105.0),                     // spans many bins at small widths
+    (3L, 50.0, 50.0),                     // empty
+    (4L, -30.0, -5.0), (5L, 98.0, 99.0)
+  ).toDF("lid", "l_lo", "l_hi")
+  private def rightIvals = Seq(
+    (10L, 9.0, 11.0), (11L, 10.0, 10.5),
+    (12L, -100.0, 200.0),                 // contains everything
+    (13L, 60.0, 70.0),                    // nested inside lid=2
+    (14L, -5.0, 0.0), (15L, 105.0, 110.0) // touch lid=4 / lid=2 boundaries
+  ).toDF("rid", "r_lo", "r_hi")
+
+  test("bin-blocked overlap join equals the naive theta join, each pair exactly once") {
+    for (w <- Seq(0.7, 8.0, 500.0)) {
+      val got = RangeJoin.joinOverlap(leftIvals, "l_lo", "l_hi", rightIvals, "r_lo", "r_hi", w)
+      assert(got.count() == got.select("lid", "rid").distinct().count(),
+        s"duplicate pairs at binWidth $w")
+      val want = leftIvals.join(rightIvals,
+        greatest($"l_lo", $"r_lo") < least($"l_hi", $"r_hi"))
+      def p(df: org.apache.spark.sql.DataFrame) =
+        df.select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p(got) == p(want), s"pair set mismatch at binWidth $w")
+      // the corners, explicitly: touching intervals excluded, containment and
+      // nesting included, empty interval matches nothing
+      assert(!p(got).contains((0L, 11L)), "touching at 10 must not overlap")
+      assert(!p(got).exists(_._1 == 3L), "empty interval must match nothing")
+      assert(p(got).contains((2L, 13L)), "nested interval must match")
+      assert(p(got).contains((0L, 12L)) && p(got).contains((4L, 12L)),
+        "containing interval must match everything non-empty")
+      assert(!p(got).contains((4L, 14L)), "touching at -5 must not overlap")
+      assert(!p(got).contains((2L, 15L)), "touching at 105 must not overlap")
+    }
+  }
 
   test("bin-blocked range join equals the naive theta join, with no duplicate pairs") {
     for (w <- Seq(1.0, 16.0, 1000.0)) { // spans many bins / few bins / one bin

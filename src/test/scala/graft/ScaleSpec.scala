@@ -35,6 +35,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("bloomPrunedJoin equals plain join; prune stage drops most non-matching rows") {
+    import spark.implicits._
+    // 1% of big-side keys match the dimension — the regime where the filter
+    // pays: almost every row can be dropped before the join's exchange
+    val big = (1L to 20000L).map(i => (i, i % 1000)).toDF("row_id", "k")
+    val small = Seq((7L, "a"), (413L, "b"), (999L, "c"), (7L, "d")).toDF("k", "tag")
+    val plain = big.join(small, "k")
+      .select("row_id", "k", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val bloomed = Scale.bloomPrunedJoin(big, small, "k", bits = 1 << 14)
+      .select("row_id", "k", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(bloomed == plain)
+    // the prune stage itself: every matching row survives (no false
+    // negatives) and the false-positive tail is a sliver, not the table
+    val pruned = Scale.bloomPrune(big, small, "k", bits = 1 << 14).count()
+    val matching = big.join(small.select("k").distinct(), "k").count()
+    assert(pruned >= matching, "bloom must never drop a matching row")
+    assert(pruned < big.count() / 4,
+      s"prune kept $pruned of 20000 rows — filter is not filtering")
+    // degenerate sizing still correct (heavy collisions, tiny table): the
+    // exact join clears every false positive the 64-bit filter lets through
+    val tiny = Scale.bloomPrunedJoin(big, small, "k", bits = 64)
+      .select("row_id", "k", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(tiny == plain)
+  }
+
   test("fanOutScan ENGAGES on a narrow file scan under AQE, passes through local relations") {
     import spark.implicits._
     // regression for the silent no-op: with AQE on, executedPlan is an

@@ -246,4 +246,94 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
     assert(again == out)
   }
+
+  test("chunkWindows: ceil coverage, stride offsets, short last window, empty doc dropped") {
+    import spark.implicits._
+    // token counts chosen around the arithmetic's corners for (C=8, S=6):
+    // 0 (dropped), 3 (< C: one short chunk), 8 (== C: exactly one), 9 (first
+    // boundary crossing: two), 14 (last window exactly reaches the end), 20
+    // (three windows, short tail)
+    val docs = Seq(0, 3, 8, 9, 14, 20).zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val rows = TextOps.chunkWindows(docs, chunkSize = 8, stride = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(!byDoc.contains(0L), "empty doc must produce no chunks")
+    assert(byDoc(1L).map(c => (c._3, c._4)) sameElements Array((1L, 3L)))
+    assert(byDoc(2L).map(c => (c._3, c._4)) sameElements Array((1L, 8L)))
+    assert(byDoc(3L).map(c => (c._3, c._4)) sameElements Array((1L, 8L), (7L, 3L)))
+    assert(byDoc(4L).map(c => (c._3, c._4)) sameElements Array((1L, 8L), (7L, 8L)))
+    assert(byDoc(5L).map(c => (c._3, c._4)) sameElements
+      Array((1L, 8L), (7L, 8L), (13L, 8L)))
+    // reconstruction: chunk 0's tokens ++ each later chunk's tokens past the
+    // overlap reproduce the document exactly — no token lost or duplicated
+    for ((doc, chunks) <- byDoc) {
+      val n = Seq(0, 3, 8, 9, 14, 20)(doc.toInt)
+      val rebuilt = chunks.head._5.split(' ').toSeq ++
+        chunks.tail.toSeq.flatMap(c => c._5.split(' ').drop(8 - 6).toSeq)
+      assert(rebuilt == (1 to n).map(j => s"t$j"), s"doc $doc reconstruction")
+    }
+    // chunk text matches its declared offset/length window
+    for ((doc, chunks) <- byDoc; c <- chunks)
+      assert(c._5.split(' ').toSeq ==
+        (c._3.toInt until c._3.toInt + c._4.toInt).map(j => s"t$j"))
+  }
+
+  test("temperatureSample: sqrt-flattened quotas, exact rank cut, deterministic") {
+    import spark.implicits._
+    // two domains, 90:10 — alpha=1/2 narrows the draw ratio to 3:1
+    val docs = ((1L to 900L).map(i => (i, "head")) ++ (1001L to 1100L).map(i => (i, "tail")))
+      .toDF("doc_id", "dom")
+    val out = TextOps.temperatureSample(docs, targetDocs = 100L, by = "dom")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byDom = out.groupBy(_._2)
+    // w_head = isqrt(900) = 30, w_tail = isqrt(100) = 10, tw = 40:
+    // quota_head = 100*30/40 = 75, quota_tail = 100*10/40 = 25
+    assert(byDom("head").length == 75 && byDom("tail").length == 25, s"${byDom.view.mapValues(_.length).toMap}")
+    assert(out.forall(r => r._3 <= r._4), "every kept rank must be within quota")
+    // ranks are exactly 1..quota with no gaps (the two-phase prefix sum is a
+    // true per-domain row_number, not an approximation)
+    assert(byDom("head").map(_._3).sorted.toSeq == (1L to 75L))
+    assert(byDom("tail").map(_._3).sorted.toSeq == (1L to 25L))
+    val again = TextOps.temperatureSample(docs, targetDocs = 100L, by = "dom")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
+  test("bigramSurprisal: predictable continuations score 0 bits, surprising ones > 0") {
+    import spark.implicits._
+    // "a b" occurs wherever a occurs as context in docs 0-3 (p(b|a)=1 -> 0
+    // bits); doc 4 breaks the pattern with "a z", making BOTH continuations
+    // of 'a' uncertain there and in every other a-bigram
+    val certain = (0L to 3L).map(i => (i, "a b c d"))
+    val docs = (certain :+ (4L, "a z c d")).toDF("doc_id", "text")
+    val out = TextOps.bigramSurprisal(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    val byDoc = out.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // every doc has 3 bigrams; "c d" and "b c" are deterministic; "a b" has
+    // ctx 5, cnt 4 -> floor(log2(5/4 as int div)) = floor(log2(1)) = 0 bits;
+    // "a z" ctx 5 cnt 1 -> floor(log2(5)) = 2 bits
+    assert(out.forall(_._2 == 3L))
+    assert(byDoc(0L) == ((3L, 0L, 0L)), s"got ${byDoc(0L)}")
+    assert(byDoc(4L)._2 == 2L && byDoc(4L)._3 == 2L, s"got ${byDoc(4L)}")
+    // single-token and empty docs produce no row
+    val degenerate = Seq((10L, "solo"), (11L, "")).toDF("doc_id", "text")
+    assert(TextOps.bigramSurprisal(degenerate).count() == 0)
+  }
+
+  test("Portable.isqrtSpark is exact at perfect-square boundaries past 2^52") {
+    import graft.functions.Portable
+    // k^2-1, k^2, k^2+1 for k around and beyond the double-precision cliff
+    // (2^26, 2^27), plus small values — floor(sqrt(.)) must be k-1, k, k
+    val ks = Seq(2L, 3L, 10L, (1L << 26) - 1, 1L << 26, (1L << 27) + 9)
+    val cases = ks.flatMap(k => Seq((k * k - 1, k - 1), (k * k, k), (k * k + 1, k))) :+
+      ((0L, 0L)) :+ ((1L, 1L)) :+ ((2L, 1L))
+    val sql = cases.map { case (c, _) => Portable.isqrtSpark(c.toString) }
+      .mkString("SELECT ", ", ", "")
+    val row = spark.sql(sql).head()
+    cases.zipWithIndex.foreach { case ((c, want), i) =>
+      assert(row.getLong(i) == want, s"isqrt($c): got ${row.getLong(i)}, want $want")
+    }
+  }
 }
