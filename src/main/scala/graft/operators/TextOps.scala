@@ -715,6 +715,106 @@ object TextOps {
         col("first_pack"), col("last_pack"), col("shard"), col("pos_in_shard"))
   }
 
+  /** Distributed BPE vocabulary training (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units", arXiv 1508.07909 §3.2 —
+    * the public byte-pair-encoding merge-learning algorithm): learn `nMerges`
+    * subword merges from the corpus, returning the merge table (rank, left,
+    * right, merged, pair_freq) — the artifact a tokenizer ships.
+    *
+    * Shape per iteration: (1) explode adjacent symbol pairs of the WORD
+    * TABLE weighted by word frequency → one hash aggregate → the pair-count
+    * table; (2) take the argmax pair (count desc, then lexicographic — a
+    * DETERMINISTIC tie-break, so training is reproducible run-to-run and
+    * cluster-to-cluster); (3) rewrite each word's symbol array with a
+    * single greedy left-to-right non-overlapping replacement of that pair.
+    *
+    * Scale shape: everything after the first token count runs on the
+    * DISTINCT-WORD table (vocabulary-sized, millions of rows at 100 TB —
+    * not corpus-sized; frequencies carry the weight), so the per-iteration
+    * cost is a vocab-scan + one shuffle of distinct pairs. The argmax is a
+    * 1-row TakeOrdered collected to the driver to become a literal in the
+    * next plan — the same bounded-probe pattern as the ANN index serve
+    * (probe cells) — and each round localCheckpoints the small word table to
+    * truncate the `nMerges`-deep lineage. The pair rewrite is an interpreted
+    * HOF fold, deliberately: it runs on the vocab table only, never on the
+    * corpus (the CLAUDE.md hot-path rule), and word arrays are short.
+    * Training stops early if fewer distinct pairs remain than merges asked.
+    *
+    * Returns (merge table, trained word table (word, freq, syms)) — the
+    * second is the corpus segmentation [[bpeSegment]] joins against. */
+  def bpeTrain(docs: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nMerges > 0 && nMerges <= 10000, "nMerges must be in [1, 10000]")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    // the only corpus-sized pass: word frequencies
+    var vocab = withToks(docs)
+      .select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("bigint").as("freq"))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substr(word, i, 1))"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var rank = 1L
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val best = vocab
+        .select(col("freq"), explode(expr(
+          "CASE WHEN size(syms) >= 2 THEN transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b)) " +
+            "ELSE array() END")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).cast("bigint").as("pair_freq"))
+        .orderBy(col("pair_freq").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val ab = a + b
+        merges += ((rank, a, b, ab, f))
+        val (ea, eb, eab) = (esc(a), esc(b), esc(ab))
+        // greedy left-to-right non-overlapping single-pair replacement: the
+        // freshly merged symbol is emitted, not re-held as pending, so it
+        // cannot chain within the same iteration (Sennrich semantics)
+        vocab = vocab.withColumn("syms", expr(
+          s"""aggregate(syms,
+             |  named_struct('out', cast(array() as array<string>), 'pend', cast(null as string)),
+             |  (s, x) -> CASE
+             |    WHEN s.pend IS NULL THEN named_struct('out', s.out, 'pend', x)
+             |    WHEN s.pend = '$ea' AND x = '$eb'
+             |      THEN named_struct('out', concat(s.out, array('$eab')), 'pend', cast(null as string))
+             |    ELSE named_struct('out', concat(s.out, array(s.pend)), 'pend', x) END,
+             |  s -> CASE WHEN s.pend IS NULL THEN s.out
+             |       ELSE concat(s.out, array(s.pend)) END)""".stripMargin))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    (merges.toSeq.toDF("rank", "left", "right", "merged", "pair_freq"), vocab)
+  }
+
+  /** Segment the corpus with a trained BPE vocabulary: re-runs [[bpeTrain]]'s
+    * word-table construction, replays nothing — the trained word table IS the
+    * segmentation (every in-corpus token appears in it), so application is
+    * one equi-join of the exploded corpus tokens against the vocab-sized
+    * table. Out-of-vocabulary words (when segmenting a DIFFERENT corpus than
+    * the one trained on) fall back to character symbols — the same behavior
+    * an on-line BPE encoder has before any merge applies. Returns per-doc
+    * subword statistics. */
+  def bpeSegment(docs: DataFrame, trained: DataFrame): DataFrame = {
+    val tok = withToks(docs).select(col("doc_id"), explode(col("toks")).as("word"))
+    tok.join(trained.select(col("word"), col("syms")), Seq("word"), "left")
+      .withColumn("syms", coalesce(col("syms"),
+        expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_tokens"),
+        sum(size(col("syms"))).cast("bigint").as("n_subwords"),
+        max(size(col("syms"))).cast("bigint").as("max_subwords_per_token"))
+      .withColumn("subwords_per_token",
+        col("n_subwords").cast("double") / col("n_tokens"))
+  }
+
   /** Bigram-LM conditional surprisal per document (the CCNet/KenLM-style
     * perplexity filter one model order up from [[unigramSurprisal]]: Wenzek et
     * al., "CCNet", arXiv 1911.00359 uses LM perplexity as its quality axis —

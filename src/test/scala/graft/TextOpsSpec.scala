@@ -322,6 +322,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextOps.bigramSurprisal(degenerate).count() == 0)
   }
 
+  test("bpeTrain: classic merge sequence, deterministic ties, greedy non-overlap") {
+    import spark.implicits._
+    // the textbook corpus: l+o and o+w tie at 5, lexicographic break picks
+    // (l,o); the freq-1 tail exercises both tie-break levels
+    val docs = Seq((0L, "low low low lower lowest")).toDF("doc_id", "text")
+    val (merges, vocab) = TextOps.bpeTrain(docs, 5)
+    val m = merges.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(m == Seq(
+      ("l", "o", "lo", 5L), ("lo", "w", "low", 5L), ("low", "e", "lowe", 2L),
+      ("lowe", "r", "lower", 1L), ("lowe", "s", "lowes", 1L)), s"merges: $m")
+    val seg = vocab.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(seg("low") == Seq("low"))
+    assert(seg("lower") == Seq("lower"))
+    assert(seg("lowest") == Seq("lowes", "t"))
+    // segmentation stats: 5 tokens -> low x3 = 3 subwords + lower = 1 +
+    // lowest = 2; max per token 2
+    val st = TextOps.bpeSegment(docs, vocab).collect()(0)
+    assert(st.getLong(1) == 5L && st.getLong(2) == 6L && st.getLong(3) == 2L, st.toString)
+    // out-of-vocab word falls back to characters (2 for 'zq'), known word joins
+    val oov = TextOps.bpeSegment(Seq((1L, "zq low")).toDF("doc_id", "text"), vocab)
+      .collect()(0)
+    assert(oov.getLong(1) == 2L && oov.getLong(2) == 3L, oov.toString)
+    // greedy left-to-right NON-OVERLAPPING: 'aaaa' under merge (a,a) becomes
+    // [aa, aa], never [aa, a, a] or a chained [aaa, a]
+    val (m2, v2) = TextOps.bpeTrain(Seq((0L, "aaaa")).toDF("doc_id", "text"), 1)
+    assert(m2.collect()(0).getString(3) == "aa")
+    assert(v2.collect()(0).getSeq[String](2) == Seq("aa", "aa"))
+  }
+
   test("Portable.isqrtSpark is exact at perfect-square boundaries past 2^52") {
     import graft.functions.Portable
     // k^2-1, k^2, k^2+1 for k around and beyond the double-precision cliff
