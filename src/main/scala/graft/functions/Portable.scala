@@ -256,6 +256,20 @@ object Portable {
   def tempKeyDuck(id: String): String =
     phashDuck(s"('temp-' || CAST($id AS VARCHAR))")
 
+  // ---- HLL scramble --------------------------------------------------------
+  /** Two affine rounds (H2A*h + H2B mod P) on top of the polynomial hash.
+    * The polynomial is LINEAR in the key's digits: ids sharing a prefix land
+    * in a band a few 2^25 wide, so its top bits (an HLL rank source) and its
+    * low residues (a 256-way register) are both badly structured. Each
+    * multiply-wrap round re-spreads a band across [0, P); two rounds measured
+    * sufficient for register uniformity and geometric ranks on sequential-id
+    * corpora (tools history — 1 round under-estimated 2x). No overflow:
+    * 479 * (P-1) + 88007 < 2^39. */
+  def hllScrambleSpark(h: String): String =
+    s"(($H2A * (($H2A * ($h) + $H2B) % $P) + $H2B) % $P)"
+  def hllScrambleDuck(h: String): String =
+    s"(($H2A * (($H2A * ($h) + $H2B) % $P) + $H2B) % $P)"
+
   // ---- exact integer square root -------------------------------------------
   /** floor(sqrt(c)) for a non-negative BIGINT, EXACT in both engines: IEEE
     * sqrt is correctly rounded, but floor(correctly-rounded-sqrt(k^2 - 1)) can

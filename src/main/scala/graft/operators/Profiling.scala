@@ -190,6 +190,73 @@ object Profiling {
     qFrames.foldLeft(cum.select(col("n_rows")).distinct())((acc, f) => acc.crossJoin(broadcast(f)))
   }
 
+  /** HyperLogLog register width: p=8 → 256 registers, ~6.5% standard error —
+    * the approximate-distinct sweet spot for per-column lake profiling. */
+  val HllP = 8
+  private val HllM = 1 << HllP
+  /** Flajolet et al.'s alpha_m bias constant for m = 256, computed ONCE here
+    * and embedded as the same decimal literal in both engines' expressions. */
+  val HllAlpha: Double = 0.7213 / (1 + 1.079 / HllM)
+
+  /** Mergeable HyperLogLog distinct-count partials (Flajolet et al. 2007,
+    * public algorithm), built BITWISE-PORTABLE: register and rank come from
+    * two independently salted portable polynomial hashes ('hll-'/'hllr-'
+    * prefixes decorrelate from every other salted selection), each through
+    * the two-round [[graft.functions.Portable.hllScrambleSpark]] (see its
+    * scaladoc for why the raw polynomial cannot feed a sketch), register =
+    * scrambled mod 256, rank = 30-bit leading-zero count via integer bit
+    * widths — no engine-specific hash, no opaque sketch buffer. Registers
+    * merge by MAX, which is exactly associative — the same
+    * any-subset-of-partials guarantee as [[statsPartials]], a property
+    * Spark's own approx_count_distinct buffers have but cannot expose to an
+    * oracle. One hash aggregate, map-side combinable; a partial is ≤
+    * shards x 256 rows. Accuracy is sketch-grade, not ideal-hash-grade
+    * (rank source uniform on [0, P), P just under 2^30) — spec-bounded at
+    * ±35%; swap the hash for xxhash64 when no DuckDB oracle is needed,
+    * exactly like every other operator taking the hash as a plugged
+    * expression. */
+  def hllPartials(df: DataFrame, shardCol: String, c: String): DataFrame = {
+    import graft.functions.Portable
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    // register and rank come from INDEPENDENTLY salted hashes, each pushed
+    // through the two-round scramble: the raw polynomial is linear in the
+    // key digits, which clusters both its residues (register skew -> an
+    // effectively smaller m) and its top bits (non-geometric ranks) on
+    // sequential-id corpora — measured 2x underestimates before the fix
+    val hr = Portable.hllScrambleSpark(s"graft_phash(concat('hll-', cast($c as string)))")
+    val hk = Portable.hllScrambleSpark(s"graft_phash(concat('hllr-', cast($c as string)))")
+    df.filter(col(c).isNotNull)
+      .withColumn("reg", expr(s"$hr % $HllM"))
+      .withColumn("__v", expr(hk))
+      // rank over the 30-bit value: leading zeros + 1 = (30 - bitwidth) + 1;
+      // conv-base-2 string length IS the bitwidth for positive ints
+      .withColumn("rank", expr(
+        "CASE WHEN __v = 0 THEN 31 " +
+          "ELSE 31 - length(conv(CAST(__v AS STRING), 10, 2)) END"))
+      .groupBy(col(shardCol), col("reg"))
+      .agg(max(col("rank")).cast("bigint").as("max_rank"))
+  }
+
+  /** Fold HLL partials into the distinct estimate: registers re-MAX across
+    * shards, then the raw HyperLogLog estimator alpha*m^2 / (sum 2^-M_j +
+    * one per never-hit register). power(0.5, rank) is exact dyadic in IEEE,
+    * the sum order is fixed by a bin-ordered window-free aggregate of exact
+    * values, and alpha is a shared literal — so the estimate is
+    * bit-identical in both engines AND under any merge grouping. The
+    * small-range linear-counting correction is deliberately omitted: it
+    * needs ln(), which is not correctly-rounded-portable; at lake scale
+    * cardinalities sit far above the correction regime anyway. */
+  def mergeHllDistinct(partials: DataFrame): DataFrame = {
+    val regs = partials.groupBy("reg").agg(max(col("max_rank")).as("max_rank"))
+    regs.agg(
+        count(lit(1)).cast("bigint").as("registers_hit"),
+        sum(expr("power(cast(0.5 as double), cast(max_rank as double))")).as("__s"))
+      .select(col("registers_hit"),
+        (lit(HllAlpha) * HllM * HllM /
+          (col("__s") + (lit(HllM) - col("registers_hit")).cast("double")))
+          .as("est_distinct"))
+  }
+
   /** Fold stats partials into the global profile (same shape the direct
     * single-scan aggregate would produce): total/non-null counts, min/max,
     * exact sum and the [[graft.core.Exact.davg]]-style reproducible mean.

@@ -159,7 +159,19 @@ object Profile {
         "shard", "value", lo = 0.0, width = 8.0, nBins = 64),
       Seq(0.25, 0.5, 0.75, 0.95), lo = 0.0, width = 8.0)
 
+  /** Mergeable HLL distinct-user sketch over events: 16 shard partials
+    * merged by register-MAX into the raw HyperLogLog estimate — the
+    * approximate-distinct profiling path made oracle-checkable (portable
+    * hash, integer ranks, dyadic power sums; Spark's own
+    * approx_count_distinct sketch buffer could never be compared bitwise). */
+  def eventsHllDistinct(spark: SparkSession, dir: String): DataFrame =
+    Profiling.mergeHllDistinct(
+      Profiling.hllPartials(
+        Tables.events(spark, dir).withColumn("shard", pmod(col("event_id"), lit(16L))),
+        "shard", "user_id"))
+
   val queries: Map[String, Q] = Map(
+    "profile_hll_distinct"      -> (eventsHllDistinct _),
     "profile_quantile_sketch"   -> (eventsQuantileSketch _),
     "profile_incremental_stats" -> (lineitemIncrementalStats _),
     "profile_lineitem_nulls"    -> (lineitemNulls _),
@@ -175,6 +187,26 @@ object Profile {
     "profile_number_potential"  -> (ordersNumberPotential _))
 
   val oracle: Map[String, String] = Map(
+    // direct-scan twin of the merged HLL sketch: same salted portable hash,
+    // same 256 registers, same integer ranks, same dyadic power sum, same
+    // alpha literal — the merge is register-MAX, so direct == merged exactly
+    "profile_hll_distinct" -> {
+      import graft.functions.Portable
+      val hr = Portable.hllScrambleDuck(
+        Portable.phashDuck("('hll-' || CAST(user_id AS VARCHAR))"))
+      val hk = Portable.hllScrambleDuck(
+        Portable.phashDuck("('hllr-' || CAST(user_id AS VARCHAR))"))
+      s"""WITH h AS (SELECT $hr AS hreg, $hk AS v FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT hreg % 256 AS reg, CASE WHEN v = 0 THEN 31
+         |  ELSE 31 - length(printf('%b', v)) END AS rank FROM h),
+         |regs AS (SELECT reg, CAST(MAX(rank) AS BIGINT) AS max_rank FROM r GROUP BY reg),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS registers_hit,
+         |  SUM(power(CAST(0.5 AS DOUBLE), CAST(max_rank AS DOUBLE))) AS s FROM regs)
+         |SELECT registers_hit,
+         |  CAST(${Profiling.HllAlpha} AS DOUBLE) * 256 * 256
+         |    / (s + CAST(256 - registers_hit AS DOUBLE)) AS est_distinct
+         |FROM a""".stripMargin
+    },
     // direct-scan twin of the merged histogram sketch: same grid, same
     // integer ranks, same interpolation arithmetic (every numeric literal
     // CAST AS DOUBLE — a bare 0.95 is DECIMAL in both parsers and decimal

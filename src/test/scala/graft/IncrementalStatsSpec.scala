@@ -74,5 +74,44 @@ class IncrementalStatsSpec extends AnyFunSuite {
       val est = a.getDouble(i + 1)
       assert(math.abs(est - exact) <= 4.0, s"p$q: est $est vs exact $exact")
     }
+    // lake round trip: two ingest batches append their histogram partials
+    // independently; quantiles from the lake equal the direct sketch bitwise
+    // — the no-rescan property for quantiles, not just moments
+    val lake = new ParquetDirFormat(
+      Files.createTempDirectory("graft-hist").toString)
+    def partial(d: org.apache.spark.sql.DataFrame) = Profiling.histogramPartials(
+      d.withColumn("shard", pmod(col("id"), lit(4L))),
+      "shard", "value", lo = 0.0, width = 4.0, nBins = 32)
+    lake.create(partial(df.filter(col("id") % 2 === 0)), "hist")
+    lake.append(partial(df.filter(col("id") % 2 === 1)), "hist")
+    val fromLake = Profiling.mergeHistogramQuantiles(
+      lake.read(spark, "hist"), qs, lo = 0.0, width = 4.0).collect()(0)
+    assert(fromLake == a, s"lake-merged quantiles differ:\n$fromLake\n$a")
+  }
+
+  test("HLL distinct: register-MAX merge invariance, bounded error, lake append") {
+    import spark.implicits._
+    // 5000 distinct keys, each duplicated 1-4 times — the estimate must see
+    // through the duplication entirely (registers ignore multiplicity)
+    val df = (0 until 5000).flatMap(k => Seq.fill(1 + k % 4)(k))
+      .zipWithIndex.map { case (k, i) => (i.toLong, s"key$k") }
+      .toDF("id", "k")
+    def sketch(shards: Long) = Profiling.mergeHllDistinct(
+      Profiling.hllPartials(
+        df.withColumn("shard", pmod(col("id"), lit(shards))), "shard", "k"))
+      .collect()(0)
+    val a = sketch(4L)
+    assert(a == sketch(23L), "estimate must be merge-grouping invariant")
+    val est = a.getDouble(1)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.35,
+      s"portable-hash raw HLL should land within 35% of 5000, got $est")
+    // two batches append partials to the lake; merged estimate is identical
+    val lake = new ParquetDirFormat(
+      Files.createTempDirectory("graft-hll").toString)
+    def partial(d: org.apache.spark.sql.DataFrame) = Profiling.hllPartials(
+      d.withColumn("shard", pmod(col("id"), lit(4L))), "shard", "k")
+    lake.create(partial(df.filter(col("id") % 2 === 0)), "hll")
+    lake.append(partial(df.filter(col("id") % 2 === 1)), "hll")
+    assert(Profiling.mergeHllDistinct(lake.read(spark, "hll")).collect()(0) == a)
   }
 }
