@@ -89,6 +89,51 @@ object StreamPipeline {
       }
       .start()
 
+  /** Streaming incremental profiling: every micro-batch lands its MERGEABLE
+    * sketch partials — exact moments ([[graft.operators.Profiling
+    * .statsPartials]]), fixed-grid histogram bins, and HLL registers — into
+    * lake tables keyed by the micro-batch id, so the exact global profile,
+    * bounded-error quantiles, and a distinct estimate are all answerable at
+    * any moment by folding partial rows, never by rescanning ingested data.
+    * This is the streaming twin of the batch incremental-profiling path and
+    * the profiling analogue of the silver upsert.
+    *
+    * Idempotence: partial APPENDS are not naturally idempotent (a replayed
+    * foreachBatch would double-count where the keyed silver upsert would
+    * converge), so each batch's partials land as an UPSERT on the batch-id
+    * shard key — the replayed batch recomputes identical partials (the
+    * profiled columns are deterministic functions of the file contents) and
+    * overwrites its own rows. */
+  def profilingInbox(spark: SparkSession, inbox: String, schema: StructType,
+                     statCols: Seq[String], histCol: String,
+                     histLo: Double, histWidth: Double, histBins: Int,
+                     distinctCol: String,
+                     lake: graft.lake.TableFormat, checkpoint: String,
+                     maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Profiling
+    spark.readStream
+      .schema(schema)
+      .option("header", true)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(inbox)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch.withColumn("shard", lit(id))
+        // upsert on the batch-id key = shard-scoped replace (creates the
+        // table on first batch): replays overwrite their own rows
+        lake.upsert(Profiling.statsPartials(b, "shard", statCols),
+          "stats_partials", Seq("shard"))
+        lake.upsert(Profiling.histogramPartials(b, "shard", histCol,
+          histLo, histWidth, histBins), "hist_partials", Seq("shard"))
+        lake.upsert(Profiling.hllPartials(b, "shard", distinctCol),
+          "hll_partials", Seq("shard"))
+      }
+      .start()
+  }
+
   /** Streaming deduplication: exactly-one-row-per-key within the watermark
     * horizon (the incremental form of the batch dedup-keep-latest — state is
     * bounded by the watermark, so it runs forever on unbounded input).

@@ -204,4 +204,56 @@ class StreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(verdictDir).count() == 6)
     assert(lake.read(spark, "corpus").count() == 3)
   }
+
+  test("streaming profiling: per-batch sketch partials fold to the direct profile") {
+    import graft.operators.Profiling
+    val root = Files.createTempDirectory("graft-stream-prof")
+    val inbox = root.resolve("inbox"); Files.createDirectories(inbox)
+    val ckpt = root.resolve("ckpt").toString
+    val lake = new graft.lake.ParquetDirFormat(root.resolve("lake").toString)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("value", DoubleType),
+      StructField("user", StringType)))
+    def fileFor(name: String, ids: Range): Unit =
+      Files.write(inbox.resolve(name),
+        ("id,value,user\n" + ids.map(i =>
+          s"$i,${(i * 37 % 400) / 2.0},user${i % 97}").mkString("\n")).getBytes)
+    fileFor("b1.csv", 0 until 400)
+    fileFor("b2.csv", 400 until 1000)
+    def drain(): Unit = StreamPipeline.runAvailableNow(
+      StreamPipeline.profilingInbox(spark, inbox.toString, schema,
+        statCols = Seq("value"), histCol = "value",
+        histLo = 0.0, histWidth = 8.0, histBins = 32, distinctCol = "user",
+        lake = lake, checkpoint = ckpt, maxFilesPerTrigger = 1))
+    drain()
+    // the merged answers — computed ONLY from partial rows in the lake
+    def answers() = (
+      Profiling.mergeStatsPartials(lake.read(spark, "stats_partials"), Seq("value"))
+        .collect()(0),
+      Profiling.mergeHistogramQuantiles(lake.read(spark, "hist_partials"),
+        Seq(0.5, 0.95), lo = 0.0, width = 8.0).collect()(0),
+      Profiling.mergeHllDistinct(lake.read(spark, "hll_partials")).collect()(0))
+    val (st, hq, hll) = answers()
+    // direct single-scan twins over the union of both files
+    import spark.implicits._
+    val all = (0 until 1000).map(i =>
+      (i.toLong, (i * 37 % 400) / 2.0, s"user${i % 97}", 0L))
+      .toDF("id", "value", "user", "shard")
+    val directStats = Profiling.mergeStatsPartials(
+      Profiling.statsPartials(all, "shard", Seq("value")), Seq("value")).collect()(0)
+    assert(st == directStats, s"stats:\n$st\n$directStats")
+    val directHq = Profiling.mergeHistogramQuantiles(
+      Profiling.histogramPartials(all, "shard", "value", 0.0, 8.0, 32),
+      Seq(0.5, 0.95), 0.0, 8.0).collect()(0)
+    assert(hq == directHq, s"quantiles:\n$hq\n$directHq")
+    // registers merge by MAX, so streamed == direct bitwise (absolute
+    // accuracy is IncrementalStatsSpec's contract, not this one's)
+    val directHll = Profiling.mergeHllDistinct(
+      Profiling.hllPartials(all, "shard", "user")).collect()(0)
+    assert(hll == directHll, s"hll:\n$hll\n$directHll")
+    // restart with the same checkpoint and nothing new: profile unchanged
+    // (replayed/duplicate drains overwrite their own shard rows, never add)
+    drain()
+    assert(answers() == ((st, hq, hll)), "idempotence across drains")
+  }
 }
