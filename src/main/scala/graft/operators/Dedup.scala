@@ -82,6 +82,49 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Content-defined chunking (CDC) shared-passage detection — the storage-
+    * dedup idea (Rabin/FastCDC, public technique) lifted to token streams: a
+    * token whose portable hash ≡ 0 (mod `avgChunk`) OPENS a new chunk, so
+    * chunk boundaries are functions of CONTENT alone. A passage pasted into
+    * two different documents at different offsets chunks identically from
+    * its first boundary token on — exactly what fixed-offset windows can
+    * never do — so repeated passages surface as chunk groups without any
+    * pairwise comparison. Complements [[exactSubstrExcise]] (which finds
+    * fixed-length repeated windows): CDC chunks are variable-length
+    * (geometric, mean `avgChunk`), and the report is grouped evidence, not
+    * an excision.
+    *
+    * Scale shape: one posexplode, one per-document prefix-sum window
+    * (partitioned by doc_id — the natural high-cardinality key), one
+    * (doc, chunk) aggregate rebuilding chunk text in token order, one
+    * chunk-text hash aggregate. Grouping is BY TEXT, not by a 30-bit hash —
+    * at 35k+ chunks a birthday collision would silently merge unrelated
+    * passages. Shuffles carry chunk rows (corpus tokens / avgChunk). */
+  def cdcSharedChunks(docs: DataFrame, avgChunk: Int = 8,
+                      minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(avgChunk >= 2, "avgChunk must be >= 2")
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val tok = Scale.fanOutScan(docs)
+      .withColumn("toks", expr("graft_tokens(text)"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tok
+      .withColumn("marker",
+        when(expr(s"graft_phash(t) % $avgChunk") === 0, lit(1L)).otherwise(lit(0L)))
+      .withColumn("chunk", sum(col("marker")).over(w))
+      .groupBy("doc_id", "chunk")
+      .agg(expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, t))), s -> s.t))")
+        .as("chunk_text"))
+      .groupBy("chunk_text")
+      .agg(
+        countDistinct(col("doc_id")).cast("bigint").as("n_docs"),
+        count(lit(1)).cast("bigint").as("n_occurrences"),
+        min(col("doc_id")).as("first_doc_id"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Exact Jaccard verification of candidate (doc_a, doc_b) pairs on TRUE
     * string shingles — O(candidates), shared by the exact, MinHash, and
     * hash-blocked paths, so all three are bitwise-identical to the oracle. */

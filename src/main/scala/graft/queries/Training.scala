@@ -115,6 +115,7 @@ object Training {
                                    3, JaccardTau)),
     "dedup_substr_excise"    -> ((s, d) => Dedup.exactSubstrExcise(
                                    Tables.documents(s, d), SubstrWindow)),
+    "dedup_cdc_chunks"       -> ((s, d) => Dedup.cdcSharedChunks(Tables.documents(s, d))),
     "text_unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(Tables.documents(s, d))),
     "text_bigram_surprisal"  -> ((s, d) => TextOps.bigramSurprisal(Tables.documents(s, d))),
     "text_chunk_windows"     -> ((s, d) => TextOps.chunkWindows(
@@ -259,6 +260,23 @@ object Training {
        |  CAST(MAX(bits) AS BIGINT) AS max_surprisal_bits,
        |  CAST(SUM(bits) AS BIGINT)::DOUBLE / COUNT(*) AS mean_surprisal_bits
        |FROM sc GROUP BY doc_id""".stripMargin
+
+  /** Exact replica of [[graft.operators.Dedup.cdcSharedChunks]]: the same
+    * content-defined boundary rule (portable hash of the token mod 8 = 0
+    * opens a chunk), per-doc prefix-sum chunk ids, ordered text reassembly,
+    * and a group-by-TEXT rollup. Parallel unnests zip pos with token. */
+  private val cdcChunksSql =
+    s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+       |t AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS t FROM d),
+       |m AS (SELECT doc_id, pos, t,
+       |  CASE WHEN ${Portable.phashDuck("t")} % 8 = 0 THEN 1 ELSE 0 END AS marker FROM t),
+       |c AS (SELECT doc_id, pos, t, SUM(marker) OVER (PARTITION BY doc_id ORDER BY pos
+       |  ROWS UNBOUNDED PRECEDING) AS chunk FROM m),
+       |g AS (SELECT doc_id, chunk, string_agg(t, ' ' ORDER BY pos) AS chunk_text
+       |  FROM c GROUP BY doc_id, chunk)
+       |SELECT chunk_text, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occurrences, MIN(doc_id) AS first_doc_id
+       |FROM g GROUP BY chunk_text HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin
 
   /** Exact replica of [[graft.operators.TextOps.bigramSurprisal]]: corpus
     * bigram LM (context counts = bigram counts re-grouped by first token),
@@ -1237,6 +1255,7 @@ object Training {
     "text_line_dedup"        -> lineDedupSql,
     "text_domain_cap"        -> domainCapSql,
     "text_unigram_surprisal" -> unigramSurprisalSql,
+    "dedup_cdc_chunks" -> cdcChunksSql,
     "text_bigram_surprisal" -> bigramSurprisalSql,
     "text_chunk_windows" -> chunkWindowsSql,
     "text_temperature_sample" -> temperatureSampleSql,

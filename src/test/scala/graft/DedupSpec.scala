@@ -243,4 +243,34 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1L) == ((12L, 10L, "tail1 tail2")))
     assert(got(2L) == ((12L, 10L, "other3 other4")))
   }
+
+  test("CDC chunks: shared passage surfaces at DIFFERENT offsets; unique text does not") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // find a boundary token empirically so the passage is self-delimiting:
+    // the passage must START with a boundary (hash % 8 == 0) token for its
+    // chunking to be fully offset-independent
+    def phash(s: String): Long =
+      s.foldLeft(7L)((acc, c) => (acc * 131L + c.toInt) % 1000000007L)
+    val boundaries = (1 to 2000).map(i => s"tok$i").filter(phash(_) % 8 == 0).take(2)
+    val (b1, b2) = (boundaries(0), boundaries(1))
+    val interior = (1 to 1000).map(i => s"pl$i").filter(phash(_) % 8 != 0).take(6)
+    // the shared chunk is [b1 .. last interior]; the FOLLOWING boundary b2
+    // closes it identically in both docs (a chunk is only shareable once
+    // closed — its tail would otherwise absorb doc-local suffixes)
+    val passage = (b1 +: interior).mkString(" ")
+    val pre = (1 to 4).map(i => s"a$i").filter(phash(_) % 8 != 0)
+    val docs = Seq(
+      (1L, s"${pre.head} $passage $b2 x1end"),
+      (2L, s"${pre.mkString(" ")} $passage $b2"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.cdcSharedChunks(docs, avgChunk = 8, minDocs = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.get(passage).map(_._1).contains(2L),
+      s"passage chunk must be shared by exactly 2 docs at different offsets: $out")
+    // doc-local chunks (pre-junk, b2-suffix) and doc 3 must NOT surface
+    assert(!out.keys.exists(_.contains("z1")), s"unique text surfaced: ${out.keys}")
+    assert(!out.keys.exists(_.contains("x1end")), s"doc-local suffix surfaced: ${out.keys}")
+  }
 }
