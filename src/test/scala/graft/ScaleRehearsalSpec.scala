@@ -381,4 +381,56 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(n10 == 10 * n1)
     assert(t10 / t1 < 20.0, f"superlinear blowup: $t1%.1f s -> $t10%.1f s")
   }
+
+  test("bigram surprisal scales linearly on a 10x corpus", SlowRehearsal) {
+    // copies share NO bigrams across universes (text perturbation salts the
+    // suffix), so the bigram LM table grows ~10x with the corpus — the
+    // shuffle-join regime the operator is designed for
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (t1, n1) = timed("bigram 1x")(runRows(TextOps.bigramSurprisal(docs)))
+    val (t10, n10) = timed("bigram 10x") {
+      runRows(TextOps.bigramSurprisal(
+        copies(docs, 10, Seq("doc_id"), perturbText = true)))
+    }
+    assert(n10 == 10 * n1, s"expected 10x scored docs, got $n1 -> $n10")
+    assert(t10 / t1 < 20.0, f"superlinear blowup: $t1%.1f s -> $t10%.1f s")
+  }
+
+  test("CDC chunking scales linearly on a 10x corpus", SlowRehearsal) {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (t1, n1) = timed("cdc 1x")(runRows(Dedup.cdcSharedChunks(docs)))
+    val (t10, n10) = timed("cdc 10x") {
+      // identical text in every universe -> each shared chunk's group grows
+      // 10x deep but the GROUP COUNT stays corpus-shaped; the per-doc window
+      // and text rollup are what must stay linear
+      runRows(Dedup.cdcSharedChunks(copies(docs, 10, Seq("doc_id"))))
+    }
+    assert(n10 >= n1, s"10x corpus cannot lose shared chunks: $n1 -> $n10")
+    assert(t10 / t1 < 20.0, f"superlinear blowup: $t1%.1f s -> $t10%.1f s")
+  }
+
+  test("bloom-pruned join: pruning holds at 10x fact volume", SlowRehearsal) {
+    import graft.operators.Scale
+    val spark2 = spark
+    import spark2.implicits._
+    // 2% of fact keys match the dimension; the prune ratio — the property
+    // that pays at 100 TB — must be volume-independent
+    def fact(n: Long) = spark.range(n).select(
+      col("id").as("row_id"), (col("id") % 5000L).as("k"))
+    val dim = spark.range(100L).select((col("id") * 50L).as("k"),
+      concat(lit("t"), col("id")).as("tag"))
+    val (t1, n1) = timed("bloom join 1x (200k)") {
+      runRows(Scale.bloomPrunedJoin(fact(200000L), dim, "k"))
+    }
+    val (t10, n10) = timed("bloom join 10x (2M)") {
+      runRows(Scale.bloomPrunedJoin(fact(2000000L), dim, "k"))
+    }
+    assert(n10 == 10 * n1, s"expected 10x joined rows, got $n1 -> $n10")
+    assert(t10 / t1 < 20.0, f"superlinear blowup: $t1%.1f s -> $t10%.1f s")
+    val pruneRatio1 = Scale.bloomPrune(fact(200000L), dim, "k").count() / 200000.0
+    val pruneRatio10 = Scale.bloomPrune(fact(2000000L), dim, "k").count() / 2000000.0
+    info(f"prune survivor ratio: 1x $pruneRatio1%.4f, 10x $pruneRatio10%.4f")
+    assert(pruneRatio1 < 0.05 && pruneRatio10 < 0.05,
+      "survivor ratio must stay at the match rate, independent of volume")
+  }
 }
