@@ -2,7 +2,7 @@ package graft.lake
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Options, Path => HPath}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataType
 
@@ -40,6 +40,22 @@ trait TableFormat {
   def upsert(df: DataFrame, table: String, keys: Seq[String]): Unit
   def read(spark: SparkSession, table: String): DataFrame
   def exists(table: String): Boolean
+
+  /** Row-level DELETE WHERE — the DML verb the reference's loader exposes
+    * through BigQuery DML (services/loader/bigquery_manager.py:259-316 builds
+    * MERGE with a delete clause) and Iceberg through delete-files. SQL DELETE
+    * semantics: rows where `pred` is TRUE go; FALSE and NULL stay. Returns
+    * the deleted-row count. A no-match delete commits NOTHING — no new
+    * snapshot, the table stays byte-identical. Default implementation is one
+    * probe (column-pruned to the predicate's columns) plus one rewrite;
+    * [[PartitionedTable]] overrides with a partition-scoped rewrite. */
+  def deleteWhere(spark: SparkSession, table: String, pred: Column): Long = {
+    val target = read(spark, table)
+    val matches = target.filter(pred).count()
+    if (matches == 0L) return 0L
+    overwrite(target.filter(!coalesce(pred, lit(false))), table)
+    matches
+  }
 
   /** Version-aware MERGE: apply only incoming rows STRICTLY newer (per
     * `orderCol`) than the current row for their key — the event-time floor
@@ -529,6 +545,32 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
       }
     val untouched = existing.filterNot(e => rewriteIds.contains(e._1))
     commitManifest(t, mergeEntries(untouched, stagedNew ++ stagedKept))
+  }
+
+  /** Partition-scoped DELETE WHERE: one probe scan — column-pruned to the
+    * predicate's columns, parquet footer min/max pruning applies (z-order
+    * clustering makes it sparse) — locates the partitions that actually
+    * CONTAIN matching rows via file identity; only those partitions are
+    * rewritten with the inverted predicate, everything else is committed by
+    * reference. At 100 TB a delete of one tenant/day costs the partitions
+    * holding it, not the table. A partition whose every row matches simply
+    * vanishes from the manifest (zero staged directories). The probe's
+    * match count doubles as the deleted-row count — no extra pass. */
+  override def deleteWhere(spark: SparkSession, t: String, pred: Column): Long = {
+    val entries = manifest(t)
+    if (entries.isEmpty) return 0L
+    val all = readDirs(spark, t, entries.flatMap(_._2))
+    val hits = all.filter(pred)
+      .groupBy(input_file_name().as("__file")).count().collect()
+    if (hits.isEmpty) return 0L
+    val deleted = hits.map(_.getLong(1)).sum
+    val hitIds = hits.map(r => idOfFilePath(t, r.getString(0))).toSet
+    val rewriteDirs = entries.filter(e => hitIds.contains(e._1)).flatMap(_._2)
+    val kept = readDirs(spark, t, rewriteDirs).filter(!coalesce(pred, lit(false)))
+    val staged = stage(kept, t, "delete")
+    commitManifest(t,
+      mergeEntries(entries.filterNot(e => hitIds.contains(e._1)), staged))
+    deleted
   }
 
   /** Rewrite multi-directory partitions into one directory each; partitions

@@ -271,4 +271,65 @@ object Profiling {
       (sum(col(s"dsum_$c")).cast("double") / sum(col(s"nn_$c"))).as(s"avg_$c")))
     partials.agg(sum(col("n_rows")).cast("long").as("total_rows"), aggs: _*)
   }
+
+  // ---- Count-Min frequency sketch ------------------------------------------
+  /** Sketch depth (independent hash rows) and width (counters per row). d=3
+    * bounds the failure probability at e^-3; w trades memory against the
+    * additive overcount bound eN/w. At 100 TB, w scales with the token
+    * budget, not the corpus — the sketch stays d x w counters regardless. */
+  val CmsD = 3
+  val CmsW = 1024
+
+  private def cmsSlotSpark(j: Int, term: String): String = {
+    import graft.functions.Portable
+    s"(${Portable.hllScrambleSpark(s"graft_phash(concat('cms$j-', $term))")} % $CmsW)"
+  }
+
+  /** Mergeable Count-Min sketch partials (Cormode & Muthukrishnan 2005,
+    * public algorithm) over one term-occurrence column: each occurrence
+    * increments one counter per sketch row, counters merge by exact SUM —
+    * the same any-subset-of-partials guarantee as [[statsPartials]] and
+    * [[hllPartials]], completing the mergeable-sketch trio (distinct = HLL,
+    * quantiles = histogram grid, frequencies = CMS). Rows are independently
+    * salted portable hashes through the two-round scramble ([[graft.functions
+    * .Portable.hllScrambleSpark]] — the raw polynomial clusters residues on
+    * sequential corpora, which for CMS means correlated collisions across
+    * all d rows at once, defeating the min). One explode x d stack then a
+    * map-side-combined hash aggregate; a partial is <= shards x d x w rows
+    * no matter the corpus size. */
+  def cmsPartials(df: DataFrame, shardCol: String, termCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val pairs = (0 until CmsD)
+      .map(j => s"$j, ${cmsSlotSpark(j, termCol)}").mkString(", ")
+    df.filter(col(termCol).isNotNull)
+      .selectExpr(shardCol, s"stack($CmsD, $pairs) AS (sk_row, sk_slot)")
+      .groupBy(col(shardCol), col("sk_row"), col("sk_slot"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+  }
+
+  /** Fold CMS partials into the global sketch: counters re-SUM across
+    * shards. Integer addition is exactly associative, so any merge grouping
+    * (and the direct single-scan build) lands on identical counters. */
+  def mergeCms(partials: DataFrame): DataFrame =
+    partials.groupBy(col("sk_row"), col("sk_slot"))
+      .agg(sum(col("cnt")).cast("bigint").as("cnt"))
+
+  /** Point-query the merged sketch for each row of `terms`: estimate = MIN
+    * over the d counters the term hashes to (absent counter = 0). Always an
+    * OVERcount: every true occurrence incremented all d counters, so the min
+    * is >= truth, and exceeds it only by colliding terms' mass. The sketch
+    * is <= d x w rows -> broadcast; cost is O(|terms|), never a corpus
+    * rescan. Extra columns on `terms` (e.g. the true count being audited)
+    * pass through untouched. */
+  def cmsEstimates(merged: DataFrame, terms: DataFrame, termCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(terms.sparkSession)
+    val carry = terms.columns.filterNot(_ == termCol)
+    val pairs = (0 until CmsD)
+      .map(j => s"$j, ${cmsSlotSpark(j, termCol)}").mkString(", ")
+    terms.selectExpr((terms.columns :+ s"stack($CmsD, $pairs) AS (sk_row, sk_slot)"): _*)
+      .join(broadcast(merged), Seq("sk_row", "sk_slot"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy(termCol, carry: _*)
+      .agg(min(col("cnt")).cast("bigint").as("cms_est"))
+  }
 }

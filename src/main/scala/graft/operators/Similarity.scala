@@ -123,6 +123,29 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rnk")
   }
 
+  /** Recall@k evaluation of the LSH index against brute-force ground truth —
+    * the measurement that decides nTables/nBits BEFORE committing a 100 TB
+    * corpus to an index configuration. Per query: hits = |approx top-k ∩
+    * exact top-k|, recall = hits/k. Ground truth is brute force over the
+    * corpus for ONLY the sampled queries (broadcast queries, one corpus
+    * scan), so evaluation cost is O(corpus x sample), never corpus². Both
+    * legs are the bitwise-portable paths the ann gates already pin, so the
+    * recall numbers themselves hash-check against the oracle. */
+  def recallAtK(emb: DataFrame, nQueries: Int = 20, k: Int = 10,
+                nTables: Int = 16, nBits: Int = 4): DataFrame = {
+    val truth = bruteForceTopK(emb, nQueries, k).select("query_id", "neighbor_id")
+    val approx = lshAnnTopK(emb, nQueries, k, nTables, nBits)
+      .select("query_id", "neighbor_id")
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("h"))
+    truth.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("h"))
+      .select(col("query_id"), col("h").cast("bigint").as("hits"),
+        (col("h").cast("double") / k).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** LSH signatures: (vec_id, embedding, table, bucket) — one row per hash
     * table. Bucket ids come from the native [[graft.plans.LshBucketIds]]
     * expression (`graft_lsh_buckets`): one pass over the columnar ArrayData,

@@ -170,7 +170,30 @@ object Profile {
         Tables.events(spark, dir).withColumn("shard", pmod(col("event_id"), lit(16L))),
         "shard", "user_id"))
 
+  /** Mergeable Count-Min frequency sketch over the document token stream:
+    * 16 shard partials fold by counter-SUM into the global sketch, which is
+    * then point-queried for the top-20 true heavy hitters — output is
+    * (term, true_cnt, cms_est), every value an integer, cms_est >= true_cnt
+    * by construction. The oracle builds the identical sketch from ONE direct
+    * scan; direct == merged exactly because counter addition is associative
+    * — the frequency leg of the mergeable-sketch trio (HLL distinct,
+    * histogram quantiles, CMS frequencies). */
+  def documentsCmsTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val toks = graft.operators.Scale.fanOutScan(Tables.documents(spark, dir))
+      .select(pmod(col("doc_id"), lit(16L)).as("shard"),
+        explode(expr("graft_tokens(text)")).as("term"))
+    val truth = toks.groupBy("term")
+      .agg(count(lit(1)).cast("bigint").as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("term").asc)
+      .limit(20)
+    val merged = Profiling.mergeCms(Profiling.cmsPartials(toks, "shard", "term"))
+    Profiling.cmsEstimates(merged, truth, "term")
+      .orderBy(col("true_cnt").desc, col("term").asc)
+  }
+
   val queries: Map[String, Q] = Map(
+    "profile_cms_topk"          -> (documentsCmsTopTerms _),
     "profile_hll_distinct"      -> (eventsHllDistinct _),
     "profile_quantile_sketch"   -> (eventsQuantileSketch _),
     "profile_incremental_stats" -> (lineitemIncrementalStats _),
@@ -187,6 +210,29 @@ object Profile {
     "profile_number_potential"  -> (ordersNumberPotential _))
 
   val oracle: Map[String, String] = Map(
+    // direct-scan twin of the merged CMS sketch: same salted portable hashes
+    // through the two-round scramble, same d x w grid, same min-of-counters
+    // point query — direct == merged exactly because counters SUM
+    "profile_cms_topk" -> {
+      import graft.functions.Portable
+      val toksD = Portable.tokensDuck("text")
+      def slot(term: String) = Portable.hllScrambleDuck(
+        Portable.phashDuck(s"('cms' || CAST(j AS VARCHAR) || '-' || $term)")) +
+        s" % ${Profiling.CmsW}"
+      s"""WITH tok AS (SELECT unnest($toksD) AS term FROM documents),
+         |truth AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM tok
+         |  GROUP BY term ORDER BY true_cnt DESC, term ASC LIMIT 20),
+         |sk AS (SELECT j AS sk_row, ${slot("term")} AS sk_slot,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM tok, range(${Profiling.CmsD}) r(j) GROUP BY 1, 2),
+         |q AS (SELECT t.term, t.true_cnt, r.j AS sk_row, ${slot("t.term")} AS sk_slot
+         |  FROM truth t, range(${Profiling.CmsD}) r(j))
+         |SELECT q.term, q.true_cnt,
+         |  CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS cms_est
+         |FROM q LEFT JOIN sk ON sk.sk_row = q.sk_row AND sk.sk_slot = q.sk_slot
+         |GROUP BY q.term, q.true_cnt
+         |ORDER BY q.true_cnt DESC, q.term ASC""".stripMargin
+    },
     // direct-scan twin of the merged HLL sketch: same salted portable hash,
     // same 256 registers, same integer ranks, same dyadic power sum, same
     // alpha literal — the merge is register-MAX, so direct == merged exactly

@@ -180,6 +180,7 @@ object Training {
     "embed_kmeans"           -> ((s, d) => Clustering.kmeans(Tables.embeddings(s, d), KmeansK, KmeansIters)),
     "ann_brute_force_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_lsh_topk"           -> ((s, d) => Similarity.lshAnnTopK(Tables.embeddings(s, d), NQueries, TopK)),
+    "ann_recall_eval"        -> ((s, d) => Similarity.recallAtK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_ivf_topk"           -> ((s, d) => Similarity.ivfFlatTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_sq8_topk"           -> ((s, d) => Similarity.sq8AnnTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_pq_topk"            -> ((s, d) => Similarity.pqAnnTopK(Tables.embeddings(s, d), NQueries, TopK)),
@@ -1047,6 +1048,40 @@ object Training {
        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
        |WHERE cosine >= $CosineTau""".stripMargin
 
+  /** Recall@k of the LSH index vs brute-force ground truth: BOTH legs are
+    * the exact replicas the ann gates pin individually, composed, so the
+    * recall fractions themselves hash-check (hits/k is a small-int division
+    * — correctly rounded and identical in both engines). */
+  private val annRecallSql =
+    s"""WITH ${Portable.lshBucketsDuckCtes(16, 4)},
+       |e AS (SELECT vec_id, embedding, ${Portable.normDuck("embedding")} AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS emb_q, nrm AS norm_q FROM e WHERE vec_id < $NQueries),
+       |bs AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+       |    (${Portable.dotDuck("emb_q", "v.embedding")}) / (norm_q * v.nrm) AS cosine
+       |  FROM e v CROSS JOIN q WHERE v.vec_id <> q.query_id),
+       |bt AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |    FROM bs) WHERE rnk <= $TopK),
+       |qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets WHERE vec_id < $NQueries),
+       |cand AS (SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+       |  FROM buckets b JOIN qb USING (tbl, bucket) WHERE b.vec_id <> qb.query_id),
+       |ls AS (SELECT cand.query_id, cand.neighbor_id,
+       |    (${Portable.dotDuck("eq.embedding", "ev.embedding")}) / (eq.nrm * ev.nrm) AS cosine
+       |  FROM cand JOIN e eq ON eq.vec_id = cand.query_id JOIN e ev ON ev.vec_id = cand.neighbor_id),
+       |lt AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |    FROM ls) WHERE rnk <= $TopK),
+       |h AS (SELECT bt.query_id, CAST(COUNT(*) AS BIGINT) AS h
+       |  FROM bt JOIN lt ON lt.query_id = bt.query_id AND lt.neighbor_id = bt.neighbor_id
+       |  GROUP BY bt.query_id),
+       |qs AS (SELECT DISTINCT query_id FROM bt)
+       |SELECT qs.query_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+       |  CAST(COALESCE(h.h, 0) AS DOUBLE) / $TopK AS recall
+       |FROM qs LEFT JOIN h ON h.query_id = qs.query_id
+       |ORDER BY qs.query_id""".stripMargin
+
   private val annBruteSql =
     s"""WITH e AS (SELECT vec_id, embedding,
        |  ${Portable.normDuck("embedding")} AS nrm FROM embeddings),
@@ -1260,5 +1295,6 @@ object Training {
     "text_chunk_windows" -> chunkWindowsSql,
     "text_temperature_sample" -> temperatureSampleSql,
     "text_dsir_sample"       -> dsirSql,
+    "ann_recall_eval"        -> annRecallSql,
     "ann_brute_force_topk"   -> annBruteSql)
 }

@@ -114,4 +114,38 @@ class IncrementalStatsSpec extends AnyFunSuite {
     lake.append(partial(df.filter(col("id") % 2 === 1)), "hll")
     assert(Profiling.mergeHllDistinct(lake.read(spark, "hll")).collect()(0) == a)
   }
+
+  test("CMS frequencies: counter-SUM merge invariance, overcount-only, bounded") {
+    import spark.implicits._
+    // zipfian-ish: term t_k occurs 200/k times (k in 1..50) plus 2000 noise
+    // singletons that supply the colliding mass the min must see through
+    val occurrences = (1 to 50).flatMap(k => Seq.fill(200 / k)(s"t$k")) ++
+      (0 until 2000).map(i => s"noise$i")
+    val df = occurrences.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "term")
+    def merged(shards: Long) = Profiling.mergeCms(
+      Profiling.cmsPartials(
+        df.withColumn("shard", pmod(col("id"), lit(shards))), "shard", "term"))
+    // merge-grouping invariance is BITWISE: identical counters either way
+    val a = merged(4L).orderBy("sk_row", "sk_slot").collect().toSeq
+    assert(a == merged(23L).orderBy("sk_row", "sk_slot").collect().toSeq,
+      "sketch counters must be merge-grouping invariant")
+    val truth = df.groupBy("term").agg(count(lit(1)).cast("bigint").as("true_cnt"))
+    val est = Profiling.cmsEstimates(merged(4L), truth, "term")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val n = occurrences.size
+    est.foreach { case (t, tc, e) =>
+      assert(e >= tc, s"$t: CMS must never undercount ($e < $tc)")
+      // additive error bound e*N/w holds in expectation per row; the min of
+      // d=3 rows on a fixed corpus sits far inside 3x that slack
+      assert(e - tc <= 3L * math.E.ceil.toLong * n / Profiling.CmsW,
+        s"$t: overcount ${e - tc} exceeds slack at N=$n w=${Profiling.CmsW}")
+    }
+    // a term the sketch never saw estimates at most colliding mass, and the
+    // estimate path must not drop it (absent counters read as zero)
+    val unseen = Profiling.cmsEstimates(
+      merged(4L), Seq(("never-seen-term", 0L)).toDF("term", "true_cnt"), "term")
+      .collect()(0)
+    assert(unseen.getLong(2) >= 0L)
+  }
 }

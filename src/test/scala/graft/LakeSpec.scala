@@ -284,6 +284,46 @@ class LakeSpec extends AnyFunSuite {
     assert(t.read(spark, "t5").head().getLong(0) == 2L)
   }
 
+  test("deleteWhere: SQL semantics (NULL pred keeps), count, no-op commits nothing") {
+    import spark.implicits._
+    val t = fmt()
+    t.create(Seq((1L, "a"), (2L, "b"), (3L, null), (4L, "b"))
+      .toDF("id", "v"), "dw")
+    val v0 = t.versions("dw").max
+    // v = 'b' is NULL for id=3 — that row must STAY (SQL DELETE semantics)
+    assert(t.deleteWhere(spark, "dw", col("v") === "b") == 2L)
+    assert(t.read(spark, "dw").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // time travel still sees the pre-delete snapshot
+    assert(t.readVersion(spark, "dw", v0).count() == 4)
+    // no-match delete: zero rows, NO new snapshot
+    val vBefore = t.versions("dw").max
+    assert(t.deleteWhere(spark, "dw", col("v") === "zzz") == 0L)
+    assert(t.versions("dw").max == vBefore)
+  }
+
+  test("partitioned deleteWhere rewrites only partitions containing matches") {
+    import spark.implicits._
+    val t = pfmt("day")
+    t.create((1 to 60).map(i => (i.toLong, s"d${i % 3}", i % 5))
+      .toDF("id", "day", "v"), "pdw")
+    val before = t.entries("pdw").toMap
+    // matches live only in d1 (ids ≡ 1 mod 3 with v = id % 5 = 0 → id 10, 25, 40, 55)
+    val deleted = t.deleteWhere(spark, "pdw",
+      col("day") === "d1" && col("v") === 0)
+    assert(deleted == 4L)
+    val after = t.entries("pdw").toMap
+    assert(after("__p_day=d0") == before("__p_day=d0"), "d0 must commit by reference")
+    assert(after("__p_day=d2") == before("__p_day=d2"), "d2 must commit by reference")
+    assert(after("__p_day=d1") != before("__p_day=d1"), "d1 must be rewritten")
+    assert(t.read(spark, "pdw").count() == 56)
+    assert(t.read(spark, "pdw")
+      .filter(col("day") === "d1" && col("v") === 0).count() == 0)
+    // delete an ENTIRE partition: its manifest entry disappears
+    assert(t.deleteWhere(spark, "pdw", col("day") === "d2") == 20L)
+    assert(!t.entries("pdw").toMap.contains("__p_day=d2"))
+    assert(t.read(spark, "pdw").count() == 36)
+  }
+
   test("snapshot diff classifies added/removed/changed and drops unchanged") {
     import spark.implicits._
     val t = fmt()
