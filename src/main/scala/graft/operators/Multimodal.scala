@@ -246,7 +246,12 @@ object Multimodal {
   /** Inflate all IDAT chunks and strip the per-scanline filter bytes;
     * None for anything that is not a filter-0 grayscale-8 PNG (degrade,
     * don't throw — quarantine semantics, same as [[parseHeader]]). */
-  private[graft] def decodePngPixels(content: Array[Byte]): Option[Array[Int]] = {
+  private[graft] def decodePngPixels(content: Array[Byte]): Option[Array[Int]] =
+    decodePngDims(content).map(_._3)
+
+  /** Like [[decodePngPixels]] but keeps the IHDR geometry: (w, h, row-major
+    * pixels) — the shape transforms (resize) need. */
+  private[graft] def decodePngDims(content: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (content.length < 33 || !content.startsWith(PngSig)) return None
     var w = 0; var h = 0
     val idat = new java.io.ByteArrayOutputStream()
@@ -283,7 +288,7 @@ object Multimodal {
       while (c < w) { px(r * w + c) = raw(r * (1 + w) + 1 + c) & 0xff; c += 1 }
       r += 1
     }
-    Some(px)
+    Some((w, h, px))
   }
 
   /** Signed PCM16 samples from the data chunk located by [[parseHeader]]'s
@@ -312,21 +317,22 @@ object Multimodal {
     * so every hashed value is non-negative and the modular arithmetic is
     * engine-portable). Undecodable rows degrade to kind='undecoded' with
     * zero stats — visible downstream, never dropped silently. */
+  private def stats(id: Long, kind: String, vals: Array[Int]): MediaValues = {
+    var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue; var acc = 7L
+    var i = 0
+    while (i < vals.length) {
+      val v = vals(i)
+      sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+      acc = (acc * 131L + (v & 0xffff)) % 1000000007L
+      i += 1
+    }
+    if (vals.isEmpty) MediaValues(id, kind, 0L, 0L, 0L, 0L, 7L)
+    else MediaValues(id, kind, vals.length.toLong, sum, mn, mx, acc)
+  }
+
   def decodeSamples(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    def stats(id: Long, kind: String, vals: Array[Int]): MediaValues = {
-      var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue; var acc = 7L
-      var i = 0
-      while (i < vals.length) {
-        val v = vals(i)
-        sum += v; if (v < mn) mn = v; if (v > mx) mx = v
-        acc = (acc * 131L + (v & 0xffff)) % 1000000007L
-        i += 1
-      }
-      if (vals.isEmpty) MediaValues(id, kind, 0L, 0L, 0L, 0L, 7L)
-      else MediaValues(id, kind, vals.length.toLong, sum, mn, mx, acc)
-    }
     Scale.fanOutScan(media).select("media_id", "content").as[MediaContent]
       .mapPartitions { it =>
         it.map { m =>
@@ -334,6 +340,42 @@ object Multimodal {
           decodePngPixels(content).map(stats(m.media_id, "png", _))
             .orElse(decodeWavSamples(content).map(stats(m.media_id, "wav", _)))
             .getOrElse(MediaValues(m.media_id, "undecoded", 0L, 0L, 0L, 0L, 7L))
+        }
+      }.toDF()
+  }
+
+  /** Decode-then-TRANSFORM: nearest-neighbor downscale for images (every
+    * `scale`-th pixel on both axes — the top-left-anchor convention, integer
+    * index arithmetic only, so the oracle replays it without resampling
+    * theory) and sample-decimation for audio (every `decim`-th sample — the
+    * rate/`decim` downsample without an interpolation filter). Reduces each
+    * transformed item to the same integer stats as [[decodeSamples]]: a
+    * transform bug (wrong stride, off-by-one anchor, lost row) lands on
+    * stats the arithmetic twin won't produce. Same typed mapPartitions
+    * shape — decode, transform, and reduce fuse into one pass per item, no
+    * intermediate pixel table is ever materialized or shuffled. */
+  def transformSamples(media: DataFrame, scale: Int = 2, decim: Int = 4): DataFrame = {
+    require(scale >= 1 && decim >= 1, s"scale=$scale decim=$decim must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    Scale.fanOutScan(media).select("media_id", "content").as[MediaContent]
+      .mapPartitions { it =>
+        it.map { m =>
+          val content = Option(m.content).getOrElse(Array.emptyByteArray)
+          decodePngDims(content).map { case (w, h, px) =>
+            val ow = w / scale; val oh = h / scale
+            val out = new Array[Int](ow * oh)
+            var r = 0
+            while (r < oh) {
+              var c = 0
+              while (c < ow) { out(r * ow + c) = px(r * scale * w + c * scale); c += 1 }
+              r += 1
+            }
+            stats(m.media_id, "png_resized", out)
+          }.orElse(decodeWavSamples(content).map { s =>
+            val out = Array.tabulate((s.length + decim - 1) / decim)(i => s(i * decim))
+            stats(m.media_id, "wav_decimated", out)
+          }).getOrElse(MediaValues(m.media_id, "undecoded", 0L, 0L, 0L, 0L, 7L))
         }
       }.toDF()
   }

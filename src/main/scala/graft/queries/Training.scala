@@ -177,6 +177,11 @@ object Training {
     // the arithmetic twin won't produce
     "multimodal_pixels"      -> ((s, d) => Multimodal.decodeSamples(
                                    Multimodal.syntheticPixelMedia(Tables.documents(s, d)))),
+    // decode real bytes, then resize (2x nearest-neighbor) / decimate (every
+    // 4th sample) — the oracle replays the transformed value model with
+    // index arithmetic: a stride or anchor bug cannot hash-match
+    "multimodal_transform"   -> ((s, d) => Multimodal.transformSamples(
+                                   Multimodal.syntheticPixelMedia(Tables.documents(s, d)))),
     "embed_kmeans"           -> ((s, d) => Clustering.kmeans(Tables.embeddings(s, d), KmeansK, KmeansIters)),
     "ann_brute_force_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_lsh_topk"           -> ((s, d) => Similarity.lshAnnTopK(Tables.embeddings(s, d), NQueries, TopK)),
@@ -747,6 +752,29 @@ object Training {
        |    (a, x) -> (a * 131 + x) % 1000000007) AS BIGINT) AS checksum
        |FROM v""".stripMargin
 
+  /** Arithmetic twin of [[Multimodal.transformSamples]] over the 16x8 PNG /
+    * 64-sample WAV synthetic corpus: resized pixel (r, c) of the 8x4 output
+    * is source pixel (2r, 2c); decimated sample i is source sample 4i —
+    * pure index substitution into the deterministic value model. */
+  private val multimodalTransformSql =
+    s"""WITH m AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m3 FROM documents
+       |  WHERE doc_id % 3 <> 2),
+       |v AS (SELECT doc_id,
+       |  CASE WHEN m3 = 0 THEN 'png_resized' ELSE 'wav_decimated' END AS kind,
+       |  CASE WHEN m3 = 0
+       |    THEN [(doc_id * 31 + ((i // 8) * 2) * 17 + ((i % 8) * 2) * 7) % 256 for i in range(0, 32)]
+       |    ELSE [(doc_id * 131 + (i * 4) * 17) % 4096 - 2048 for i in range(0, 16)]
+       |  END AS vals FROM m)
+       |SELECT doc_id AS media_id, kind,
+       |  CAST(len(vals) AS BIGINT) AS n_values,
+       |  CAST(list_reduce(list_prepend(0::BIGINT, vals), (a, x) -> a + x) AS BIGINT) AS val_sum,
+       |  CAST(list_min(vals) AS BIGINT) AS val_min,
+       |  CAST(list_max(vals) AS BIGINT) AS val_max,
+       |  CAST(list_reduce(list_prepend(7::BIGINT,
+       |    list_transform(vals, x -> CASE WHEN x < 0 THEN x + 65536 ELSE x END)),
+       |    (a, x) -> (a * 131 + x) % 1000000007) AS BIGINT) AS checksum
+       |FROM v""".stripMargin
+
   /** Mirror of [[TextOps.tokenBudgetSample]]: the oracle states the greedy
     * prefix semantics in ONE running-sum window — Spark's two-phase
     * bucket-prefix implementation must land on the identical rows. */
@@ -1271,6 +1299,7 @@ object Training {
     "text_sentences"         -> sentencesSql,
     "multimodal_meta"        -> multimodalMetaSql,
     "multimodal_pixels"      -> multimodalPixelsSql,
+    "multimodal_transform"   -> multimodalTransformSql,
     "dedup_exact"            -> exactSql,
     "dedup_ngram_jaccard"    -> jaccardSql,
     "dedup_components"       -> componentsSql,

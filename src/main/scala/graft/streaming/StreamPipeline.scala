@@ -146,6 +146,36 @@ object StreamPipeline {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Watermarked stream-stream interval join: left rows match right rows
+    * with equal `keys` whose `rightTs` lands in [leftTs, leftTs + within].
+    * Both sides carry watermarks and the join condition carries the time
+    * bound, which is what lets Spark EVICT state — each side buffers only
+    * rows younger than watermark + within, so state is O(rate x window), not
+    * O(stream), the only stream-stream shape that survives at 100 TB/day.
+    * `left_outer` emits unmatched left rows (right columns NULL) once the
+    * global watermark passes their join window — the ad-impression/click
+    * attribution topology. Right columns clashing with left non-key names
+    * come back `r_`-prefixed. */
+  def streamStreamJoin(lhs: DataFrame, rhs: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String, watermark: String,
+                       within: String, joinType: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(leftTs != rightTs,
+      s"leftTs and rightTs must be distinct column names, both are '$leftTs'")
+    val l = lhs.withWatermark(leftTs, watermark).alias("l")
+    val r = rhs.withWatermark(rightTs, watermark).alias("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val timeCond = col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+      col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within")
+    val leftRest = lhs.columns.filterNot(c => keys.contains(c))
+    val rightRest = rhs.columns.filterNot(c => keys.contains(c))
+    val out = keys.map(k => col(s"l.$k")) ++
+      leftRest.map(c => col(s"l.$c")) ++
+      rightRest.map(c =>
+        col(s"r.$c").as(if (leftRest.contains(c)) s"r_$c" else c))
+    l.join(r, keyCond && timeCond, joinType).select(out: _*)
+  }
+
   /** Watermarked per-window aggregation over an event-time stream — the
     * standard windowed-agg topology for the 100 TB path (state is bounded by
     * the watermark; late data beyond it is dropped deterministically). */

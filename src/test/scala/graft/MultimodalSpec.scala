@@ -193,4 +193,31 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out.values.forall(_ == "undecoded"), s"expected degrade, got $out")
   }
+
+  test("transformSamples: exact nearest-neighbor anchor, decimation stride, degrade") {
+    import spark.implicits._
+    val media = Seq(
+      (3L, "image", Multimodal.encodePng(3L)),   // 16x8 grayscale
+      (4L, "audio", Multimodal.encodeWav(4L)),   // 64 samples
+      (5L, "image", Array[Byte](1, 2, 3)))       // junk degrades
+      .toDF("media_id", "modality", "content")
+    val rows = Multimodal.transformSamples(media, scale = 2, decim = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(6))).toMap
+    // replay the value model through the same index substitution
+    val px = for (r <- 0 until 4; c <- 0 until 8)
+      yield Multimodal.pngPixel(3L, r * 2, c * 2)
+    val wv = (0 until 16).map(i => Multimodal.wavSample(4L, i * 4))
+    def chk(vals: Seq[Int]) =
+      vals.foldLeft(7L)((a, v) => (a * 131L + (v & 0xffff)) % 1000000007L)
+    assert(rows(3L) == (("png_resized", 32L, px.map(_.toLong).sum, chk(px))))
+    assert(rows(4L) == (("wav_decimated", 16L, wv.map(_.toLong).sum, chk(wv))))
+    assert(rows(5L)._1 == "undecoded")
+    // scale=1/decim=1 is the identity: same stats as the plain decode
+    val id = Multimodal.transformSamples(media, scale = 1, decim = 1)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(2)).toMap
+    val plain = Multimodal.decodeSamples(media)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(2)).toMap
+    assert(id(3L) == plain(3L) && id(4L) == plain(4L))
+  }
 }

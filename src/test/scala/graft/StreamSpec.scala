@@ -256,4 +256,45 @@ class StreamSpec extends AnyFunSuite {
     drain()
     assert(answers() == ((st, hq, hll)), "idempotence across drains")
   }
+
+  test("stream-stream join: time-bounded matches; outer emits after watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val impressions = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamPipeline.streamStreamJoin(
+      impressions.toDF.toDF("ad_id", "imp_ts", "campaign"),
+      clicks.toDF.toDF("ad_id", "click_ts"),
+      keys = Seq("ad_id"), leftTs = "imp_ts", rightTs = "click_ts",
+      watermark = "5 minutes", within = "10 minutes", joinType = "left_outer")
+    val q = joined.writeStream.format("memory")
+      .queryName("ss_join").outputMode("append").start()
+    try {
+      // ad 1 clicked inside the window; ad 2 clicked OUTSIDE it; ad 3 never
+      impressions.addData(
+        (1L, ts("2024-01-01 00:00:00"), "c1"),
+        (2L, ts("2024-01-01 00:00:00"), "c1"),
+        (3L, ts("2024-01-01 00:00:00"), "c2"))
+      clicks.addData(
+        (1L, ts("2024-01-01 00:05:00")),
+        (2L, ts("2024-01-01 00:20:00")))
+      q.processAllAvailable()
+      val inner = spark.table("ss_join").where(col("click_ts").isNotNull)
+        .collect().map(r => r.getLong(0)).toSeq
+      assert(inner == Seq(1L), s"only ad 1 clicked within 10 minutes: $inner")
+      // outer rows for ads 2/3 may only emit once the GLOBAL watermark (min
+      // across both sources) passes their join window — advance both sides
+      impressions.addData((99L, ts("2024-01-01 02:00:00"), "c9"))
+      clicks.addData((99L, ts("2024-01-01 02:01:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join").collect()
+        .map(r => (r.getLong(0), Option(r.get(3)))).toMap
+      assert(rows(1L).isDefined && rows(99L).isDefined)
+      assert(rows(2L).isEmpty, "out-of-window click must NOT attribute")
+      assert(rows(3L).isEmpty, "unclicked impression emits with NULL click")
+      assert(spark.table("ss_join").count() == 4)
+    } finally q.stop()
+  }
 }
