@@ -215,7 +215,17 @@ object Profiling {
     * ±35%; swap the hash for xxhash64 when no DuckDB oracle is needed,
     * exactly like every other operator taking the hash as a plugged
     * expression. */
-  def hllPartials(df: DataFrame, shardCol: String, c: String): DataFrame = {
+  def hllPartials(df: DataFrame, shardCol: String, c: String): DataFrame =
+    hllPartialsBy(df, shardCol, Seq.empty, c)
+
+  /** Grouped [[hllPartials]]: one register set PER GROUP — the
+    * distinct-users-per-dimension profile (users per event type, documents
+    * per domain) kept mergeable. A partial is <= shards x groups x 256
+    * rows; the group-by dimensions ride inside the same single map-side-
+    * combined hash aggregate, so the corpus is still scanned once however
+    * many groups exist. */
+  def hllPartialsBy(df: DataFrame, shardCol: String, groupCols: Seq[String],
+                    c: String): DataFrame = {
     import graft.functions.Portable
     graft.plans.GraftFunctions.register(df.sparkSession)
     // register and rank come from INDEPENDENTLY salted hashes, each pushed
@@ -233,7 +243,7 @@ object Profiling {
       .withColumn("rank", expr(
         "CASE WHEN __v = 0 THEN 31 " +
           "ELSE 31 - length(conv(CAST(__v AS STRING), 10, 2)) END"))
-      .groupBy(col(shardCol), col("reg"))
+      .groupBy((shardCol +: groupCols :+ "reg").map(col): _*)
       .agg(max(col("rank")).cast("bigint").as("max_rank"))
   }
 
@@ -246,15 +256,23 @@ object Profiling {
     * small-range linear-counting correction is deliberately omitted: it
     * needs ln(), which is not correctly-rounded-portable; at lake scale
     * cardinalities sit far above the correction regime anyway. */
-  def mergeHllDistinct(partials: DataFrame): DataFrame = {
-    val regs = partials.groupBy("reg").agg(max(col("max_rank")).as("max_rank"))
-    regs.agg(
+  def mergeHllDistinct(partials: DataFrame): DataFrame =
+    mergeHllDistinctBy(partials, Seq.empty)
+
+  /** Grouped [[mergeHllDistinct]]: registers re-MAX within (group, reg),
+    * then the raw estimator per group — same arithmetic, same bitwise
+    * portability, one row per group. */
+  def mergeHllDistinctBy(partials: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val regs = partials.groupBy((groupCols :+ "reg").map(col): _*)
+      .agg(max(col("max_rank")).as("max_rank"))
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(
         count(lit(1)).cast("bigint").as("registers_hit"),
         sum(expr("power(cast(0.5 as double), cast(max_rank as double))")).as("__s"))
-      .select(col("registers_hit"),
+      .select(groupCols.map(col) ++ Seq(col("registers_hit"),
         (lit(HllAlpha) * HllM * HllM /
           (col("__s") + (lit(HllM) - col("registers_hit")).cast("double")))
-          .as("est_distinct"))
+          .as("est_distinct")): _*)
   }
 
   /** Fold stats partials into the global profile (same shape the direct

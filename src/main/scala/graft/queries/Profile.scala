@@ -170,6 +170,17 @@ object Profile {
         Tables.events(spark, dir).withColumn("shard", pmod(col("event_id"), lit(16L))),
         "shard", "user_id"))
 
+  /** Per-dimension HLL: distinct users per event type from grouped register
+    * sets — the dimension profile (DAU per surface, docs per domain) that
+    * stays mergeable and one-scan however many groups exist. */
+  def eventsHllByType(spark: SparkSession, dir: String): DataFrame =
+    Profiling.mergeHllDistinctBy(
+      Profiling.hllPartialsBy(
+        Tables.events(spark, dir).withColumn("shard", pmod(col("event_id"), lit(16L))),
+        "shard", Seq("event_type"), "user_id"),
+      Seq("event_type"))
+      .orderBy("event_type")
+
   /** Mergeable Count-Min frequency sketch over the document token stream:
     * 16 shard partials fold by counter-SUM into the global sketch, which is
     * then point-queried for the top-20 true heavy hitters — output is
@@ -194,6 +205,7 @@ object Profile {
 
   val queries: Map[String, Q] = Map(
     "profile_cms_topk"          -> (documentsCmsTopTerms _),
+    "profile_hll_by_group"      -> (eventsHllByType _),
     "profile_hll_distinct"      -> (eventsHllDistinct _),
     "profile_quantile_sketch"   -> (eventsQuantileSketch _),
     "profile_incremental_stats" -> (lineitemIncrementalStats _),
@@ -232,6 +244,28 @@ object Profile {
          |FROM q LEFT JOIN sk ON sk.sk_row = q.sk_row AND sk.sk_slot = q.sk_slot
          |GROUP BY q.term, q.true_cnt
          |ORDER BY q.true_cnt DESC, q.term ASC""".stripMargin
+    },
+    // grouped twin: identical hash/register/rank arithmetic with event_type
+    // carried through — one register set per group
+    "profile_hll_by_group" -> {
+      import graft.functions.Portable
+      val hr = Portable.hllScrambleDuck(
+        Portable.phashDuck("('hll-' || CAST(user_id AS VARCHAR))"))
+      val hk = Portable.hllScrambleDuck(
+        Portable.phashDuck("('hllr-' || CAST(user_id AS VARCHAR))"))
+      s"""WITH h AS (SELECT event_type, $hr AS hreg, $hk AS v FROM events
+         |  WHERE user_id IS NOT NULL),
+         |r AS (SELECT event_type, hreg % 256 AS reg, CASE WHEN v = 0 THEN 31
+         |  ELSE 31 - length(printf('%b', v)) END AS rank FROM h),
+         |regs AS (SELECT event_type, reg, CAST(MAX(rank) AS BIGINT) AS max_rank
+         |  FROM r GROUP BY event_type, reg),
+         |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS registers_hit,
+         |  SUM(power(CAST(0.5 AS DOUBLE), CAST(max_rank AS DOUBLE))) AS s
+         |  FROM regs GROUP BY event_type)
+         |SELECT event_type, registers_hit,
+         |  CAST(${Profiling.HllAlpha} AS DOUBLE) * 256 * 256
+         |    / (s + CAST(256 - registers_hit AS DOUBLE)) AS est_distinct
+         |FROM a ORDER BY event_type""".stripMargin
     },
     // direct-scan twin of the merged HLL sketch: same salted portable hash,
     // same 256 registers, same integer ranks, same dyadic power sum, same
