@@ -109,7 +109,8 @@ object StreamPipeline {
                      histLo: Double, histWidth: Double, histBins: Int,
                      distinctCol: String,
                      lake: graft.lake.TableFormat, checkpoint: String,
-                     maxFilesPerTrigger: Int = 16): StreamingQuery = {
+                     maxFilesPerTrigger: Int = 16,
+                     termCol: Option[String] = None): StreamingQuery = {
     import org.apache.spark.sql.functions._
     import graft.operators.Profiling
     spark.readStream
@@ -130,6 +131,11 @@ object StreamPipeline {
           histLo, histWidth, histBins), "hist_partials", Seq("shard"))
         lake.upsert(Profiling.hllPartials(b, "shard", distinctCol),
           "hll_partials", Seq("shard"))
+        // optional fourth family: Count-Min frequency partials — the same
+        // shard-scoped replace keeps the full sketch trio + stats mergeable
+        // from the stream with no rescan
+        termCol.foreach(tc => lake.upsert(Profiling.cmsPartials(b, "shard", tc),
+          "cms_partials", Seq("shard")))
       }
       .start()
   }

@@ -225,6 +225,32 @@ class PlanSpec extends AnyFunSuite {
       s"row_number must partition by (dom, bkt):\n${p.take(900)}")
   }
 
+  test("CMS sketch: partials are one map-side-combined aggregate; estimates broadcast") {
+    import org.apache.spark.sql.functions._
+    val toks = graft.core.Tables.documents(spark, TestSpark.sfDir)
+      .select(pmod(col("doc_id"), lit(16L)).as("shard"),
+        explode(expr("graft_tokens(text)")).as("term"))
+    val pp = graft.operators.Profiling.cmsPartials(toks, "shard", "term")
+      .queryExecution.executedPlan.toString
+    // partial aggregation must combine map-side: exactly one exchange, fed
+    // by a partial HashAggregate — the shuffle carries counters, not tokens
+    assert("\\bExchange\\b".r.findAllIn(pp).length == 1,
+      s"partials must pay exactly the aggregation exchange:\n${pp.take(600)}")
+    assert("HashAggregate".r.findAllIn(pp).length >= 2,
+      "expected partial + final hash aggregates (map-side combine)")
+    val est = plan("profile_cms_topk")
+    assert(est.contains("BroadcastHashJoin"),
+      "the d x w sketch must broadcast to the point-query join")
+  }
+
+  test("ANN recall eval: ground-truth and index legs broadcast; no cartesian") {
+    val p = plan("ann_recall_eval")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side must broadcast in both legs")
+    assert(!p.contains("CartesianProduct"),
+      "recall eval must never degrade to a cartesian")
+  }
+
   test("z-order: zv is scan-fused arithmetic over one broadcast stats row") {
     val df = graft.lake.ZOrder.withZValue(
       graft.core.Tables.events(spark, TestSpark.sfDir)

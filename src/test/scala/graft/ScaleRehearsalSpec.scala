@@ -433,4 +433,56 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(pruneRatio1 < 0.05 && pruneRatio10 < 0.05,
       "survivor ratio must stay at the match rate, independent of volume")
   }
+
+  test("CMS partials scale linearly; sketch size is corpus-independent", SlowRehearsal) {
+    import graft.operators.Profiling
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def toks(d: DataFrame) = d.select(pmod(col("doc_id"), lit(16L)).as("shard"),
+      explode(expr("graft_tokens(text)")).as("term"))
+    graft.plans.GraftFunctions.register(spark)
+    val (t1, _) = timed("cms 1x") {
+      runRows(Profiling.mergeCms(Profiling.cmsPartials(toks(docs), "shard", "term")))
+    }
+    val (t10, n10) = timed("cms 10x") {
+      // perturbed copies add fresh tokens per universe — heavier token
+      // streams, but the sketch stays d x w counters by construction
+      runRows(Profiling.mergeCms(Profiling.cmsPartials(
+        toks(copies(docs, 10, Seq("doc_id"), perturbText = true)), "shard", "term")))
+    }
+    assert(n10 <= Profiling.CmsD.toLong * Profiling.CmsW,
+      s"merged sketch must stay <= d x w counters, got $n10")
+    assert(t10 / t1 < 20.0, f"superlinear blowup: $t1%.1f s -> $t10%.1f s")
+  }
+
+  test("Bloom sidecar: build scales linearly, lookup cost is index-sized", SlowRehearsal) {
+    import graft.lake.BloomIndex
+    val dir1 = Files.createTempDirectory("graft-bloomr1").toString
+    val dir10 = Files.createTempDirectory("graft-bloomr10").toString
+    def write(n: Long, d: String) = spark.range(n)
+      .select(col("id"), (col("id") % 100000L).as("user_id"))
+      .repartition(16, col("id")).write.mode("overwrite").parquet(d)
+    write(200000L, dir1); write(2000000L, dir10)
+    val (t1, _) = timed("bloom build 1x (200k)") {
+      runRows(BloomIndex.build(spark.read.parquet(dir1), "user_id"))
+    }
+    val (t10, _) = timed("bloom build 10x (2M)") {
+      runRows(BloomIndex.build(spark.read.parquet(dir10), "user_id"))
+    }
+    assert(t10 / t1 < 20.0, f"superlinear blowup: $t1%.1f s -> $t10%.1f s")
+    // serve cost rides the sidecar, not the data: once the index is
+    // materialized, a lookup scans files x bits/64 words — assert the
+    // structural bound (the wall clock at this scale is job-scheduling
+    // floor, not data; the INDEX SIZE is what's corpus-rate-independent)
+    val idx10 = BloomIndex.build(spark.read.parquet(dir10), "user_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idxRows = idx10.count()
+    assert(idxRows <= 16L * (1 << 16) / 64,
+      s"sidecar must stay <= files x bits/64 words, got $idxRows")
+    val (tq, nCand) = timed("bloom lookup on 10x index") {
+      BloomIndex.candidateFiles(spark, idx10, Seq(777L)).length.toLong
+    }
+    idx10.unpersist()
+    assert(nCand <= 16L)
+    info(f"lookup wall on the 10x index: $tq%.2f s over $idxRows index words")
+  }
 }

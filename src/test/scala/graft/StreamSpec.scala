@@ -224,7 +224,8 @@ class StreamSpec extends AnyFunSuite {
       StreamPipeline.profilingInbox(spark, inbox.toString, schema,
         statCols = Seq("value"), histCol = "value",
         histLo = 0.0, histWidth = 8.0, histBins = 32, distinctCol = "user",
-        lake = lake, checkpoint = ckpt, maxFilesPerTrigger = 1))
+        lake = lake, checkpoint = ckpt, maxFilesPerTrigger = 1,
+        termCol = Some("user")))
     drain()
     // the merged answers — computed ONLY from partial rows in the lake
     def answers() = (
@@ -232,8 +233,10 @@ class StreamSpec extends AnyFunSuite {
         .collect()(0),
       Profiling.mergeHistogramQuantiles(lake.read(spark, "hist_partials"),
         Seq(0.5, 0.95), lo = 0.0, width = 8.0).collect()(0),
-      Profiling.mergeHllDistinct(lake.read(spark, "hll_partials")).collect()(0))
-    val (st, hq, hll) = answers()
+      Profiling.mergeHllDistinct(lake.read(spark, "hll_partials")).collect()(0),
+      Profiling.mergeCms(lake.read(spark, "cms_partials"))
+        .orderBy("sk_row", "sk_slot").collect().toSeq)
+    val (st, hq, hll, cms) = answers()
     // direct single-scan twins over the union of both files
     import spark.implicits._
     val all = (0 until 1000).map(i =>
@@ -251,10 +254,15 @@ class StreamSpec extends AnyFunSuite {
     val directHll = Profiling.mergeHllDistinct(
       Profiling.hllPartials(all, "shard", "user")).collect()(0)
     assert(hll == directHll, s"hll:\n$hll\n$directHll")
+    // counters SUM, so streamed == direct bitwise for the CMS family too
+    val directCms = Profiling.mergeCms(
+      Profiling.cmsPartials(all, "shard", "user"))
+      .orderBy("sk_row", "sk_slot").collect().toSeq
+    assert(cms == directCms, "cms counters must fold to the direct sketch")
     // restart with the same checkpoint and nothing new: profile unchanged
     // (replayed/duplicate drains overwrite their own shard rows, never add)
     drain()
-    assert(answers() == ((st, hq, hll)), "idempotence across drains")
+    assert(answers() == ((st, hq, hll, cms)), "idempotence across drains")
   }
 
   test("stream-stream join: time-bounded matches; outer emits after watermark") {
