@@ -583,6 +583,30 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     commitManifest(t, mergeEntries(single, staged))
   }
 
+  /** OPTIMIZE ... ZORDER BY: rewrite the whole table with files clustered on
+    * the Morton curve over `zCols` WITHIN each partition (Delta's OPTIMIZE
+    * ZORDER / Iceberg's sort-order rewrite, public designs). Rows
+    * range-partition on (partition columns, zv), so every task holds a
+    * contiguous z-range of one (or at a boundary, two) partitions and the
+    * staged files inside a partition carry disjoint z-spans — parquet footer
+    * min/max stats then prune on ANY clustered column, the layout
+    * [[ZOrder]] gives unpartitioned paths, composed with the manifest
+    * commit. One table scan + the one range exchange any clustered rewrite
+    * must pay; `nTasks` sizes the output file count. */
+  def compactZOrdered(spark: SparkSession, t: String, zCols: Seq[String],
+                      nTasks: Int, bits: Int = 16): Unit = {
+    require(zCols.nonEmpty && nTasks >= 1, "need z-columns and >= 1 task")
+    val entries = manifest(t)
+    if (entries.isEmpty) return
+    val all = readDirs(spark, t, entries.flatMap(_._2))
+    val keyCols = (partitionCols ++ Seq("zv")).map(col)
+    val arranged = ZOrder.withZValue(all, zCols, bits)
+      .repartitionByRange(nTasks, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+      .drop("zv")
+    commitManifest(t, mergeEntries(Seq.empty, stage(arranged, t, "zorder")))
+  }
+
   /** Delete data directories no longer referenced by the current manifest and
     * manifests older than the pointer. */
   def expireUnreferenced(t: String): Seq[String] = {

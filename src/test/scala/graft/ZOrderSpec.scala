@@ -79,4 +79,34 @@ class ZOrderSpec extends AnyFunSuite {
         .forEach(f => Files.deleteIfExists(f))
     }
   }
+
+  test("partitioned OPTIMIZE ZORDER: per-partition files prune on both z-columns") {
+    import spark.implicits._
+    val t = new graft.lake.PartitionedTable(
+      java.nio.file.Files.createTempDirectory("graft-zopt").toString, Seq("day"))
+    val n = 40000L
+    def slice(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"),
+      concat(lit("d"), col("id") % 2).as("day"),
+      (col("id") * 48271L % 65521L).as("x"),
+      (col("id") * 69621L % 65497L).as("y"))
+    // three appends -> multi-directory partitions, the compaction trigger
+    t.create(slice(0, n / 2), "zc")
+    t.append(slice(n / 2, 3 * n / 4), "zc")
+    t.append(slice(3 * n / 4, n), "zc")
+    val rowsBefore = t.read(spark, "zc").count()
+    t.compactZOrdered(spark, "zc", Seq("x", "y"), nTasks = 16)
+    // content preserved; every partition now single-directory
+    assert(t.read(spark, "zc").count() == rowsBefore)
+    assert(t.entries("zc").forall(_._2.length == 1))
+    // within ONE partition, footer spans prune on BOTH columns
+    val dirs = t.partitionDirs("zc", "__p_day=d0")
+    val spans = ZOrder.fileSpans(spark, dirs.head, Seq("x", "y"))
+      .select("min_y", "max_y").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nFiles = spans.length
+    assert(nFiles >= 4, s"expected several files per partition, got $nFiles")
+    val hit = spansIntersecting(spans, 10000L, 14000L)
+    info(s"y-box reads $hit of $nFiles files in partition d0")
+    assert(hit <= (nFiles + 1) / 2, s"z-order should prune on y: $hit/$nFiles")
+  }
 }
