@@ -275,6 +275,28 @@ object Profiling {
           .as("est_distinct")): _*)
   }
 
+  /** HLL set algebra — audience overlap WITHOUT a rescan or a join: given
+    * the two cohorts' register partials, the union sketch is just the
+    * register-wise MAX of both (the HLL merge), and the intersection
+    * estimate follows by inclusion-exclusion est(A) + est(B) - est(A∪B).
+    * This is the two-cohort question (users who did X and Y) answered from
+    * sketch state alone — at 100 TB the partials are two 256-row tables,
+    * while the exact answer is a distinct-join over both cohorts' raw data.
+    * Inclusion-exclusion inherits BOTH sketches' error, so small overlaps
+    * drown in noise (standard HLL-intersection caveat; spec-bounded) — the
+    * arithmetic itself is the same dyadic/bitwise-portable estimator as
+    * [[mergeHllDistinct]], so the estimates hash-check. */
+  def hllOverlap(partialsA: DataFrame, partialsB: DataFrame): DataFrame = {
+    def est(p: DataFrame, name: String) =
+      mergeHllDistinct(p).select(col("est_distinct").as(name))
+    val u = mergeHllDistinct(partialsA.select("reg", "max_rank")
+        .unionByName(partialsB.select("reg", "max_rank")))
+      .select(col("est_distinct").as("est_union"))
+    est(partialsA, "est_a").crossJoin(est(partialsB, "est_b")).crossJoin(u)
+      .withColumn("est_intersection",
+        col("est_a") + col("est_b") - col("est_union"))
+  }
+
   /** Fold stats partials into the global profile (same shape the direct
     * single-scan aggregate would produce): total/non-null counts, min/max,
     * exact sum and the [[graft.core.Exact.davg]]-style reproducible mean.

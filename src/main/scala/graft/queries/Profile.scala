@@ -181,6 +181,18 @@ object Profile {
       Seq("event_type"))
       .orderBy("event_type")
 
+  /** HLL set algebra: distinct clickers, viewers, their union by register
+    * MAX, and the click∩view audience by inclusion-exclusion — answered
+    * entirely from the two cohorts' register partials, no join over raw
+    * events. */
+  def eventsHllOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("shard", pmod(col("event_id"), lit(16L)))
+    def partials(t: String) =
+      Profiling.hllPartials(ev.filter(col("event_type") === t), "shard", "user_id")
+    Profiling.hllOverlap(partials("click"), partials("view"))
+  }
+
   /** Mergeable Count-Min frequency sketch over the document token stream:
     * 16 shard partials fold by counter-SUM into the global sketch, which is
     * then point-queried for the top-20 true heavy hitters — output is
@@ -205,6 +217,7 @@ object Profile {
 
   val queries: Map[String, Q] = Map(
     "profile_cms_topk"          -> (documentsCmsTopTerms _),
+    "profile_hll_overlap"       -> (eventsHllOverlap _),
     "profile_hll_by_group"      -> (eventsHllByType _),
     "profile_hll_distinct"      -> (eventsHllDistinct _),
     "profile_quantile_sketch"   -> (eventsQuantileSketch _),
@@ -244,6 +257,35 @@ object Profile {
          |FROM q LEFT JOIN sk ON sk.sk_row = q.sk_row AND sk.sk_slot = q.sk_slot
          |GROUP BY q.term, q.true_cnt
          |ORDER BY q.true_cnt DESC, q.term ASC""".stripMargin
+    },
+    // three direct-scan estimators (click / view / either): the union of the
+    // Spark side's register partials sees exactly the rows of the IN-filter
+    // scan, so register-MAX algebra == direct union scan, bitwise; the
+    // intersection is plain double arithmetic on the three estimates
+    "profile_hll_overlap" -> {
+      import graft.functions.Portable
+      val hr = Portable.hllScrambleDuck(
+        Portable.phashDuck("('hll-' || CAST(user_id AS VARCHAR))"))
+      val hk = Portable.hllScrambleDuck(
+        Portable.phashDuck("('hllr-' || CAST(user_id AS VARCHAR))"))
+      def estCte(tag: String, where: String) =
+        s"""h_$tag AS (SELECT $hr AS hreg, $hk AS v FROM events
+           |  WHERE user_id IS NOT NULL AND $where),
+           |r_$tag AS (SELECT hreg % 256 AS reg, CASE WHEN v = 0 THEN 31
+           |  ELSE 31 - length(printf('%b', v)) END AS rank FROM h_$tag),
+           |g_$tag AS (SELECT reg, CAST(MAX(rank) AS BIGINT) AS max_rank
+           |  FROM r_$tag GROUP BY reg),
+           |a_$tag AS (SELECT CAST(COUNT(*) AS BIGINT) AS hit,
+           |  SUM(power(CAST(0.5 AS DOUBLE), CAST(max_rank AS DOUBLE))) AS s
+           |  FROM g_$tag),
+           |e_$tag AS (SELECT CAST(${Profiling.HllAlpha} AS DOUBLE) * 256 * 256
+           |    / (s + CAST(256 - hit AS DOUBLE)) AS est_$tag FROM a_$tag)""".stripMargin
+      s"""WITH ${estCte("a", "event_type = 'click'")},
+         |${estCte("b", "event_type = 'view'")},
+         |${estCte("union", "event_type IN ('click', 'view')")}
+         |SELECT est_a, est_b, est_union,
+         |  est_a + est_b - est_union AS est_intersection
+         |FROM e_a, e_b, e_union""".stripMargin
     },
     // grouped twin: identical hash/register/rank arithmetic with event_type
     // carried through — one register set per group

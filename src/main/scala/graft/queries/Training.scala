@@ -453,31 +453,37 @@ object Training {
     * stage's output — so a column-contract drift between stages breaks the
     * hash even when every standalone gate stays green. Every output column is
     * BIGINT/INT/VARCHAR (no floats cross the comparator). lazy: composes
-    * [[langCase]], declared further down. */
+    * [[langCase]], declared further down.
+    *
+    * The chain-root CTEs are declared MATERIALIZED: DuckDB inlines CTEs by
+    * default, and with d3 referenced four ways (each re-deriving d2, d1, d0
+    * in turn) the inlined plan re-evaluates the whole upstream chain
+    * multiplicatively — measured 600+ s and 36 GB of spill at sf0.1 where
+    * the materialized form runs in ~2 s bit-identically. */
   private lazy val curationE2ESql = {
     val targets = DsirTargetSources.map(s => s"'$s'").mkString(", ")
     val B = DsirBuckets
     val L = SubstrWindow
     val sh8 = Portable.shinglesDuck("toks", L)
-    s"""WITH d0 AS (SELECT doc_id, source, lang,
+    s"""WITH d0 AS MATERIALIZED (SELECT doc_id, source, lang,
        |  substr(text, 1, 40) || chr(10) || 'standard disclaimer for ' || source
        |    || chr(10) || substr(text, 41) || chr(10) || 'copyright corpus collection' AS text
        |FROM documents),
        |ll AS (SELECT doc_id,
        |  generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
        |  unnest(string_split(text, chr(10))) AS line FROM d0),
-       |lnz AS (SELECT * FROM ll WHERE line <> ''),
+       |lnz AS MATERIALIZED (SELECT * FROM ll WHERE line <> ''),
        |lf AS (SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM lnz GROUP BY line),
        |lk AS (SELECT lnz.doc_id, lnz.pos, lnz.line FROM lnz JOIN lf USING (line)
        |  WHERE lf.line_df <= $LineMaxDf),
        |lka AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
        |  FROM lk GROUP BY doc_id),
-       |d1 AS (SELECT d0.doc_id, d0.source, d0.lang, COALESCE(lka.clean_text, '') AS text
+       |d1 AS MATERIALIZED (SELECT d0.doc_id, d0.source, d0.lang, COALESCE(lka.clean_text, '') AS text
        |  FROM d0 LEFT JOIN lka USING (doc_id)),
-       |t2 AS (SELECT doc_id, $toks AS toks FROM d1),
+       |t2 AS MATERIALIZED (SELECT doc_id, $toks AS toks FROM d1),
        |w0 AS (SELECT doc_id, generate_subscripts($sh8, 1) - 1 AS pos,
        |  unnest($sh8) AS win FROM t2),
-       |wh AS (SELECT doc_id, pos, md5(win) AS whash FROM w0),
+       |wh AS MATERIALIZED (SELECT doc_id, pos, md5(win) AS whash FROM w0),
        |wrep AS (SELECT whash FROM wh GROUP BY whash HAVING COUNT(*) > 1),
        |wr AS (SELECT wh.doc_id, wh.pos FROM wh JOIN wrep USING (whash)),
        |wi1 AS (SELECT doc_id, pos,
@@ -490,13 +496,13 @@ object Training {
        |wkept AS (SELECT wtp.doc_id, wtp.i, wtp.tok FROM wtp WHERE NOT EXISTS
        |  (SELECT 1 FROM wsp WHERE wsp.doc_id = wtp.doc_id AND wtp.i >= wsp.s AND wtp.i < wsp.e)),
        |wfin AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text FROM wkept GROUP BY doc_id),
-       |d2 AS (SELECT d1.doc_id, d1.source, d1.lang, COALESCE(wfin.clean_text, '') AS text
+       |d2 AS MATERIALIZED (SELECT d1.doc_id, d1.source, d1.lang, COALESCE(wfin.clean_text, '') AS text
        |  FROM d1 LEFT JOIN wfin USING (doc_id)),
        |st AS (SELECT doc_id, source IN ($targets) AS is_target, $toks AS toks FROM d2),
        |sf AS (SELECT doc_id, is_target,
        |  unnest(list_concat(toks, ${Portable.shinglesDuck("toks", 2)})) AS f FROM st),
        |sfb AS (SELECT doc_id, is_target, ${Portable.phashDuck("f")} % $B AS b FROM sf),
-       |sdb AS (SELECT doc_id, is_target, b, CAST(COUNT(*) AS BIGINT) AS c FROM sfb GROUP BY 1, 2, 3),
+       |sdb AS MATERIALIZED (SELECT doc_id, is_target, b, CAST(COUNT(*) AS BIGINT) AS c FROM sfb GROUP BY 1, 2, 3),
        |sp AS (SELECT b, CAST(SUM(c) AS BIGINT) AS p_cnt FROM sdb WHERE is_target GROUP BY b),
        |sq AS (SELECT b, CAST(SUM(c) AS BIGINT) AS q_cnt FROM sdb WHERE NOT is_target GROUP BY b),
        |sl AS (SELECT COALESCE(sp.b, sq.b) AS b, COALESCE(p_cnt, 0) AS p_cnt, COALESCE(q_cnt, 0) AS q_cnt
@@ -509,12 +515,12 @@ object Training {
        |ssc AS (SELECT doc_id, CAST(SUM(c * llr) AS BIGINT) AS dsir_score
        |  FROM sdb JOIN slr USING (b) GROUP BY doc_id),
        |sthr AS (SELECT quantile_cont(dsir_score, $DsirKeepPct) AS thr FROM ssc),
-       |d3 AS (SELECT d2.* FROM d2 JOIN ssc USING (doc_id) CROSS JOIN sthr
+       |d3 AS MATERIALIZED (SELECT d2.* FROM d2 JOIN ssc USING (doc_id) CROSS JOIN sthr
        |  WHERE ssc.dsir_score::DOUBLE >= sthr.thr),
        |ck AS (SELECT md5(text) AS k, MIN(doc_id) AS keep FROM d3 GROUP BY 1),
        |cex AS (SELECT d.doc_id, d.doc_id <> ck.keep AS is_exact_dup
        |  FROM d3 d JOIN ck ON md5(d.text) = ck.k),
-       |ct AS (SELECT doc_id, text, $toks AS toks FROM d3),
+       |ct AS MATERIALIZED (SELECT doc_id, text, $toks AS toks FROM d3),
        |clg AS (SELECT doc_id,
        |  ${Portable.stopRatioDuck("toks", Portable.StopEn)} AS r_en,
        |  ${Portable.stopRatioDuck("toks", Portable.StopEs)} AS r_es,
@@ -533,7 +539,7 @@ object Training {
        |  CASE WHEN n_tokens > 0 THEN n_distinct::DOUBLE / n_tokens ELSE 0::DOUBLE END +
        |  CASE WHEN length(text) > 0 THEN alpha_chars::DOUBLE / length(text) ELSE 0::DOUBLE END AS quality_score
        |FROM cc),
-       |ctk AS (SELECT doc_id, toks FROM ct WHERE len(toks) > 0),
+       |ctk AS MATERIALIZED (SELECT doc_id, toks FROM ct WHERE len(toks) > 0),
        |cuc AS (SELECT doc_id, t, COUNT(*) AS tf
        |  FROM (SELECT doc_id, unnest(toks) AS t FROM ctk) GROUP BY doc_id, t),
        |cua AS (SELECT doc_id, SUM(tf) AS n, MAX(tf) AS top FROM cuc GROUP BY doc_id),
@@ -553,7 +559,7 @@ object Training {
        |       ELSE 'keep' END AS reason
        |FROM cex JOIN clp ON cex.doc_id = clp.doc_id JOIN cq ON cex.doc_id = cq.doc_id
        |LEFT JOIN crep ON cex.doc_id = crep.doc_id),
-       |d4 AS (SELECT d3.* FROM d3 JOIN cr USING (doc_id) WHERE cr.reason = 'keep'),
+       |d4 AS MATERIALIZED (SELECT d3.* FROM d3 JOIN cr USING (doc_id) WHERE cr.reason = 'keep'),
        |bt AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens,
        |  ${Portable.sampleBucketDuck("doc_id")} AS bkt FROM d4),
        |bcum AS (SELECT doc_id, source, n_tokens,
@@ -561,7 +567,7 @@ object Training {
        |    ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM bt),
        |tb AS (SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
        |  FROM bcum WHERE cum_tokens <= $E2eBudget),
-       |d5 AS (SELECT d4.* FROM d4 WHERE doc_id IN (SELECT doc_id FROM tb)),
+       |d5 AS MATERIALIZED (SELECT d4.* FROM d4 WHERE doc_id IN (SELECT doc_id FROM tb)),
        |pt AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens FROM d5),
        |pf AS (SELECT doc_id, lang, doc_id % 16 AS shard, n_tokens FROM pt WHERE n_tokens > 0),
        |po AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
