@@ -57,6 +57,45 @@ trait TableFormat {
     matches
   }
 
+  /** Key-targeted DELETE: remove the target rows whose key tuple appears in
+    * `keyRows` (null-safe, like [[upsert]]'s matching). The deletion half of
+    * a MERGE — [[upsert]] without the insert. Default rewrites the snapshot;
+    * [[PartitionedTable]] overrides partition-scoped. */
+  def deleteMatching(keyRows: DataFrame, table: String, keys: Seq[String]): Unit = {
+    val target = read(keyRows.sparkSession, table)
+    val srcKeys = keyRows.select(keys.map(k => col(k).as(s"__k_$k")): _*).distinct()
+    val cond = keys.map(k => target(k) <=> srcKeys(s"__k_$k")).reduce(_ && _)
+    overwrite(target.join(srcKeys, cond, "left_anti"), table)
+  }
+
+  /** CDC / changefeed apply — the general MERGE the reference drives through
+    * BigQuery DML (services/loader/bigquery_manager.py:259-316) and
+    * Delta/Iceberg expose as MERGE INTO: a batch of change rows carrying an
+    * op column ('insert'/'update'/'delete', upsert semantics for the first
+    * two) and an ordering column collapses to ONE final action per key
+    * (latest by `orderCol`, so an insert+update+delete lifecycle inside one
+    * batch nets to the delete), then lands as one key-targeted delete plus
+    * one upsert. Replaying the same batch is a no-op by construction:
+    * upserted keys re-upsert to identical rows, deleted keys re-delete
+    * nothing. Cost is the implementation's upsert + delete — partition-
+    * scoped on [[PartitionedTable]]. NOTE: two commits, not one atomic one;
+    * a reader between them sees deletes applied but updates not yet — the
+    * single-writer lake has no cross-commit transaction (the trait boundary
+    * where Iceberg's single-commit MERGE would slot in). */
+  def applyCdc(changes: DataFrame, table: String, keys: Seq[String],
+               opCol: String, orderCol: String): Unit = {
+    val latest = changes
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(changes.columns.map(col): _*), col(orderCol)).as("__r"))
+      .select(col("__r.*"))
+    val dels = latest.filter(lower(col(opCol)) === "delete")
+    val ups = latest.filter(lower(col(opCol)) =!= "delete")
+      .drop(opCol)
+    if (exists(table) && !dels.isEmpty)
+      deleteMatching(dels.select(keys.map(col): _*), table, keys)
+    if (!ups.isEmpty) upsert(ups, table, keys)
+  }
+
   /** Version-aware MERGE: apply only incoming rows STRICTLY newer (per
     * `orderCol`) than the current row for their key — the event-time floor
     * that keeps a replayed stale file from resurrecting old row versions
@@ -545,6 +584,29 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
       }
     val untouched = existing.filterNot(e => rewriteIds.contains(e._1))
     commitManifest(t, mergeEntries(untouched, stagedNew ++ stagedKept))
+  }
+
+  /** Partition-scoped key-targeted DELETE: a key-columns-only probe (the
+    * same column-pruned semi-join shape as [[upsert]]'s moved-key scan)
+    * finds the partitions holding matching keys; only those rewrite via
+    * anti-join, everything else commits by reference. No match, no commit. */
+  override def deleteMatching(keyRows: DataFrame, t: String, keys: Seq[String]): Unit = {
+    val spark = keyRows.sparkSession
+    val entries = manifest(t)
+    if (entries.isEmpty) return
+    val srcKeys = keyRows.select(keys.map(k => col(k).as(s"__k_$k")): _*).distinct()
+    val scan = readDirs(spark, t, entries.flatMap(_._2))
+      .select(keys.map(col) :+ input_file_name().as("__file"): _*)
+    val hitIds = scan
+      .join(srcKeys, keys.map(k => scan(k) <=> srcKeys(s"__k_$k")).reduce(_ && _), "left_semi")
+      .select("__file").distinct().collect()
+      .map(r => idOfFilePath(t, r.getString(0))).toSet
+    if (hitIds.isEmpty) return
+    val old = readDirs(spark, t, entries.filter(e => hitIds.contains(e._1)).flatMap(_._2))
+    val kept = old.join(srcKeys,
+      keys.map(k => old(k) <=> srcKeys(s"__k_$k")).reduce(_ && _), "left_anti")
+    commitManifest(t, mergeEntries(entries.filterNot(e => hitIds.contains(e._1)),
+      stage(kept, t, "delete-keys")))
   }
 
   /** Partition-scoped DELETE WHERE: one probe scan — column-pruned to the

@@ -324,6 +324,52 @@ class LakeSpec extends AnyFunSuite {
     assert(t.read(spark, "pdw").count() == 36)
   }
 
+  test("CDC apply: latest-per-key collapse, delete wins, idempotent replay") {
+    import spark.implicits._
+    val t = fmt()
+    t.create(Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L))
+      .toDF("id", "v", "ver"), "cdc")
+    // one batch: update 1, delete 2, insert 4, and a full lifecycle on 5
+    // (insert -> update -> delete nets to NOTHING on a row that never existed)
+    val changes = Seq(
+      (1L, "A2", 1L, "update"),
+      (2L, "b", 1L, "delete"),
+      (4L, "d", 1L, "insert"),
+      (5L, "e1", 1L, "insert"),
+      (5L, "e2", 2L, "update"),
+      (5L, "e3", 3L, "delete"))
+      .toDF("id", "v", "ver", "op")
+    t.applyCdc(changes, "cdc", Seq("id"), "op", "ver")
+    def state() = t.read(spark, "cdc").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state() == Map(1L -> "A2", 3L -> "c", 4L -> "d"))
+    // replaying the identical batch converges to the same state
+    t.applyCdc(changes, "cdc", Seq("id"), "op", "ver")
+    assert(state() == Map(1L -> "A2", 3L -> "c", 4L -> "d"))
+  }
+
+  test("partitioned CDC apply touches only partitions holding changed keys") {
+    import spark.implicits._
+    val t = pfmt("day")
+    t.create((1 to 60).map(i => (i.toLong, s"d${i % 3}", s"v$i"))
+      .toDF("id", "day", "v"), "pcdc")
+    val before = t.entries("pcdc").toMap
+    // all changed keys live in d1 (ids ≡ 1 mod 3)
+    val changes = Seq(
+      (1L, "d1", "V1", 1L, "update"),
+      (4L, "d1", "v4", 1L, "delete"),
+      (61L, "d1", "v61", 1L, "insert"))
+      .toDF("id", "day", "v", "ver", "op")
+    t.applyCdc(changes, "pcdc", Seq("id"), "op", "ver")
+    val after = t.entries("pcdc").toMap
+    assert(after("__p_day=d0") == before("__p_day=d0"), "d0 untouched by reference")
+    assert(after("__p_day=d2") == before("__p_day=d2"), "d2 untouched by reference")
+    val got = t.read(spark, "pcdc").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == "V1" && got(61L) == "v61" && !got.contains(4L))
+    assert(got.size == 60) // 60 - 1 delete + 1 insert
+  }
+
   test("snapshot diff classifies added/removed/changed and drops unchanged") {
     import spark.implicits._
     val t = fmt()
