@@ -89,6 +89,35 @@ object StreamPipeline {
       }
       .start()
 
+  /** Continuous CDC apply: watch an inbox of change files (op column
+    * 'insert'/'update'/'delete' + an ordering column) and fold each
+    * micro-batch into the lake via [[graft.lake.TableFormat.applyCdc]] — the
+    * streaming form of a Debezium/changefeed consumer. Idempotence across
+    * checkpoint replays comes from applyCdc itself (re-upserting identical
+    * rows, re-deleting absent keys), the same effectively-once contract as
+    * [[silverUpsertInbox]]; the latest-per-key collapse inside applyCdc also
+    * makes one batch carrying a key's whole lifecycle land as its net
+    * effect. NOTE the file-grain ledger caveat from silverUpsertInbox
+    * applies: a stale change file under a NEW NAME replays old ops — keep
+    * `orderCol` values monotone per key upstream, or route through
+    * upsertVersioned semantics for the update stream. */
+  def cdcInbox(spark: SparkSession, inbox: String, schema: StructType,
+               lake: graft.lake.TableFormat, table: String,
+               keys: Seq[String], opCol: String, orderCol: String,
+               checkpoint: String, maxFilesPerTrigger: Int = 16): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("header", true)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(inbox)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        lake.applyCdc(batch, table, keys, opCol, orderCol)
+      }
+      .start()
+
   /** Streaming incremental profiling: every micro-batch lands its MERGEABLE
     * sketch partials — exact moments ([[graft.operators.Profiling
     * .statsPartials]]), fixed-grid histogram bins, and HLL registers — into

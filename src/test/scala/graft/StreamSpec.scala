@@ -265,6 +265,38 @@ class StreamSpec extends AnyFunSuite {
     assert(answers() == ((st, hq, hll, cms)), "idempotence across drains")
   }
 
+  test("continuous CDC apply: change files fold into the lake; replay converges") {
+    val root = Files.createTempDirectory("graft-stream-cdc")
+    val inbox = root.resolve("inbox"); Files.createDirectories(inbox)
+    val ckpt = root.resolve("ckpt").toString
+    val lake = new graft.lake.ParquetDirFormat(root.resolve("lake").toString)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("ver", LongType), StructField("op", StringType)))
+    def drain(): Unit = StreamPipeline.runAvailableNow(
+      StreamPipeline.cdcInbox(spark, inbox.toString, schema, lake, "t",
+        Seq("id"), "op", "ver", ckpt, maxFilesPerTrigger = 1))
+    Files.write(inbox.resolve("c1.csv"),
+      "id,v,ver,op\n1,a,1,insert\n2,b,1,insert\n3,c,1,insert\n".getBytes)
+    drain()
+    def state() = lake.read(spark, "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state() == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // second file: update 1, delete 2, full lifecycle on 4 (nets to nothing)
+    Files.write(inbox.resolve("c2.csv"),
+      ("id,v,ver,op\n1,A2,2,update\n2,b,2,delete\n" +
+        "4,d1,2,insert\n4,d2,3,update\n4,d3,4,delete\n").getBytes)
+    drain()
+    assert(state() == Map(1L -> "A2", 3L -> "c"))
+    // fresh checkpoint = full replay of BOTH files: applyCdc converges
+    drain()
+    StreamPipeline.runAvailableNow(
+      StreamPipeline.cdcInbox(spark, inbox.toString, schema, lake, "t",
+        Seq("id"), "op", "ver", root.resolve("ckpt2").toString,
+        maxFilesPerTrigger = 1))
+    assert(state() == Map(1L -> "A2", 3L -> "c"), "replay must converge")
+  }
+
   test("stream-stream join: time-bounded matches; outer emits after watermark") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
