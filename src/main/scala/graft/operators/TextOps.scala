@@ -230,6 +230,40 @@ object TextOps {
     * Scoring uses the rational-idf BM25 ([[Portable.bm25Term]]) so the gate
     * stays bitwise across engines; all intermediate sums are integer-valued
     * doubles (exact under any accumulation order). */
+  /** Integer-exact TF-IDF retrieval — [[bm25Search]]'s engine-exact sibling:
+    * idf is the BIT WIDTH of N/df (floor-log2 + 1, the same integer
+    * formulation as the surprisal scorers — transcendental ln is not
+    * bitwise-portable), so score = Σ tf_t · idfbits_t is pure BIGINT
+    * arithmetic and the ranking hash-checks against the oracle. Shape is
+    * the scale-right retrieval topology: one token scan with wide
+    * conditional counts (map-side combined), a one-row stats aggregate
+    * broadcast back, TakeOrdered top-k — no per-term joins, no shuffle
+    * beyond the per-doc aggregate. Terms absent from the corpus (df = 0)
+    * contribute zero instead of dividing by it. */
+  def tfidfSearch(docs: DataFrame, terms: Seq[String], topK: Int = 50): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9_]+")),
+      "terms must be non-empty identifiers")
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val tok = Scale.fanOutScan(docs).select(col("doc_id"),
+      explode(expr("graft_tokens(text)")).as("t"))
+    val tfAggs = terms.map(t =>
+      count(when(col("t") === t, lit(1))).cast("bigint").as(s"tf_$t"))
+    val perDoc = tok.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+    val dfAggs = terms.map(t =>
+      sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).cast("bigint").as(s"df_$t"))
+    val stats = perDoc.agg(count(lit(1)).cast("bigint").as("n"), dfAggs: _*)
+    val score = terms.map(t =>
+      s"(CASE WHEN df_$t > 0 THEN tf_$t * " +
+        s"length(conv(CAST(n DIV df_$t AS STRING), 10, 2)) ELSE 0 END)")
+      .mkString(" + ")
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score", expr(score).cast("bigint"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+      .select(col("doc_id") +: terms.map(t => col(s"tf_$t")) :+ col("score"): _*)
+  }
+
   def bm25Search(docs: DataFrame, terms: Seq[String],
                  k1: Double = 1.5, b: Double = 0.75, topK: Int = 50): DataFrame = {
     require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9_]+")),

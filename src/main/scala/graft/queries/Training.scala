@@ -79,6 +79,7 @@ object Training {
     "text_quality_filter"    -> ((s, d) => TextOps.qualityFilter(Tables.documents(s, d))),
     "text_contamination"     -> ((s, d) => TextOps.contamination(Tables.documents(s, d))),
     "text_bm25_search"       -> ((s, d) => TextOps.bm25Search(Tables.documents(s, d), Bm25Terms)),
+    "text_tfidf_search"      -> ((s, d) => TextOps.tfidfSearch(Tables.documents(s, d), Bm25Terms)),
     "text_pack_sequences"    -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
     "text_heavy_hitters"     -> ((s, d) => TextOps.heavyHitterTerms(Tables.documents(s, d))),
     "text_mixture_sample"    -> ((s, d) => TextOps.mixtureSample(Tables.documents(s, d), MixRates, MixDefault)),
@@ -711,6 +712,26 @@ object Training {
        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
   }
 
+  /** Mirror of [[TextOps.tfidfSearch]]: same wide conditional counts, same
+    * integer bit-width idf (printf('%b', x) length == conv-base-2 length),
+    * same BIGINT score — the retrieval ranking itself hash-checks. */
+  private val tfidfSql = {
+    val tfCols = Bm25Terms.map(t =>
+      s"CAST(COUNT(*) FILTER (WHERE t = '$t') AS BIGINT) AS tf_$t").mkString(", ")
+    val dfCols = Bm25Terms.map(t =>
+      s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(", ")
+    val score = Bm25Terms.map(t =>
+      s"(CASE WHEN df_$t > 0 THEN tf_$t * length(printf('%b', n // df_$t)) ELSE 0 END)")
+      .mkString(" + ")
+    val out = Bm25Terms.map(t => s"tf_$t").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+       |perdoc AS (SELECT doc_id, $tfCols FROM tok GROUP BY doc_id),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, $dfCols FROM perdoc),
+       |scored AS (SELECT doc_id, $out, CAST($score AS BIGINT) AS score FROM perdoc, stats)
+       |SELECT * FROM scored WHERE score > 0
+       |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+  }
+
   /** Oracle twin of extractMeta(syntheticMedia(documents)): Spark built a
     * REAL container header (PNG/WAV/JPEG — [[Multimodal.syntheticMedia]])
     * from doc_id arithmetic and must parse those bytes back; the oracle
@@ -1297,6 +1318,7 @@ object Training {
     "text_quality_filter"    -> qualityFilterSql,
     "text_contamination"     -> contaminationSql,
     "text_bm25_search"       -> bm25Sql,
+    "text_tfidf_search"      -> tfidfSql,
     "text_pack_sequences"    -> packSequencesSql,
     "text_heavy_hitters"     -> heavyHittersSql,
     "text_mixture_sample"    -> mixtureSampleSql,
