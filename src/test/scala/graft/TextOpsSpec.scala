@@ -352,6 +352,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(v2.collect()(0).getSeq[String](2) == Seq("aa", "aa"))
   }
 
+  test("tfidfSearch: bit-width idf ranks rarer terms higher; df=0 contributes zero") {
+    import spark.implicits._
+    // 8 docs: 'common' in all (idf bits of 8/8=1 -> 1), 'rare' in one
+    // (bits of 8/1=8 -> 4); 'ghost' never occurs (df=0 -> zero, not an error)
+    val docs = (0 until 8).map { i =>
+      (i.toLong, if (i == 0) "rare common filler" else "common filler pad")
+    }.toDF("doc_id", "text")
+    val got = TextOps.tfidfSearch(docs, Seq("rare", "common", "ghost"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // doc 0: 1*4 (rare) + 1*1 (common) + 0 = 5; others: 1*1 = 1
+    assert(got(0L) == 5L, s"doc 0 score ${got(0L)}")
+    assert((1 to 7).forall(i => got(i.toLong) == 1L), got.toString)
+  }
+
   test("Portable.isqrtSpark is exact at perfect-square boundaries past 2^52") {
     import graft.functions.Portable
     // k^2-1, k^2, k^2+1 for k around and beyond the double-precision cliff
