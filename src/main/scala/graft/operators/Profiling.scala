@@ -337,21 +337,32 @@ object Profiling {
     * all d rows at once, defeating the min). One explode x d stack then a
     * map-side-combined hash aggregate; a partial is <= shards x d x w rows
     * no matter the corpus size. */
-  def cmsPartials(df: DataFrame, shardCol: String, termCol: String): DataFrame = {
+  def cmsPartials(df: DataFrame, shardCol: String, termCol: String): DataFrame =
+    cmsPartialsBy(df, shardCol, Seq.empty, termCol)
+
+  /** Grouped [[cmsPartials]]: one d x w counter grid PER GROUP — term
+    * frequencies per source/domain/language in the same single map-side-
+    * combined aggregate; a partial is <= shards x groups x d x w rows. */
+  def cmsPartialsBy(df: DataFrame, shardCol: String, groupCols: Seq[String],
+                    termCol: String): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
     val pairs = (0 until CmsD)
       .map(j => s"$j, ${cmsSlotSpark(j, termCol)}").mkString(", ")
     df.filter(col(termCol).isNotNull)
-      .selectExpr(shardCol, s"stack($CmsD, $pairs) AS (sk_row, sk_slot)")
-      .groupBy(col(shardCol), col("sk_row"), col("sk_slot"))
+      .selectExpr((shardCol +: groupCols) :+
+        s"stack($CmsD, $pairs) AS (sk_row, sk_slot)": _*)
+      .groupBy((shardCol +: groupCols :+ "sk_row" :+ "sk_slot").map(col): _*)
       .agg(count(lit(1)).cast("bigint").as("cnt"))
   }
 
   /** Fold CMS partials into the global sketch: counters re-SUM across
     * shards. Integer addition is exactly associative, so any merge grouping
     * (and the direct single-scan build) lands on identical counters. */
-  def mergeCms(partials: DataFrame): DataFrame =
-    partials.groupBy(col("sk_row"), col("sk_slot"))
+  def mergeCms(partials: DataFrame): DataFrame = mergeCmsBy(partials, Seq.empty)
+
+  /** Grouped [[mergeCms]]: counters re-SUM within (group, row, slot). */
+  def mergeCmsBy(partials: DataFrame, groupCols: Seq[String]): DataFrame =
+    partials.groupBy((groupCols :+ "sk_row" :+ "sk_slot").map(col): _*)
       .agg(sum(col("cnt")).cast("bigint").as("cnt"))
 
   /** Point-query the merged sketch for each row of `terms`: estimate = MIN
@@ -361,13 +372,20 @@ object Profiling {
     * is <= d x w rows -> broadcast; cost is O(|terms|), never a corpus
     * rescan. Extra columns on `terms` (e.g. the true count being audited)
     * pass through untouched. */
-  def cmsEstimates(merged: DataFrame, terms: DataFrame, termCol: String): DataFrame = {
+  def cmsEstimates(merged: DataFrame, terms: DataFrame, termCol: String): DataFrame =
+    cmsEstimatesBy(merged, Seq.empty, terms, termCol)
+
+  /** Grouped [[cmsEstimates]]: `terms` rows carry the group columns and each
+    * is answered by ITS group's counter grid (absent counter — including a
+    * group the sketch never saw — reads zero). */
+  def cmsEstimatesBy(merged: DataFrame, groupCols: Seq[String],
+                     terms: DataFrame, termCol: String): DataFrame = {
     graft.plans.GraftFunctions.register(terms.sparkSession)
     val carry = terms.columns.filterNot(_ == termCol)
     val pairs = (0 until CmsD)
       .map(j => s"$j, ${cmsSlotSpark(j, termCol)}").mkString(", ")
     terms.selectExpr((terms.columns :+ s"stack($CmsD, $pairs) AS (sk_row, sk_slot)"): _*)
-      .join(broadcast(merged), Seq("sk_row", "sk_slot"), "left")
+      .join(broadcast(merged), (groupCols :+ "sk_row" :+ "sk_slot").toSeq, "left")
       .na.fill(0L, Seq("cnt"))
       .groupBy(termCol, carry: _*)
       .agg(min(col("cnt")).cast("bigint").as("cms_est"))

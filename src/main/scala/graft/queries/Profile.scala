@@ -215,7 +215,31 @@ object Profile {
       .orderBy(col("true_cnt").desc, col("term").asc)
   }
 
+  /** Per-source CMS: the global top-10 terms' frequency, per source, from
+    * one grouped sketch — the dimension-scoped frequency profile (which
+    * corpus slice is this term's mass coming from?) answered without a
+    * per-source rescan; a (source, term) pair the source never saw
+    * estimates 0 via the absent-counter rule. */
+  def documentsCmsBySource(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val toks = graft.operators.Scale.fanOutScan(Tables.documents(spark, dir))
+      .select(col("source"), pmod(col("doc_id"), lit(16L)).as("shard"),
+        explode(expr("graft_tokens(text)")).as("term"))
+    val top10 = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(10).select("term")
+    val grid = toks.select("source").distinct().crossJoin(top10)
+    val truth = toks.groupBy("source", "term")
+      .agg(count(lit(1)).cast("bigint").as("true_cnt"))
+    val terms = grid.join(truth, Seq("source", "term"), "left")
+      .na.fill(0L, Seq("true_cnt"))
+    val merged = Profiling.mergeCmsBy(
+      Profiling.cmsPartialsBy(toks, "shard", Seq("source"), "term"), Seq("source"))
+    Profiling.cmsEstimatesBy(merged, Seq("source"), terms, "term")
+      .orderBy("source", "term")
+  }
+
   val queries: Map[String, Q] = Map(
+    "profile_cms_by_group"      -> (documentsCmsBySource _),
     "profile_cms_topk"          -> (documentsCmsTopTerms _),
     "profile_hll_overlap"       -> (eventsHllOverlap _),
     "profile_hll_by_group"      -> (eventsHllByType _),
@@ -235,6 +259,34 @@ object Profile {
     "profile_number_potential"  -> (ordersNumberPotential _))
 
   val oracle: Map[String, String] = Map(
+    // grouped twin: one counter grid per source, identical hash arithmetic,
+    // absent (source, term) pairs estimate 0 via the missing-counter rule
+    "profile_cms_by_group" -> {
+      import graft.functions.Portable
+      val toksD = Portable.tokensDuck("text")
+      def slot(term: String) = Portable.hllScrambleDuck(
+        Portable.phashDuck(s"('cms' || CAST(j AS VARCHAR) || '-' || $term)")) +
+        s" % ${Profiling.CmsW}"
+      s"""WITH tok AS (SELECT source, unnest($toksD) AS term FROM documents),
+         |top10 AS (SELECT term FROM (SELECT term, COUNT(*) AS c FROM tok
+         |  GROUP BY term ORDER BY c DESC, term ASC LIMIT 10)),
+         |grid AS (SELECT source, term FROM (SELECT DISTINCT source FROM tok), top10),
+         |truth AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM tok GROUP BY source, term),
+         |sk AS (SELECT source, j AS sk_row, ${slot("term")} AS sk_slot,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM tok, range(${Profiling.CmsD}) r(j) GROUP BY 1, 2, 3),
+         |q AS (SELECT g.source, g.term, COALESCE(t.cnt, 0) AS true_cnt,
+         |    r.j AS sk_row, ${slot("g.term")} AS sk_slot
+         |  FROM grid g LEFT JOIN truth t ON t.source = g.source AND t.term = g.term,
+         |    range(${Profiling.CmsD}) r(j))
+         |SELECT q.term, q.source, CAST(q.true_cnt AS BIGINT) AS true_cnt,
+         |  CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS cms_est
+         |FROM q LEFT JOIN sk ON sk.source = q.source AND sk.sk_row = q.sk_row
+         |  AND sk.sk_slot = q.sk_slot
+         |GROUP BY q.term, q.source, q.true_cnt
+         |ORDER BY q.source, q.term""".stripMargin
+    },
     // direct-scan twin of the merged CMS sketch: same salted portable hashes
     // through the two-round scramble, same d x w grid, same min-of-counters
     // point query — direct == merged exactly because counters SUM
