@@ -151,7 +151,7 @@ object Portable {
        |    [CAST(v.embedding[d + 1] AS DOUBLE) * pl.plane[d + 1] for d in range(0, $Dim)]),
        |    (a, x) -> a + x) AS dot
        |  FROM embeddings v CROSS JOIN pl),
-       |buckets AS (SELECT vec_id, tbl,
+       |buckets AS MATERIALIZED (SELECT vec_id, tbl,
        |  CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS BIGINT) AS bucket
        |  FROM dots GROUP BY vec_id, tbl)""".stripMargin
 

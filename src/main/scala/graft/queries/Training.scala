@@ -1138,7 +1138,7 @@ object Training {
        |ORDER BY qs.query_id""".stripMargin
 
   private val annBruteSql =
-    s"""WITH e AS (SELECT vec_id, embedding,
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding,
        |  ${Portable.normDuck("embedding")} AS nrm FROM embeddings),
        |q AS (SELECT vec_id AS query_id, embedding AS emb_q, nrm AS norm_q FROM e WHERE vec_id < $NQueries),
        |s AS (SELECT q.query_id, v.vec_id AS neighbor_id,
@@ -1157,7 +1157,7 @@ object Training {
        |qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets WHERE vec_id < $NQueries),
        |cand AS (SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
        |  FROM buckets b JOIN qb USING (tbl, bucket) WHERE b.vec_id <> qb.query_id),
-       |e AS (SELECT vec_id, embedding, ${Portable.normDuck("embedding")} AS nrm FROM embeddings),
+       |e AS MATERIALIZED (SELECT vec_id, embedding, ${Portable.normDuck("embedding")} AS nrm FROM embeddings),
        |s AS (SELECT cand.query_id, cand.neighbor_id,
        |    (${Portable.dotDuck("q.embedding", "v.embedding")}) / (q.nrm * v.nrm) AS cosine
        |  FROM cand JOIN e q ON q.vec_id = cand.query_id JOIN e v ON v.vec_id = cand.neighbor_id),
@@ -1178,13 +1178,13 @@ object Training {
        |    ((${Portable.dotDuck("emb_v", "emb_v")}) + (${Portable.dotDuck("emb_c", "emb_c")}))
        |      - CAST(2 AS DOUBLE) * (${Portable.dotDuck("emb_v", "emb_c")}) AS dist
        |  FROM v CROSS JOIN c),
-       |rk AS (SELECT vec_id, cell,
+       |rk AS MATERIALIZED (SELECT vec_id, cell,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM d),
        |asg AS (SELECT vec_id, cell FROM rk WHERE rn = 1),
        |qc AS (SELECT vec_id AS query_id, cell FROM rk WHERE vec_id < $NQueries AND rn <= 4),
        |cand AS (SELECT DISTINCT qc.query_id, asg.vec_id AS neighbor_id
        |  FROM asg JOIN qc USING (cell) WHERE asg.vec_id <> qc.query_id),
-       |e AS (SELECT vec_id, embedding, ${Portable.normDuck("embedding")} AS nrm FROM embeddings),
+       |e AS MATERIALIZED (SELECT vec_id, embedding, ${Portable.normDuck("embedding")} AS nrm FROM embeddings),
        |s AS (SELECT cand.query_id, cand.neighbor_id,
        |    (${Portable.dotDuck("q.embedding", "nv.embedding")}) / (q.nrm * nv.nrm) AS cosine
        |  FROM cand JOIN e q ON q.vec_id = cand.query_id JOIN e nv ON nv.vec_id = cand.neighbor_id),
@@ -1216,13 +1216,13 @@ object Training {
     }.mkString(" ")
     val approx = (1 until m).foldLeft("l0.q0")((e, mm) => s"($e + l$mm.q$mm)")
     s"""WITH st AS (SELECT GREATEST(COUNT(*) // $ksub, 1) AS stride FROM embeddings),
-       |cent AS (SELECT vec_id // stride AS j, embedding FROM embeddings, st
+       |cent AS MATERIALIZED (SELECT vec_id // stride AS j, embedding FROM embeddings, st
        |  WHERE vec_id % stride = 0 AND vec_id // stride < $ksub),
        |sc AS (SELECT v.vec_id, c.j, $d2 FROM embeddings v CROSS JOIN cent c),
        |rk AS (SELECT vec_id, j, $rks FROM sc),
-       |codes AS (SELECT vec_id, $cds FROM rk GROUP BY vec_id),
+       |codes AS MATERIALIZED (SELECT vec_id, $cds FROM rk GROUP BY vec_id),
        |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < $NQueries),
-       |lut AS (SELECT query_id, c.j, $qd FROM q CROSS JOIN cent c),
+       |lut AS MATERIALIZED (SELECT query_id, c.j, $qd FROM q CROSS JOIN cent c),
        |s AS (SELECT l0.query_id, codes.vec_id AS neighbor_id, $approx AS approx_dist
        |  FROM codes $joins
        |  WHERE codes.vec_id <> l0.query_id),
@@ -1258,7 +1258,7 @@ object Training {
 
   private val kmeansSql = {
     val iters = (1 to KmeansIters).map(i => kmeansIterCte(i, s"c${i - 1}")).mkString("\n")
-    s"""WITH q AS (SELECT vec_id, ${Portable.quantVecDuck("embedding")} AS q FROM embeddings),
+    s"""WITH q AS MATERIALIZED (SELECT vec_id, ${Portable.quantVecDuck("embedding")} AS q FROM embeddings),
        |ix AS (SELECT unnest(range(1, ${Portable.Dim + 1})) AS d),
        |st AS (SELECT GREATEST(COUNT(*) // $KmeansK, 1) AS stride FROM embeddings),
        |c0 AS (SELECT vec_id // stride AS cell, q AS c FROM q, st
@@ -1280,7 +1280,7 @@ object Training {
   private val annSq8Sql = {
     val refine = 100
     s"""WITH st AS (SELECT ${Portable.sq8StatsDuck("embedding").mkString(", ")} FROM embeddings),
-       |c AS (SELECT vec_id, ${Portable.sq8VecDuck("embedding")} AS c FROM embeddings, st),
+       |c AS MATERIALIZED (SELECT vec_id, ${Portable.sq8VecDuck("embedding")} AS c FROM embeddings, st),
        |q AS (SELECT vec_id AS query_id, c AS cq FROM c WHERE vec_id < $NQueries),
        |s AS (SELECT q.query_id, v.vec_id AS neighbor_id,
        |    ${Portable.qL2Duck("q.cq", "v.c")} AS approx_dist
