@@ -42,11 +42,20 @@ object BloomIndex {
   }
 
   /** Build the sidecar from a file-backed scan: one pass, grouped by the
-    * file each row physically lives in — (file, w, bm) where word `w` holds
-    * bits [64w, 64w+64) of that file's filter. Size per file is AT MOST
-    * bits/64 rows (only words with a set bit materialize), so sizing bits
-    * for the expected distinct-per-file count is a memory knob, not a
-    * correctness one. */
+    * file each row physically lives in — (file, w, bm, bits, k) where word
+    * `w` holds bits [64w, 64w+64) of that file's filter. Size per file is AT
+    * MOST bits/64 rows (only words with a set bit materialize), so sizing
+    * bits for the expected distinct-per-file count is a memory knob, not a
+    * correctness one.
+    *
+    * The (bits, k) hash parameters are PERSISTED ON EVERY INDEX ROW: bit
+    * positions are only meaningful under the parameters that computed them,
+    * so an index queried with different parameters would silently return
+    * false negatives — missing files, breaking the superset guarantee. The
+    * read path ([[candidateFiles]]/[[lookup]]) therefore takes no parameter
+    * arguments at all; it recovers them from the index, surviving any lake
+    * round-trip. Two int32 columns per ≤ bits/64 rows per file is sidecar
+    * noise next to the 8-byte bitmap word they ride with. */
   def build(table: DataFrame, c: String, bits: Int = 1 << 16, k: Int = 2): DataFrame = {
     requireParams(bits, k)
     // hash the CANONICAL STRING form so build and lookup agree regardless of
@@ -57,24 +66,43 @@ object BloomIndex {
         explode(array((0 until k).map(i => pos(col("__c"), i, bits)): _*)).as("p"))
       .groupBy(col("file"), expr("p div 64").as("w"))
       .agg(bit_or(expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))")).as("bm"))
+      .withColumn("bits", lit(bits))
+      .withColumn("k", lit(k))
+  }
+
+  /** Recover the (bits, k) the index was BUILT with — never trust a caller
+    * default on the read path. Index-sized distinct (bounded: the sidecar is
+    * files x bits/64 rows), and a mixed-parameter index fails loudly instead
+    * of returning silent false negatives. */
+  private def storedParams(index: DataFrame): (Int, Int) = {
+    require(index.columns.contains("bits") && index.columns.contains("k"),
+      "index carries no (bits, k) metadata — rebuild it with BloomIndex.build")
+    val ps = index.select(col("bits"), col("k")).distinct().collect()
+    require(ps.length == 1,
+      s"index carries ${ps.length} distinct (bits, k) pairs — refusing to guess; " +
+        "rebuild the index under one parameter set")
+    val (bits, k) = (ps(0).getInt(0), ps(0).getInt(1))
+    requireParams(bits, k)
+    (bits, k)
   }
 
   /** Files that MIGHT contain at least one of `values` in column `c`: a
     * value is admitted by a file iff ALL k of its bits are set in that
     * file's filter. Index-sized work only — the lookup set joins the
     * sidecar on word index, no data file is opened. Superset guarantee:
-    * every file truly containing a value is returned. */
-  def candidateFiles(spark: SparkSession, index: DataFrame, values: Seq[Any],
-                     bits: Int = 1 << 16, k: Int = 2): Seq[String] = {
-    requireParams(bits, k)
+    * every file truly containing a value is returned. Hash parameters come
+    * from the index itself (see [[build]]). */
+  def candidateFiles(spark: SparkSession, index: DataFrame,
+                     values: Seq[Any]): Seq[String] = {
     if (values.isEmpty) return Seq.empty
+    val (bits, k) = storedParams(index)
     import spark.implicits._
     val vals = values.map(_.toString).toDF("__v").na.drop().distinct()
     val positions = vals.select(col("__v"),
       posexplode(array((0 until k).map(i => pos(col("__v"), i, bits)): _*)))
       .toDF("__v", "i", "p")
       .withColumn("w", expr("p div 64"))
-    positions.join(index, Seq("w"))
+    positions.join(index.select("file", "w", "bm"), Seq("w"))
       .filter(expr("(shiftright(bm, cast(p % 64 as int)) & cast(1 as bigint)) = 1"))
       .groupBy(col("file"), col("__v"))
       .agg(countDistinct(col("i")).as("hit_bits"))
@@ -90,9 +118,8 @@ object BloomIndex {
     * the same canonical text), so `values` must render the same way the
     * column casts to string. */
   def lookup(spark: SparkSession, index: DataFrame, c: String, values: Seq[Any],
-             schema: org.apache.spark.sql.types.StructType,
-             bits: Int = 1 << 16, k: Int = 2): DataFrame = {
-    val files = candidateFiles(spark, index, values, bits, k)
+             schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val files = candidateFiles(spark, index, values)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(files: _*)

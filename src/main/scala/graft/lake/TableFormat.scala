@@ -59,12 +59,17 @@ trait TableFormat {
 
   /** Key-targeted DELETE: remove the target rows whose key tuple appears in
     * `keyRows` (null-safe, like [[upsert]]'s matching). The deletion half of
-    * a MERGE — [[upsert]] without the insert. Default rewrites the snapshot;
+    * a MERGE — [[upsert]] without the insert. Like [[deleteWhere]], a
+    * no-match delete commits NOTHING — no new snapshot (so a replayed CDC
+    * batch whose deletes target absent keys never churns an O(table)
+    * rewrite). Default probes with a semi-join then rewrites the snapshot;
     * [[PartitionedTable]] overrides partition-scoped. */
   def deleteMatching(keyRows: DataFrame, table: String, keys: Seq[String]): Unit = {
     val target = read(keyRows.sparkSession, table)
     val srcKeys = keyRows.select(keys.map(k => col(k).as(s"__k_$k")): _*).distinct()
     val cond = keys.map(k => target(k) <=> srcKeys(s"__k_$k")).reduce(_ && _)
+    val hits = target.select(keys.map(col): _*).join(srcKeys, cond, "left_semi")
+    if (hits.isEmpty) return
     overwrite(target.join(srcKeys, cond, "left_anti"), table)
   }
 
@@ -81,12 +86,23 @@ trait TableFormat {
     * scoped on [[PartitionedTable]]. NOTE: two commits, not one atomic one;
     * a reader between them sees deletes applied but updates not yet — the
     * single-writer lake has no cross-commit transaction (the trait boundary
-    * where Iceberg's single-commit MERGE would slot in). */
+    * where Iceberg's single-commit MERGE would slot in).
+    *
+    * `orderCol` SHOULD order a key's versions uniquely (the same contract as
+    * [[upsertVersioned]]); when a feed violates that, the collapse
+    * tie-breaks DETERMINISTICALLY — delete outranks upsert at equal
+    * `orderCol` (a same-version delete is terminal), then a stable row hash
+    * decides — so replaying the batch always converges to the same final
+    * state instead of landing whichever row the aggregation saw last. */
   def applyCdc(changes: DataFrame, table: String, keys: Seq[String],
                opCol: String, orderCol: String): Unit = {
+    val tieBreak = struct(
+      col(orderCol),
+      when(lower(col(opCol)) === "delete", lit(1)).otherwise(lit(0)),
+      xxhash64(changes.columns.map(col): _*))
     val latest = changes
       .groupBy(keys.map(col): _*)
-      .agg(max_by(struct(changes.columns.map(col): _*), col(orderCol)).as("__r"))
+      .agg(max_by(struct(changes.columns.map(col): _*), tieBreak).as("__r"))
       .select(col("__r.*"))
     val dels = latest.filter(lower(col(opCol)) === "delete")
     val ups = latest.filter(lower(col(opCol)) =!= "delete")
@@ -661,11 +677,15 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     val entries = manifest(t)
     if (entries.isEmpty) return
     val all = readDirs(spark, t, entries.flatMap(_._2))
-    val keyCols = (partitionCols ++ Seq("zv")).map(col)
-    val arranged = ZOrder.withZValue(all, zCols, bits)
+    // Morton key under an internal name: a table that legitimately carries a
+    // user 'zv' column (e.g. one a z-ordered writer produced) must survive
+    // the rewrite with that column intact
+    val zc = "__zv_compact"
+    val keyCols = (partitionCols :+ zc).map(col)
+    val arranged = ZOrder.withZValue(all, zCols, bits, zc)
       .repartitionByRange(nTasks, keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
-      .drop("zv")
+      .drop(zc)
     commitManifest(t, mergeEntries(Seq.empty, stage(arranged, t, "zorder")))
   }
 

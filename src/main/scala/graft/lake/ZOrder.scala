@@ -29,18 +29,27 @@ import graft.functions.Portable
   */
 object ZOrder {
 
-  /** Appends a `zv` BIGINT z-value over `cols` (each min/max-bucketed into
-    * 2^bits ranks). k*bits must fit a BIGINT sign-free: k*bits <= 62. */
-  def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 16): DataFrame = {
+  /** Appends an `outCol` (default `zv`) BIGINT z-value over `cols` (each
+    * min/max-bucketed into 2^bits ranks). k*bits must fit a BIGINT
+    * sign-free: k*bits <= 62. Refuses a frame already carrying `outCol` —
+    * withColumn would silently REPLACE it, destroying user data (a table a
+    * z-ordered writer produced legitimately carries `zv`); callers that
+    * rewrite such tables pass a collision-free internal name instead (see
+    * PartitionedTable.compactZOrdered). */
+  def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 16,
+                 outCol: String = "zv"): DataFrame = {
     require(cols.nonEmpty, "z-order needs at least one column")
     require(cols.size * bits <= 62, s"${cols.size} cols x $bits bits overflows BIGINT")
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column — z-valuing would overwrite it; " +
+        "pass a different outCol")
     val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"__zmin_$c"), max(col(c)).as(s"__zmax_$c")))
     val stats = df.agg(aggs.head, aggs.tail: _*)
     val withBuckets = cols.foldLeft(df.crossJoin(broadcast(stats))) { (acc, c) =>
       acc.withColumn(s"__zb_$c", expr(Portable.zBucketSpark(c, s"__zmin_$c", s"__zmax_$c", bits)))
     }
     withBuckets
-      .withColumn("zv", expr(Portable.zInterleaveSpark(cols.map(c => s"__zb_$c"), bits)).cast("bigint"))
+      .withColumn(outCol, expr(Portable.zInterleaveSpark(cols.map(c => s"__zb_$c"), bits)).cast("bigint"))
       .drop(cols.flatMap(c => Seq(s"__zmin_$c", s"__zmax_$c", s"__zb_$c")): _*)
   }
 

@@ -31,7 +31,7 @@ class BloomIndexSpec extends AnyFunSuite {
       val truth = table.filter(col("user_id") === u)
         .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
       assert(truth.nonEmpty, s"user $u must exist in the fixture")
-      val cand = BloomIndex.candidateFiles(spark, idx, Seq(u), Bits, K).toSet
+      val cand = BloomIndex.candidateFiles(spark, idx, Seq(u)).toSet
       assert(truth.subsetOf(cand),
         s"user $u: files ${truth -- cand} truly contain it but were skipped")
     }
@@ -43,32 +43,45 @@ class BloomIndexSpec extends AnyFunSuite {
     // a key that never occurs: with ~1250 distinct strings per file at 2^14
     // bits / k=2 the per-file fp rate is ~2%, so candidates must stay far
     // below the 16 files a stats-blind reader would open
-    val ghosts = BloomIndex.candidateFiles(spark, idx, Seq(987654321L), Bits, K)
+    val ghosts = BloomIndex.candidateFiles(spark, idx, Seq(987654321L))
     assert(ghosts.length <= 8, s"expected heavy skipping, got ${ghosts.length}/16 files")
     // lookup returns exactly the true rows (false positives cleared by the
     // exact predicate), including for multi-value lookups
     val got = BloomIndex.lookup(spark, idx, "user_id", Seq(777L, 987654321L),
-      table.schema, Bits, K)
+      table.schema)
     val want = table.filter(col("user_id") === 777L)
     assert(got.count() == want.count())
     assert(got.select(sum("event_id")).collect()(0).getLong(0) ==
       want.select(sum("event_id")).collect()(0).getLong(0))
     // an all-absent lookup opens nothing and returns an empty, well-typed frame
     val none = BloomIndex.lookup(spark, idx, "user_id", Seq(111222333L),
-      table.schema, Bits, K)
+      table.schema)
     assert(none.count() == 0 && none.schema == table.schema)
   }
 
-  test("index is sidecar-sized and lake-persistable") {
+  test("index is sidecar-sized; (bits, k) survive the lake round trip") {
     val table = spark.read.parquet(dir)
-    val idx = BloomIndex.build(table, "user_id", Bits, K)
+    // NON-default parameters: the round trip must serve from the stored
+    // (bits, k), not from any reader-side default — querying a 2^13/k=3
+    // index under the 2^16/k=2 defaults would return false negatives
+    val idx = BloomIndex.build(table, "user_id", 1 << 13, 3)
     // at most files x bits/64 words ever materialize
-    assert(idx.count() <= 16L * (Bits / 64))
+    assert(idx.count() <= 16L * ((1 << 13) / 64))
     val lake = new graft.lake.ParquetDirFormat(
       Files.createTempDirectory("graft-bloom-lake").toString)
     lake.create(idx, "bloom_user_id")
-    val served = BloomIndex.candidateFiles(spark,
-      lake.read(spark, "bloom_user_id"), Seq(777L), Bits, K).toSet
-    assert(served == BloomIndex.candidateFiles(spark, idx, Seq(777L), Bits, K).toSet)
+    val roundTripped = lake.read(spark, "bloom_user_id")
+    val served = BloomIndex.candidateFiles(spark, roundTripped, Seq(777L)).toSet
+    assert(served == BloomIndex.candidateFiles(spark, idx, Seq(777L)).toSet)
+    // superset guarantee holds THROUGH the round trip
+    val truth = table.filter(col("user_id") === 777L)
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSet
+    assert(truth.subsetOf(served))
+    // a parameter-mixed index (e.g. two builds unioned) fails loudly rather
+    // than guessing and silently missing files
+    val mixed = idx.unionByName(BloomIndex.build(table, "user_id", Bits, K))
+    assertThrows[IllegalArgumentException] {
+      BloomIndex.candidateFiles(spark, mixed, Seq(777L))
+    }
   }
 }

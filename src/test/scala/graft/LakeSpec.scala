@@ -348,6 +348,36 @@ class LakeSpec extends AnyFunSuite {
     assert(state() == Map(1L -> "A2", 3L -> "c", 4L -> "d"))
   }
 
+  test("deleteMatching: absent keys commit NOTHING — replayed CDC deletes don't churn") {
+    import spark.implicits._
+    val t = fmt()
+    t.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "dm")
+    val v0 = t.versions("dm")
+    t.deleteMatching(Seq(99L, 100L).toDF("id"), "dm", Seq("id"))
+    assert(t.versions("dm") == v0, "no-match delete must not commit a new snapshot")
+    t.deleteMatching(Seq(2L, 99L).toDF("id"), "dm", Seq("id"))
+    assert(t.versions("dm").size == v0.size + 1)
+    assert(t.read(spark, "dm").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("CDC tie on orderCol is deterministic: delete outranks upsert, replay converges") {
+    import spark.implicits._
+    val t = fmt()
+    t.create(Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("id", "v", "ver"), "tie")
+    // a feed violating orderCol uniqueness: update and delete for key 1 at
+    // the SAME version — the collapse must land the same final state every
+    // replay, and a same-version delete is terminal
+    val changes = Seq(
+      (1L, "A1", 5L, "update"),
+      (1L, "zz", 5L, "delete")).toDF("id", "v", "ver", "op")
+    t.applyCdc(changes, "tie", Seq("id"), "op", "ver")
+    def state() = t.read(spark, "tie").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state() == Map(2L -> "b"))
+    t.applyCdc(changes, "tie", Seq("id"), "op", "ver")
+    assert(state() == Map(2L -> "b"))
+  }
+
   test("partitioned CDC apply touches only partitions holding changed keys") {
     import spark.implicits._
     val t = pfmt("day")

@@ -109,4 +109,26 @@ class ZOrderSpec extends AnyFunSuite {
     info(s"y-box reads $hit of $nFiles files in partition d0")
     assert(hit <= (nFiles + 1) / 2, s"z-order should prune on y: $hit/$nFiles")
   }
+
+  test("compaction preserves a user column named zv; withZValue refuses to clobber") {
+    import spark.implicits._
+    val t = new graft.lake.PartitionedTable(
+      java.nio.file.Files.createTempDirectory("graft-zvcol").toString, Seq("day"))
+    // a table that legitimately carries 'zv' — e.g. one produced by a
+    // z-ordered writer that kept its sort key
+    val df = spark.range(0, 2000).select(
+      col("id"), concat(lit("d"), col("id") % 2).as("day"),
+      (col("id") * 48271L % 65521L).as("x"),
+      (col("id") * 7L).as("zv"))
+    t.create(df, "zt")
+    t.append(df.withColumn("id", col("id") + 2000L), "zt")
+    t.compactZOrdered(spark, "zt", Seq("x"), nTasks = 4)
+    val after = t.read(spark, "zt")
+    assert(after.columns.contains("zv"), "user zv column must survive compaction")
+    assert(after.select(sum("zv")).collect()(0).getLong(0) ==
+      2L * df.select(sum("zv")).collect()(0).getLong(0))
+    // direct withZValue on a zv-carrying frame fails loudly instead of
+    // silently replacing the user's data
+    assertThrows[IllegalArgumentException] { ZOrder.withZValue(df, Seq("x")) }
+  }
 }
