@@ -525,9 +525,13 @@ object TextOps {
     *
     * Scale shape, two regimes switched on the measured size of the BAD-line
     * set (lines with df > maxDf — the hot boilerplate, usually a tiny
-    * fraction of distinct lines):
+    * fraction of distinct lines). The gate is the bad set's total BYTE size
+    * (`broadcastBadBytes`, default 64 MB), not its row count: boilerplate
+    * lines are frequently long (cookie banners, license blocks), and 100k
+    * multi-KB rows would be a multi-hundred-MB array shipped into every
+    * task — row count bounds the wrong resource.
     *
-    *  - broadcast regime (bad set <= `broadcastBadLimit`): one posexplode +
+    *  - broadcast regime (bad set bytes <= `broadcastBadBytes`): one posexplode +
     *    one |distinct lines|-sized hash aggregate derive the bad set, which
     *    collapses to a single broadcast row; the output is then ONE scan over
     *    the documents filtering each line array in place — no join back, no
@@ -543,7 +547,7 @@ object TextOps {
     * boilerplate survive with empty `clean_text`, so downstream filters see
     * them rather than silently losing rows. */
   def dedupLines(docs: DataFrame, maxDf: Int = 5,
-                 broadcastBadLimit: Long = 100000L): DataFrame = {
+                 broadcastBadBytes: Long = 64L << 20): DataFrame = {
     val src = Scale.fanOutScan(docs)
     val lines = src
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
@@ -557,7 +561,9 @@ object TextOps {
       .agg(countDistinct(col("doc_id")).as("line_df"))
       .filter(col("line_df") > maxDf)
       .localCheckpoint(true)
-    if (badDf.count() <= broadcastBadLimit) {
+    val badBytes = badDf.agg(coalesce(sum(octet_length(col("line"))), lit(0L)))
+      .collect()(0).getLong(0)
+    if (badBytes <= broadcastBadBytes) {
       val bad = badDf.agg(collect_set(col("line")).as("bad"))
       src.crossJoin(broadcast(bad))
         .withColumn("__ne", filter(split(col("text"), "\n"), l => l =!= ""))

@@ -65,11 +65,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(2L) == ((3L, 2L, "different body\nPAIR LINE")))
     assert(got(3L) == ((1L, 0L, "")))
     assert(got.size == 3)
-    // regime parity: forcing the join path (broadcastBadLimit = 0) must be
+    // regime parity: forcing the join path (broadcastBadBytes = 0) must be
     // bitwise-identical to the broadcast path taken above
-    val joined = TextOps.dedupLines(docs, maxDf = 2, broadcastBadLimit = 0L)
+    val joined = TextOps.dedupLines(docs, maxDf = 2, broadcastBadBytes = 0L)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(joined == got)
+  }
+
+  test("dedupLines regime gate is BYTE-sized: few-but-huge bad lines take the join arm") {
+    import spark.implicits._
+    // ONE bad line (row count 1) of 2 MB — a row-count gate would broadcast
+    // it; the byte gate must route to the anti-join regime and still produce
+    // the identical result
+    val banner = "C" * (2 << 20)
+    val docs = Seq(
+      (1L, s"unique alpha\n$banner\nend one"),
+      (2L, s"$banner\nunique beta"),
+      (3L, s"unique gamma\n$banner")
+    ).toDF("doc_id", "text")
+    val viaJoin = TextOps.dedupLines(docs, maxDf = 2, broadcastBadBytes = 1L << 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(viaJoin(1L) == ((3L, 2L, "unique alpha\nend one")))
+    assert(viaJoin(2L) == ((2L, 1L, "unique beta")))
+    assert(viaJoin(3L) == ((2L, 1L, "unique gamma")))
+    // a roomy byte budget takes the broadcast arm; results bitwise-equal
+    val viaBroadcast = TextOps.dedupLines(docs, maxDf = 2, broadcastBadBytes = 64L << 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(viaBroadcast == viaJoin)
   }
 
   test("split bucket hash has no residue structure over sequential ids") {
