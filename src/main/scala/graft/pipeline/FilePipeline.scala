@@ -58,6 +58,30 @@ class Ledger(path: String) {
 
   def isLoaded(fileHash: String): Boolean =
     all().get(fileHash).exists(_.status == "loaded")
+
+  /** Per-table routing aggregates — the reference logger's table_routing doc
+    * (services/logger/main.py:157-190): files/rows loaded counters plus
+    * first/last-load markers per target table, maintained there as Firestore
+    * transactional increments on LOADER_BIGQUERY_COMPLETE. Here they are a
+    * one-line groupBy over the rank-folded ledger view: only files whose
+    * final status is 'loaded' count (received/failed/cleaned files are
+    * in-flight or dead, and a stray late event can never regress a load —
+    * [[all]]'s monotonic fold guarantees it before aggregation). First/last
+    * markers use the lexicographic min/max load path, the deterministic
+    * stand-in for the reference's wall-clock first_load_at/last_load_at.
+    * Ledger state is driver-sized (thousands of files, not data), so the
+    * frame is built from the folded map directly. */
+  def tableRouting(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val loaded = all().values.filter(_.status == "loaded").toSeq
+    loaded.toDF()
+      .groupBy(col("table").as("table_name"))
+      .agg(
+        count(lit(1)).cast("bigint").as("total_files_loaded"),
+        sum(col("rows")).cast("bigint").as("total_rows_loaded"),
+        min(col("path")).as("first_load_path"),
+        max(col("path")).as("last_load_path"))
+  }
 }
 
 /** The reference's event-driven file pipeline, end to end

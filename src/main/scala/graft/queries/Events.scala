@@ -283,7 +283,45 @@ object Events {
     spark.read.parquet(path).select("event_id", "user_id", "value", "zv")
   }
 
+  /** The reference logger's table_routing aggregates
+    * (services/logger/main.py:157-190) over a CONSTRUCTED multi-file run:
+    * each (event_type, day) slice of the events table plays one inbox file
+    * of a per-type target table, recorded through the real [[Ledger]] —
+    * 'received' then 'loaded' (or 'failed' for every day-of-month divisible
+    * by 10, which must not count), plus stray late 'received' redeliveries
+    * for every 5th file that the rank-monotonic fold must ignore. The
+    * routing frame (files/rows loaded, first/last load path per table) is
+    * then oracle-checked against the same slicing done directly in SQL —
+    * pinning both the aggregate AND the ledger's monotonic-fold semantics. */
+  def tableRouting(spark: SparkSession, dir: String): DataFrame = {
+    val files = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("tbl"), to_date(col("ts")).cast("string").as("day"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val ledgerPath = java.nio.file.Files.createTempFile("graft-routing", ".tsv")
+    java.nio.file.Files.delete(ledgerPath) // Ledger appends; start clean
+    val ledger = new graft.pipeline.Ledger(ledgerPath.toString)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    files.foreach { case (tbl, day, n) =>
+      val path = s"inbox/$tbl/$day.csv"
+      ledger.record(graft.pipeline.FileRecord(h(path), path, tbl, "received", 0L))
+      if (day.substring(8, 10).toInt % 10 == 0)
+        ledger.record(graft.pipeline.FileRecord(h(path), path, tbl, "failed", 0L))
+      else
+        ledger.record(graft.pipeline.FileRecord(h(path), path, tbl, "loaded", n))
+    }
+    files.zipWithIndex.collect { case ((tbl, day, _), i) if i % 5 == 0 =>
+      val path = s"inbox/$tbl/$day.csv"
+      ledger.record(graft.pipeline.FileRecord(h(path), path, tbl, "received", 0L))
+    }
+    ledger.tableRouting(spark)
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_table_routing" -> (tableRouting _),
     "events_zorder_cluster" -> (zorderCluster _),
     "events_salted_join"   -> (saltedDimJoin _),
     "events_bloom_join"    -> (bloomDimJoin _),
@@ -304,6 +342,17 @@ object Events {
       "epoch_us(CAST(ts AS TIMESTAMP)) AS ep FROM events"
 
   val oracle: Map[String, String] = Map(
+    "pipeline_table_routing" ->
+      s"""WITH f AS (SELECT event_type AS table_name,
+         |  CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+         |l AS (SELECT table_name,
+         |  'inbox/' || table_name || '/' || day || '.csv' AS path, n
+         |  FROM f WHERE CAST(substr(day, 9, 2) AS BIGINT) % 10 <> 0)
+         |SELECT table_name, CAST(COUNT(*) AS BIGINT) AS total_files_loaded,
+         |  CAST(SUM(n) AS BIGINT) AS total_rows_loaded,
+         |  MIN(path) AS first_load_path, MAX(path) AS last_load_path
+         |FROM l GROUP BY table_name""".stripMargin,
     "events_zorder_cluster" -> {
       import graft.functions.Portable
       val bu = Portable.zBucketDuck("user_id", "min_u", "max_u", 16)
