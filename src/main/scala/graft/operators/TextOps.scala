@@ -897,6 +897,42 @@ object TextOps {
         col("sum_surprisal_bits").cast("double") / col("n_bigrams"))
   }
 
+  /** Trigram-LM conditional surprisal — [[bigramSurprisal]] promoted one
+    * order, to the n-gram depth common practice actually filters at (CCNet's
+    * KenLM scorer is order-5; order-3 is the first rank where local syntax —
+    * not just word adjacency — shows up in the score): p(w3 | w1 w2) =
+    * c(w1 w2 w3) / c_ctx(w1 w2), per-trigram surprisal the same INTEGER bit
+    * width floor(log2(c_ctx / c)) formulation proven bitwise across engines.
+    *
+    * Scale shape: one order deeper changes which side can broadcast — the
+    * CONTEXT table is now distinct-bigram-sized (it was vocab-sized for the
+    * bigram LM), far too big to broadcast at corpus scale, so BOTH the
+    * frequency join and the context join are plain shuffle equi-joins on
+    * their gram keys (AQE splits the Zipf head). One explode, two hash
+    * aggregates, two shuffle joins, one per-doc aggregate — corpus scanned
+    * once. Documents with fewer than three tokens produce no row, in both
+    * engines by shingle construction. */
+  def trigramSurprisal(docs: DataFrame): DataFrame = {
+    val tg = withToks(docs)
+      .select(col("doc_id"), explode(expr(Portable.shinglesSpark("toks", 3))).as("tg"))
+    val tf = tg.groupBy("tg").agg(count(lit(1)).cast("bigint").as("cnt"))
+    val ctx = tf
+      .withColumn("c2", expr("concat_ws(' ', slice(split(tg, ' '), 1, 2))"))
+      .groupBy("c2").agg(sum(col("cnt")).cast("bigint").as("ctx_cnt"))
+    tg.join(tf, "tg")
+      .withColumn("c2", expr("concat_ws(' ', slice(split(tg, ' '), 1, 2))"))
+      .join(ctx, "c2")
+      .withColumn("bits",
+        (length(conv(expr("CAST(ctx_cnt div cnt AS STRING)"), 10, 2)) - 1).cast("bigint"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_trigrams"),
+        sum(col("bits")).cast("bigint").as("sum_surprisal_bits"),
+        max(col("bits")).cast("bigint").as("max_surprisal_bits"))
+      .withColumn("mean_surprisal_bits",
+        col("sum_surprisal_bits").cast("double") / col("n_trigrams"))
+  }
+
   /** Overlapping token-window chunking — the context-window slicer every
     * RAG/embedding/training-data pipeline runs between cleaning and encoding:
     * each document becomes ceil-covering windows of `chunkSize` tokens

@@ -119,6 +119,7 @@ object Training {
     "dedup_cdc_chunks"       -> ((s, d) => Dedup.cdcSharedChunks(Tables.documents(s, d))),
     "text_unigram_surprisal" -> ((s, d) => TextOps.unigramSurprisal(Tables.documents(s, d))),
     "text_bigram_surprisal"  -> ((s, d) => TextOps.bigramSurprisal(Tables.documents(s, d))),
+    "text_trigram_surprisal" -> ((s, d) => TextOps.trigramSurprisal(Tables.documents(s, d))),
     "text_chunk_windows"     -> ((s, d) => TextOps.chunkWindows(
                                    Tables.documents(s, d), ChunkSize, ChunkStride)),
     // constructed skewed domains (see TempDomExpr): sqrt-temperature quotas
@@ -299,6 +300,24 @@ object Training {
        |sc AS (SELECT doc_id, CAST(length(printf('%b', ctx_cnt // cnt)) - 1 AS BIGINT) AS bits
        |  FROM bgr JOIN bf USING (bg) JOIN ctx ON string_split(bgr.bg, ' ')[1] = ctx.w1)
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(bits) AS BIGINT) AS sum_surprisal_bits,
+       |  CAST(MAX(bits) AS BIGINT) AS max_surprisal_bits,
+       |  CAST(SUM(bits) AS BIGINT)::DOUBLE / COUNT(*) AS mean_surprisal_bits
+       |FROM sc GROUP BY doc_id""".stripMargin
+
+  /** Exact replica of [[graft.operators.TextOps.trigramSurprisal]]: trigram
+    * LM with leading-bigram context counts, integer bit-width surprisal,
+    * integer sums, one double division. */
+  private val trigramSurprisalSql =
+    s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+       |tgr AS (SELECT doc_id, unnest(${Portable.shinglesDuck("toks", 3)}) AS tg FROM docs),
+       |tf AS (SELECT tg, CAST(COUNT(*) AS BIGINT) AS cnt FROM tgr GROUP BY tg),
+       |ctx AS (SELECT array_to_string(string_split(tg, ' ')[1:2], ' ') AS c2,
+       |  CAST(SUM(cnt) AS BIGINT) AS ctx_cnt FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id, CAST(length(printf('%b', ctx_cnt // cnt)) - 1 AS BIGINT) AS bits
+       |  FROM tgr JOIN tf USING (tg)
+       |  JOIN ctx ON array_to_string(string_split(tgr.tg, ' ')[1:2], ' ') = ctx.c2)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
        |  CAST(SUM(bits) AS BIGINT) AS sum_surprisal_bits,
        |  CAST(MAX(bits) AS BIGINT) AS max_surprisal_bits,
        |  CAST(SUM(bits) AS BIGINT)::DOUBLE / COUNT(*) AS mean_surprisal_bits
@@ -1349,6 +1368,7 @@ object Training {
     "text_unigram_surprisal" -> unigramSurprisalSql,
     "dedup_cdc_chunks" -> cdcChunksSql,
     "text_bigram_surprisal" -> bigramSurprisalSql,
+    "text_trigram_surprisal" -> trigramSurprisalSql,
     "text_chunk_windows" -> chunkWindowsSql,
     "text_temperature_sample" -> temperatureSampleSql,
     "text_dsir_sample"       -> dsirSql,
