@@ -312,6 +312,100 @@ object Profiling {
     partials.agg(sum(col("n_rows")).cast("long").as("total_rows"), aggs: _*)
   }
 
+  /** All four mergeable-sketch partial families — stats, fixed-grid
+    * histogram, HLL registers, CMS counters — from ONE corpus scan. The
+    * separate builders ([[statsPartials]], [[histogramPartials]],
+    * [[hllPartials]], [[cmsPartials]]) each cost a full table scan; calling
+    * all four is four scans of the same data, and at 100 TB the scans ARE
+    * the cost (every family's aggregate state is tiny next to the read).
+    *
+    * Mechanism: each input row explodes into at most
+    * 1 + |statsCols| + 1 + 1 + d tagged records — a row marker, one record
+    * per non-null stats value, a histogram-bin record, an HLL
+    * register/rank record, d CMS slot records — and ONE hash aggregate
+    * groups them by (shard, family, key). Map-side combine collapses the
+    * fan-out before the exchange, so the shuffle still carries sketch-sized
+    * partials, not data. The aggregate is eagerly localCheckpoint'ed (it IS
+    * the single scan); the four family frames are then filters/pivots over
+    * that sketch-sized result, each BITWISE-EQUAL in schema and content to
+    * its separate-builder twin (pinned by ProfilingSpec and the
+    * `profile_one_scan` gate).
+    *
+    * `statsCols` must be DOUBLE-typed (the unified record carries one
+    * double value slot; [[statsPartials]] itself is type-generic). */
+  def profileAll(df: DataFrame, shardCol: String, statsCols: Seq[String],
+                 histCol: String, lo: Double, width: Double, nBins: Int,
+                 hllCol: String, cmsTermCol: String): ProfileAllPartials = {
+    import graft.functions.Portable
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    require(width > 0 && nBins > 0, "need positive width and nBins")
+    statsCols.foreach(c => require(df.schema(c).dataType == DoubleType,
+      s"profileAll statsCols must be DOUBLE, $c is ${df.schema(c).dataType}"))
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val nullD = lit(null).cast("double")
+    val nullL = lit(null).cast("bigint")
+    val nullDec = lit(null).cast("decimal(18,2)")
+    def rec(fam: String, k1: Column, k2: Column, v: Column, lv: Column, dv: Column) =
+      struct(lit(fam).as("fam"), k1.cast("bigint").as("k1"), k2.cast("bigint").as("k2"),
+        v.cast("double").as("v"), lv.cast("bigint").as("lv"),
+        dv.cast(DecimalType(18, 2)).as("dv"))
+    val rowRec = rec("n", lit(0L), lit(0L), nullD, nullL, nullDec)
+    val statsRecs = statsCols.zipWithIndex.map { case (c, i) =>
+      when(col(c).isNotNull, rec(s"s$i", lit(0L), lit(0L), col(c), nullL, col(c)))
+    }
+    // bin arithmetic identical to histogramPartials
+    val bin = least(greatest(floor((col(histCol) - lo) / width), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+    val histRec = when(col(histCol).isNotNull, rec("h", bin, lit(0L), nullD, nullL, nullDec))
+    // register/rank expressions identical to hllPartialsBy (the rank CASE
+    // inlines the salted hash twice; deterministic expression, same value)
+    val hr = Portable.hllScrambleSpark(s"graft_phash(concat('hll-', cast($hllCol as string)))")
+    val hk = Portable.hllScrambleSpark(s"graft_phash(concat('hllr-', cast($hllCol as string)))")
+    val rank = expr(
+      s"CASE WHEN ($hk) = 0 THEN 31 " +
+        s"ELSE 31 - length(conv(CAST(($hk) AS STRING), 10, 2)) END")
+    val hllRec = when(col(hllCol).isNotNull,
+      rec("l", expr(s"$hr % $HllM"), lit(0L), nullD, rank, nullDec))
+    val cmsRecs = (0 until CmsD).map { j =>
+      when(col(cmsTermCol).isNotNull,
+        rec("c", lit(j.toLong), expr(cmsSlotSpark(j, cmsTermCol)), nullD, nullL, nullDec))
+    }
+    val allRecs = (rowRec +: statsRecs) ++ Seq(histRec, hllRec) ++ cmsRecs
+    val tall = df
+      .select(col(shardCol).as("__shard"),
+        explode(filter(array(allRecs: _*), r => r.isNotNull)).as("r"))
+      .select(col("__shard"), col("r.fam").as("fam"), col("r.k1").as("k1"),
+        col("r.k2").as("k2"), col("r.v").as("v"), col("r.lv").as("lv"), col("r.dv").as("dv"))
+      .groupBy("__shard", "fam", "k1", "k2")
+      .agg(count(lit(1)).as("cnt"), min(col("v")).as("mn"), max(col("v")).as("mx"),
+        sum(col("dv")).as("ds"), max(col("lv")).as("mxr"))
+      .localCheckpoint(true)
+    val statsAggs: Seq[Column] = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        coalesce(max(when(col("fam") === s"s$i", col("cnt"))), lit(0L)).as(s"nn_$c"),
+        max(when(col("fam") === s"s$i", col("mn"))).as(s"min_$c"),
+        max(when(col("fam") === s"s$i", col("mx"))).as(s"max_$c"),
+        max(when(col("fam") === s"s$i", col("ds"))).as(s"dsum_$c"))
+    }
+    ProfileAllPartials(
+      stats = tall.groupBy(col("__shard").as(shardCol))
+        .agg(max(when(col("fam") === "n", col("cnt"))).as("n_rows"), statsAggs: _*),
+      hist = tall.filter(col("fam") === "h")
+        .select(col("__shard").as(shardCol), col("k1").as("bin"),
+          col("cnt").cast("bigint").as("cnt")),
+      hll = tall.filter(col("fam") === "l")
+        .select(col("__shard").as(shardCol), col("k1").as("reg"),
+          col("mxr").cast("bigint").as("max_rank")),
+      cms = tall.filter(col("fam") === "c")
+        .select(col("__shard").as(shardCol), col("k1").cast("int").as("sk_row"),
+          col("k2").as("sk_slot"), col("cnt").cast("bigint").as("cnt")))
+  }
+
+  /** The four partial frames [[profileAll]] emits from its one scan, each
+    * schema- and content-identical to its separate-builder twin. */
+  final case class ProfileAllPartials(stats: DataFrame, hist: DataFrame,
+                                      hll: DataFrame, cms: DataFrame)
+
   // ---- Count-Min frequency sketch ------------------------------------------
   /** Sketch depth (independent hash rows) and width (counters per row). d=3
     * bounds the failure probability at e^-3; w trades memory against the

@@ -238,7 +238,33 @@ object Profile {
       .orderBy("source", "term")
   }
 
+  /** The [[Profiling.profileAll]] one-scan mixture, merged end to end: ONE
+    * events scan emits all four sketch families' partials (stats + histogram
+    * grid + HLL registers + CMS counters — separately they'd cost four
+    * scans, the difference at 100 TB), then each family folds through its
+    * standard merge and the gate hash-checks the lot against direct
+    * single-scan SQL twins: per-type CMS estimates x global stats, grid
+    * quantiles, and the HLL distinct estimate. */
+  def eventsOneScanProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .withColumn("shard", pmod(col("event_id"), lit(16L)))
+    val p = Profiling.profileAll(ev, "shard", Seq("value"),
+      histCol = "value", lo = 0.0, width = 8.0, nBins = 64,
+      hllCol = "user_id", cmsTermCol = "event_type")
+    val stats = Profiling.mergeStatsPartials(p.stats, Seq("value"))
+    val quant = Profiling.mergeHistogramQuantiles(
+      p.hist, Seq(0.25, 0.5, 0.75, 0.95), lo = 0.0, width = 8.0)
+      .withColumnRenamed("n_rows", "hist_n_rows")
+    val hll = Profiling.mergeHllDistinct(p.hll)
+    val terms = Seq("click", "error", "purchase", "signup", "view").toDF("event_type")
+    Profiling.cmsEstimates(Profiling.mergeCms(p.cms), terms, "event_type")
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(quant)).crossJoin(broadcast(hll))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "profile_one_scan"          -> (eventsOneScanProfile _),
     "profile_cms_by_group"      -> (documentsCmsBySource _),
     "profile_cms_topk"          -> (documentsCmsTopTerms _),
     "profile_hll_overlap"       -> (eventsHllOverlap _),
@@ -286,6 +312,67 @@ object Profile {
          |  AND sk.sk_slot = q.sk_slot
          |GROUP BY q.term, q.source, q.true_cnt
          |ORDER BY q.source, q.term""".stripMargin
+    },
+    // direct-scan twins of ALL FOUR families the one-scan mixture emits:
+    // stats aggregate, grid-quantile arithmetic, HLL estimator, CMS
+    // point-queries over event_type — each identical to its standalone
+    // gate's oracle, composed; direct == one-scan-merged exactly because
+    // every family's merge is associative (decimal sums, integer bin/counter
+    // sums, register MAX)
+    "profile_one_scan" -> {
+      import graft.functions.Portable
+      val hr = Portable.hllScrambleDuck(
+        Portable.phashDuck("('hll-' || CAST(user_id AS VARCHAR))"))
+      val hk = Portable.hllScrambleDuck(
+        Portable.phashDuck("('hllr-' || CAST(user_id AS VARCHAR))"))
+      def slot(term: String) = Portable.hllScrambleDuck(
+        Portable.phashDuck(s"('cms' || CAST(j AS VARCHAR) || '-' || $term)")) +
+        s" % ${Profiling.CmsW}"
+      def estCte(q: String, name: String) =
+        s"""e_$name AS (SELECT (CAST(0 AS DOUBLE) + CAST(8 AS DOUBLE) * bin
+           |    + CAST(8 AS DOUBLE) * ((target - cum_before) / cnt)) AS $name
+           |  FROM (SELECT c.*, CAST(CEIL(CAST($q AS DOUBLE) * n.hist_n_rows) AS BIGINT) AS target FROM c, n)
+           |  WHERE cum_before < target AND target <= cum_before + cnt)""".stripMargin
+      s"""WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+         |  CAST(COUNT(value) AS BIGINT) AS nn_value,
+         |  MIN(value) AS min_value, MAX(value) AS max_value,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value
+         |  FROM events),
+         |b AS (SELECT CAST(least(greatest(floor((value - CAST(0 AS DOUBLE)) / CAST(8 AS DOUBLE)),
+         |  CAST(0 AS DOUBLE)), CAST(63 AS DOUBLE)) AS BIGINT) AS bin FROM events
+         |  WHERE value IS NOT NULL),
+         |m AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bin),
+         |c AS (SELECT bin, cnt, CAST(COALESCE(SUM(cnt) OVER (ORDER BY bin
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM m),
+         |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS hist_n_rows FROM m),
+         |${estCte("0.25", "est_p25")},
+         |${estCte("0.5", "est_p50")},
+         |${estCte("0.75", "est_p75")},
+         |${estCte("0.95", "est_p95")},
+         |h AS (SELECT $hr AS hreg, $hk AS v FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT hreg % 256 AS reg, CASE WHEN v = 0 THEN 31
+         |  ELSE 31 - length(printf('%b', v)) END AS rank FROM h),
+         |regs AS (SELECT reg, CAST(MAX(rank) AS BIGINT) AS max_rank FROM r GROUP BY reg),
+         |ha AS (SELECT CAST(COUNT(*) AS BIGINT) AS registers_hit,
+         |  SUM(power(CAST(0.5 AS DOUBLE), CAST(max_rank AS DOUBLE))) AS hs FROM regs),
+         |he AS (SELECT registers_hit,
+         |  CAST(${Profiling.HllAlpha} AS DOUBLE) * 256 * 256
+         |    / (hs + CAST(256 - registers_hit AS DOUBLE)) AS est_distinct FROM ha),
+         |sk AS (SELECT j AS sk_row, ${slot("event_type")} AS sk_slot,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events, range(${Profiling.CmsD}) r(j)
+         |  WHERE event_type IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+         |q AS (SELECT t.event_type, r.j AS sk_row, ${slot("t.event_type")} AS sk_slot
+         |  FROM t, range(${Profiling.CmsD}) r(j)),
+         |ce AS (SELECT q.event_type, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS cms_est
+         |  FROM q LEFT JOIN sk ON sk.sk_row = q.sk_row AND sk.sk_slot = q.sk_slot
+         |  GROUP BY q.event_type)
+         |SELECT ce.event_type, ce.cms_est, s.*, n.hist_n_rows,
+         |  est_p25, est_p50, est_p75, est_p95, he.registers_hit, he.est_distinct
+         |FROM ce, s, n, e_est_p25, e_est_p50, e_est_p75, e_est_p95, he
+         |ORDER BY ce.event_type""".stripMargin
     },
     // direct-scan twin of the merged CMS sketch: same salted portable hashes
     // through the two-round scramble, same d x w grid, same min-of-counters

@@ -173,4 +173,25 @@ class IncrementalStatsSpec extends AnyFunSuite {
       .collect()(0)
     assert(unseen.getLong(2) >= 0L)
   }
+
+  test("profileAll: one scan emits all four partial families bitwise-equal to the separate builders") {
+    val ev = Tables.events(spark, TestSpark.sfDir)
+      .withColumn("shard", pmod(col("event_id"), lit(16L)))
+    val one = Profiling.profileAll(ev, "shard", Seq("value"),
+      histCol = "value", lo = 0.0, width = 8.0, nBins = 64,
+      hllCol = "user_id", cmsTermCol = "event_type")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().map(_.toSeq).toSeq
+    val twins = Seq(
+      ("stats", one.stats, Profiling.statsPartials(ev, "shard", Seq("value"))),
+      ("hist", one.hist,
+        Profiling.histogramPartials(ev, "shard", "value", 0.0, 8.0, 64)),
+      ("hll", one.hll, Profiling.hllPartials(ev, "shard", "user_id")),
+      ("cms", one.cms, Profiling.cmsPartials(ev, "shard", "event_type")))
+    twins.foreach { case (name, got, want) =>
+      assert(got.schema.map(f => (f.name, f.dataType)) ==
+        want.schema.map(f => (f.name, f.dataType)), s"$name schema differs")
+      assert(rows(got) == rows(want), s"$name partials differ")
+    }
+  }
 }
