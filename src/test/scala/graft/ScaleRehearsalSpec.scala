@@ -84,6 +84,43 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(tBig / tSmall < 20.0, f"superlinear blowup: $tSmall%.1f s -> $tBig%.1f s")
   }
 
+  test("text_curation_e2e composed chain scales linearly on a 10x corpus", SlowRehearsal) {
+    // NOT the amplified-copy corpus the dedup rehearsal uses: 10 textual
+    // near-copies per doc let the substring-excision stage excise virtually
+    // ALL text (every 8-token window recurs in 10 docs), so stages 3-7 would
+    // rehearse on empty inputs. A natural 10% sample vs the full corpus
+    // keeps every stage's work profile proportional — the boilerplate lines
+    // the gate injects stay hot at both scales, survivors stay non-empty,
+    // and the slope measures the real composed chain end to end.
+    val docs0 = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("text", concat_ws("\n",
+        expr("substr(text, 1, 40)"),
+        expr("'standard disclaimer for ' || source"),
+        expr("substr(text, 41)"),
+        lit("copyright corpus collection")))
+    val root = Files.createTempDirectory("graft-rehearsal-e2e")
+    writeTbl(docs0.filter(col("doc_id") % 10 === 0), root, "small")
+    writeTbl(docs0, root, "big")
+    import graft.queries.Training
+    // the per-source token budget scales WITH the corpus (as it would in a
+    // real 10x build), so every chain stage — not just the pre-budget ones —
+    // sees 10x the work
+    def run(path: String, budget: Long): Long =
+      runRows(TextOps.curationPipeline(spark.read.parquet(path),
+        Training.DsirTargetSources, Training.LineMaxDf, Training.SubstrWindow,
+        Training.DsirBuckets, Training.DsirKeepPct,
+        budgetPerSource = budget))
+    val (tSmall, nSmall) = timed("curation e2e 1x") {
+      run(s"$root/small.parquet", Training.E2eBudget)
+    }
+    val (tBig, nBig) = timed("curation e2e 10x") {
+      run(s"$root/big.parquet", Training.E2eBudget * 10)
+    }
+    assert(nSmall > 0 && nBig >= nSmall,
+      s"bigger corpus must keep at least as many docs ($nSmall -> $nBig)")
+    assert(tBig / tSmall < 20.0, f"superlinear blowup: $tSmall%.1f s -> $tBig%.1f s")
+  }
+
   test("silver_order_items scales linearly on 10x key-shifted lineitem", SlowRehearsal) {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val root = Files.createTempDirectory("graft-rehearsal-silver")

@@ -110,4 +110,36 @@ class ScaleSpec extends AnyFunSuite {
       assert(joined.count() == 1000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("25x repeated dedupLines + connectedComponents leave no accumulating storage blocks") {
+    import spark.implicits._
+    // both operators localCheckpoint internally; checkpoint blocks free via
+    // the ContextCleaner only once their plans become unreachable — a
+    // long-lived session calling them repeatedly must NOT grow storage
+    // memory monotonically (the r7/r8 unpersist lineage of findings)
+    val docs = (0L until 2000L).map(i =>
+      (i, s"unique line $i\nshared boilerplate everywhere\ncontent ${i % 37} tail"))
+      .toDF("doc_id", "text")
+    val pairs = (0L until 500L).map(i => (i, i - (i % 10))).toDF("doc_a", "doc_b")
+    def liveBlocks: Int =
+      spark.sparkContext.getRDDStorageInfo.count(_.numCachedPartitions > 0)
+    System.gc(); Thread.sleep(200)
+    val base = liveBlocks
+    for (_ <- 1 to 25) {
+      graft.operators.TextOps.dedupLines(docs, maxDf = 100)
+        .agg(sum(length(col("clean_text")))).collect()
+      graft.operators.Dedup.connectedComponents(pairs).count()
+    }
+    // poll: each iteration's frames are unreachable once the loop moves on,
+    // so after GC the cleaner must drain the checkpoint blocks back to
+    // (near) baseline — a small fixed slack covers cleaner in-flight lag
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    var settled = liveBlocks
+    while (settled > base + 4 && System.nanoTime() < deadline) {
+      System.gc(); Thread.sleep(500); settled = liveBlocks
+    }
+    info(s"storage blocks: baseline $base, after 25 runs (settled) $settled")
+    assert(settled <= base + 4,
+      s"storage blocks grew $base -> $settled after 25 repeated runs")
+  }
 }
