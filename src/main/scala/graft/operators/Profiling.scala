@@ -159,6 +159,54 @@ object Profiling {
       .agg(count(lit(1)).cast("bigint").as("cnt"))
   }
 
+  /** Grouped [[histogramPartials]]: one bin grid PER GROUP — the
+    * per-dimension quantile profile (latency per endpoint, value per event
+    * type) kept mergeable, completing the grouped-sketch trio alongside
+    * [[hllPartialsBy]] and [[cmsPartialsBy]]. The group-by dimensions ride
+    * inside the same single map-side-combined aggregate; a partial is <=
+    * shards x groups x nBins rows. */
+  def histogramPartialsBy(df: DataFrame, shardCol: String, groupCols: Seq[String],
+                          c: String, lo: Double, width: Double, nBins: Int): DataFrame = {
+    require(width > 0 && nBins > 0, "need positive width and nBins")
+    df.filter(col(c).isNotNull)
+      .withColumn("bin", least(greatest(floor((col(c) - lo) / width), lit(0.0)),
+        lit((nBins - 1).toDouble)).cast("long"))
+      .groupBy((shardCol +: groupCols :+ "bin").map(col): _*)
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+  }
+
+  /** Grouped [[mergeHistogramQuantiles]]: per group, the identical
+    * integer-rank interpolation over that group's merged bin grid — one row
+    * per group `(groups…, n_rows, est_p<q>…)`. The cum-sum window partitions
+    * by group (each partition <= nBins rows), and each quantile's bin probe
+    * joins back on the group key; everything downstream of the partials is
+    * group-count-sized. Same bit-reproducibility argument as the ungrouped
+    * merge — integer bins, pinned-double literals, integer-derived ranks. */
+  def mergeHistogramQuantilesBy(partials: DataFrame, groupCols: Seq[String],
+                                qs: Seq[Double], lo: Double, width: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "use mergeHistogramQuantiles for the ungrouped fold")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs must be in (0, 1]")
+    val merged = partials.groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(sum(col("cnt")).cast("bigint").as("cnt"))
+    val n = merged.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("cnt")).cast("bigint").as("n_rows"))
+    val wcum = Window.partitionBy(groupCols.map(col): _*).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = merged
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(wcum), lit(0L)))
+      .join(n, groupCols)
+    val qFrames = qs.map { q =>
+      val name = s"est_p${(q * 100).round}"
+      cum.withColumn("target", ceil(lit(q) * col("n_rows")).cast("long"))
+        .filter(col("cum_before") < col("target") &&
+          col("target") <= col("cum_before") + col("cnt"))
+        .select(groupCols.map(col) :+ (lit(lo) + lit(width) * col("bin") +
+          lit(width) * ((col("target") - col("cum_before")) / col("cnt"))).as(name): _*)
+    }
+    qFrames.foldLeft(n)((acc, f) => acc.join(f, groupCols))
+  }
+
   /** Fold histogram partials into interpolated quantile estimates at `qs` —
     * one output row: `n_rows, est_p<q1>, est_p<q2>, …`. For each q the
     * target rank is ceil(q*N); the first bin whose cumulative count reaches
@@ -371,15 +419,22 @@ object Profiling {
         rec("c", lit(j.toLong), expr(cmsSlotSpark(j, cmsTermCol)), nullD, nullL, nullDec))
     }
     val allRecs = (rowRec +: statsRecs) ++ Seq(histRec, hllRec) ++ cmsRecs
+    // explode the raw array and drop null records with a plain codegen'd
+    // predicate AFTER the explode — an array `filter` here would put an
+    // interpreted higher-order function on every corpus row (the CLAUDE.md
+    // hot-path rule this module exists to respect)
     val tall = df
-      .select(col(shardCol).as("__shard"),
-        explode(filter(array(allRecs: _*), r => r.isNotNull)).as("r"))
+      .select(col(shardCol).as("__shard"), explode(array(allRecs: _*)).as("r"))
+      .filter(col("r").isNotNull)
       .select(col("__shard"), col("r.fam").as("fam"), col("r.k1").as("k1"),
         col("r.k2").as("k2"), col("r.v").as("v"), col("r.lv").as("lv"), col("r.dv").as("dv"))
       .groupBy("__shard", "fam", "k1", "k2")
       .agg(count(lit(1)).as("cnt"), min(col("v")).as("mn"), max(col("v")).as("mx"),
         sum(col("dv")).as("ds"), max(col("lv")).as("mxr"))
-      .localCheckpoint(true)
+      // LAZY checkpoint: the first consumer's action runs the one scan, the
+      // other three families read the materialized blocks — eager would add
+      // a whole extra job before any consumer needs the data
+      .localCheckpoint(false)
     val statsAggs: Seq[Column] = statsCols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
         coalesce(max(when(col("fam") === s"s$i", col("cnt"))), lit(0L)).as(s"nn_$c"),

@@ -276,7 +276,15 @@ object Similarity {
     // trade; a deployment that can't afford it keeps a vector-less bucket
     // table and fetches candidates via vec_id-bucketed point lookups into
     // the source table instead.
+    // cluster rows by the partition key before the partitioned write: the
+    // fan-out scan otherwise leaves EVERY upstream task writing a sliver
+    // into every (table, bucket) directory — tasks x nTables x 2^nBits tiny
+    // files whose open cost dominates the serve read. One exchange puts each
+    // bucket wholly in one task -> one right-sized file per directory (at
+    // larger corpora each bucket is a full task's worth of rows — the same
+    // clustering a FAISS inverted list does on disk).
     val bk = lshBuckets(emb, nTables, nBits)
+      .repartition(col("table"), col("bucket"))
     putPartitioned(lake, bk, s"${prefix}_buckets", Seq("table", "bucket"))
     import spark.implicits._
     val params = Seq((nTables, nBits)).toDF("n_tables", "n_bits")
@@ -300,7 +308,8 @@ object Similarity {
       s"no ${prefix}_params table (index predates param tracking) — rebuild to enable appends")
     val p = lake.read(spark, s"${prefix}_params").head()
     val (nTables, nBits) = (p.getInt(0), p.getInt(1))
-    lake.append(lshBuckets(embNew, nTables, nBits), s"${prefix}_buckets")
+    lake.append(lshBuckets(embNew, nTables, nBits)
+      .repartition(col("table"), col("bucket")), s"${prefix}_buckets")
   }
 
   /** Serve ANN top-k from a PERSISTED LSH index (see [[buildLshIndex]]):
@@ -426,8 +435,11 @@ object Similarity {
     // VECTORS from them, so re-rank never scans the corpus embedding table.
     // Parquet round-trips float arrays exactly, so serving from the list
     // copy is bitwise-identical to serving from the source table.
+    // clustered by cell before the write (same rationale as buildLshIndex:
+    // without it every fan-out task leaves a sliver file in every cell dir)
     putPartitioned(lake,
-      assigned.select(col("vec_id"), col("emb_v").as("embedding"), col("cell")),
+      assigned.select(col("vec_id"), col("emb_v").as("embedding"), col("cell"))
+        .repartition(col("cell")),
       s"${prefix}_assign", Seq("cell"))
     // build-time mean cell distance: the drift baseline ([[appendIvfIndex]])
     put(assigned.agg(avg("dist").as("mean_qerr")), s"${prefix}_stats")
@@ -451,7 +463,8 @@ object Similarity {
     val assigned = ivfRankCells(v, centroids)
       .filter(col("rn") === 1).persist(StorageLevel.MEMORY_AND_DISK)
     lake.append(
-      assigned.select(col("vec_id"), col("emb_v").as("embedding"), col("cell")),
+      assigned.select(col("vec_id"), col("emb_v").as("embedding"), col("cell"))
+        .repartition(col("cell")),
       s"${prefix}_assign")
     val errRow = assigned.agg(avg("dist")).head()
     assigned.unpersist()
@@ -598,7 +611,13 @@ object Similarity {
       .crossJoin(broadcast(cent))
       .select(col("query_id") +: col("j") +: qCols: _*)
     // one broadcast join per subspace wires code_mm to its table entry; the
-    // final score is a fixed-order expression over the m looked-up entries
+    // final score is a fixed-order expression over the m looked-up entries.
+    // (Measured alternative, r9: collecting the LUT and gathering the m
+    // entries from a literal array in one projection — semantically
+    // identical, fewer stages on paper — benched consistently ~30% SLOWER
+    // here: the hash joins' build sides are tiny and codegen fuses the
+    // chain, while the literal-array gather defeated the fusion. Keep the
+    // join chain.)
     val joined = (0 until m).foldLeft(codes) { (acc, mm) =>
       val slice = lut.select(col("query_id"), col("j").as(s"code_$mm"), col(s"q$mm"))
       acc.join(broadcast(slice),
