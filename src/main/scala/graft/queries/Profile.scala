@@ -276,7 +276,34 @@ object Profile {
       Seq("event_type"), Seq(0.25, 0.5, 0.75, 0.95), lo = 0.0, width = 8.0)
       .orderBy("event_type")
 
+  /** Constraint audit over the orders/lineitem/customer star
+    * ([[graft.operators.Constraints]]): uniqueness, referential integrity,
+    * accepted values, and ranges in one report — a mix of rules the clean
+    * corpus passes and deliberately-tight rules it fails (status in (O,F)
+    * flags the P rows; totalprice capped at 100k flags the long tail), so
+    * the gate pins nonzero violation arithmetic, not just all-zeros. */
+  def constraintAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Constraints._
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val ordersAudit = graft.operators.Constraints.audit(o, Seq(
+      NotNull("o_custkey"),
+      Unique(Seq("o_orderkey")),
+      AcceptedValues("o_orderstatus", Seq("O", "F")),
+      AcceptedValues("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+      InRange("o_totalprice", 0.0, 100000.0),
+      ForeignKey(Seq("o_custkey"), c, Seq("c_custkey"), "customer")))
+    val liAudit = graft.operators.Constraints.audit(li, Seq(
+      Unique(Seq("l_orderkey", "l_linenumber")),
+      InRange("l_quantity", 1.0, 50.0),
+      ForeignKey(Seq("l_orderkey"), o, Seq("o_orderkey"), "orders")))
+    ordersAudit.unionByName(liAudit).orderBy("rule_type", "target")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dq_constraint_audit"       -> (constraintAudit _),
     "profile_quantile_by_group" -> (eventsQuantilesByType _),
     "profile_one_scan"          -> (eventsOneScanProfile _),
     "profile_cms_by_group"      -> (documentsCmsBySource _),
@@ -327,6 +354,39 @@ object Profile {
          |GROUP BY q.term, q.source, q.true_cnt
          |ORDER BY q.source, q.term""".stripMargin
     },
+    // per-rule direct SQL twins of the constraint audit, UNIONed into the
+    // same (rule_type, target, violations) report shape
+    "dq_constraint_audit" ->
+      s"""WITH r AS (
+         |SELECT 'not_null' AS rule_type, 'o_custkey' AS target,
+         |  CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS violations FROM orders
+         |UNION ALL SELECT 'accepted_values', 'o_orderstatus',
+         |  CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+         |    AND o_orderstatus NOT IN ('O', 'F')) AS BIGINT) FROM orders
+         |UNION ALL SELECT 'accepted_values', 'o_orderpriority',
+         |  CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL AND o_orderpriority
+         |    NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')) AS BIGINT) FROM orders
+         |UNION ALL SELECT 'in_range', 'o_totalprice',
+         |  CAST(COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL
+         |    AND (o_totalprice < CAST(0 AS DOUBLE) OR o_totalprice > CAST(100000 AS DOUBLE))) AS BIGINT) FROM orders
+         |UNION ALL SELECT 'unique', 'o_orderkey',
+         |  CAST(COALESCE((SELECT SUM(c - 1) FROM (SELECT COUNT(*) AS c FROM orders
+         |    WHERE o_orderkey IS NOT NULL
+         |    GROUP BY o_orderkey HAVING COUNT(*) > 1)), 0) AS BIGINT)
+         |UNION ALL SELECT 'foreign_key', 'o_custkey->customer(c_custkey)',
+         |  CAST((SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+         |    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+         |UNION ALL SELECT 'in_range', 'l_quantity',
+         |  CAST(COUNT(*) FILTER (WHERE l_quantity IS NOT NULL
+         |    AND (l_quantity < CAST(1 AS DOUBLE) OR l_quantity > CAST(50 AS DOUBLE))) AS BIGINT) FROM lineitem
+         |UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber',
+         |  CAST(COALESCE((SELECT SUM(c - 1) FROM (SELECT COUNT(*) AS c FROM lineitem
+         |    WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+         |    GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)), 0) AS BIGINT)
+         |UNION ALL SELECT 'foreign_key', 'l_orderkey->orders(o_orderkey)',
+         |  CAST((SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+         |    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+         |) SELECT * FROM r ORDER BY rule_type, target""".stripMargin,
     // grouped twin of the quantile sketch: identical grid arithmetic with
     // event_type carried through every stage — one bin grid per group
     "profile_quantile_by_group" -> {

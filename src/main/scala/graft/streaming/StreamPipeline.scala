@@ -169,6 +169,40 @@ object StreamPipeline {
       .start()
   }
 
+  /** Continuous data-quality audit: every micro-batch runs the declarative
+    * constraint rules ([[graft.operators.Constraints]] — uniqueness,
+    * referential integrity against a fixed parent snapshot, accepted values,
+    * ranges) and lands the per-rule violation report into a lake table keyed
+    * by (batch id, rule) — the always-on dbt-test topology: quality
+    * regressions surface per ingest batch, queryable as a time series, with
+    * no rescan of ingested data. NOTE: uniqueness here is WITHIN-batch (the
+    * cross-batch key story belongs to the keyed silver upsert /
+    * [[streamingDedup]]); the FK parent is the snapshot passed at start.
+    *
+    * Idempotence: same shard-scoped-replace contract as [[profilingInbox]] —
+    * a replayed batch recomputes the identical report and overwrites its own
+    * rows. */
+  def dqInbox(spark: SparkSession, inbox: String, schema: StructType,
+              rules: Seq[graft.operators.Constraints.Rule],
+              lake: graft.lake.TableFormat, checkpoint: String,
+              maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    spark.readStream
+      .schema(schema)
+      .option("header", true)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(inbox)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val report = graft.operators.Constraints.audit(batch, rules)
+          .withColumn("batch_id", lit(id))
+        lake.upsert(report, "dq_report", Seq("batch_id", "rule_type", "target"))
+      }
+      .start()
+  }
+
   /** Streaming deduplication: exactly-one-row-per-key within the watermark
     * horizon (the incremental form of the batch dedup-keep-latest — state is
     * bounded by the watermark, so it runs forever on unbounded input).

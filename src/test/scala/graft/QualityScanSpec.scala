@@ -65,4 +65,42 @@ class QualityScanSpec extends AnyFunSuite {
       Sinks.jsonArray(spark.range(10).toDF(), d.resolve("big.json").toString, maxRows = 5)
     }
   }
+
+  test("constraint audit: exact violation counts per rule on a dirty frame") {
+    import spark.implicits._
+    import graft.operators.Constraints
+    import graft.operators.Constraints._
+    // 2 null keys; key 10 appears 3x and key 11 twice (3 extra rows); one
+    // status off-list plus a NULL status (null must NOT count there); one
+    // value below and one above range (nulls don't count); orphans 98/99
+    val child = Seq(
+      (Some(10L), "A", Some(5.0)), (Some(10L), "A", Some(5.0)), (Some(10L), "A", None),
+      (Some(11L), "B", Some(-1.0)), (Some(11L), "Z", Some(99.0)),
+      (None, "A", Some(5.0)), (None, null, Some(5.0)),
+      (Some(98L), "B", Some(5.0)), (Some(99L), "B", Some(5.0)),
+      (Some(1L), "A", Some(5.0))
+    ).toDF("k", "status", "v")
+    val parent = Seq(1L, 10L, 11L).toDF("pk")
+    val got = Constraints.audit(child, Seq(
+      NotNull("k"),
+      Unique(Seq("k")),
+      AcceptedValues("status", Seq("A", "B")),
+      InRange("v", 0.0, 50.0),
+      ForeignKey(Seq("k"), parent, Seq("pk"), "parent")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("not_null", "k")) == 2L)
+    assert(got(("unique", "k")) == 3L, "3 extra rows beyond first per dup key; NULL keys ignored")
+    assert(got(("accepted_values", "status")) == 1L, "Z only; NULL status is not_null's job")
+    assert(got(("in_range", "v")) == 2L, "-1 and 99; NULL v not counted")
+    assert(got(("foreign_key", "k->parent(pk)")) == 2L, "98, 99 orphaned; NULL keys unchecked")
+    assert(got.size == 5)
+    // an all-clean frame reports zero everywhere, same report shape
+    val clean = Seq((Some(1L), "A", Some(5.0))).toDF("k", "status", "v")
+    val zeros = Constraints.audit(clean, Seq(
+      NotNull("k"), Unique(Seq("k")),
+      AcceptedValues("status", Seq("A", "B")), InRange("v", 0.0, 50.0),
+      ForeignKey(Seq("k"), parent, Seq("pk"), "parent")))
+      .collect().map(_.getLong(2))
+    assert(zeros.forall(_ == 0L) && zeros.length == 5)
+  }
 }

@@ -265,6 +265,53 @@ class StreamSpec extends AnyFunSuite {
     assert(answers() == ((st, hq, hll, cms)), "idempotence across drains")
   }
 
+  test("continuous DQ audit: per-batch constraint reports land keyed; replay overwrites") {
+    import graft.operators.Constraints._
+    val root = Files.createTempDirectory("graft-stream-dq")
+    val inbox = root.resolve("inbox"); Files.createDirectories(inbox)
+    val ckpt = root.resolve("ckpt").toString
+    val lake = new graft.lake.ParquetDirFormat(root.resolve("lake").toString)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("status", StringType),
+      StructField("v", DoubleType)))
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val rules = Seq(
+      NotNull("id"), Unique(Seq("id")),
+      AcceptedValues("status", Seq("A", "B")), InRange("v", 0.0, 10.0),
+      ForeignKey(Seq("id"), parent, Seq("pk"), "parent"))
+    // batch 1 clean; batch 2 carries one of each violation class
+    Files.write(inbox.resolve("b1.csv"),
+      "id,status,v\n1,A,5.0\n2,B,7.0\n3,A,0.0\n".getBytes)
+    Files.write(inbox.resolve("b2.csv"),
+      "id,status,v\n1,A,5.0\n1,Z,11.0\n,A,5.0\n9,B,5.0\n".getBytes)
+    def drain(): Unit = StreamPipeline.runAvailableNow(
+      StreamPipeline.dqInbox(spark, inbox.toString, schema, rules,
+        lake, ckpt, maxFilesPerTrigger = 1))
+    drain()
+    def report() = lake.read(spark, "dq_report")
+      .collect()
+      .map(r => (r.getLong(3), r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val rep = report()
+    assert(rep.size == 10, s"5 rules x 2 batches, got ${rep.size}")
+    // the clean batch is all zeros; the dirty batch counts each class once
+    val batches = rep.keys.map(_._1).toSeq.distinct.sorted
+    val (clean, dirty) =
+      if (rep((batches(0), "not_null", "id")) == 0L) (batches(0), batches(1))
+      else (batches(1), batches(0))
+    assert(Seq("not_null", "unique", "accepted_values", "in_range", "foreign_key")
+      .forall(t => rep.exists { case ((b, rt, _), v) => b == clean && rt == t && v == 0L }))
+    assert(rep((dirty, "not_null", "id")) == 1L)
+    assert(rep((dirty, "unique", "id")) == 1L)
+    assert(rep((dirty, "accepted_values", "status")) == 1L)
+    assert(rep((dirty, "in_range", "v")) == 1L)
+    assert(rep((dirty, "foreign_key", "id->parent(pk)")) == 1L)
+    // replayed drain recomputes identical reports and overwrites its rows
+    drain()
+    assert(report() == rep, "replay must not duplicate or change reports")
+  }
+
   test("continuous CDC apply: change files fold into the lake; replay converges") {
     val root = Files.createTempDirectory("graft-stream-cdc")
     val inbox = root.resolve("inbox"); Files.createDirectories(inbox)
