@@ -185,6 +185,14 @@ object Training {
     "multimodal_transform"   -> ((s, d) => Multimodal.transformSamples(
                                    Multimodal.syntheticPixelMedia(Tables.documents(s, d)))),
     "embed_kmeans"           -> ((s, d) => Clustering.kmeans(Tables.embeddings(s, d), KmeansK, KmeansIters)),
+    // cluster-balanced corpus selection (the diversity-sampling recipe:
+    // cluster the embedding space, then sqrt-temperature quotas ACROSS
+    // clusters — head clusters down-weighted, tail clusters kept): a pure
+    // composition of the two proven operators, oracle-checked end to end
+    "embed_cluster_sample"   -> ((s, d) => TextOps.temperatureSample(
+                                   Clustering.kmeans(Tables.embeddings(s, d), KmeansK, KmeansIters)
+                                     .selectExpr("vec_id AS doc_id", "cluster"),
+                                   TempTargetDocs, by = "cluster")),
     "ann_brute_force_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_lsh_topk"           -> ((s, d) => Similarity.lshAnnTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_recall_eval"        -> ((s, d) => Similarity.recallAtK(Tables.embeddings(s, d), NQueries, TopK)),
@@ -1275,9 +1283,12 @@ object Training {
        |s$i AS (SELECT cell, d, CAST(SUM(x) AS BIGINT) AS sx, COUNT(*) AS cnt FROM e$i GROUP BY cell, d),
        |c$i AS (SELECT cell, list(${Portable.qMeanDuck("sx", "cnt")} ORDER BY d) AS c FROM s$i GROUP BY cell),""".stripMargin
 
-  private val kmeansSql = {
+  /** The Lloyd-iteration CTE chain up to the final assignment `fa` — shared
+    * by the kmeans gate and the cluster-balanced sampling gate (which
+    * composes temperature quotas on top of the same assignment). */
+  private val kmeansCtes = {
     val iters = (1 to KmeansIters).map(i => kmeansIterCte(i, s"c${i - 1}")).mkString("\n")
-    s"""WITH q AS MATERIALIZED (SELECT vec_id, ${Portable.quantVecDuck("embedding")} AS q FROM embeddings),
+    s"""q AS MATERIALIZED (SELECT vec_id, ${Portable.quantVecDuck("embedding")} AS q FROM embeddings),
        |ix AS (SELECT unnest(range(1, ${Portable.Dim + 1})) AS d),
        |st AS (SELECT GREATEST(COUNT(*) // $KmeansK, 1) AS stride FROM embeddings),
        |c0 AS (SELECT vec_id // stride AS cell, q AS c FROM q, st
@@ -1285,13 +1296,37 @@ object Training {
        |$iters
        |fd AS (SELECT q.vec_id, c.cell, ${Portable.qL2Duck("q.q", "c.c")} AS dist
        |  FROM q CROSS JOIN c$KmeansIters c),
-       |fa AS (SELECT vec_id, cell, dist FROM (SELECT vec_id, cell, dist,
+       |fa AS MATERIALIZED (SELECT vec_id, cell, dist FROM (SELECT vec_id, cell, dist,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM fd)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  private val kmeansSql =
+    s"""WITH $kmeansCtes,
        |sz AS (SELECT cell, COUNT(*) AS cluster_size FROM fa GROUP BY cell)
        |SELECT fa.vec_id, fa.cell AS cluster, fa.dist, sz.cluster_size
        |FROM fa JOIN sz USING (cell)""".stripMargin
-  }
+
+  /** Exact replica of the cluster-balanced sampling composition: the SAME
+    * Lloyd assignment chain, then temperature quotas (isqrt weights, exact
+    * integer arithmetic) over CLUSTER ids instead of source domains —
+    * [[graft.operators.TextOps.temperatureSample]]'s oracle with dom =
+    * assigned cell. */
+  private val clusterSampleSql =
+    s"""WITH $kmeansCtes,
+       |ts AS (SELECT vec_id AS doc_id, cell AS dom,
+       |  ${Portable.sampleBucketDuck("vec_id")} AS bkt,
+       |  ${Portable.tempKeyDuck("vec_id")} AS tk FROM fa),
+       |tcc AS (SELECT dom, CAST(COUNT(*) AS BIGINT) AS c FROM ts GROUP BY dom),
+       |tww AS (SELECT dom, ${Portable.isqrtDuck("c")} AS w FROM tcc),
+       |ttot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM tww),
+       |tq AS (SELECT dom, CAST(($TempTargetDocs * w) // tw AS BIGINT) AS quota
+       |  FROM tww CROSS JOIN ttot),
+       |tr AS (SELECT doc_id, dom,
+       |  CAST(row_number() OVER (PARTITION BY dom ORDER BY bkt, tk, doc_id) AS BIGINT) AS dom_rank
+       |  FROM ts)
+       |SELECT tr.doc_id, tr.dom AS cluster, tr.dom_rank, tq.quota
+       |FROM tr JOIN tq USING (dom) WHERE tr.dom_rank <= tq.quota""".stripMargin
 
   /** Exact replica of [[Similarity.sq8AnnTopK]]: per-dim min/max train, the
     * 256-level affine snap, pure-integer approximate distances over the code
@@ -1319,6 +1354,7 @@ object Training {
 
   val oracle: Map[String, String] = Map(
     "embed_kmeans"           -> kmeansSql,
+    "embed_cluster_sample"   -> clusterSampleSql,
     "ann_sq8_topk"           -> annSq8Sql,
     "ann_pq_topk"            -> annPqSql,
     // the persisted-index round trip must return the SAME result as the
