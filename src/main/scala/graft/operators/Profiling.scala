@@ -238,6 +238,54 @@ object Profiling {
     qFrames.foldLeft(cum.select(col("n_rows")).distinct())((acc, f) => acc.crossJoin(broadcast(f)))
   }
 
+  /** Distribution drift between two histogram-partial sets — the
+    * data-drift monitor a training pipeline runs between corpus snapshots
+    * (did this week's crawl shift the length/quality/value distribution?),
+    * answered ENTIRELY from persisted partials: both sides fold to their
+    * merged bin grids (sketch-sized), never rescanning a corpus byte.
+    *
+    * Exactness: shares are one correctly-rounded division each from exact
+    * integer counts; per-bin `drift_bits` is the INTEGER bit width of the
+    * cross-ratio floor (cnt_a*tot_b vs cnt_b*tot_a — the comparison PSI/KL
+    * make with logs, in the same transcendental-free floor-log2 form as the
+    * surprisal scorers; positive = overrepresented in A, NULL when a side
+    * is empty); the total-variation distance is an exact DECIMAL sum of
+    * |cross-product differences| with ONE final double division. All
+    * portable, so the whole report hash-checks cross-engine.
+    *
+    * Totals are collected once (two longs — report metadata); cross
+    * products stay in BIGINT, which bounds each side at 2^31 rows — beyond
+    * that swap the products to DECIMAL(38,0) (the sum already is), the
+    * documented 100 TB follow-up. */
+  def histogramDrift(pa: DataFrame, pb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val a = pa.groupBy("bin").agg(sum(col("cnt")).cast("bigint").as("cnt_a"))
+    val b = pb.groupBy("bin").agg(sum(col("cnt")).cast("bigint").as("cnt_b"))
+    val j = a.join(b, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val t = j.agg(sum(col("cnt_a")).cast("bigint"), sum(col("cnt_b")).cast("bigint")).head()
+    val (totA, totB) = (t.getLong(0), t.getLong(1))
+    require(totA > 0 && totB > 0, "drift needs rows on both sides")
+    require(totA < (1L << 31) && totB < (1L << 31),
+      "BIGINT cross products bound each side at 2^31 rows — swap to DECIMAL(38,0) products")
+    def bits(c: Column) = length(conv(c.cast("string"), 10, 2))
+    val e = j
+      .withColumn("xab", col("cnt_a") * lit(totB))
+      .withColumn("xba", col("cnt_b") * lit(totA))
+      .withColumn("share_a", col("cnt_a").cast("double") / lit(totA).cast("double"))
+      .withColumn("share_b", col("cnt_b").cast("double") / lit(totB).cast("double"))
+      .withColumn("drift_bits", when(col("cnt_a") > 0 && col("cnt_b") > 0,
+        (bits(greatest(expr("xab div xba"), lit(1L))) -
+          bits(greatest(expr("xba div xab"), lit(1L)))).cast("bigint")))
+    val tvd = e.agg(
+      (sum(abs(col("xab") - col("xba")).cast(DecimalType(38, 0))).cast("double") /
+        ((lit(2.0) * lit(totA.toDouble)) * lit(totB.toDouble))).as("tvd"))
+    e.select(col("bin"), col("cnt_a"), col("cnt_b"),
+        col("share_a"), col("share_b"), col("drift_bits"))
+      .crossJoin(broadcast(tvd))
+  }
+
   /** HyperLogLog register width: p=8 → 256 registers, ~6.5% standard error —
     * the approximate-distinct sweet spot for per-column lake profiling. */
   val HllP = 8

@@ -302,7 +302,22 @@ object Profile {
     ordersAudit.unionByName(liAudit).orderBy("rule_type", "target")
   }
 
+  /** Distribution drift between the even- and odd-event halves of the corpus
+    * ([[Profiling.histogramDrift]]): both sides' histogram partials fold to
+    * merged grids and the drift report (per-bin shares, integer log2-ratio
+    * drift bits, exact-decimal total-variation distance) comes entirely from
+    * sketch state — the between-snapshot drift monitor with no rescan. */
+  def eventsHistogramDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("shard", pmod(col("user_id"), lit(16L)))
+    def partials(side: Int) =
+      Profiling.histogramPartials(ev.filter(pmod(col("event_id"), lit(2L)) === side),
+        "shard", "value", lo = 0.0, width = 8.0, nBins = 64)
+    Profiling.histogramDrift(partials(0), partials(1)).orderBy("bin")
+  }
+
   val queries: Map[String, Q] = Map(
+    "profile_histogram_drift"   -> (eventsHistogramDrift _),
     "dq_constraint_audit"       -> (constraintAudit _),
     "profile_quantile_by_group" -> (eventsQuantilesByType _),
     "profile_one_scan"          -> (eventsOneScanProfile _),
@@ -353,6 +368,36 @@ object Profile {
          |  AND sk.sk_slot = q.sk_slot
          |GROUP BY q.term, q.source, q.true_cnt
          |ORDER BY q.source, q.term""".stripMargin
+    },
+    // direct-scan twin of the drift report: same grids, same BIGINT cross
+    // products, same floor-log2 bit widths, same exact-decimal TVD sum with
+    // one final double division (denominator multiplied in the same order)
+    "profile_histogram_drift" -> {
+      def binCte(name: String, side: Int) =
+        s"""$name AS (SELECT CAST(least(greatest(floor((value - CAST(0 AS DOUBLE)) / CAST(8 AS DOUBLE)),
+           |  CAST(0 AS DOUBLE)), CAST(63 AS DOUBLE)) AS BIGINT) AS bin
+           |  FROM events WHERE value IS NOT NULL AND event_id % 2 = $side)""".stripMargin
+      s"""WITH ${binCte("ba", 0)},
+         |${binCte("bb", 1)},
+         |a AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt_a FROM ba GROUP BY bin),
+         |b AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM bb GROUP BY bin),
+         |j AS (SELECT COALESCE(a.bin, b.bin) AS bin, COALESCE(cnt_a, 0) AS cnt_a,
+         |  COALESCE(cnt_b, 0) AS cnt_b FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+         |tt AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a,
+         |  CAST(SUM(cnt_b) AS BIGINT) AS tot_b FROM j),
+         |e AS (SELECT j.bin, j.cnt_a, j.cnt_b,
+         |  j.cnt_a * tt.tot_b AS xab, j.cnt_b * tt.tot_a AS xba,
+         |  CAST(j.cnt_a AS DOUBLE) / CAST(tt.tot_a AS DOUBLE) AS share_a,
+         |  CAST(j.cnt_b AS DOUBLE) / CAST(tt.tot_b AS DOUBLE) AS share_b,
+         |  tt.tot_a, tt.tot_b FROM j, tt),
+         |d AS (SELECT e.*, CASE WHEN cnt_a > 0 AND cnt_b > 0 THEN
+         |  CAST(length(printf('%b', GREATEST(xab // xba, 1)))
+         |    - length(printf('%b', GREATEST(xba // xab, 1))) AS BIGINT) END AS drift_bits FROM e),
+         |tv AS (SELECT CAST(SUM(CAST(ABS(xab - xba) AS DECIMAL(38,0))) AS DOUBLE)
+         |  / ((CAST(2 AS DOUBLE) * CAST(MAX(tot_a) AS DOUBLE)) * CAST(MAX(tot_b) AS DOUBLE)) AS tvd
+         |  FROM d)
+         |SELECT d.bin, d.cnt_a, d.cnt_b, d.share_a, d.share_b, d.drift_bits, tv.tvd
+         |FROM d, tv ORDER BY d.bin""".stripMargin
     },
     // per-rule direct SQL twins of the constraint audit, UNIONed into the
     // same (rule_type, target, violations) report shape

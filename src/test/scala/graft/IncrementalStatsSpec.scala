@@ -174,6 +174,31 @@ class IncrementalStatsSpec extends AnyFunSuite {
     assert(unseen.getLong(2) >= 0L)
   }
 
+  test("histogramDrift: exact hand values, zero on identical sides, sound bounds") {
+    import spark.implicits._
+    def partials(rows: (Long, Long)*) =
+      rows.toSeq.toDF("bin", "cnt").withColumn("shard", lit(0L))
+    // A: 30@bin0 10@bin1; B: 10@bin0 10@bin1 20@bin2 (totals 40/40)
+    // bin0 cross: 1200 vs 400 -> ratio floor 3 -> bits diff 2-1 = +1
+    // bin1 equal -> 0; bin2 one-sided -> NULL
+    // TVD = (800 + 0 + 800) / (2*40*40) = 0.5
+    val got = graft.operators.Profiling.histogramDrift(
+      partials(0L -> 30L, 1L -> 10L), partials(0L -> 10L, 1L -> 10L, 2L -> 20L))
+      .orderBy("bin").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(got(0).getLong(5) == 1L && got(1).getLong(5) == 0L && got(2).isNullAt(5))
+    assert(got(0).getDouble(3) == 0.75 && got(0).getDouble(4) == 0.25)
+    assert(got.forall(_.getDouble(6) == 0.5))
+    // identical sides: all drift_bits 0, tvd exactly 0
+    val same = graft.operators.Profiling.histogramDrift(
+      partials(0L -> 5L, 3L -> 7L), partials(0L -> 5L, 3L -> 7L)).collect()
+    assert(same.forall(r => r.getLong(5) == 0L && r.getDouble(6) == 0.0))
+    // fully disjoint supports: tvd exactly 1
+    val disj = graft.operators.Profiling.histogramDrift(
+      partials(0L -> 5L), partials(1L -> 9L)).collect()
+    assert(disj.forall(r => r.isNullAt(5) && r.getDouble(6) == 1.0))
+  }
+
   test("profileAll: one scan emits all four partial families bitwise-equal to the separate builders") {
     val ev = Tables.events(spark, TestSpark.sfDir)
       .withColumn("shard", pmod(col("event_id"), lit(16L)))
