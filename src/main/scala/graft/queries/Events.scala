@@ -320,7 +320,37 @@ object Events {
     ledger.tableRouting(spark)
   }
 
+  /** Sequential-step funnel (view -> click -> purchase): a user reaches step
+    * k only via a step-k event STRICTLY AFTER their step-(k-1) reach time —
+    * the classic product-analytics conversion query (min-ts per step won't
+    * do: a purchase before the first view must not count). Each step is one
+    * filtered aggregate joined to the previous step's reach times; step
+    * tables shrink monotonically, dimensions broadcast, and the 3-row report
+    * window is report-sized. Conversion = step users / previous-step users. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    def cnt(df: DataFrame, step: String) =
+      df.agg(count(lit(1)).cast("bigint").as("users"))
+        .select(lit(step).as("step"), col("users"))
+    val steps = cnt(s1, "1_view").unionByName(cnt(s2, "2_click"))
+      .unionByName(cnt(s3, "3_purchase"))
+    steps.withColumn("conversion",
+      col("users").cast("double") /
+        lag(col("users"), 1).over(Window.orderBy("step")).cast("double"))
+      .orderBy("step")
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_funnel_steps"  -> (funnelSteps _),
     "pipeline_table_routing" -> (tableRouting _),
     "events_zorder_cluster" -> (zorderCluster _),
     "events_salted_join"   -> (saltedDimJoin _),
@@ -342,6 +372,20 @@ object Events {
       "epoch_us(CAST(ts AS TIMESTAMP)) AS ep FROM events"
 
   val oracle: Map[String, String] = Map(
+    "events_funnel_steps" ->
+      s"""WITH e AS ($eCte),
+         |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view'
+         |  GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM e JOIN s1 USING (user_id)
+         |  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM e JOIN s2 USING (user_id)
+         |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id),
+         |u AS (SELECT '1_view' AS step, CAST(COUNT(*) AS BIGINT) AS users FROM s1
+         |  UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM s2
+         |  UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM s3)
+         |SELECT step, users, CAST(users AS DOUBLE)
+         |  / CAST(LAG(users) OVER (ORDER BY step) AS DOUBLE) AS conversion
+         |FROM u ORDER BY step""".stripMargin,
     "pipeline_table_routing" ->
       s"""WITH f AS (SELECT event_type AS table_name,
          |  CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day,
