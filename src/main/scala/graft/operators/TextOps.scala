@@ -17,9 +17,15 @@ object TextOps {
     * the portable HOF chain (PortableParitySpec) but one flat loop per
     * evaluation instead of an interpreted per-element lambda, which matters
     * because projection collapse re-inlines `toks` into every consumer. */
+  /** Tokenized view of `docs`. A frame already carrying `toks` (e.g. a
+    * checkpointed intermediate a composed pipeline tokenized ONCE) is passed
+    * through untouched — re-tokenizing a 100 TB corpus per consuming stage
+    * is exactly the repeated projection cost the checkpoint existed to
+    * avoid. */
   private def withToks(docs: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    Scale.fanOutScan(docs).withColumn("toks", expr("graft_tokens(text)"))
+    if (docs.columns.contains("toks")) docs
+    else Scale.fanOutScan(docs).withColumn("toks", expr("graft_tokens(text)"))
   }
 
   /** Per-document token statistics + polynomial fingerprint of the raw text.
@@ -722,7 +728,13 @@ object TextOps {
       .select(col("doc_id"), col("clean_text"))
       .join(meta, "doc_id")
       .select(col("doc_id"), col("source"), col("lang"), col("clean_text").as("text"))
-    // 2. exact substring excision -> text v2 (checkpoint: 5 downstream scans)
+    // 2. exact substring excision -> text v2 (checkpoint: 5 downstream
+    //    scans). Deliberately WITHOUT a materialized toks column: carrying
+    //    the token arrays through both checkpoints was measured ~10% slower
+    //    than re-running the codegen'd tokenizer per consuming stage — the
+    //    checkpoint write/read of corpus-sized arrays costs more than the
+    //    projection it saves (withToks still passes a toks-carrying frame
+    //    through untouched, for callers whose economics differ).
     val d2 = Dedup.exactSubstrExcise(d1, substrWindow)
       .select(col("doc_id"), col("clean_text"))
       .join(meta, "doc_id")
