@@ -136,6 +136,31 @@ object TextOps {
         sum(size(col("toks")).cast("bigint")).as("total_tokens"))
   }
 
+  /** Stratified twin of [[trainTestSplit]]: the SAME deterministic digit-mix
+    * bucket assignment, reported per stratum (source/language/domain) with
+    * each split's share of its stratum — the skew question the global report
+    * cannot answer (did the small sources land near 90/10 too, or does one
+    * stratum leak?). Because the bucket hash is id-only, the global and
+    * stratified views describe one consistent assignment — stratifying is a
+    * reporting choice, not a re-split. Same scale shape: one projection, one
+    * aggregate keyed by (stratum, split), share via a window over the
+    * 2-rows-per-stratum aggregate. */
+  def trainTestSplitBy(docs: DataFrame, by: String = "source",
+                       pctTrain: Int = 90): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    withToks(docs)
+      .withColumn("split",
+        when(expr(Portable.splitBucketSpark("doc_id")) < pctTrain, lit("train"))
+          .otherwise(lit("test")))
+      .groupBy(col(by), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("bigint")).as("total_tokens"))
+      .withColumn("stratum_share",
+        col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy(by)).cast("double"))
+  }
+
   /** Train/test contamination detection: pairs of (test doc, train doc) that
     * share at least one word n-gram, with the size of the shared n-gram set —
     * the leakage check every benchmark/eval pipeline runs before training.

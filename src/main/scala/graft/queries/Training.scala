@@ -76,6 +76,7 @@ object Training {
     "text_quality_score"     -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
     "text_corpus_stats"      -> ((s, d) => TextOps.corpusStats(Tables.documents(s, d))),
     "text_train_split"       -> ((s, d) => TextOps.trainTestSplit(Tables.documents(s, d))),
+    "text_train_split_by"    -> ((s, d) => TextOps.trainTestSplitBy(Tables.documents(s, d))),
     "text_quality_filter"    -> ((s, d) => TextOps.qualityFilter(Tables.documents(s, d))),
     "text_contamination"     -> ((s, d) => TextOps.contamination(Tables.documents(s, d))),
     "text_bm25_search"       -> ((s, d) => TextOps.bm25Search(Tables.documents(s, d), Bm25Terms)),
@@ -691,6 +692,20 @@ object Training {
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(len(toks)::BIGINT) AS BIGINT) AS total_tokens
        |FROM t GROUP BY 1""".stripMargin
+
+  /** Stratified replica: identical bucket hash, grouped by source, shares
+    * via a per-stratum window over the aggregate. */
+  private val trainSplitBySql =
+    s"""WITH t AS (SELECT doc_id, source, $toks AS toks FROM documents),
+       |s AS (SELECT source,
+       |  CASE WHEN ${Portable.splitBucketDuck("doc_id")} < 90 THEN 'train' ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(len(toks)::BIGINT) AS BIGINT) AS total_tokens
+       |FROM t GROUP BY 1, 2)
+       |SELECT source, split, n_docs, total_tokens,
+       |  CAST(n_docs AS DOUBLE)
+       |    / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE) AS stratum_share
+       |FROM s""".stripMargin
 
   /** Reuses the quality-score CTE chain; threshold = exact 25th percentile. */
   private val qualityFilterSql =
@@ -1388,6 +1403,7 @@ object Training {
     "text_quality_score"     -> qualityScoreSql,
     "text_corpus_stats"      -> corpusStatsSql,
     "text_train_split"       -> trainSplitSql,
+    "text_train_split_by"    -> trainSplitBySql,
     "text_quality_filter"    -> qualityFilterSql,
     "text_contamination"     -> contaminationSql,
     "text_bm25_search"       -> bm25Sql,
