@@ -551,38 +551,56 @@ object Similarity {
     val dim = Portable.Dim
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
+    // ksub-row codebook: with the footer-derived stride this is a cheap
+    // filtered scan, so its two consumers (encode-side collect + LUT build)
+    // just evaluate it inline inside their own broadcast-build jobs — a
+    // checkpoint here measured as a net extra job
     val cent = pqCodebook(emb, ksub)
     pqQuery(pqEncode(emb, cent, m, sub), cent, emb, nQueries, k, m, sub, refine)
   }
 
   /** Stride-sampled PQ codebook: `ksub` rows (j, emb_c) whose subspace slices
     * are the per-subspace centroids — deterministic, so both the in-memory
-    * and the persisted-index paths reproduce it bit-for-bit. */
-  private[operators] def pqCodebook(emb: DataFrame, ksub: Int): DataFrame = {
-    val stats = emb.agg(greatest(
-      (count(lit(1)) / ksub).cast("long"), lit(1L)).as("stride"))
-    emb.crossJoin(broadcast(stats))
-      .filter(col("vec_id") % col("stride") === 0 &&
-        expr("vec_id div stride") < ksub)
-      .select(expr("vec_id div stride").as("j"), col("embedding").as("emb_c"))
-  }
+    * and the persisted-index paths reproduce it bit-for-bit. The stride comes
+    * from the parquet footers when the input is a bare scan (a driver
+    * metadata read, no Spark job — same count COUNT(*) would return, so the
+    * oracle is unaffected); otherwise from a count aggregate. */
+  private[operators] def pqCodebook(emb: DataFrame, ksub: Int): DataFrame =
+    parquetMetaCount(emb) match {
+      case Some(n) =>
+        val stride = math.max(n / ksub, 1L)
+        emb.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * ksub)
+          .select(expr(s"vec_id div ${stride}L").as("j"), col("embedding").as("emb_c"))
+      case None =>
+        val stats = emb.agg(greatest(
+          (count(lit(1)) / ksub).cast("long"), lit(1L)).as("stride"))
+        emb.crossJoin(broadcast(stats))
+          .filter(col("vec_id") % col("stride") === 0 &&
+            expr("vec_id div stride") < ksub)
+          .select(expr("vec_id div stride").as("j"), col("embedding").as("emb_c"))
+    }
 
   /** PQ codes + per-vector quantization error: per subspace, the nearest
     * codebook entry (ties to the lowest centroid id) plus `qerr` = the sum of
     * the chosen subspace distances — the reconstruction error the drift
-    * metric tracks. One corpus scan x ksub subspace distances; the error
-    * aggregates ride the same hash agg as the argmins. */
+    * metric tracks. ONE projection pass per corpus row through the native
+    * [[graft.plans.PqEncode]] expression against the codebook collapsed to a
+    * single broadcast array row — no x-ksub row amplification and no m+1-way
+    * hash aggregate (the former shape; bitwise-identical, see the
+    * expression's scaladoc). The codes/qerr split stays a SEPARATE projection:
+    * CollapseProject duplicates only cheap producers, so the encode runs once
+    * per row however many fields the consumer extracts. */
   private[operators] def pqEncodeFull(emb: DataFrame, cent: DataFrame,
                                       m: Int, sub: Int): DataFrame = {
-    val d2Cols = (0 until m).map(mm =>
-      expr(Portable.subL2Spark("embedding", "emb_c", mm * sub, sub)).as(s"d2_$mm"))
-    val scored = Scale.fanOutScan(emb).crossJoin(broadcast(cent))
-      .select(col("vec_id") +: col("j") +: d2Cols: _*)
-    val qerr = (0 until m).map(mm => min(col(s"d2_$mm"))).reduce(_ + _).as("qerr")
-    scored.groupBy("vec_id")
-      .agg(min_by(col("j"), struct(col("d2_0"), col("j"))).as("code_0"),
-        (1 until m).map(mm =>
-          min_by(col("j"), struct(col(s"d2_$mm"), col("j"))).as(s"code_$mm")) :+ qerr: _*)
+    GraftFunctions.register(emb.sparkSession)
+    val centArr = cent.agg(
+      array_sort(collect_list(struct(col("j"), col("emb_c")))).as("cents"))
+    val enc = Scale.fanOutScan(emb).crossJoin(broadcast(centArr))
+      .select(col("vec_id"), expr(s"graft_pq_encode(embedding, cents, $m)").as("enc"))
+    enc.select(col("vec_id") +:
+      (0 until m).map(mm =>
+        element_at(col("enc").getField("codes"), mm + 1).as(s"code_$mm")) :+
+      col("enc").getField("qerr").as("qerr"): _*)
   }
 
   /** PQ codes only — the persisted/served schema (qerr pruned, and with it
@@ -606,28 +624,37 @@ object Similarity {
     // codebook entry (nQueries x ksub rows — broadcast-sized by construction)
     val qCols = (0 until m).map(mm =>
       expr(Portable.subL2Spark("emb_q", "emb_c", mm * sub, sub)).as(s"q$mm"))
+    // One PIVOTED broadcast: per query, the full ksub x m table as one
+    // j-sorted struct array. The former shape broadcast m per-subspace
+    // SLICES — m separate exchanges whose differing projections defeated
+    // exchange reuse, so each re-evaluated the query-scan x codebook subplan
+    // (m corpus-touching stage chains for a 640-row table; that structural
+    // cost, not the per-row probes, dominated the query). The per-pair score
+    // is the native [[graft.plans.PqAdc]] gather — bitwise-identical to the
+    // join chain + left-associated addition (see its scaladoc). An r9 note
+    // recorded a literal-array gather as ~30% slower than the join chain;
+    // that variant inlined the LUT as a giant codegen CONSTANT, where this
+    // one rides a 20-row broadcast join — the job-count win dwarfs the
+    // constant-vs-column difference.
     val lut = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
       .crossJoin(broadcast(cent))
-      .select(col("query_id") +: col("j") +: qCols: _*)
-    // one broadcast join per subspace wires code_mm to its table entry; the
-    // final score is a fixed-order expression over the m looked-up entries.
-    // (Measured alternative, r9: collecting the LUT and gathering the m
-    // entries from a literal array in one projection — semantically
-    // identical, fewer stages on paper — benched consistently ~30% SLOWER
-    // here: the hash joins' build sides are tiny and codegen fuses the
-    // chain, while the literal-array gather defeated the fusion. Keep the
-    // join chain.)
-    val joined = (0 until m).foldLeft(codes) { (acc, mm) =>
-      val slice = lut.select(col("query_id"), col("j").as(s"code_$mm"), col(s"q$mm"))
-      acc.join(broadcast(slice),
-        if (mm == 0) Seq("code_0") else Seq("query_id", s"code_$mm"))
-    }
-    val approx = (1 until m).foldLeft("q0")((e, mm) => s"($e + q$mm)")
+      .select(col("query_id") +: col("emb_q") +: col("j") +: qCols: _*)
+    // the broadcast row also carries the raw query vector, so the exact-
+    // refinement stage reuses THIS exchange instead of building a second
+    // query-scan broadcast (`min(emb_q)` = the single constant value per
+    // group — first_value is nondeterministic-flagged and would block reuse
+    // semantics; min on a 1-value group is total-order stable)
+    val lutRows = lut.groupBy("query_id").agg(
+      array_sort(collect_list(struct(col("j") +: (0 until m).map(mm => col(s"q$mm")): _*)))
+        .as("lutm"),
+      min(col("emb_q")).as("emb_q"))
+      .localCheckpoint(false)
+    val adcArgs = ("lutm" +: (0 until m).map(mm => s"code_$mm")).mkString(", ")
     val w = Window.partitionBy("query_id")
       .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
-    val ranked = joined
-      .withColumn("approx_dist", expr(approx))
+    val ranked = codes.crossJoin(broadcast(lutRows.select("query_id", "lutm")))
+      .withColumn("approx_dist", expr(s"graft_pq_adc($adcArgs)"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("approx_dist"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("rnk", row_number().over(w))
@@ -637,13 +664,12 @@ object Similarity {
     else {
       // exact refinement: full-precision L2 on the shortlist only
       val short = ranked.filter(col("rnk") <= refine).select("query_id", "neighbor_id")
-      val qv = emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
+      val qv = lutRows.select(col("query_id"), col("emb_q"))
       val nv = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_v"))
       val w2 = Window.partitionBy("query_id")
         .orderBy(col("l2_dist").asc, col("neighbor_id").asc)
       short.join(broadcast(qv), "query_id").join(nv, "neighbor_id")
-        .withColumn("l2_dist", expr(Portable.subL2Spark("emb_q", "emb_v", 0, dim)))
+        .withColumn("l2_dist", expr("graft_l2(emb_q, emb_v)"))
         .withColumn("rnk", row_number().over(w2))
         .filter(col("rnk") <= k)
         .select("query_id", "neighbor_id", "l2_dist", "rnk")
@@ -664,18 +690,25 @@ object Similarity {
                  refine: Int = 100): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val dim = Portable.Dim
-    val stats = emb.agg(count(lit(1)).as("__n"),
-      Portable.sq8StatsSpark("embedding").map(expr): _*).drop("__n")
-    // materialized codes: the 64-term affine chain must evaluate once per
-    // row, not once per (row, query) through projection collapse
-    val codes = Scale.fanOutScan(emb).crossJoin(broadcast(stats))
-      .select(col("vec_id"), expr(Portable.sq8VecSpark("embedding")).as("c"))
+    // per-dim min/max as two broadcast arrays; the native Sq8Encode loop
+    // replaces the former 64-term unrolled affine chain (bitwise-identical —
+    // see the expression's scaladoc), whose tree size forced a localCheckpoint
+    // barrier here. A flat per-row loop needs no barrier: the q side prunes to
+    // nQueries rows via filter pushdown, the v side encodes the corpus once.
+    // one-pass elementwise min/max (native agg — order-free, bitwise-equal to
+    // the 128-scalar-aggregate formulation the oracle still spells out);
+    // 1 row, checkpointed so the q-side broadcast and the v-side stream
+    // don't each rerun the corpus aggregate
+    val stats = emb.agg(expr("graft_minmax_arr(embedding)").as("st"))
+      .select(col("st").getField("mns").as("mns"), col("st").getField("mxs").as("mxs"))
       .localCheckpoint(false)
+    val codes = Scale.fanOutScan(emb).crossJoin(broadcast(stats))
+      .select(col("vec_id"), expr("graft_sq8_encode(embedding, mns, mxs)").as("c"))
     val q = codes.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("c").as("cq"))
     val approx = codes.select(col("vec_id").as("neighbor_id"), col("c").as("cv"))
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx_dist", expr(Portable.qL2Spark("cq", "cv")))
+      .withColumn("approx_dist", expr("graft_ql2(cq, cv)"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
     val short = approx.withColumn("rnk", row_number().over(w))
@@ -686,7 +719,7 @@ object Similarity {
     val w2 = Window.partitionBy("query_id")
       .orderBy(col("l2_dist").asc, col("neighbor_id").asc)
     short.join(broadcast(qv), "query_id").join(nv, "neighbor_id")
-      .withColumn("l2_dist", expr(Portable.subL2Spark("emb_q", "emb_v", 0, dim)))
+      .withColumn("l2_dist", expr("graft_l2(emb_q, emb_v)"))
       .withColumn("rnk", row_number().over(w2))
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "l2_dist", "rnk")
@@ -707,7 +740,8 @@ object Similarity {
     val dim = Portable.Dim
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
-    val cent = pqCodebook(emb, ksub)
+    // consumed by both the persisted codebook table and the encode pass
+    val cent = pqCodebook(emb, ksub).localCheckpoint(false)
     def put(df: DataFrame, t: String): Unit =
       if (lake.exists(t)) lake.overwrite(df, t) else lake.create(df, t)
     put(cent, s"${prefix}_codebook")

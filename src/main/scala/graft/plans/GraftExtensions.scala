@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -51,6 +51,59 @@ case class ArrayDotProduct(left: Expression, right: Expression) extends BinaryEx
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native Catalyst expression: fixed-order squared L2 between two float
+  * vectors in double precision. Bitwise-equal to the left-associated
+  * [[graft.functions.Portable.subL2Spark]] full-dimension chain: the loop adds
+  * the same `(a_i-b_i)*(a_i-b_i)` terms in the same order, every term is
+  * >= +0.0 so the 0.0 seed add is exact. One codegen'd loop instead of a
+  * ~450-node expression tree — this is the exact-refinement hot path of the
+  * PQ/SQ8 shortlists, and the tree size was a measurable driver-side
+  * analysis/codegen cost per query. */
+case class ArrayL2(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_l2 expects two array<float> arguments, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ((double) $a.getFloat($i)) - ((double) $b.getFloat($i));
+         |  $s += $d * $d;
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -442,6 +495,371 @@ case class LshBucketIds(child: Expression, nTables: Int, nBits: Int)
     copy(child = newChild)
 }
 
+/** Native expression: full product-quantization encode — all `m` subspace
+  * argmins plus the quantization error in ONE pass over the vector, against a
+  * codebook carried as a query-constant array argument (the 1-row
+  * `collect_list(struct(j, emb_c))` cross-joined in broadcast).
+  *
+  * Bitwise-equal to the former formulation (corpus crossJoin x ksub codebook
+  * rows, then `min_by(j, struct(d2_mm, j))` hash aggregates over the
+  * [[graft.functions.Portable.subL2Spark]] chains): the subspace distance here
+  * is the same left-associated double chain (every term is >= +0.0, so the
+  * 0.0-seeded loop reproduces the chain bit-for-bit), ties go to the lowest
+  * centroid id (ascending-j scan with strict `<`), and `qerr` accumulates the
+  * m subspace minima in subspace order exactly like the `reduce(_ + _)`
+  * column fold. What changes is physical: the x-ksub row amplification and the
+  * m+1 hash aggregates behind it disappear — encode is a projection, the
+  * 100 TB shape (DEMO.md:204-248 persisted-embedding search is built on this
+  * encode).
+  *
+  * The codebook argument must be QUERY-CONSTANT (same value on every row —
+  * guaranteed by the broadcast-1-row cross join): it is decoded once on first
+  * eval and cached for the task's lifetime.
+  */
+case class PqEncode(left: Expression, right: Expression, m: Int)
+  extends BinaryExpression with codegen.CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("qerr", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _),
+          ArrayType(StructType(Array(StructField(_, LongType, _, _),
+                                     StructField(_, ArrayType(FloatType, _), _, _))), _))
+      if m >= 1 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_encode expects (array<float>, array<struct<bigint, array<float>>>, m>=1), got $other / m=$m")
+  }
+
+  @transient private var cbIds: Array[Long] = _
+  @transient private var cbVec: Array[Array[Double]] = _
+
+  /** Decode + j-sort the codebook once per task; codes are the j VALUES (not
+    * positions), so non-contiguous ids stay correct. */
+  private def decode(arr: ArrayData): Unit = {
+    val ksub = arr.numElements()
+    require(ksub >= 1, "graft_pq_encode: empty codebook")
+    val tmp = new Array[(Long, Array[Double])](ksub)
+    var j = 0
+    while (j < ksub) {
+      val row = arr.getStruct(j, 2)
+      val e = row.getArray(1)
+      val d = new Array[Double](e.numElements())
+      var i = 0
+      while (i < d.length) { d(i) = e.getFloat(i).toDouble; i += 1 }
+      tmp(j) = (row.getLong(0), d)
+      j += 1
+    }
+    val sorted = tmp.sortBy(_._1)
+    cbIds = sorted.map(_._1)
+    cbVec = sorted.map(_._2)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    if (cbVec == null) decode(b.asInstanceOf[ArrayData])
+    val dim = v.numElements()
+    val sub = dim / m
+    val codes = new Array[Long](m)
+    var qerr = 0.0
+    var mm = 0
+    while (mm < m) {
+      val off = mm * sub
+      var best = Double.PositiveInfinity
+      var bestJ = 0L
+      var jj = 0
+      while (jj < cbVec.length) {
+        val c = cbVec(jj)
+        var d2 = 0.0
+        var i = 0
+        while (i < sub) {
+          val diff = v.getFloat(off + i).toDouble - c(off + i)
+          d2 += diff * diff
+          i += 1
+        }
+        if (d2 < best) { best = d2; bestJ = cbIds(jj) }
+        jj += 1
+      }
+      codes(mm) = bestJ
+      qerr += best
+      mm += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new org.apache.spark.sql.catalyst.util.GenericArrayData(codes), qerr))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native expression: SQ8 scalar-quantization encode — every dimension snapped
+  * to the nearest of 256 levels on its corpus [mn_j, mx_j] range, in one loop.
+  *
+  * Bitwise-equal to the unrolled [[graft.functions.Portable.sq8VecSpark]]
+  * chain: per dimension the affine map is the same fixed-order IEEE chain
+  * `((v - mn) * 255.0) / (mx - mn) + 0.5`, floor, clamp to [0, 255] (Java
+  * double→long truncation equals the SQL CAST on these in-range non-negative
+  * integrals), degenerate ranges (mx <= mn) code 0. Replaces a ~64x-unrolled
+  * CASE/least/greatest expression tree whose size forced a localCheckpoint
+  * barrier to keep projection collapse from re-evaluating it per (row, query)
+  * pair — one flat loop needs no barrier.
+  *
+  * The `mns`/`mxs` arguments must be QUERY-CONSTANT (the broadcast 1-row
+  * min/max aggregate) — decoded once on first eval, cached per task.
+  */
+case class Sq8Encode(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sq8_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_sq8_encode expects (array<float>, array<double>, array<double>), got $other")
+    }
+
+  @transient private var mns: Array[Double] = _
+  @transient private var mxs: Array[Double] = _
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    if (mns == null) {
+      mns = b.asInstanceOf[ArrayData].toDoubleArray()
+      mxs = c.asInstanceOf[ArrayData].toDoubleArray()
+    }
+    val n = math.min(v.numElements(), mns.length)
+    val out = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      val mn = mns(j)
+      val mx = mxs(j)
+      if (mx > mn) {
+        val code = Math.floor((v.getFloat(j).toDouble - mn) * 255.0 / (mx - mn) + 0.5).toLong
+        out(j) = Math.min(255L, Math.max(0L, code))
+      } // else 0
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** Native aggregate: elementwise min/max of a float-vector column as one
+  * struct(mns array<double>, mxs array<double>) — the SQ8 train statistics in
+  * a single buffer pass instead of 2 x dim scalar MIN/MAX aggregates (a
+  * ~800-node tree whose analysis + codegen was a measurable per-query driver
+  * cost). Min/max are order-independent, so the result is bitwise-identical
+  * to the scalar-aggregate formulation and to the DuckDB oracle. NaN inputs
+  * are ignored per element (the corpus contract has none; Spark's scalar
+  * MIN/MAX order NaN greatest, which only differs on all-NaN columns). NULL
+  * rows are skipped; an empty input evaluates to NULL. */
+case class ArrayMinMaxAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Double]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("mns", ArrayType(DoubleType, containsNull = false)),
+    StructField("mxs", ArrayType(DoubleType, containsNull = false))))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minmax_arr"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minmax_arr expects array<float>, got $other")
+  }
+
+  override def createAggregationBuffer(): Array[Double] = Array.empty
+
+  override def update(buf: Array[Double], input: org.apache.spark.sql.catalyst.InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val b =
+      if (buf.length == 2 * n) buf
+      else {
+        require(buf.isEmpty, s"graft_minmax_arr: ragged vector lengths (${buf.length / 2} vs $n)")
+        val fresh = new Array[Double](2 * n)
+        java.util.Arrays.fill(fresh, 0, n, Double.PositiveInfinity)
+        java.util.Arrays.fill(fresh, n, 2 * n, Double.NegativeInfinity)
+        fresh
+      }
+    var j = 0
+    while (j < n) {
+      val x = a.getFloat(j).toDouble
+      if (x < b(j)) b(j) = x
+      if (x > b(n + j)) b(n + j) = x
+      j += 1
+    }
+    b
+  }
+
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    if (b1.isEmpty) return b2
+    if (b2.isEmpty) return b1
+    require(b1.length == b2.length, "graft_minmax_arr: ragged merge")
+    val n = b1.length / 2
+    var j = 0
+    while (j < n) {
+      if (b2(j) < b1(j)) b1(j) = b2(j)
+      if (b2(n + j) > b1(n + j)) b1(n + j) = b2(n + j)
+      j += 1
+    }
+    b1
+  }
+
+  override def eval(buf: Array[Double]): Any = {
+    if (buf.isEmpty) return null
+    val n = buf.length / 2
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(java.util.Arrays.copyOfRange(buf, 0, n)),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(java.util.Arrays.copyOfRange(buf, n, 2 * n))))
+  }
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asDoubleBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asDoubleBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ArrayMinMaxAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ArrayMinMaxAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ArrayMinMaxAgg =
+    copy(child = newChild)
+}
+
+/** Native expression: ADC (asymmetric-distance) score of one PQ-coded vector
+  * against one query's lookup table — `graft_pq_adc(lut, code_0, ..., code_m1)`
+  * where `lut` is the query's `array_sort(collect_list(struct(j, q_0..q_m1)))`
+  * row (ksub structs, position == centroid id j by construction of the
+  * stride-sampled codebook) and each code argument selects that subspace's
+  * table entry.
+  *
+  * Bitwise-equal to the former 8-broadcast-hash-join chain + left-associated
+  * `((q0 + q1) + ...)` addition: the gathered entries are the SAME doubles the
+  * lut frame computed, accumulated in the same subspace order from a 0.0 seed
+  * (every entry is a sum of squares >= +0.0, so the seed add is exact). The
+  * physical win is structural, not per-row: ONE broadcast build of the
+  * 20-row pivoted LUT instead of m separate broadcast exchanges whose slice
+  * projections each re-evaluated the query-scan x codebook subplan.
+  */
+case class PqAdc(children: Seq[Expression])
+  extends Expression with codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "graft_pq_adc"
+
+  override def checkInputDataTypes(): TypeCheckResult = children.map(_.dataType) match {
+    case ArrayType(StructType(fields), _) +: codes
+      if codes.nonEmpty && codes.size == fields.length - 1 &&
+        fields.head.dataType == LongType &&
+        fields.tail.forall(_.dataType == DoubleType) &&
+        codes.forall(_ == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_adc expects (array<struct<bigint, m x double>>, m x bigint), got $other")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val lutAny = children.head.eval(input)
+    if (lutAny == null) return null
+    val lut = lutAny.asInstanceOf[ArrayData]
+    val m = children.size - 1
+    var dist = 0.0
+    var mm = 0
+    while (mm < m) {
+      val c = children(mm + 1).eval(input)
+      if (c == null) return null
+      var idx = c.asInstanceOf[Long].toInt
+      var row = lut.getStruct(idx, m + 1)
+      if (row.getLong(0) != idx) { // non-contiguous ids: fall back to search
+        var p = 0
+        while (p < lut.numElements() && lut.getStruct(p, m + 1).getLong(0) != c.asInstanceOf[Long]) p += 1
+        require(p < lut.numElements(), s"graft_pq_adc: code $c not in lut")
+        idx = p
+        row = lut.getStruct(idx, m + 1)
+      }
+      dist += row.getDouble(1 + mm)
+      mm += 1
+    }
+    dist
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** Native expression: squared L2 between two BIGINT grid/code vectors — the
+  * pure-integer pair distance of the SQ8 and k-means paths. Integer addition
+  * is associative, so ANY evaluation order is bit-identical to the unrolled
+  * [[graft.functions.Portable.qL2Spark]] chain; this is one codegen'd loop
+  * instead of a 64-term element_at tree, and it runs once per candidate PAIR
+  * (the O(corpus x queries) hot path). */
+case class ArrayQL2(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_ql2"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_ql2 expects two array<bigint> arguments, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration for graft's native expressions.
   *
   * Two paths to the same registry entry:
@@ -521,6 +939,48 @@ object GraftFunctions {
       s"graft_lsh_buckets takes (col, int literal, int literal), got $other")
   }
 
+  val pqEncodeInfo = new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode")
+  val pqEncodeBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b, Literal(m: Int, IntegerType)) => PqEncode(a, b, m)
+    case other => throw new IllegalArgumentException(
+      s"graft_pq_encode takes (col, codebook col, int literal), got $other")
+  }
+
+  val sq8EncodeInfo = new ExpressionInfo(classOf[Sq8Encode].getName, "graft_sq8_encode")
+  val sq8EncodeBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b, c) => Sq8Encode(a, b, c)
+    case other => throw new IllegalArgumentException(
+      s"graft_sq8_encode takes exactly 3 arguments, got ${other.size}")
+  }
+
+  val minMaxArrInfo = new ExpressionInfo(classOf[ArrayMinMaxAgg].getName, "graft_minmax_arr")
+  val minMaxArrBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => ArrayMinMaxAgg(a)
+    case other => throw new IllegalArgumentException(
+      s"graft_minmax_arr takes exactly 1 argument, got ${other.size}")
+  }
+
+  val l2Info = new ExpressionInfo(classOf[ArrayL2].getName, "graft_l2")
+  val l2Builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => ArrayL2(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_l2 takes exactly 2 arguments, got ${other.size}")
+  }
+
+  val pqAdcInfo = new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc")
+  val pqAdcBuilder: Seq[Expression] => Expression = {
+    case args if args.size >= 2 => PqAdc(args)
+    case other => throw new IllegalArgumentException(
+      s"graft_pq_adc takes (lut col, m code cols), got ${other.size} args")
+  }
+
+  val ql2Info = new ExpressionInfo(classOf[ArrayQL2].getName, "graft_ql2")
+  val ql2Builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => ArrayQL2(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_ql2 takes exactly 2 arguments, got ${other.size}")
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot", dotBuilder, "built-in")
@@ -533,6 +993,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_lsh_buckets", lshBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_ts_multi", tsMultiBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_date_multi", dateMultiBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_encode", pqEncodeBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_sq8_encode", sq8EncodeBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_l2", l2Builder, "built-in")
+    reg.createOrReplaceTempFunction("graft_minmax_arr", minMaxArrBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_adc", pqAdcBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_ql2", ql2Builder, "built-in")
   }
 }
 
@@ -548,5 +1014,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_lsh_buckets"), GraftFunctions.lshInfo, GraftFunctions.lshBuilder))
     ext.injectFunction((FunctionIdentifier("graft_ts_multi"), GraftFunctions.tsMultiInfo, GraftFunctions.tsMultiBuilder))
     ext.injectFunction((FunctionIdentifier("graft_date_multi"), GraftFunctions.dateMultiInfo, GraftFunctions.dateMultiBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_pq_encode"), GraftFunctions.pqEncodeInfo, GraftFunctions.pqEncodeBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_sq8_encode"), GraftFunctions.sq8EncodeInfo, GraftFunctions.sq8EncodeBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_l2"), GraftFunctions.l2Info, GraftFunctions.l2Builder))
+    ext.injectFunction((FunctionIdentifier("graft_minmax_arr"), GraftFunctions.minMaxArrInfo, GraftFunctions.minMaxArrBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_pq_adc"), GraftFunctions.pqAdcInfo, GraftFunctions.pqAdcBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_ql2"), GraftFunctions.ql2Info, GraftFunctions.ql2Builder))
   }
 }

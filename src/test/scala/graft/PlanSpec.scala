@@ -65,12 +65,16 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"$exchanges exchanges:\n${p.take(600)}")
   }
 
-  test("PQ ANN: codebook and LUT slices broadcast; no sort-merge joins") {
+  test("PQ ANN: one pivoted LUT broadcast; no sort-merge joins; one-pass encode") {
     val p = plan("ann_pq_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      "codebook cross join must broadcast")
-    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
-    assert(bhj >= 8, s"expected >= 8 broadcast LUT joins, saw $bhj")
+      "LUT lookup must broadcast")
+    // r10: the per-subspace LUT slices (m separate broadcast exchanges, each
+    // re-evaluating the query-scan x codebook subplan) collapsed into ONE
+    // pivoted broadcast consumed by the native graft_pq_adc gather, and the
+    // x-ksub encode fan-out into one graft_pq_encode projection — pin both
+    assert(p.contains("graft_pq_adc"), "ADC scoring must be the native gather")
+    assert(p.contains("graft_pq_encode"), "encode must be the one-pass native projection")
     assert(!p.contains("SortMergeJoin"),
       "LUT lookups must never degrade to sort-merge")
   }
@@ -80,7 +84,13 @@ class PlanSpec extends AnyFunSuite {
     // FileScan of the materialized lake table, not a recomputation
     val pq = plan("ann_pq_index_topk")
     assert(pq.contains("pq_codes"), "PQ serve must scan the persisted codes table")
-    assert(pq.contains("pq_codebook"), "PQ serve must scan the persisted codebook")
+    // the codebook is read from the lake inside the pivoted-LUT checkpoint
+    // job (lineage-truncated, so it can't appear in the final plan string);
+    // what the final plan must prove is that serve never RE-ENCODES the
+    // corpus and scores codes through the native ADC gather
+    assert(!pq.contains("graft_pq_encode"),
+      "PQ serve must not re-encode the corpus against the codebook")
+    assert(pq.contains("graft_pq_adc"), "PQ serve must score via the native ADC gather")
     assert(!pq.contains("SortMergeJoin"), "served LUT lookups must broadcast")
     // r8: served reads must be CANDIDATE-sized, not corpus-sized (the r7
     // judge's one weak item). The probe side (query vectors ranked/hashed

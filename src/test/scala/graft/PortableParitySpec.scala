@@ -115,4 +115,135 @@ class PortableParitySpec extends AnyFunSuite {
              java.lang.Double.doubleToLongBits(r.getDouble(1)))
     }
   }
+
+  test("graft_l2 == fixed-order subL2 chain over the full dim, bitwise") {
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet").limit(50)
+    val joined = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("eb")).limit(5))
+    val rows = joined.select(
+      expr("graft_l2(ea, eb)").as("native"),
+      expr(s"(${Portable.subL2Spark("ea", "eb", 0, Portable.Dim)})").as("portable")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("graft_ql2 == unrolled integer qL2 chain, exactly") {
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet").limit(30)
+      .select(col("vec_id"), expr(Portable.quantVecSpark("embedding")).as("q"))
+    val joined = emb.select(col("vec_id").as("ia"), col("q").as("qa"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("q").as("qb")).limit(5))
+    val rows = joined.select(
+      expr("graft_ql2(qa, qb)").as("native"),
+      expr(s"(${Portable.qL2Spark("qa", "qb")})").as("portable")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("graft_sq8_encode == unrolled affine-snap chain, exactly") {
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val stats = emb.agg(expr("graft_minmax_arr(embedding)").as("st"))
+      .select(col("st.mns").as("mns"), col("st.mxs").as("mxs"))
+    // scalar-aggregate twin of the native min/max (the oracle's spelling)
+    val statsCols = emb.agg(count(lit(1)).as("__n"),
+      Portable.sq8StatsSpark("embedding").map(expr): _*).drop("__n")
+    val mm = statsCols.head()
+    val mmNative = stats.head()
+    (1 to Portable.Dim).foreach { j =>
+      assert(java.lang.Double.doubleToLongBits(mm.getAs[Double](s"mn_$j")) ==
+        java.lang.Double.doubleToLongBits(mmNative.getSeq[Double](0)(j - 1)),
+        s"min mismatch at dim $j")
+      assert(java.lang.Double.doubleToLongBits(mm.getAs[Double](s"mx_$j")) ==
+        java.lang.Double.doubleToLongBits(mmNative.getSeq[Double](1)(j - 1)),
+        s"max mismatch at dim $j")
+    }
+    val rows = emb.limit(100).crossJoin(broadcast(stats))
+      .crossJoin(broadcast(statsCols))
+      .select(
+        expr("graft_sq8_encode(embedding, mns, mxs)").as("native"),
+        expr(Portable.sq8VecSpark("embedding")).as("portable")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("graft_pq_encode == crossJoin + min_by aggregation, exactly (codes) and bitwise (qerr)") {
+    GraftFunctions.register(spark)
+    val m = 8; val sub = Portable.Dim / m; val ksub = 16
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val cent = emb.filter(col("vec_id") < ksub)
+      .select(col("vec_id").as("j"), col("embedding").as("emb_c"))
+    // former formulation: x-ksub fan-out + min_by hash aggregates
+    val d2Cols = (0 until m).map(mm =>
+      expr(Portable.subL2Spark("embedding", "emb_c", mm * sub, sub)).as(s"d2_$mm"))
+    val scored = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id") +: col("j") +: d2Cols: _*)
+    val qerr = (0 until m).map(mm => min(col(s"d2_$mm"))).reduce(_ + _).as("qerr")
+    val legacy = scored.groupBy("vec_id")
+      .agg(min_by(col("j"), struct(col("d2_0"), col("j"))).as("code_0"),
+        (1 until m).map(mm =>
+          min_by(col("j"), struct(col(s"d2_$mm"), col("j"))).as(s"code_$mm")) :+ qerr: _*)
+    val centArr = cent.agg(array_sort(collect_list(struct(col("j"), col("emb_c")))).as("cents"))
+    val native = emb.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), expr(s"graft_pq_encode(embedding, cents, $m)").as("enc"))
+      .select(col("vec_id") +:
+        (0 until m).map(i => element_at(col("enc.codes"), i + 1).as(s"code_$i")) :+
+        col("enc.qerr").as("qerr"): _*)
+    val rows = native.join(legacy.withColumnRenamed("qerr", "qerr_l")
+      .select(col("vec_id") +: (0 until m).map(i => col(s"code_$i").as(s"cl_$i")) :+
+        col("qerr_l"): _*), "vec_id").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      (0 until m).foreach(i =>
+        assert(r.getAs[Long](s"code_$i") == r.getAs[Long](s"cl_$i"), s"code_$i mismatch"))
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("qerr")) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("qerr_l")), "qerr mismatch")
+    }
+  }
+
+  test("graft_pq_adc == per-subspace broadcast join chain + left-assoc add, bitwise") {
+    GraftFunctions.register(spark)
+    val m = 8; val sub = Portable.Dim / m; val ksub = 16; val nQueries = 10
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val cent = emb.filter(col("vec_id") < ksub)
+      .select(col("vec_id").as("j"), col("embedding").as("emb_c"))
+    val centArr = cent.agg(array_sort(collect_list(struct(col("j"), col("emb_c")))).as("cents"))
+    val codes = emb.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), expr(s"graft_pq_encode(embedding, cents, $m)").as("enc"))
+      .select(col("vec_id") +:
+        (0 until m).map(i => element_at(col("enc.codes"), i + 1).as(s"code_$i")): _*)
+    val qCols = (0 until m).map(mm =>
+      expr(Portable.subL2Spark("emb_q", "emb_c", mm * sub, sub)).as(s"q$mm"))
+    val lut = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id") +: col("j") +: qCols: _*)
+      .localCheckpoint(false)
+    // legacy: one broadcast join per subspace + left-assoc addition chain
+    val joined = (0 until m).foldLeft(codes) { (acc, mm) =>
+      val slice = lut.select(col("query_id"), col("j").as(s"code_$mm"), col(s"q$mm"))
+      acc.join(broadcast(slice),
+        if (mm == 0) Seq("code_0") else Seq("query_id", s"code_$mm"))
+    }
+    val approx = (1 until m).foldLeft("q0")((e, mm) => s"($e + q$mm)")
+    val legacy = joined.select(col("vec_id"), col("query_id"),
+      expr(approx).as("legacy_dist"))
+    val lutRows = lut.groupBy("query_id").agg(
+      array_sort(collect_list(struct(col("j") +: (0 until m).map(mm => col(s"q$mm")): _*)))
+        .as("lutm"))
+    val adcArgs = ("lutm" +: (0 until m).map(mm => s"code_$mm")).mkString(", ")
+    val native = codes.crossJoin(broadcast(lutRows))
+      .select(col("vec_id"), col("query_id"),
+        expr(s"graft_pq_adc($adcArgs)").as("native_dist"))
+    val rows = native.join(legacy, Seq("vec_id", "query_id")).collect()
+    assert(rows.length == emb.count() * nQueries)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("native_dist")) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("legacy_dist")))
+    }
+  }
 }
