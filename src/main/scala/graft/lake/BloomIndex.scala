@@ -76,7 +76,9 @@ object BloomIndex {
     * of returning silent false negatives. */
   private def storedParams(index: DataFrame): (Int, Int) = {
     require(index.columns.contains("bits") && index.columns.contains("k"),
-      "index carries no (bits, k) metadata — rebuild it with BloomIndex.build")
+      "index carries no (bits, k) metadata (a pre-r9 legacy sidecar) — " +
+        "rebuild it with BloomIndex.build; the deliberate loud break beats " +
+        "trusting a caller default that may silently false-negative")
     val ps = index.select(col("bits"), col("k")).distinct().collect()
     require(ps.length == 1,
       s"index carries ${ps.length} distinct (bits, k) pairs — refusing to guess; " +

@@ -80,13 +80,16 @@ trait TableFormat {
     * two) and an ordering column collapses to ONE final action per key
     * (latest by `orderCol`, so an insert+update+delete lifecycle inside one
     * batch nets to the delete), then lands as one key-targeted delete plus
-    * one upsert. Replaying the same batch is a no-op by construction:
+    * one upsert. Replaying the same batch converges to the same state:
     * upserted keys re-upsert to identical rows, deleted keys re-delete
-    * nothing. Cost is the implementation's upsert + delete — partition-
-    * scoped on [[PartitionedTable]]. NOTE: two commits, not one atomic one;
-    * a reader between them sees deletes applied but updates not yet — the
-    * single-writer lake has no cross-commit transaction (the trait boundary
-    * where Iceberg's single-commit MERGE would slot in).
+    * nothing. A batch carrying BOTH deletes and upserts lands in ONE commit
+    * (one pointer/manifest flip): a reader concurrent with the apply sees
+    * either the old table or the fully-merged table, never
+    * deletes-applied-but-updates-absent — the atomicity Iceberg's
+    * single-commit MERGE gives, preserved here because both halves reduce
+    * to one anti-join + union snapshot ([[PartitionedTable]] overrides with
+    * the partition-scoped single-commit twin). A one-sided batch delegates
+    * to the cheaper single verb, which is already one commit.
     *
     * `orderCol` SHOULD order a key's versions uniquely (the same contract as
     * [[upsertVersioned]]); when a feed violates that, the collapse
@@ -96,6 +99,30 @@ trait TableFormat {
     * state instead of landing whichever row the aggregation saw last. */
   def applyCdc(changes: DataFrame, table: String, keys: Seq[String],
                opCol: String, orderCol: String): Unit = {
+    val (dels, ups) = cdcCollapse(changes, keys, opCol, orderCol)
+    if (!exists(table)) { if (!ups.isEmpty) upsert(ups, table, keys); return }
+    val (delsEmpty, upsEmpty) = (dels.isEmpty, ups.isEmpty)
+    if (delsEmpty && upsEmpty) return
+    if (delsEmpty) { upsert(ups, table, keys); return }
+    if (upsEmpty) { deleteMatching(dels.select(keys.map(col): _*), table, keys); return }
+    // both halves present: ONE snapshot commit — anti-join the target on ALL
+    // change keys (deleted keys vanish, upserted keys are replaced), union
+    // the aligned upserts, flip once
+    val target = read(changes.sparkSession, table)
+    val aligned = Align.to(ups, target.schema.map(f => f.name -> f.dataType).toMap)
+    val allKeys = dels.select(keys.map(col): _*)
+      .unionByName(ups.select(keys.map(col): _*))
+      .select(keys.map(k => col(k).as(s"__k_$k")): _*).distinct()
+    val cond = keys.map(k => target(k) <=> allKeys(s"__k_$k")).reduce(_ && _)
+    val kept = target.join(allKeys, cond, "left_anti")
+    overwrite(kept.unionByName(aligned, allowMissingColumns = true), table)
+  }
+
+  /** Shared CDC collapse: one final action per key (latest by `orderCol`,
+    * delete outranks upsert at equal `orderCol`, then a stable row hash) —
+    * see [[applyCdc]] for the contract. Returns (deletes, upserts-sans-op). */
+  protected def cdcCollapse(changes: DataFrame, keys: Seq[String],
+                            opCol: String, orderCol: String): (DataFrame, DataFrame) = {
     val tieBreak = struct(
       col(orderCol),
       when(lower(col(opCol)) === "delete", lit(1)).otherwise(lit(0)),
@@ -104,12 +131,8 @@ trait TableFormat {
       .groupBy(keys.map(col): _*)
       .agg(max_by(struct(changes.columns.map(col): _*), tieBreak).as("__r"))
       .select(col("__r.*"))
-    val dels = latest.filter(lower(col(opCol)) === "delete")
-    val ups = latest.filter(lower(col(opCol)) =!= "delete")
-      .drop(opCol)
-    if (exists(table) && !dels.isEmpty)
-      deleteMatching(dels.select(keys.map(col): _*), table, keys)
-    if (!ups.isEmpty) upsert(ups, table, keys)
+    (latest.filter(lower(col(opCol)) === "delete"),
+      latest.filter(lower(col(opCol)) =!= "delete").drop(opCol))
   }
 
   /** Version-aware MERGE: apply only incoming rows STRICTLY newer (per
@@ -190,6 +213,26 @@ private[lake] final class LakeFs(root: String) {
     val tmp = s"$p.tmp${System.nanoTime()}"
     writeString(tmp, s)
     fc.rename(new HPath(tmp), new HPath(p), Options.Rename.OVERWRITE)
+  }
+
+  /** Compare-and-swap commit primitive: write a temp sibling, then rename to
+    * the destination REFUSING an existing one — the winner of a race creates
+    * the file, every loser gets false. Same protocol as Iceberg's Hadoop
+    * table-operations version-file commit (public design): rename-without-
+    * overwrite is atomic on HDFS/POSIX directories; on a raw local FS the
+    * existence check inside FileContext is check-then-act with a tiny
+    * window, the documented caveat the object-store/HDFS deployment closes. */
+  def writeStringIfAbsent(p: String, s: String): Boolean = {
+    if (exists(p)) return false
+    val tmp = s"$p.tmp${System.nanoTime()}"
+    writeString(tmp, s)
+    try { fc.rename(new HPath(tmp), new HPath(p), Options.Rename.NONE); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(new HPath(tmp), false); false
+      case _: java.nio.file.FileAlreadyExistsException =>
+        fs.delete(new HPath(tmp), false); false
+    }
   }
 
   /** Move a directory into place (parents created; destination must be new). */
@@ -360,10 +403,18 @@ class ParquetDirFormat(root: String) extends TableFormat {
   * Layout:
   * {{{
   *   <root>/<table>/PARTITION          partition column names
-  *   <root>/<table>/LAST               current manifest version (atomic flip)
+  *   <root>/<table>/LAST               current-version HINT (commit point is
+  *                                     the manifest file itself, CAS-created)
   *   <root>/<table>/m/MANIFEST.v<N>    lines: <partitionId>\t<dir>,<dir>,...
-  *   <root>/<table>/p/<partitionId>/v<N>-<i>/   immutable data directories
+  *   <root>/<table>/p/<partitionId>/<tag>-<nonce>-<i>/  immutable data dirs
   * }}}
+  *
+  * Concurrency: writers serialize through a compare-and-swap on the next
+  * manifest file (Iceberg's Hadoop version-file protocol, public design) —
+  * compose-against-any-base commits (append/overwrite) rebase and retry on a
+  * lost CAS, so racing appenders all land; read-modify-write commits
+  * (upsert/delete/CDC/compact) abort with ConcurrentModificationException
+  * when their base moved, and the caller retries the operation.
   *
   * A commit stages one distributed `partitionBy` write, MOVES each staged
   * partition directory into place (metadata-only rename), and writes a fresh
@@ -391,44 +442,98 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
   private def manifestFile(t: String, v: Int) = s"${tableDir(t)}/m/MANIFEST.v$v"
   private def dataDir(t: String) = s"${tableDir(t)}/p"
 
-  private def currentVersion(t: String): Option[Int] =
-    if (io.exists(pointer(t))) Some(io.readString(pointer(t)).trim.toInt) else None
+  /** The MANIFEST FILE is the commit point: the current version is the
+    * highest MANIFEST.v<N> on disk (a manifest appears atomically via
+    * no-overwrite rename, so a half-written one is never visible). The LAST
+    * pointer is a read-optimization HINT written after each commit — under
+    * a writer race it can briefly trail (or even momentarily regress), so
+    * correctness never depends on it: resolution takes max(hint, scan). */
+  private def currentVersion(t: String): Option[Int] = {
+    val hint =
+      if (io.exists(pointer(t)))
+        scala.util.Try(io.readString(pointer(t)).trim.toInt).toOption
+      else None
+    val scanned = io.list(s"${tableDir(t)}/m").map(_.getPath.getName)
+      .filter(_.matches("MANIFEST\\.v\\d+")).map(_.drop(10).toInt)
+    (hint.toSeq ++ scanned).maxOption
+  }
 
   override def exists(t: String): Boolean = currentVersion(t).isDefined
 
   /** partitionId -> relative data dirs, insertion-ordered. */
-  private def manifest(t: String): Seq[(String, Seq[String])] = {
+  private def manifest(t: String): Seq[(String, Seq[String])] = manifestAt(t)._2
+
+  /** (version, entries) read together, so a writer can commit against the
+    * exact base it computed from (optimistic concurrency). */
+  private def manifestAt(t: String): (Int, Seq[(String, Seq[String])]) = {
     val v = currentVersion(t).getOrElse(
       throw new IllegalArgumentException(s"no such table: $t"))
-    io.readString(manifestFile(t, v)).split("\n").toSeq.filter(_.nonEmpty).map { ln =>
-      val Array(id, dirs) = ln.split("\t", 2)
-      id -> dirs.split(",").toSeq
-    }
+    val entries = io.readString(manifestFile(t, v)).split("\n").toSeq
+      .filter(_.nonEmpty).map { ln =>
+        val Array(id, dirs) = ln.split("\t", 2)
+        id -> dirs.split(",").toSeq
+      }
+    (v, entries)
   }
 
-  /** Single-writer commit — SERIALIZE WRITERS EXTERNALLY (one committer per
-    * table); readers need no coordination (the LAST pointer swap is atomic).
-    * The protocol is read-increment-write of LAST with NO lock. The exists
-    * probe below is a best-effort detector, not a guarantee: it catches the
-    * common stale-writer case (the other commit already fully landed) but is
-    * itself check-then-act, so two writers racing through it together can
-    * still lose an update. */
-  private def commitManifest(t: String, entries: Seq[(String, Seq[String])]): Unit = {
-    val next = currentVersion(t).getOrElse(-1) + 1
+  /** Try to land `entries` as version `base`+1 through a compare-and-swap on
+    * the manifest file ([[LakeFs.writeStringIfAbsent]]); true iff this writer
+    * won that version. */
+  private def casCommit(t: String, base: Option[Int],
+                        entries: Seq[(String, Seq[String])]): Boolean = {
+    val next = base.getOrElse(-1) + 1
     val body = entries.map { case (id, dirs) => s"$id\t${dirs.mkString(",")}" }
       .mkString("\n")
-    if (io.exists(manifestFile(t, next))) throw new IllegalStateException(
-      s"concurrent write detected on $t: MANIFEST.v$next already exists — " +
-        "PartitionedTable is single-writer; this commit is aborted and its " +
-        "staged directories are unreferenced (expireUnreferenced cleans them)")
-    io.writeString(manifestFile(t, next), body)
+    if (!io.writeStringIfAbsent(manifestFile(t, next), body)) return false
+    // hint only (see currentVersion) — losers of the hint race are benign
     io.writeStringAtomic(pointer(t), next.toString)
+    true
+  }
+
+  /** Optimistic-concurrency commit for operations whose new entries COMPOSE
+    * against any base (append: add directories; overwrite: replace all),
+    * Iceberg-style: on losing the CAS, re-read the winner's entries and
+    * rebase via `rebase` — two racing appenders thus BOTH land (neither
+    * lost) instead of last-writer-wins. */
+  private def commitRebase(t: String)(
+      rebase: Seq[(String, Seq[String])] => Seq[(String, Seq[String])]): Unit = {
+    var attempts = 0
+    while (attempts < 32) {
+      val cur = currentVersion(t)
+      val entries = rebase(cur.map(_ => manifestAt(t)._2).getOrElse(Seq.empty))
+      if (casCommit(t, cur, entries)) return
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"commit on $t lost the manifest CAS $attempts times — giving up")
+  }
+
+  /** One-shot commit for READ-MODIFY-WRITE operations (upsert/delete/compact/
+    * CDC): their staged rewrite is only valid against the exact base they
+    * computed from, so a conflicting concurrent commit cannot be rebased —
+    * it aborts with ConcurrentModificationException (the staged directories
+    * become unreferenced; expireUnreferenced cleans them) and the CALLER
+    * retries the whole operation: Iceberg's validation-failure semantics.
+    * `base` = None expects the table to not exist yet (create). */
+  private def commitExpect(t: String, base: Option[Int],
+                           entries: Seq[(String, Seq[String])]): Unit = {
+    val cur = currentVersion(t)
+    if (cur != base || !casCommit(t, base, entries))
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent write detected on $t: computed against " +
+          s"${base.map("v" + _).getOrElse("an absent table")} but " +
+          s"${currentVersion(t).map("v" + _).getOrElse("nothing")} is now current; " +
+          "this commit is aborted and its staged directories are unreferenced " +
+          "(expireUnreferenced cleans them) — retry the operation")
   }
 
   /** Stage-write `df` partitioned by shadow columns, move each staged
     * partition dir under `p/<id>/v<N>-<i>/`, return (id -> relative dir). */
   private def stage(df: DataFrame, t: String, tag: String): Seq[(String, String)] = {
-    val next = currentVersion(t).getOrElse(-1) + 1
+    // names carry a per-staging nonce, not the target version: two RACING
+    // writers staging against the same base must land disjoint directories
+    // (the CAS commit then serializes whose manifest references what)
+    val next = java.util.UUID.randomUUID().toString.take(8)
     val staging = s"${tableDir(t)}/.staging-$tag-$next"
     val shadowed = partitionCols.foldLeft(df)((d, c) => d.withColumn(Shadow + c, col(c)))
     shadowed.write.mode(SaveMode.Overwrite)
@@ -445,7 +550,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
         }
     val staged = leaves(staging, "", partitionCols.length)
     val moved = staged.zipWithIndex.map { case ((src, id), i) =>
-      val rel = s"$id/v$next-$tag-$i"
+      val rel = s"$id/$tag-$next-$i"
       io.rename(src, s"${dataDir(t)}/$rel")
       id -> rel
     }
@@ -516,7 +621,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     // schema survives independently of data files, so an empty create (or a
     // later overwrite-to-empty) still reads/appends with the right columns
     io.writeString(schemaFile(t), df.schema.json)
-    commitManifest(t, mergeEntries(Seq.empty, stage(df, t, "create")))
+    commitExpect(t, None, mergeEntries(Seq.empty, stage(df, t, "create")))
   }
 
   /** Fold newly staged (id, dir) pairs into existing entries: touched
@@ -535,12 +640,14 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     if (!exists(t)) { create(df, t); return }
     val target = read(df.sparkSession, t)
     val aligned = Align.to(df, target.schema.map(f => f.name -> f.dataType).toMap)
-    commitManifest(t, mergeEntries(manifest(t), stage(aligned, t, "append")))
+    val staged = stage(aligned, t, "append")
+    commitRebase(t)(cur => mergeEntries(cur, staged))
   }
 
   override def overwrite(df: DataFrame, t: String): Unit = {
     if (!exists(t)) { create(df, t); return }
-    commitManifest(t, mergeEntries(Seq.empty, stage(df, t, "overwrite")))
+    val staged = stage(df, t, "overwrite")
+    commitRebase(t)(_ => mergeEntries(Seq.empty, staged))
     // only after the commit landed: an aborted commit must not leave SCHEMA
     // describing data that never became current
     io.writeString(schemaFile(t), df.schema.json)
@@ -571,7 +678,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     val spark = df.sparkSession
     val target = read(spark, t)
     val aligned = Align.to(df, target.schema.map(f => f.name -> f.dataType).toMap)
-    val existing = manifest(t)
+    val (baseV, existing) = manifestAt(t)
     // stage the source rows first — their on-disk ids name the touched partitions
     val stagedNew = stage(aligned, t, "upsert-new")
     val touched = stagedNew.map(_._1).distinct.toSet
@@ -599,7 +706,60 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
         stage(old.join(srcKeys, keyCond(old), "left_anti"), t, "upsert-kept")
       }
     val untouched = existing.filterNot(e => rewriteIds.contains(e._1))
-    commitManifest(t, mergeEntries(untouched, stagedNew ++ stagedKept))
+    commitExpect(t, Some(baseV), mergeEntries(untouched, stagedNew ++ stagedKept))
+  }
+
+  /** Partition-scoped SINGLE-COMMIT CDC apply: the delete half and the
+    * upsert half land in one manifest flip, so a concurrent reader sees the
+    * old table or the fully-merged table, never deletes-without-updates —
+    * while rewrite I/O stays proportional to partitions holding changed
+    * keys, exactly like [[upsert]]. Shape: stage the upserts (their on-disk
+    * ids name the receiving partitions), probe every other partition —
+    * key-columns only, column-pruned — for ANY change key (deleted keys
+    * and moved upserted keys both need locating; the probe costs what the
+    * old two-commit deleteMatching probe cost), anti-join the union of
+    * rewrite partitions on all change keys, commit once. One-sided batches
+    * delegate to the single cheaper verb, already one commit. */
+  override def applyCdc(changes: DataFrame, t: String, keys: Seq[String],
+                        opCol: String, orderCol: String): Unit = {
+    val (dels, ups) = cdcCollapse(changes, keys, opCol, orderCol)
+    if (!exists(t)) { if (!ups.isEmpty) upsert(ups, t, keys); return }
+    val (delsEmpty, upsEmpty) = (dels.isEmpty, ups.isEmpty)
+    if (delsEmpty && upsEmpty) return
+    if (delsEmpty) { upsert(ups, t, keys); return }
+    if (upsEmpty) { deleteMatching(dels.select(keys.map(col): _*), t, keys); return }
+    val spark = changes.sparkSession
+    val target = read(spark, t)
+    val aligned = Align.to(ups, target.schema.map(f => f.name -> f.dataType).toMap)
+    val (baseV, existing) = manifestAt(t)
+    val stagedNew = stage(aligned, t, "cdc-new")
+    val touched = stagedNew.map(_._1).distinct.toSet
+    val untouched0 = existing.filterNot(e => touched.contains(e._1))
+    val allKeys = dels.select(keys.map(col): _*)
+      .unionByName(ups.select(keys.map(col): _*))
+      .select(keys.map(k => col(k).as(s"__k_$k")): _*).distinct()
+    val hitIds: Set[String] =
+      if (untouched0.isEmpty) Set.empty
+      else {
+        val scan = readDirs(spark, t, untouched0.flatMap(_._2))
+          .select(keys.map(col) :+ input_file_name().as("__file"): _*)
+        scan.join(allKeys,
+          keys.map(k => scan(k) <=> allKeys(s"__k_$k")).reduce(_ && _), "left_semi")
+          .select("__file").distinct().collect()
+          .map(r => idOfFilePath(t, r.getString(0))).toSet
+      }
+    val rewriteIds = touched ++ hitIds
+    val rewriteOldDirs = existing.filter(e => rewriteIds.contains(e._1)).flatMap(_._2)
+    val stagedKept =
+      if (rewriteOldDirs.isEmpty) Seq.empty
+      else {
+        val old = readDirs(spark, t, rewriteOldDirs)
+        stage(old.join(allKeys,
+          keys.map(k => old(k) <=> allKeys(s"__k_$k")).reduce(_ && _), "left_anti"),
+          t, "cdc-kept")
+      }
+    val untouched = existing.filterNot(e => rewriteIds.contains(e._1))
+    commitExpect(t, Some(baseV), mergeEntries(untouched, stagedNew ++ stagedKept))
   }
 
   /** Partition-scoped key-targeted DELETE: a key-columns-only probe (the
@@ -608,7 +768,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     * anti-join, everything else commits by reference. No match, no commit. */
   override def deleteMatching(keyRows: DataFrame, t: String, keys: Seq[String]): Unit = {
     val spark = keyRows.sparkSession
-    val entries = manifest(t)
+    val (baseV, entries) = manifestAt(t)
     if (entries.isEmpty) return
     val srcKeys = keyRows.select(keys.map(k => col(k).as(s"__k_$k")): _*).distinct()
     val scan = readDirs(spark, t, entries.flatMap(_._2))
@@ -621,7 +781,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     val old = readDirs(spark, t, entries.filter(e => hitIds.contains(e._1)).flatMap(_._2))
     val kept = old.join(srcKeys,
       keys.map(k => old(k) <=> srcKeys(s"__k_$k")).reduce(_ && _), "left_anti")
-    commitManifest(t, mergeEntries(entries.filterNot(e => hitIds.contains(e._1)),
+    commitExpect(t, Some(baseV), mergeEntries(entries.filterNot(e => hitIds.contains(e._1)),
       stage(kept, t, "delete-keys")))
   }
 
@@ -635,7 +795,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     * vanishes from the manifest (zero staged directories). The probe's
     * match count doubles as the deleted-row count — no extra pass. */
   override def deleteWhere(spark: SparkSession, t: String, pred: Column): Long = {
-    val entries = manifest(t)
+    val (baseV, entries) = manifestAt(t)
     if (entries.isEmpty) return 0L
     val all = readDirs(spark, t, entries.flatMap(_._2))
     val hits = all.filter(pred)
@@ -646,7 +806,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     val rewriteDirs = entries.filter(e => hitIds.contains(e._1)).flatMap(_._2)
     val kept = readDirs(spark, t, rewriteDirs).filter(!coalesce(pred, lit(false)))
     val staged = stage(kept, t, "delete")
-    commitManifest(t,
+    commitExpect(t, Some(baseV),
       mergeEntries(entries.filterNot(e => hitIds.contains(e._1)), staged))
     deleted
   }
@@ -654,11 +814,11 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
   /** Rewrite multi-directory partitions into one directory each; partitions
     * already compact are referenced, not rewritten. */
   def compact(spark: SparkSession, t: String): Unit = {
-    val entries = manifest(t)
+    val (baseV, entries) = manifestAt(t)
     val (multi, single) = entries.partition(_._2.length > 1)
     if (multi.isEmpty) return
     val staged = stage(readDirs(spark, t, multi.flatMap(_._2)), t, "compact")
-    commitManifest(t, mergeEntries(single, staged))
+    commitExpect(t, Some(baseV), mergeEntries(single, staged))
   }
 
   /** OPTIMIZE ... ZORDER BY: rewrite the whole table with files clustered on
@@ -674,7 +834,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
   def compactZOrdered(spark: SparkSession, t: String, zCols: Seq[String],
                       nTasks: Int, bits: Int = 16): Unit = {
     require(zCols.nonEmpty && nTasks >= 1, "need z-columns and >= 1 task")
-    val entries = manifest(t)
+    val (baseV, entries) = manifestAt(t)
     if (entries.isEmpty) return
     val all = readDirs(spark, t, entries.flatMap(_._2))
     // Morton key under an internal name: a table that legitimately carries a
@@ -686,7 +846,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
       .repartitionByRange(nTasks, keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
       .drop(zc)
-    commitManifest(t, mergeEntries(Seq.empty, stage(arranged, t, "zorder")))
+    commitExpect(t, Some(baseV), mergeEntries(Seq.empty, stage(arranged, t, "zorder")))
   }
 
   /** Delete data directories no longer referenced by the current manifest and
@@ -704,7 +864,8 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     walk(dataDir(t), "", partitionCols.length)
     val cur = currentVersion(t).getOrElse(return removed.toSeq)
     io.list(s"${tableDir(t)}/m").map(_.getPath.getName)
-      .filter(n => n.startsWith("MANIFEST.v") && n.drop(10).toInt < cur)
+      .filter(n => (n.matches("MANIFEST\\.v\\d+") && n.drop(10).toInt < cur) ||
+        n.contains(".tmp")) // a crashed CAS loser's temp sibling
       .foreach(n => io.delete(s"${tableDir(t)}/m/$n"))
     removed.toSeq
   }
@@ -715,4 +876,8 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
 
   /** Current manifest entries (partitionId -> relative dirs). */
   def entries(t: String): Seq[(String, Seq[String])] = manifest(t)
+
+  /** Current committed version — for tests and inspection (commit-count
+    * assertions: a single-commit operation advances this by exactly 1). */
+  def version(t: String): Option[Int] = currentVersion(t)
 }

@@ -261,9 +261,15 @@ object Profiling {
     import org.apache.spark.sql.types.DecimalType
     val a = pa.groupBy("bin").agg(sum(col("cnt")).cast("bigint").as("cnt_a"))
     val b = pb.groupBy("bin").agg(sum(col("cnt")).cast("bigint").as("cnt_b"))
+    // three consumers (totals head, the report frame, the tvd aggregate) —
+    // checkpoint the merged grid once so the full-outer join doesn't
+    // re-evaluate per consumer; it is sketch-sized (bins, not rows), and the
+    // checkpoint lives within this one call, so the harness's between-query
+    // cache clears can't orphan it
     val j = a.join(b, Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .localCheckpoint(false)
     val t = j.agg(sum(col("cnt_a")).cast("bigint"), sum(col("cnt_b")).cast("bigint")).head()
     val (totA, totB) = (t.getLong(0), t.getLong(1))
     require(totA > 0 && totB > 0, "drift needs rows on both sides")

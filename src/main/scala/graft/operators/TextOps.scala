@@ -21,10 +21,25 @@ object TextOps {
     * checkpointed intermediate a composed pipeline tokenized ONCE) is passed
     * through untouched — re-tokenizing a 100 TB corpus per consuming stage
     * is exactly the repeated projection cost the checkpoint existed to
-    * avoid. */
+    * avoid. FRESHNESS CONTRACT: a passed-through `toks` must be the
+    * tokenization of the CURRENT `text` column — a caller that rewrites
+    * `text` after tokenizing must drop `toks` first. The type guard below
+    * rejects the coincidental-name case (a user `toks` column of another
+    * type) loudly instead of silently producing wrong token stats; content
+    * staleness is the caller's contract, same class as ZOrder.withZValue's
+    * clobber guard. */
   private def withToks(docs: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
-    if (docs.columns.contains("toks")) docs
+    if (docs.columns.contains("toks")) {
+      val t = docs.schema("toks").dataType
+      require(t == org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false) ||
+        t == org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = true),
+        s"'toks' passthrough column must be array<string> (tokenizer output); got ${t.sql}. " +
+          "Rename or drop the conflicting column before calling TextOps.")
+      docs
+    }
     else Scale.fanOutScan(docs).withColumn("toks", expr("graft_tokens(text)"))
   }
 

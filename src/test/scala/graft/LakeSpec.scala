@@ -254,23 +254,113 @@ class LakeSpec extends AnyFunSuite {
     assert(t.read(spark, "pe1").count() == 2)
   }
 
-  test("partitioned commit detects a concurrent writer instead of losing an update") {
+  test("a stale LAST pointer cannot lose an update: commit point is the manifest CAS") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-plake").toString
     val t1 = new PartitionedTable(root, Seq("k"))
     val t2 = new PartitionedTable(root, Seq("k"))
     t1.create(Seq((1L, "a")).toDF("id", "k"), "pc1")
-    // simulate the lost-update race: a second writer commits version 1 first
     t2.append(Seq((2L, "b")).toDF("id", "k"), "pc1")
-    // hand-roll writer 1's stale commit attempt by restoring the old pointer
+    // the historical lost-update setup: the hint pointer regresses to 0
     // (drop Hadoop's .crc sidecar too, or the raw write trips checksumming)
     val ptr = java.nio.file.Paths.get(root, "pc1", "LAST")
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(root, "pc1", ".LAST.crc"))
     java.nio.file.Files.write(ptr, "0".getBytes)
-    val ex = intercept[IllegalStateException] {
-      t1.append(Seq((3L, "c")).toDF("id", "k"), "pc1")
+    // version resolution takes max(hint, manifest scan), and the manifest CAS
+    // serializes the commit — the append lands as v2 and NOTHING is lost
+    t1.append(Seq((3L, "c")).toDF("id", "k"), "pc1")
+    assert(t1.version("pc1").contains(2))
+    assert(t1.read(spark, "pc1").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("racing appenders all land: manifest CAS + rebase, no last-writer-wins") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-plake").toString
+    val base = new PartitionedTable(root, Seq("k"))
+    base.create(Seq((0L, "a")).toDF("id", "k"), "race")
+    val n = 6
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to n).map { i =>
+      new Thread(() => {
+        try {
+          start.await()
+          // each writer its own handle, same table dir — a separate committer
+          new PartitionedTable(root, Seq("k"))
+            .append(Seq((i.toLong, s"k$i")).toDF("id", "k"), "race")
+        } catch { case e: Throwable => errs.add(e) }
+      })
     }
-    assert(ex.getMessage.contains("concurrent write"))
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, s"appenders must not fail: ${errs}")
+    assert(base.version("race").contains(n), "every append serialized into its own version")
+    assert(base.read(spark, "race").collect().map(_.getLong(0)).toSet ==
+      (0 to n).map(_.toLong).toSet, "no append lost")
+  }
+
+  test("read-modify-write commit against a moved base aborts instead of clobbering") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-plake").toString
+    val t1 = new PartitionedTable(root, Seq("k"))
+    val t2 = new PartitionedTable(root, Seq("k"))
+    t1.create(Seq((1L, "a"), (2L, "b")).toDF("id", "k"), "rmw")
+    // interleave: t1 starts an upsert (reads base v0)... simulated by letting
+    // t2 commit first, then t1's upsert computes against the NEW base — so to
+    // force the conflict we race two upserts via threads until one aborts
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ths = Seq(
+      new Thread(() => { try { start.await()
+        t1.upsert(Seq((1L, "a"), (3L, "c")).toDF("id", "k"), "rmw", Seq("id"))
+      } catch { case e: Throwable => errs.add(e) } }),
+      new Thread(() => { try { start.await()
+        t2.upsert(Seq((2L, "b"), (4L, "d")).toDF("id", "k"), "rmw", Seq("id"))
+      } catch { case e: Throwable => errs.add(e) } }))
+    ths.foreach(_.start()); start.countDown(); ths.foreach(_.join())
+    // either they serialized cleanly (both landed) or the loser aborted with
+    // the documented exception and the table reflects the winner only —
+    // NEVER a silently lost committed update
+    val ids = t1.read(spark, "rmw").collect().map(_.getLong(0)).toSet
+    if (errs.isEmpty) assert(ids == Set(1L, 2L, 3L, 4L))
+    else {
+      assert(errs.size == 1)
+      assert(errs.peek().isInstanceOf[java.util.ConcurrentModificationException])
+      assert(ids == Set(1L, 2L, 3L) || ids == Set(1L, 2L, 4L))
+      // staged leftovers of the aborted commit are unreferenced and reclaimable
+      t1.expireUnreferenced("rmw")
+      assert(t1.read(spark, "rmw").collect().map(_.getLong(0)).toSet == ids)
+    }
+  }
+
+  test("applyCdc with deletes AND upserts is ONE commit on both formats") {
+    import spark.implicits._
+    // ParquetDirFormat: version count advances by exactly 1
+    val t = fmt()
+    t.create(Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)).toDF("id", "v", "ver"), "one")
+    val changes = Seq((1L, "A2", 1L, "update"), (2L, "b", 1L, "delete"))
+      .toDF("id", "v", "ver", "op")
+    val v0 = t.versions("one").size
+    t.applyCdc(changes, "one", Seq("id"), "op", "ver")
+    assert(t.versions("one").size == v0 + 1,
+      "delete+upsert must land atomically in one snapshot flip")
+    assert(t.read(spark, "one").collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "A2", 3L -> "c"))
+    // PartitionedTable: manifest version advances by exactly 1
+    val p = pfmt("day")
+    p.create(Seq((1L, "d0", "a", 0L), (2L, "d1", "b", 0L), (3L, "d1", "c", 0L))
+      .toDF("id", "day", "v", "ver"), "pone")
+    val pv0 = p.version("pone").get
+    p.applyCdc(Seq((1L, "d0", "A2", 1L, "update"), (3L, "d1", "c", 1L, "delete"))
+      .toDF("id", "day", "v", "ver", "op"), "pone", Seq("id"), "op", "ver")
+    assert(p.version("pone").contains(pv0 + 1),
+      "partition-scoped delete+upsert must be one manifest flip")
+    assert(p.read(spark, "pone").collect().map(r => r.getLong(0) -> r.getString(2)).toMap ==
+      Map(1L -> "A2", 2L -> "b"))
+    // replay converges and is still one commit
+    p.applyCdc(Seq((1L, "d0", "A2", 1L, "update"), (3L, "d1", "c", 1L, "delete"))
+      .toDF("id", "day", "v", "ver", "op"), "pone", Seq("id"), "op", "ver")
+    assert(p.read(spark, "pone").collect().map(r => r.getLong(0) -> r.getString(2)).toMap ==
+      Map(1L -> "A2", 2L -> "b"))
   }
 
   test("commits are versioned: failed reader never sees partial state") {
