@@ -48,12 +48,13 @@ object Dedup {
     * callers drop them afterwards via `spark.catalog.clearCache()` (what
     * Verify/Bench do between queries). When `dfCap <= 0` the guard is
     * disabled and this is never called — construction stays lazy. */
-  private[operators] def warnOnTrim(op: String, hot: DataFrame, dfCap: Int): Unit = {
+  private[operators] def warnOnTrim(op: String, hot: DataFrame, dfCap: Int,
+                                    noun: String = "shingle"): Unit = {
     val nHot = hot.count()
     if (nHot > 0) log.warn(
-      s"$op: $nHot shingle(s) exceed dfCap=$dfCap and are excluded from " +
+      s"$op: $nHot $noun(s) exceed dfCap=$dfCap and are excluded from " +
         "candidate generation (emitted counts stay exact; pairs sharing ONLY " +
-        "capped shingles are missed — see the operator's contract)")
+        s"capped ${noun}s are missed — see the operator's contract)")
   }
 
   /** doc_id + distinct word-`n`-gram shingle set + its size. The set comes
@@ -233,9 +234,24 @@ object Dedup {
     * (42 bands × 3 rows) a true pair at J=0.7 is missed with p ≈ 2e-8 — the
     * verified output therefore equals the exact all-pairs result, which is what
     * the DuckDB oracle computes.
+    *
+    * Hot-bucket guard (the [[ngramJaccardPairs]] dfCap, ported to band
+    * buckets): a (band, bh) bucket holding k documents emits k² join rows, so
+    * a degenerate corpus of N same-signature documents — e.g. one that SKIPPED
+    * exact dedup first — is bands x N² without the cap. Buckets with document
+    * frequency > `dfCap` are dropped from candidate generation with a logged
+    * warning; candidate volume is then bounded by bands x corpus x dfCap.
+    * Contract: output equals the exact all-pairs result on any corpus where
+    * every qualifying pair shares at least one band bucket with df <= dfCap —
+    * same-signature cohorts larger than the cap are missed LOUDLY (their
+    * pairs are exact-dup territory; run [[exactDups]] first, but curation
+    * order is now a cost concern, not a silent hidden precondition). The gate
+    * corpora sit far inside the contract (max band df at sf0.1 is single
+    * digits vs the default cap 1000). `dfCap <= 0` disables the guard.
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, bands: Int = 42,
-                      rowsPerBand: Int = 3, tau: Double = 0.5): DataFrame = {
+                      rowsPerBand: Int = 3, tau: Double = 0.5,
+                      dfCap: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
     graft.plans.GraftFunctions.register(docs.sparkSession)
     // Signatures are a pure PROJECTION: the native shingle-hash array is one
@@ -248,8 +264,18 @@ object Dedup {
         expr(s"graft_minhash(graft_shingle_hashes(text, $n), $k)").as("sig"))
       .filter(size(col("sig")) > 0 && expr("sig[0]") =!= Long.MaxValue)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val bandsDf = sig.select(col("doc_id"),
+    val bandsDf0 = sig.select(col("doc_id"),
       posexplode(array(bandKeyCols(bands, rowsPerBand): _*)).as(Seq("band", "bh")))
+    val bandsDf =
+      if (dfCap <= 0) bandsDf0
+      else {
+        // the hot list is tiny by construction (<= band rows / dfCap): broadcast
+        val hot = bandsDf0.groupBy("band", "bh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > dfCap).select("band", "bh")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        warnOnTrim("minhashLshPairs", hot, dfCap, noun = "band bucket")
+        bandsDf0.join(broadcast(hot), Seq("band", "bh"), "left_anti")
+      }
     val cand = bandsDf.as("x").join(bandsDf.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))

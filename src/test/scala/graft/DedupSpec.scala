@@ -138,6 +138,30 @@ class DedupSpec extends AnyFunSuite {
     assert(secs < 60, s"capped candidate generation took ${secs}s — pair explosion?")
   }
 
+  test("hot-band df cap: same-signature cohort stays candidate-bounded, normal pairs survive") {
+    import spark.implicits._
+    // 10k byte-identical docs (a corpus that SKIPPED exact dedup) — without
+    // the band cap the bucket self-join is 42 bands x 10k² = 4.2e9 rows; with
+    // it every bucket of the cohort trips the cap and candidate generation is
+    // bounded. Two constructed near-dup docs (rare buckets) must still pair.
+    val cohort = (0 until 10000).map(i =>
+      (i.toLong, "the exact same document text repeated for every row here"))
+    val nearDup = Seq(
+      (20000L, "completely different unique text alpha beta gamma delta epsilon zeta"),
+      (20001L, "completely different unique text alpha beta gamma delta epsilon eta"))
+    val docsDf = (cohort ++ nearDup).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minhashLshPairs(docsDf, 3, 42, 3, 0.5, dfCap = 1000)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    // cohort pairs are missed LOUDLY (every shared bucket is capped — exact-dup
+    // territory, excised by exactDups in a correctly ordered pipeline); the
+    // rare-bucket near-dup pair survives the guard
+    assert(pairs == Set((20000L, 20001L)))
+    assert(secs < 120, s"capped band join took ${secs}s — candidate explosion?")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val pairs = Dedup.embeddingNearDupPairs(emb, 0.4).collect()
