@@ -907,6 +907,44 @@ object TextOps {
         col("n_subwords").cast("double") / col("n_tokens"))
   }
 
+  /** Segment a corpus given a FROZEN BPE merge list — the general
+    * application path ([[bpeSegment]] replays the training word table and so
+    * only covers the training corpus; this applies the merge rules to ANY
+    * corpus, OOV words included, exactly like an on-line BPE encoder with a
+    * shipped merges.txt). Semantics per word: wrap every character in
+    * sentinel delimiters (U+001E sym U+001F — never in text), then for each
+    * merge (a, b) in rank order run ONE greedy left-to-right non-overlapping
+    * replace of the adjacent pair — the same single-pass-per-rank rule
+    * [[bpeTrain]] uses within an iteration (Sennrich semantics; a freshly
+    * merged symbol cannot chain within its own rank, only at later ranks).
+    * Plain string `replace` implements that scan identically in both
+    * engines, which is what makes the operator ORACLE-GATED: the DuckDB twin
+    * replays the identical replace chain (gate `text_bpe_segment`).
+    *
+    * Scale shape: the replace fold runs over the DISTINCT-WORD table
+    * (vocab-sized, like the unigram LM), which then broadcast-joins back to
+    * the exploded token stream — the corpus pays one tokenize + one
+    * broadcast join, never the per-rank fold. */
+  def bpeSegmentMerges(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val S = "\u001E"; val E = "\u001F" // RS/US sentinels, never in text
+    val tok = withToks(docs).select(col("doc_id"), explode(col("toks")).as("word"))
+    val wrapped = regexp_replace(col("word"), "(.)", s"$S$$1$E")
+    val enc = merges.foldLeft(wrapped) { case (e, (a, b)) =>
+      replace(e, lit(s"$S$a$E$S$b$E"), lit(s"$S$a$b$E"))
+    }
+    val segWords = tok.select("word").distinct()
+      .select(col("word"),
+        (length(enc) - length(replace(enc, lit(S), lit("")))).cast("bigint").as("n_sub"))
+    tok.join(broadcast(segWords), Seq("word"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_tokens"),
+        sum(col("n_sub")).cast("bigint").as("n_subwords"),
+        max(col("n_sub")).cast("bigint").as("max_subwords_per_token"))
+      .withColumn("subwords_per_token",
+        col("n_subwords").cast("double") / col("n_tokens"))
+  }
+
   /** Bigram-LM conditional surprisal per document (the CCNet/KenLM-style
     * perplexity filter one model order up from [[unigramSurprisal]]: Wenzek et
     * al., "CCNet", arXiv 1911.00359 uses LM perplexity as its quality axis —

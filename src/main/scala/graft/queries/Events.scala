@@ -340,30 +340,49 @@ object Events {
     * filtered aggregate joined to the previous step's reach times; step
     * tables shrink monotonically, dimensions broadcast, and the 3-row report
     * window is report-sized. Conversion = step users / previous-step users. */
-  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame =
+    funnel(spark, dir, Seq("view", "click", "purchase"))
+
+  /** Generalized sequential funnel over an arbitrary step list (<= 9 steps so
+    * the `k_<type>` labels stay in lexicographic step order): reach(k) =
+    * min ts of a step-k event STRICTLY AFTER the user's reach(k-1) — the
+    * monotone-join chain of [[funnelSteps]]'s fixed 3-step shape, folded.
+    * Step frames shrink monotonically, each join keys on user_id (one
+    * shuffle partitioning reused down the chain under AQE), and the report
+    * window runs on a step-count-sized frame. */
+  def funnel(spark: SparkSession, dir: String, stepTypes: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(stepTypes.nonEmpty && stepTypes.length <= 9,
+      "funnel needs 1..9 steps (labels sort lexicographically)")
     val ev = Tables.events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
-    val s1 = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("ts")).as("t1"))
-    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
-      .filter(col("ts") > col("t1"))
-      .groupBy("user_id").agg(min(col("ts")).as("t2"))
-    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
-      .filter(col("ts") > col("t2"))
-      .groupBy("user_id").agg(min(col("ts")).as("t3"))
-    def cnt(df: DataFrame, step: String) =
+    // reach frames: (user_id, t) per step, each strictly after the previous
+    val reaches = stepTypes.zipWithIndex.foldLeft(List.empty[DataFrame]) {
+      case (acc, (et, i)) =>
+        val stepEv = ev.filter(col("event_type") === et)
+        val reach = acc match {
+          case Nil => stepEv.groupBy("user_id").agg(min(col("ts")).as("t"))
+          case prev :: _ =>
+            stepEv.join(prev.withColumnRenamed("t", "__tprev"), "user_id")
+              .filter(col("ts") > col("__tprev"))
+              .groupBy("user_id").agg(min(col("ts")).as("t"))
+        }
+        reach :: acc
+    }.reverse
+    val counts = stepTypes.zip(reaches).zipWithIndex.map { case ((et, df), i) =>
       df.agg(count(lit(1)).cast("bigint").as("users"))
-        .select(lit(step).as("step"), col("users"))
-    val steps = cnt(s1, "1_view").unionByName(cnt(s2, "2_click"))
-      .unionByName(cnt(s3, "3_purchase"))
-    steps.withColumn("conversion",
+        .select(lit(s"${i + 1}_$et").as("step"), col("users"))
+    }.reduce(_.unionByName(_))
+    counts.withColumn("conversion",
       col("users").cast("double") /
         lag(col("users"), 1).over(Window.orderBy("step")).cast("double"))
       .orderBy("step")
   }
 
+  private val FiveSteps = Seq("view", "click", "signup", "purchase", "error")
+
   val queries: Map[String, Q] = Map(
     "events_funnel_steps"  -> (funnelSteps _),
+    "events_funnel_5step"  -> ((s: SparkSession, d: String) => funnel(s, d, FiveSteps)),
     "pipeline_table_routing" -> (tableRouting _),
     "events_zorder_cluster" -> (zorderCluster _),
     "events_salted_join"   -> (saltedDimJoin _),
@@ -384,7 +403,33 @@ object Events {
     "SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value, props, " +
       "epoch_us(CAST(ts AS TIMESTAMP)) AS ep FROM events"
 
+  /** Generated funnel oracle for an arbitrary step list — the same
+    * reach-chain the Spark side folds. Chain-root CTEs are AS MATERIALIZED:
+    * each s_k is referenced by s_(k+1) AND the report union, and DuckDB
+    * re-inlines multi-referenced CTEs by default, re-evaluating the whole
+    * upstream chain multiplicatively (the composed-curation lesson). */
+  private def funnelOracle(steps: Seq[String]): String = {
+    val ctes = steps.zipWithIndex.map { case (et, i) =>
+      if (i == 0)
+        s"s1 AS MATERIALIZED (SELECT user_id, MIN(ts) AS t FROM e " +
+          s"WHERE event_type = '$et' GROUP BY user_id)"
+      else
+        s"s${i + 1} AS MATERIALIZED (SELECT e.user_id, MIN(ts) AS t FROM e " +
+          s"JOIN s$i USING (user_id) WHERE event_type = '$et' AND ts > s$i.t " +
+          "GROUP BY e.user_id)"
+    }
+    val unions = steps.zipWithIndex.map { case (et, i) =>
+      if (i == 0) s"SELECT '1_$et' AS step, CAST(COUNT(*) AS BIGINT) AS users FROM s1"
+      else s"UNION ALL SELECT '${i + 1}_$et', CAST(COUNT(*) AS BIGINT) FROM s${i + 1}"
+    }.mkString(" ")
+    s"WITH e AS ($eCte), ${ctes.mkString(", ")}, u AS ($unions) " +
+      "SELECT step, users, CAST(users AS DOUBLE) / " +
+      "CAST(LAG(users) OVER (ORDER BY step) AS DOUBLE) AS conversion " +
+      "FROM u ORDER BY step"
+  }
+
   val oracle: Map[String, String] = Map(
+    "events_funnel_5step" -> funnelOracle(FiveSteps),
     "events_funnel_steps" ->
       s"""WITH e AS ($eCte),
          |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view'

@@ -70,7 +70,19 @@ object Training {
     "CASE WHEN doc_id % 16 < 8 THEN 'd0' WHEN doc_id % 16 < 12 THEN 'd1' " +
       "WHEN doc_id % 16 < 14 THEN 'd2' WHEN doc_id % 16 < 15 THEN 'd3' ELSE 'd4' END"
 
+  /** Frozen BPE merge list for the `text_bpe_segment` gate (rank order).
+    * Training is iterative driver-side argmax (spec-gated, not
+    * SQL-expressible), but APPLICATION given frozen merges is pure string
+    * folding — both engines replay the same replace chain. The list is built
+    * over the corpus vocabulary's frequent letters and deliberately CHAINS
+    * (le -> ble, ro+w -> row, sc+an -> scan) so rank order is observable. */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("l", "e"), ("b", "le"), ("a", "ble"),
+    ("r", "o"), ("ro", "w"), ("s", "c"), ("a", "n"), ("sc", "an"),
+    ("v", "a"), ("a", "t"))
+
   val queries: Map[String, Q] = Map(
+    "text_bpe_segment"       -> ((s, d) => TextOps.bpeSegmentMerges(Tables.documents(s, d), BpeMerges)),
     "text_token_stats"       -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "text_language_id"       -> ((s, d) => TextOps.languageId(Tables.documents(s, d))),
     "text_quality_score"     -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
@@ -266,6 +278,30 @@ object Training {
   // ---- oracle SQL ----------------------------------------------------------
 
   private val toks = Portable.tokensDuck("text")
+
+  /** Exact replica of [[graft.operators.TextOps.bpeSegmentMerges]] given the
+    * same frozen [[BpeMerges]] list: identical char wrap + rank-ordered
+    * replace chain (plain string replace = greedy left-to-right
+    * non-overlapping scan in BOTH engines — neither rescans replaced
+    * output, and sentinel-wrapped symbols cannot span a replacement
+    * boundary), vocab-sized distinct-word fold, join back, per-doc stats. */
+  private val bpeSegmentSql = {
+    val S = "\u001E"; val E = "\u001F"
+    val wrapped = s"regexp_replace(word, '(.)', '$S\\1$E', 'g')"
+    val enc = BpeMerges.foldLeft(wrapped) { case (e, (a, b)) =>
+      s"replace($e, '$S$a$E$S$b$E', '$S$a$b$E')"
+    }
+    s"""WITH docs AS (SELECT doc_id, $toks AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS word FROM docs),
+       |w AS (SELECT DISTINCT word FROM tok),
+       |g AS (SELECT word, CAST(length(e) - length(replace(e, '$S', '')) AS BIGINT) AS n_sub
+       |  FROM (SELECT word, $enc AS e FROM w))
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+       |  CAST(MAX(n_sub) AS BIGINT) AS max_subwords_per_token,
+       |  CAST(SUM(n_sub) AS BIGINT)::DOUBLE / COUNT(*) AS subwords_per_token
+       |FROM tok JOIN g USING (word) GROUP BY doc_id""".stripMargin
+  }
 
   private val tokenStatsSql =
     s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
@@ -1386,6 +1422,7 @@ object Training {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_bpe_segment"       -> bpeSegmentSql,
     "embed_kmeans"           -> kmeansSql,
     "embed_cluster_sample"   -> clusterSampleSql,
     "ann_sq8_topk"           -> annSq8Sql,
