@@ -380,6 +380,100 @@ object Multimodal {
       }.toDF()
   }
 
+  /** 64-bit difference hash (dHash — the public perceptual-hash family:
+    * Krawetz's "Kind of Like That" description; each sampled pixel compared
+    * with its right neighbor on an 8x8 sample grid) over a row-major
+    * grayscale grid. Returned SPLIT into two 32-bit halves so downstream
+    * integer arithmetic never touches a BIGINT sign bit in either engine
+    * (DuckDB BIGINT overflow throws; a bit-63 shift would). Sample rows are
+    * floor(i*h/8), cols floor(j*w/8) with the right neighbor clamped to the
+    * grid — on the synthetic 16x8 corpus that is rows i and column pairs
+    * (2j, 2j+1), the concrete form the arithmetic oracle replays.
+    * Invariances (pinned by MultimodalSpec, claimed nowhere stronger):
+    * EXACT under any brightness shift or positive contrast scale that
+    * preserves pixel ORDER (no clipping/wrap); 180-degree rotation of a
+    * strictly horizontally-monotone grid complements every bit; a 2x
+    * nearest-neighbor downscale of a horizontally-monotone grid preserves
+    * every non-clamped bit (a width-8 result clamps sample column 7's
+    * neighbor to itself — those 8 bits read 0). No rotation/crop robustness
+    * beyond that is claimed — dHash is a near-dup hash, not an invariant
+    * descriptor. */
+  private[graft] def dHash(w: Int, h: Int, px: Array[Int]): (Long, Long) = {
+    require(w >= 2 && h >= 1 && px.length == w * h, s"bad grid ${w}x$h/${px.length}")
+    var lo = 0L; var hi = 0L
+    var k = 0; var i = 0
+    while (i < 8) {
+      val r = (i * h) / 8
+      var j = 0
+      while (j < 8) {
+        val c0 = (j * w) / 8
+        val c1 = math.min(c0 + 1, w - 1)
+        if (px(r * w + c0) < px(r * w + c1)) {
+          if (k < 32) lo |= (1L << k) else hi |= (1L << (k - 32))
+        }
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
+  case class MediaHash(media_id: Long, dhash_hi: Long, dhash_lo: Long)
+
+  /** Perceptual image near-dup REPORT: decode every PNG (real zlib inflate —
+    * non-images and undecodable content degrade out, quarantine semantics),
+    * dHash the pixel grid, generate candidate pairs by PIGEONHOLE BANDING
+    * (4 disjoint 16-bit bands: two hashes within Hamming distance
+    * `maxHamming` <= 3 of each other must agree exactly on >= 1 band — the
+    * same blocking [[Dedup.simhashPairs]] uses, never an all-pairs join),
+    * verify candidates with the exact popcount distance, and fold to ONE ROW
+    * PER IMAGE: its hash halves, how many near-dups it has, and its smallest
+    * partner id. The per-image fold keeps the report corpus-sized even when
+    * the corpus carries large mutually-similar cohorts (where the pair LIST
+    * is quadratic by definition).
+    *
+    * Scale shape: hash table is image-count-sized and persists once; the
+    * band self-join is bounded by band-bucket occupancy (near-dup-sized on
+    * real corpora); verification is a codegen'd projection on candidates. */
+  def perceptualNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "pigeonhole banding with 4 bands covers maxHamming <= 3")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = Scale.fanOutScan(media).select("media_id", "content").as[MediaContent]
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          decodePngDims(Option(m.content).getOrElse(Array.emptyByteArray)).map {
+            case (w, h, px) =>
+              val (hiB, loB) = dHash(w, h, px)
+              MediaHash(m.media_id, hiB, loB)
+          }
+        }
+      }.toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandExprs = Seq(
+      expr("dhash_lo & 65535"), expr("(dhash_lo >> 16) & 65535"),
+      expr("dhash_hi & 65535"), expr("(dhash_hi >> 16) & 65535"))
+    val bands = hashes.select(col("media_id"), col("dhash_hi"), col("dhash_lo"),
+      posexplode(array(bandExprs: _*)).as(Seq("band", "bv")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") =!= col("y.media_id"))
+      .select(col("x.media_id").as("a"),
+        col("x.dhash_hi").as("ah"), col("x.dhash_lo").as("al"),
+        col("y.media_id").as("b"),
+        col("y.dhash_hi").as("bh"), col("y.dhash_lo").as("bl"))
+      .distinct()
+    val verified = cand.filter(
+      (bit_count(expr("ah ^ bh")) + bit_count(expr("al ^ bl"))) <= maxHamming)
+    val perImage = verified.groupBy(col("a").as("media_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_near_dups"),
+        min(col("b")).as("min_dup_id"))
+    hashes.join(perImage, Seq("media_id"), "left")
+      .select(col("media_id"), col("dhash_hi"), col("dhash_lo"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        col("min_dup_id"))
+  }
+
   // public: encoder codegen instantiates these from generated Java
   case class MediaIn(media_id: Long, modality: String, content: Array[Byte])
   case class MediaContent(media_id: Long, content: Array[Byte])

@@ -197,6 +197,11 @@ object Training {
     // index arithmetic: a stride or anchor bug cannot hash-match
     "multimodal_transform"   -> ((s, d) => Multimodal.transformSamples(
                                    Multimodal.syntheticPixelMedia(Tables.documents(s, d)))),
+    // decode real PNG bytes -> dHash -> pigeonhole-banded pair generation ->
+    // exact popcount verify -> per-image near-dup report; the oracle replays
+    // the hash from the arithmetic pixel model and brute-forces the pairs
+    "multimodal_near_dup"    -> ((s, d) => Multimodal.perceptualNearDups(
+                                   Multimodal.syntheticPixelMedia(Tables.documents(s, d)), MaxHamming)),
     "embed_kmeans"           -> ((s, d) => Clustering.kmeans(Tables.embeddings(s, d), KmeansK, KmeansIters)),
     // cluster-balanced corpus selection (the diversity-sampling recipe:
     // cluster the embedding space, then sqrt-temperature quotas ACROSS
@@ -856,6 +861,34 @@ object Training {
     * from the generating arithmetic ([[Multimodal.pngPixel]] 16x8 grayscale,
     * [[Multimodal.wavSample]] 64 signed samples) — all-integer sums, bounds,
     * and the polynomial checksum over unsigned-16 value representations. */
+  /** Arithmetic twin of [[Multimodal.perceptualNearDups]] over the 16x8
+    * synthetic PNG corpus: dHash bit (i, j) compares pixel (i, 2j) with
+    * (i, 2j+1) of the deterministic pixel model (the general floor(i*h/8) /
+    * floor(j*w/8) sampling collapses to that at 16x8); the oracle
+    * brute-forces all pairs — the blocking strategy is Spark-side scale
+    * shape, invisible in the verified output. `h` is MATERIALIZED: it feeds
+    * both sides of the pair join and the final report. */
+  private val multimodalNearDupSql =
+    s"""WITH img AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0),
+       |b AS (SELECT media_id, (i * 8 + j) AS k,
+       |  CASE WHEN ((media_id * 31 + i * 17 + (2 * j) * 7) % 256) <
+       |            ((media_id * 31 + i * 17 + (2 * j + 1) * 7) % 256)
+       |       THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |  FROM img CROSS JOIN range(8) t1(i) CROSS JOIN range(8) t2(j)),
+       |h AS MATERIALIZED (SELECT media_id,
+       |  CAST(SUM(CASE WHEN k >= 32 THEN bit << (k - 32) ELSE 0 END) AS BIGINT) AS dhash_hi,
+       |  CAST(SUM(CASE WHEN k < 32 THEN bit << k ELSE 0 END) AS BIGINT) AS dhash_lo
+       |  FROM b GROUP BY media_id),
+       |p AS (SELECT x.media_id AS a, y.media_id AS b
+       |  FROM h x JOIN h y ON x.media_id <> y.media_id
+       |  AND bit_count(xor(x.dhash_hi, y.dhash_hi)) +
+       |      bit_count(xor(x.dhash_lo, y.dhash_lo)) <= $MaxHamming),
+       |agg AS (SELECT a AS media_id, CAST(COUNT(*) AS BIGINT) AS n_near_dups,
+       |  MIN(b) AS min_dup_id FROM p GROUP BY a)
+       |SELECT media_id, dhash_hi, dhash_lo,
+       |  COALESCE(n_near_dups, 0::BIGINT) AS n_near_dups, min_dup_id
+       |FROM h LEFT JOIN agg USING (media_id)""".stripMargin
+
   private val multimodalPixelsSql =
     s"""WITH m AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m3 FROM documents
        |  WHERE doc_id % 3 <> 2),
@@ -1454,6 +1487,7 @@ object Training {
     "multimodal_meta"        -> multimodalMetaSql,
     "multimodal_pixels"      -> multimodalPixelsSql,
     "multimodal_transform"   -> multimodalTransformSql,
+    "multimodal_near_dup"    -> multimodalNearDupSql,
     "dedup_exact"            -> exactSql,
     "dedup_ngram_jaccard"    -> jaccardSql,
     "dedup_components"       -> componentsSql,

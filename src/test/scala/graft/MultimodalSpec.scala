@@ -220,4 +220,38 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.toSeq.drop(2)).toMap
     assert(id(3L) == plain(3L) && id(4L) == plain(4L))
   }
+
+  test("dHash invariance bounds: brightness/contrast exact, rot180 complement, 2x scale") {
+    def grid(w: Int, h: Int)(f: (Int, Int) => Int): Array[Int] =
+      Array.tabulate(w * h)(k => f(k / w, k % w))
+    val w = 16; val h = 8
+    // order-preserving pixel maps leave every comparison — hence the hash —
+    // EXACTLY unchanged: +shift (no clip) and positive contrast scale
+    val base = grid(w, h)((r, c) => 10 + r * 3 + c * 5) // strictly increasing per row
+    val hBase = Multimodal.dHash(w, h, base)
+    assert(Multimodal.dHash(w, h, base.map(_ + 40)) == hBase, "brightness shift")
+    assert(Multimodal.dHash(w, h, base.map(_ * 2)) == hBase, "contrast scale")
+    // 180-degree rotation of a strictly horizontally-monotone grid reverses
+    // every left<right comparison: the 64-bit hash complements exactly
+    val rot = grid(w, h)((r, c) => base((h - 1 - r) * w + (w - 1 - c)))
+    val (rh, rl) = Multimodal.dHash(w, h, rot)
+    val (bh, bl) = hBase
+    assert((rh ^ bh) == 0xFFFFFFFFL && (rl ^ bl) == 0xFFFFFFFFL, "rot180 complement")
+    // 2x nearest-neighbor downscale of a horizontally-monotone grid keeps
+    // every NON-CLAMPED bit (on an exactly-8-wide grid, sample column j=7
+    // clamps its neighbor to itself and reads 0 — the documented bound):
+    // 56 of 64 bits identical, Hamming distance exactly the 8 clamped bits
+    val down = grid(w / 2, h / 2)((r, c) => base((r * 2) * w + c * 2))
+    val (dh, dl) = Multimodal.dHash(w / 2, h / 2, down)
+    val mask = 0x7F7F7F7FL // drops bit j=7 of each sampled row half
+    assert((dh & mask) == (bh & mask) && (dl & mask) == (bl & mask),
+      "2x downscale preserves non-clamped bits")
+    assert(java.lang.Long.bitCount(dh ^ bh) + java.lang.Long.bitCount(dl ^ bl) == 8,
+      "distance is exactly the clamped column")
+    // and the documented NON-invariance: a wrap (mod-256 overflow mid-row)
+    // flips the wrapped comparison — dHash is a near-dup hash, not an
+    // invariant descriptor; this is the failure mode the bound excludes
+    val wrapped = base.map(v => (v + 200) % 256)
+    assert(Multimodal.dHash(w, h, wrapped) != hBase, "wrap breaks order-preservation")
+  }
 }
