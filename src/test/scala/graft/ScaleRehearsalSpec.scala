@@ -121,6 +121,61 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(tBig / tSmall < 20.0, f"superlinear blowup: $tSmall%.1f s -> $tBig%.1f s")
   }
 
+  test("text_curation_e2e composed chain scales linearly on a 25x corpus", SlowRehearsal) {
+    // the 10x band, pushed to 25x with the same natural-sample design: small
+    // is a 4% sample, big the full corpus, per-source budget scaled with the
+    // data so every chain stage sees 25x the work. Bound 50 for 25x data:
+    // fixed per-job overhead headroom, far below a quadratic stage's 625x.
+    val docs0 = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("text", concat_ws("\n",
+        expr("substr(text, 1, 40)"),
+        expr("'standard disclaimer for ' || source"),
+        expr("substr(text, 41)"),
+        lit("copyright corpus collection")))
+    val root = Files.createTempDirectory("graft-rehearsal-e2e25")
+    writeTbl(docs0.filter(col("doc_id") % 25 === 0), root, "small")
+    writeTbl(docs0, root, "big")
+    import graft.queries.Training
+    def run(path: String, budget: Long): Long =
+      runRows(TextOps.curationPipeline(spark.read.parquet(path),
+        Training.DsirTargetSources, Training.LineMaxDf, Training.SubstrWindow,
+        Training.DsirBuckets, Training.DsirKeepPct,
+        budgetPerSource = budget))
+    val (tSmall, nSmall) = timed("curation e2e 1x (4%)") {
+      run(s"$root/small.parquet", Training.E2eBudget)
+    }
+    val (tBig, nBig) = timed("curation e2e 25x") {
+      run(s"$root/big.parquet", Training.E2eBudget * 25)
+    }
+    assert(nSmall > 0 && nBig >= nSmall,
+      s"bigger corpus must keep at least as many docs ($nSmall -> $nBig)")
+    assert(tBig / tSmall < 50.0, f"superlinear blowup: $tSmall%.1f s -> $tBig%.1f s")
+  }
+
+  test("dedup_components_stars: rounds stay logarithmic as chain depth scales 25x",
+       SlowRehearsal) {
+    import spark.implicits._
+    // depth-200 vs depth-5000 path graphs (25x): star contraction's round
+    // count is O(log depth) and the operator THROWS past maxIter, so the
+    // maxIter bound IS the log-band assertion — 24 rounds admit the 25x
+    // deeper graph where min-label propagation would need 5000. Wall-clock
+    // tracks rounds x per-round cost (fixed-overhead dominated at this
+    // size), nowhere near the depth ratio.
+    def chain(depth: Long) = (0L until depth).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (tS, _) = timed("stars depth 200") {
+      val got = Dedup.connectedComponentsStars(chain(200), maxIter = 16).collect()
+      assert(got.length == 201 && got.forall(_.getLong(1) == 0L))
+      got.length.toLong
+    }
+    val (tB, _) = timed("stars depth 5000 (25x)") {
+      val got = Dedup.connectedComponentsStars(chain(5000), maxIter = 24).collect()
+      assert(got.length == 5001 && got.forall(_.getLong(1) == 0L))
+      got.length.toLong
+    }
+    assert(tB / tS < 10.0,
+      f"round growth should be logarithmic: $tS%.1f s -> $tB%.1f s for 25x depth")
+  }
+
   test("silver_order_items scales linearly on 10x key-shifted lineitem", SlowRehearsal) {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val root = Files.createTempDirectory("graft-rehearsal-silver")
