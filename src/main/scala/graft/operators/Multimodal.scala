@@ -474,6 +474,130 @@ object Multimodal {
         col("min_dup_id"))
   }
 
+  /** 32-bit audio fingerprint over decoded PCM samples — the integer-only
+    * shape of the published band-energy fingerprint family (Haitsma &
+    * Kalker, "A Highly Robust Audio Fingerprinting System", ISMIR 2002:
+    * frame the signal, compare band-energy differences, emit one bit per
+    * (frame, band)). No FFT is available from arithmetic both engines can
+    * replay, so the four "bands" are the Haar pyramid of each frame —
+    * exact integer sub-band energies, coarsest (DC magnitude) to finest
+    * (pairwise deltas):
+    *
+    *  - the waveform is sampled onto a fixed 64-point grid (stride n/64 —
+    *    the audio analogue of dHash's 8x8 pixel grid), 8 frames x 8 points;
+    *  - frame t's band energies: E0 = |sum of all 8|, E1 = |first4 - last4|,
+    *    E2 = |p0+p1-p2-p3| + |p4+p5-p6-p7|, E3 = sum of |pairwise deltas|;
+    *  - bit (t, b) = E(t, b) > E((t+1) mod 8, b) — energy rising into the
+    *    next frame, the Haitsma-Kalker time-delta sign, packed LSB-first at
+    *    k = t*4 + b. The result is < 2^32, so downstream XOR/popcount
+    *    arithmetic never touches a BIGINT sign bit in either engine.
+    *
+    * None for clips shorter than the grid or not grid-divisible (degrade,
+    * don't throw — quarantine semantics, same as the decoders). Invariance
+    * (pinned by MultimodalSpec): EXACT under gain scaling that preserves
+    * energy ORDER (any positive integer gain without clipping); amplitude
+    * inversion (negation) preserves every bit (energies are magnitudes). */
+  private[graft] def audioFingerprint(s: Array[Int]): Option[Long] = {
+    if (s.length < 64 || s.length % 64 != 0) return None
+    val stride = s.length / 64
+    val g = new Array[Long](64)
+    var k = 0
+    while (k < 64) { g(k) = s(k * stride).toLong; k += 1 }
+    val e = Array.ofDim[Long](8, 4)
+    var t = 0
+    while (t < 8) {
+      val o = t * 8
+      var sum = 0L; var d4 = 0L
+      var j = 0
+      while (j < 8) {
+        sum += g(o + j)
+        d4 += (if (j < 4) g(o + j) else -g(o + j))
+        j += 1
+      }
+      e(t)(0) = math.abs(sum)
+      e(t)(1) = math.abs(d4)
+      e(t)(2) = math.abs(g(o) + g(o + 1) - g(o + 2) - g(o + 3)) +
+        math.abs(g(o + 4) + g(o + 5) - g(o + 6) - g(o + 7))
+      e(t)(3) = math.abs(g(o) - g(o + 1)) + math.abs(g(o + 2) - g(o + 3)) +
+        math.abs(g(o + 4) - g(o + 5)) + math.abs(g(o + 6) - g(o + 7))
+      t += 1
+    }
+    var fp = 0L
+    t = 0
+    while (t < 8) {
+      var b = 0
+      while (b < 4) {
+        if (e(t)(b) > e((t + 1) % 8)(b)) fp |= (1L << (t * 4 + b))
+        b += 1
+      }
+      t += 1
+    }
+    Some(fp)
+  }
+
+  /** Audio near-dup REPORT — one row per decodable clip: its fingerprint,
+    * how many near-dups (Hamming <= maxHamming) it has, and its smallest
+    * partner id. Same report contract as [[perceptualNearDups]], different
+    * scale shape: audio fingerprints COLLAPSE onto shared values far more
+    * than image hashes (silence, loops, re-encodes of one master), so the
+    * naive banded self-join over clips is quadratic in cohort size. This
+    * path contracts to DISTINCT fingerprints first:
+    *
+    *  1. cohort fold — group clips by fingerprint: size, min id, second-min
+    *     id (two node-sized passes; second-min needs the min first);
+    *  2. banded join across DISTINCT fingerprints only (4 disjoint 8-bit
+    *     pigeonhole bands — two fingerprints within Hamming <= 3 must agree
+    *     exactly on >= 1 band), popcount-verified: cohort-count-sized, not
+    *     clip-count-sized;
+    *  3. per-clip algebra — n_near_dups = (own cohort size - 1) + sum of
+    *     near cohorts' sizes; min partner = least of (own cohort's min id
+    *     excluding self, near cohorts' min id). No quadratic pair list is
+    *     ever materialized; a million identical clips cost one cohort row.
+    *
+    * The verified OUTPUT is identical to brute force — the contraction is
+    * invisible in the report, which is what the oracle replays. */
+  def audioNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "pigeonhole banding with 4 bands covers maxHamming <= 3")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sigs = Scale.fanOutScan(media).select("media_id", "content").as[MediaContent]
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          decodeWavSamples(Option(m.content).getOrElse(Array.emptyByteArray))
+            .flatMap(audioFingerprint).map(fp => (m.media_id, fp))
+        }
+      }.toDF("media_id", "afp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m1 = sigs.groupBy("afp")
+      .agg(count(lit(1)).cast("bigint").as("n_same"), min("media_id").as("m1"))
+    val coh = sigs.join(m1, "afp")
+      .groupBy("afp")
+      .agg(first("n_same").as("n_same"), first("m1").as("m1"),
+        min(when(col("media_id") =!= col("m1"), col("media_id"))).as("m2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandExprs = Seq(
+      expr("afp & 255"), expr("(afp >> 8) & 255"),
+      expr("(afp >> 16) & 255"), expr("(afp >> 24) & 255"))
+    val bands = coh.select(col("afp"), col("n_same"), col("m1"),
+      posexplode(array(bandExprs: _*)).as(Seq("band", "bv")))
+    val near = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.afp") =!= col("y.afp"))
+      .select(col("x.afp").as("afp"), col("y.afp").as("bfp"),
+        col("y.n_same").as("bn"), col("y.m1").as("bm1"))
+      .distinct()
+      .filter(bit_count(expr("afp ^ bfp")) <= maxHamming)
+      .groupBy("afp")
+      .agg(sum(col("bn")).cast("bigint").as("cross_n"), min(col("bm1")).as("cross_min"))
+    sigs.join(coh, "afp").join(near, Seq("afp"), "left")
+      .select(col("media_id"), col("afp"),
+        (col("n_same") - lit(1L) + coalesce(col("cross_n"), lit(0L)))
+          .cast("bigint").as("n_near_dups"),
+        least(when(col("media_id") === col("m1"), col("m2")).otherwise(col("m1")),
+          col("cross_min")).as("min_dup_id"))
+  }
+
   // public: encoder codegen instantiates these from generated Java
   case class MediaIn(media_id: Long, modality: String, content: Array[Byte])
   case class MediaContent(media_id: Long, content: Array[Byte])

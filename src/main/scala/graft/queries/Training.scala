@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Tables
 import graft.functions.Portable
-import graft.operators.{Clustering, Dedup, Multimodal, Similarity, TextOps, UrlOps}
+import graft.operators.{Clustering, Dedup, Graph, Multimodal, Similarity, TextOps, UrlOps}
 
 /** Training-data pipeline queries over `documents` / `embeddings`, with DuckDB
   * oracles generated from the SAME [[Portable]] builders as the Spark plans —
@@ -30,6 +30,10 @@ object Training {
   val MaxHamming  = 3
   val NQueries    = 20
   val TopK        = 10
+  /** Fixed PageRank rounds for the domain-authority gate: enough for the
+    * ranking to separate on a 20-node domain graph, small enough that the
+    * oracle's unrolled-CTE replay stays readable. */
+  val PageRankIters = 5
   /** Mixture weights for the sampling gate: full / majority / minority /
     * dropped sources, plus the default for the 16 unnamed ones. */
   val MixRates: Map[String, Double] = Map(
@@ -183,6 +187,25 @@ object Training {
                                        " || source || '-example.' || (CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END)" +
                                        " || '/docs/' || doc_id || (CASE WHEN doc_id % 5 = 0 THEN '?ref=feed' ELSE '' END)")),
                                    BlockedDomains, DomainCap)),
+    // domain-authority scoring: a deterministic doc->doc citation graph
+    // (docs with id % 20 < 17 cite doc (id^2 + 3) mod N — verifiable
+    // arithmetic standing in for extracted hyperlinks, same stand-in recipe
+    // as syntheticMedia; the quadratic skews in-links onto few domains and
+    // leaves one linked-but-never-citing domain to exercise dangling mass)
+    // folded to domain level, then 5 rounds of fixed-point integer
+    // PageRank; the oracle replays the iteration as 5 unrolled CTEs
+    "text_domain_pagerank"   -> ((s, d) => {
+      import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit}
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val tot = docs.agg(count(lit(1)).cast("bigint").as("tot"))
+      val edges = docs.filter(expr("doc_id % 20 < 17")).as("a")
+        .crossJoin(broadcast(tot))
+        .join(docs.select(col("doc_id").as("b_id"), col("source").as("dst")).as("b"),
+          expr("(a.doc_id * a.doc_id + 3) % tot") === col("b_id"))
+        .select(col("a.source").as("src"), col("dst"))
+      Graph.pageRank(edges, PageRankIters)
+        .select(col("node").as("domain"), col("rank"))
+    }),
     "multimodal_meta"        -> ((s, d) => Multimodal.extractMeta(
                                    Multimodal.syntheticMedia(Tables.documents(s, d)))),
     // Spark ENCODES real containers (zlib IDAT via Deflater, PCM16 LE) and
@@ -201,6 +224,13 @@ object Training {
     // exact popcount verify -> per-image near-dup report; the oracle replays
     // the hash from the arithmetic pixel model and brute-forces the pairs
     "multimodal_near_dup"    -> ((s, d) => Multimodal.perceptualNearDups(
+                                   Multimodal.syntheticPixelMedia(Tables.documents(s, d)), MaxHamming)),
+    // decode real WAV bytes -> Haar band-energy fingerprint -> DISTINCT-
+    // fingerprint contraction (audio collapses onto shared fingerprints, so
+    // cohort algebra replaces the quadratic pair list) -> per-clip report;
+    // the oracle replays the fingerprint from the arithmetic sample model
+    // and brute-forces all pairs — the contraction must be invisible
+    "multimodal_audio_near_dup" -> ((s, d) => Multimodal.audioNearDups(
                                    Multimodal.syntheticPixelMedia(Tables.documents(s, d)), MaxHamming)),
     "embed_kmeans"           -> ((s, d) => Clustering.kmeans(Tables.embeddings(s, d), KmeansK, KmeansIters)),
     // cluster-balanced corpus selection (the diversity-sampling recipe:
@@ -889,6 +919,50 @@ object Training {
        |  COALESCE(n_near_dups, 0::BIGINT) AS n_near_dups, min_dup_id
        |FROM h LEFT JOIN agg USING (media_id)""".stripMargin
 
+  /** Arithmetic twin of [[Multimodal.audioNearDups]] over the synthetic WAV
+    * corpus (64 PCM16 samples, model [[Multimodal.wavSample]]): the Haar
+    * pyramid is computed by LEVELS — pair sums/diffs (q2), quad sums/diffs
+    * (q4), then the four frame band energies — and the fingerprint bit
+    * (t, b) compares band b's energy against the NEXT frame's (mod 8),
+    * packed at k = t*4 + b. The oracle brute-forces ALL pairs; Spark's
+    * distinct-fingerprint contraction must produce the identical report.
+    * `h` is MATERIALIZED: both sides of the pair join and the final report
+    * read it (CLAUDE.md: multi-referenced CTE feeding a chain). */
+  private val multimodalAudioNearDupSql =
+    s"""WITH aud AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 1),
+       |v AS (SELECT media_id, (media_id * 131 + i * 17) % 4096 - 2048 AS s,
+       |  i // 8 AS t, i % 8 AS p FROM aud CROSS JOIN range(64) r(i)),
+       |p2 AS (SELECT media_id, t, p // 2 AS q2,
+       |  SUM(CASE WHEN p % 2 = 0 THEN s ELSE -s END) AS d2, SUM(s) AS a2
+       |  FROM v GROUP BY 1, 2, 3),
+       |p4 AS (SELECT media_id, t, q2 // 2 AS q4,
+       |  SUM(CASE WHEN q2 % 2 = 0 THEN a2 ELSE -a2 END) AS d4, SUM(a2) AS a4,
+       |  SUM(ABS(d2)) AS e3p
+       |  FROM p2 GROUP BY 1, 2, 3),
+       |fr AS (SELECT media_id, t,
+       |  ABS(SUM(a4)) AS e0,
+       |  ABS(SUM(CASE WHEN q4 % 2 = 0 THEN a4 ELSE -a4 END)) AS e1,
+       |  SUM(ABS(d4)) AS e2, SUM(e3p) AS e3
+       |  FROM p4 GROUP BY 1, 2),
+       |bits AS (SELECT x.media_id, x.t, rb.b,
+       |  CASE WHEN (CASE rb.b WHEN 0 THEN x.e0 WHEN 1 THEN x.e1
+       |             WHEN 2 THEN x.e2 ELSE x.e3 END) >
+       |            (CASE rb.b WHEN 0 THEN y.e0 WHEN 1 THEN y.e1
+       |             WHEN 2 THEN y.e2 ELSE y.e3 END)
+       |       THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |  FROM fr x JOIN fr y ON x.media_id = y.media_id AND y.t = (x.t + 1) % 8
+       |  CROSS JOIN range(4) rb(b)),
+       |h AS MATERIALIZED (SELECT media_id,
+       |  CAST(SUM(bit << (t * 4 + b)) AS BIGINT) AS afp FROM bits GROUP BY 1),
+       |p AS (SELECT x.media_id AS a, y.media_id AS b FROM h x JOIN h y
+       |  ON x.media_id <> y.media_id
+       |  AND bit_count(xor(x.afp, y.afp)) <= $MaxHamming),
+       |agg AS (SELECT a AS media_id, CAST(COUNT(*) AS BIGINT) AS n_near_dups,
+       |  MIN(b) AS min_dup_id FROM p GROUP BY 1)
+       |SELECT media_id, afp, COALESCE(n_near_dups, 0::BIGINT) AS n_near_dups,
+       |  min_dup_id
+       |FROM h LEFT JOIN agg USING (media_id)""".stripMargin
+
   private val multimodalPixelsSql =
     s"""WITH m AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m3 FROM documents
        |  WHERE doc_id % 3 <> 2),
@@ -1046,6 +1120,46 @@ object Training {
     * identically), and a single ROW_NUMBER window — the oracle states the
     * SEMANTICS; Spark's two-phase salted top-N must equal it because the
     * (n_chars DESC, doc_id ASC) ordering is total. */
+  /** Oracle twin of the domain-PageRank gate: the citation graph is replayed
+    * arithmetically, then [[Graph.pageRank]]'s fixed-point integer iteration
+    * is UNROLLED — one materialized CTE per round, each computing the same
+    * three terms (teleport base, damped incoming floor-div contributions,
+    * dangling share) in BIGINT floor arithmetic. Every pr CTE is multi-
+    * referenced (dangling scalar + contribution join), hence MATERIALIZED
+    * (CLAUDE.md: DuckDB re-inlines CTEs multiplicatively otherwise). DuckDB
+    * SUM returns HUGEINT; it flows through intermediate rounds unchanged in
+    * value (everything < 2^47) and the OUTPUT column is cast to BIGINT. */
+  private val domainPageRankSql: String = {
+    val S = 1000000000000L
+    val head =
+      s"""WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents),
+         |e AS MATERIALIZED (SELECT a.source AS src, b.source AS dst
+         |  FROM documents a CROSS JOIN tot
+         |  JOIN documents b ON b.doc_id = (a.doc_id * a.doc_id + 3) % tot.t
+         |  WHERE a.doc_id % 20 < 17),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+         |deg AS MATERIALIZED (SELECT node, COALESCE(d, 0::BIGINT) AS deg
+         |  FROM nodes LEFT JOIN (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+         |    FROM e GROUP BY 1) g ON g.src = nodes.node),
+         |pr0 AS MATERIALIZED (SELECT node, deg,
+         |  (SELECT $S // n FROM nn) AS pr FROM deg)""".stripMargin
+    val rounds = (1 to PageRankIters).map { k =>
+      val p = s"pr${k - 1}"
+      s""",pr$k AS MATERIALIZED (SELECT d.node, d.deg,
+         |  (SELECT (($S // n) * 15) // 100 FROM nn)
+         |  + (85 * (COALESCE(inc.i, 0::BIGINT)
+         |           + (SELECT COALESCE(SUM(pr), 0::BIGINT) FROM $p WHERE deg = 0)
+         |             // (SELECT n FROM nn))) // 100 AS pr
+         |  FROM deg d
+         |  LEFT JOIN (SELECT e.dst AS node, SUM(p.pr // p.deg) AS i
+         |    FROM e JOIN $p p ON p.node = e.src AND p.deg > 0
+         |    GROUP BY 1) inc ON inc.node = d.node)""".stripMargin
+    }.mkString("\n")
+    head + rounds +
+      s"\nSELECT node AS domain, CAST(pr AS BIGINT) AS rank FROM pr$PageRankIters"
+  }
+
   private val domainCapSql = {
     val blocked = BlockedDomains.map(b => s"'$b'").mkString(", ")
     s"""WITH d AS (SELECT doc_id, n_chars,
@@ -1488,6 +1602,7 @@ object Training {
     "multimodal_pixels"      -> multimodalPixelsSql,
     "multimodal_transform"   -> multimodalTransformSql,
     "multimodal_near_dup"    -> multimodalNearDupSql,
+    "multimodal_audio_near_dup" -> multimodalAudioNearDupSql,
     "dedup_exact"            -> exactSql,
     "dedup_ngram_jaccard"    -> jaccardSql,
     "dedup_components"       -> componentsSql,
@@ -1506,6 +1621,7 @@ object Training {
     "text_shuffle_shards"    -> shuffleShardsSql,
     "text_line_dedup"        -> lineDedupSql,
     "text_domain_cap"        -> domainCapSql,
+    "text_domain_pagerank"   -> domainPageRankSql,
     "text_unigram_surprisal" -> unigramSurprisalSql,
     "dedup_cdc_chunks" -> cdcChunksSql,
     "text_bigram_surprisal" -> bigramSurprisalSql,

@@ -254,4 +254,53 @@ class MultimodalSpec extends AnyFunSuite {
     val wrapped = base.map(v => (v + 200) % 256)
     assert(Multimodal.dHash(w, h, wrapped) != hBase, "wrap breaks order-preservation")
   }
+
+  test("audioFingerprint invariance bounds: gain exact, negation exact, grid gate") {
+    val base = Array.tabulate(64)(i => ((i * 37 + 11) % 4096) - 2048)
+    val fp = Multimodal.audioFingerprint(base)
+    assert(fp.isDefined && fp.get >= 0L && fp.get < (1L << 32), "32-bit, sign-safe")
+    // positive gain scales every band energy by the same factor — every
+    // E(t,b) > E(t+1,b) comparison, hence the fingerprint, is unchanged
+    assert(Multimodal.audioFingerprint(base.map(_ * 3)) == fp, "gain invariant")
+    // amplitude inversion: energies are magnitudes — exact
+    assert(Multimodal.audioFingerprint(base.map(-_)) == fp, "negation invariant")
+    // a 2x oversampled clip (each sample repeated) hits the same 64-point
+    // grid positions 0,2,4,... — i.e. the original samples — so the
+    // fingerprint is EXACT under integer-stride upsampling
+    assert(Multimodal.audioFingerprint(base.flatMap(v => Array(v, v))) == fp,
+      "2x sample-repeat hits the same grid")
+    // degrade gates: short clips and non-divisible lengths return None
+    assert(Multimodal.audioFingerprint(base.take(63)).isEmpty, "short clip")
+    assert(Multimodal.audioFingerprint(base ++ Array(1)).isEmpty, "non-divisible")
+    // documented NON-invariance: a DC shift changes magnitude energies
+    assert(Multimodal.audioFingerprint(base.map(_ + 500)) != fp ||
+      base.forall(_ == base.head), "DC shift is not claimed invariant")
+  }
+
+  test("audioNearDups cohort contraction equals brute force on a degenerate corpus") {
+    import spark.implicits._
+    // 30 clips but only 3 distinct waveforms (10-clip cohorts) plus one
+    // near-miss: the quadratic-cohort regime the contraction exists for
+    val media = (0L until 30L).map { id =>
+      val master = id % 3 // three identical-waveform cohorts
+      Multimodal.MediaIn(id, "audio",
+        Multimodal.encodeWav(master * 1000L, n = 64))
+    }.toDF()
+    val rep = Multimodal.audioNearDups(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(rep.length == 30)
+    // brute force the expectation from the fingerprints themselves
+    val fps = (0L until 30L).map { id =>
+      val s = Array.tabulate(64)(i => Multimodal.wavSample((id % 3) * 1000L, i))
+      id -> Multimodal.audioFingerprint(s).get
+    }.toMap
+    rep.foreach { case (id, n, minDup) =>
+      val near = (0L until 30L).filter(o => o != id &&
+        java.lang.Long.bitCount(fps(id) ^ fps(o)) <= 3)
+      assert(n == near.length.toLong, s"clip $id: n_near_dups $n vs brute ${near.length}")
+      assert(minDup == near.sorted.headOption, s"clip $id min partner")
+    }
+    // the within-cohort floor: every clip has at least its 9 cohort-mates
+    assert(rep.forall(_._2 >= 9L), "cohort mates counted without a pair join")
+  }
 }
