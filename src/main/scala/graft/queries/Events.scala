@@ -283,6 +283,49 @@ object Events {
     spark.read.parquet(path).select("event_id", "user_id", "value", "zv")
   }
 
+  /** Zone-map file-skipping ROUND TRIP ([[graft.lake.ZoneMapIndex]]): the
+    * events fact is written once per source dir range-clustered by `value`
+    * into 32 files (the layout zone maps exist to exploit — at lake scale
+    * each file is a value stripe), a per-file min/max sidecar is persisted
+    * NEXT TO the layout (parquet-backed, never a cached plan — the bench
+    * harness clears persistent RDDs between queries), and the gate SERVES a
+    * value-band aggregate through [[graft.lake.ZoneMapIndex.rangeScan]]:
+    * sidecar read -> driver-side file pruning -> candidate-file scan ->
+    * exact re-filter. The oracle aggregates the band straight off the
+    * events table — the physical layout, the sidecar and the pruning must
+    * be invisible in the verified output (no lost files, no double reads,
+    * no boundary-value slips at the stripe edges). */
+  private val zonemapRoots = scala.collection.concurrent.TrieMap.empty[String, String]
+  def zonemapRange(spark: SparkSession, dir: String): DataFrame = {
+    val root = zonemapRoots.getOrElseUpdate(dir, {
+      val r = java.nio.file.Files.createTempDirectory("graft_zonemap_").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        val p = Path.of(r)
+        if (Files.exists(p))
+          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+      }))
+      val src = Tables.events(spark, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      src.repartitionByRange(32, col("value")).write.parquet(s"$r/events_v")
+      val layout = spark.read.parquet(s"$r/events_v")
+      graft.lake.ZoneMapIndex.build(layout, Seq("value"))
+        .repartition(1).write.parquet(s"$r/events_v__zonemap")
+      r
+    })
+    val layout = spark.read.parquet(s"$root/events_v")
+    val idx = spark.read.parquet(s"$root/events_v__zonemap")
+    graft.lake.ZoneMapIndex.rangeScan(spark, idx, "value",
+        Some(120.5), Some(180.25), layout.schema)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+  }
+
   /** The reference logger's table_routing aggregates
     * (services/logger/main.py:157-190) over a CONSTRUCTED multi-file run:
     * each (event_type, day) slice of the events table plays one inbox file
@@ -385,6 +428,7 @@ object Events {
     "events_funnel_5step"  -> ((s: SparkSession, d: String) => funnel(s, d, FiveSteps)),
     "pipeline_table_routing" -> (tableRouting _),
     "events_zorder_cluster" -> (zorderCluster _),
+    "events_zonemap_range" -> (zonemapRange _),
     "events_salted_join"   -> (saltedDimJoin _),
     "events_bloom_join"    -> (bloomDimJoin _),
     "events_asof_orders"   -> (asofOrders _),
@@ -466,6 +510,12 @@ object Events {
          |  CAST(${Portable.zInterleaveDuck(Seq("bu", "bv"), 16)} AS BIGINT) AS zv
          |FROM b""".stripMargin
     },
+    "events_zonemap_range" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+        |FROM events WHERE value >= 120.5 AND value <= 180.25
+        |GROUP BY 1""".stripMargin,
     "events_salted_join" ->
       """SELECT e.event_id, e.user_id, e.value, c.c_mktsegment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
