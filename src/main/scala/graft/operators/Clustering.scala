@@ -89,4 +89,30 @@ object Clustering {
       .select(col("vec_id"), col("cell").as("cluster"), col("dist"),
         col("cluster_size"))
   }
+
+  /** Prototype pruning (the published data-pruning recipe: Sorscher et al.,
+    * "Beyond neural scaling laws — beating power law scaling via data
+    * pruning", NeurIPS 2022: with abundant data, drop the EASIEST examples —
+    * the ones closest to their cluster centroid — and keep the informative
+    * margin): from a [[kmeans]] assignment, drop the `dropNum/dropDen`
+    * closest fraction of each cluster and keep the rest.
+    *
+    * The cut is exact integer arithmetic — rank by (dist ASC, id ASC; the id
+    * tiebreak makes the window total, so ties at the cut cannot flap
+    * between runs) and drop rank <= cluster_size * dropNum div dropDen —
+    * bitwise-portable against a window replay. The per-cluster window sorts
+    * one cluster per partition: exact-rank semantics, right at this
+    * report's k-bounded scale; a 100 TB corpus with billion-member clusters
+    * would trade exactness for a distance THRESHOLD from the mergeable
+    * histogram-quantile sketch (`Profiling.quantileByGroup`) and a
+    * codegen'd filter — same decision, no global sort (documented path). */
+  def prototypePrune(clustered: DataFrame, dropNum: Long, dropDen: Long,
+                     idCol: String = "vec_id"): DataFrame = {
+    require(dropDen > 0 && dropNum >= 0 && dropNum <= dropDen,
+      s"need 0 <= dropNum <= dropDen, got $dropNum/$dropDen")
+    val w = Window.partitionBy("cluster").orderBy(col("dist").asc, col(idCol).asc)
+    clustered.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > expr(s"cluster_size * $dropNum div $dropDen"))
+      .select(col(idCol), col("cluster"), col("dist"))
+  }
 }

@@ -551,6 +551,43 @@ object Dedup {
       .join(exactRemoved.union(nearRemoved).distinct(), Seq("doc_id"), "left_anti")
   }
 
+  /** Quality-aware survivor selection — ONE keeper per duplicate FAMILY,
+    * chosen by HIGHEST quality (tie: lowest doc_id) instead of
+    * [[dedupSurvivors]]' lowest-id rule: the published curation preference
+    * (keep the longest / best-scoring copy of a cluster, not an arbitrary
+    * one). A family is a connected component of the union graph:
+    *
+    *  - exact-duplicate groups contribute STAR edges (member → group min:
+    *    group-sized, never the within-group clique);
+    *  - near-dup pairs from the banded MinHash path contribute their edges;
+    *
+    * so an exact copy of A that is also a near-dup of B lands in one family
+    * with both — the two removal sets [[dedupSurvivors]] treats separately
+    * cannot disagree about the keeper here. Untouched docs are their own
+    * family. Output is the family report (family id = component min id,
+    * keeper, member count) — the survivor list IS the keeper column.
+    *
+    * Scale shape: everything rides proven paths — hash-grouped exact stars,
+    * banded near-dup pairs, O(rounds) component folding; the keeper fold is
+    * one map-side-combined max_by over a unique (quality, -doc_id) key, so
+    * ties cannot go nondeterministic. */
+  def dedupSurvivorsBy(docs: DataFrame, qualityCol: String,
+                       n: Int = 3, tau: Double = 0.5): DataFrame = {
+    val keyed = docs.select(md5(col("text")).as("k"), col("doc_id"))
+    val gmin = keyed.groupBy("k").agg(min(col("doc_id")).as("g"))
+    val exactEdges = keyed.join(gmin, "k")
+      .filter(col("doc_id") =!= col("g"))
+      .select(col("doc_id").as("doc_a"), col("g").as("doc_b"))
+    val nearEdges = minhashLshPairs(docs, n, tau = tau).select("doc_a", "doc_b")
+    val comp = connectedComponents(exactEdges.union(nearEdges))
+    docs.select(col("doc_id"), col(qualityCol).as("__q"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("family", coalesce(col("component_id"), col("doc_id")))
+      .groupBy("family")
+      .agg(max_by(col("doc_id"), struct(col("__q"), (-col("doc_id")))).as("keep_doc_id"),
+        count(lit(1)).cast("bigint").as("n_members"))
+  }
+
   /** Embedding near-dup pairs via LSH blocking — the 100 TB path for cosine
     * dedup (the all-pairs [[embeddingNearDupPairs]] is the small-side
     * baseline). Candidates share a (table, bucket) key from the native

@@ -123,6 +123,11 @@ object Training {
     "dedup_components_stars" -> ((s, d) => Dedup.connectedComponentsStars(
                                    Dedup.minhashLshPairs(Tables.documents(s, d), 3, tau = JaccardTau))),
     "dedup_survivors"        -> ((s, d) => Dedup.dedupSurvivors(Tables.documents(s, d), 3, JaccardTau)),
+    // keep-the-best variant: one keeper per merged exact+near family by
+    // max n_chars (tie: min doc_id); oracle closes the same union graph
+    // with a recursive CTE and ranks keepers with a window
+    "dedup_survivors_quality" -> ((s, d) => Dedup.dedupSurvivorsBy(
+                                   Tables.documents(s, d), "n_chars", 3, JaccardTau)),
     "dedup_embedding_lsh"    -> ((s, d) => Dedup.embeddingNearDupLsh(Tables.embeddings(s, d), CosineTau)),
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), 3, 42, 3, JaccardTau)),
     "dedup_simhash"          -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d), MaxHamming)),
@@ -242,6 +247,11 @@ object Training {
     // training itself), same serve-vs-build pattern as the ann_*_index gates
     "embed_cluster_sample"   -> ((s, d) => TextOps.temperatureSample(
                                    clusteredIds(s, d), TempTargetDocs, by = "cluster")),
+    // prototype pruning (drop the closest quarter of each cluster, keep the
+    // informative margin) SERVED from the same persisted clustering the
+    // balanced-sampling gate reads — train once, consume twice
+    "embed_prototype_prune"  -> ((s, d) => Clustering.prototypePrune(
+                                   clusteredFull(s, d), 1L, 4L, idCol = "doc_id")),
     "ann_brute_force_topk"   -> ((s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_lsh_topk"           -> ((s, d) => Similarity.lshAnnTopK(Tables.embeddings(s, d), NQueries, TopK)),
     "ann_recall_eval"        -> ((s, d) => Similarity.recallAtK(Tables.embeddings(s, d), NQueries, TopK)),
@@ -268,16 +278,18 @@ object Training {
     * sampling is the served query (an in-memory checkpoint would not survive
     * the bench harness's between-query cache clear). */
   private val clusterRoots = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def clusteredIds(s: SparkSession, d: String): DataFrame = {
+  private def clusteredFull(s: SparkSession, d: String): DataFrame = {
     val path = clusterRoots.getOrElseUpdate(d, {
       val p = java.nio.file.Files.createTempDirectory("graft_kmcluster_").toString
       Clustering.kmeans(Tables.embeddings(s, d), KmeansK, KmeansIters)
-        .selectExpr("vec_id AS doc_id", "cluster")
+        .selectExpr("vec_id AS doc_id", "cluster", "dist", "cluster_size")
         .write.mode("overwrite").parquet(p)
       p
     })
     s.read.parquet(path)
   }
+  private def clusteredIds(s: SparkSession, d: String): DataFrame =
+    clusteredFull(s, d).select("doc_id", "cluster")
 
   private val indexRoots = scala.collection.concurrent.TrieMap.empty[String, graft.lake.ParquetDirFormat]
   private def indexLake(s: SparkSession, d: String): graft.lake.ParquetDirFormat =
@@ -1206,6 +1218,38 @@ object Training {
        |WHERE doc_id NOT IN (SELECT doc_id FROM near_removed
        |                     UNION SELECT doc_id FROM exact_removed)""".stripMargin
 
+  /** Oracle twin of [[Dedup.dedupSurvivorsBy]]: the union family graph
+    * (exact-group star edges + exact all-pairs near-dup edges — equal to the
+    * banded MinHash output under the 2e-8 miss contract `dedup_survivors`
+    * already pins) closed by a recursive CTE, keepers ranked by
+    * (n_chars DESC, doc_id ASC) within each family. */
+  private lazy val survivorsQualitySql =
+    s"""WITH RECURSIVE $jaccardCtes,
+       |pairs AS ($jaccardSelect),
+       |k AS (SELECT md5(text) AS k, MIN(doc_id) AS g FROM documents GROUP BY 1),
+       |xe AS (SELECT d.doc_id AS doc_a, k.g AS doc_b FROM documents d
+       |  JOIN k ON md5(d.text) = k.k WHERE d.doc_id <> k.g),
+       |alledges AS (SELECT doc_a, doc_b FROM pairs
+       |  UNION SELECT doc_a, doc_b FROM xe),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM alledges
+       |  UNION SELECT doc_b, doc_a FROM alledges),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id
+       |  FROM reach GROUP BY a),
+       |fam AS MATERIALIZED (SELECT d.doc_id, d.n_chars,
+       |  COALESCE(c.component_id, d.doc_id) AS family
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+       |r AS (SELECT family, doc_id, ROW_NUMBER() OVER (PARTITION BY family
+       |  ORDER BY n_chars DESC, doc_id ASC) AS rn FROM fam)
+       |SELECT f.family, k2.doc_id AS keep_doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_members
+       |FROM fam f JOIN (SELECT family, doc_id FROM r WHERE rn = 1) k2
+       |  USING (family)
+       |GROUP BY 1, 2""".stripMargin
+
   /** Mirror of [[Dedup.incrementalDedup]] over the modulo corpus/batch split:
     * exact verdicts by md5 key membership, near-dup by exact all-pairs
     * batch × corpus Jaccard on the same distinct-shingle sets — the MinHash
@@ -1523,6 +1567,19 @@ object Training {
        |SELECT fa.vec_id, fa.cell AS cluster, fa.dist, sz.cluster_size
        |FROM fa JOIN sz USING (cell)""".stripMargin
 
+  /** Oracle twin of [[Clustering.prototypePrune]] over the same Lloyd
+    * assignment chain: total-order window (dist ASC, vec_id ASC) per cell,
+    * keep rank > size * dropNum // dropDen. */
+  private val prototypePruneSql =
+    s"""WITH $kmeansCtes,
+       |sz AS (SELECT cell, COUNT(*) AS cluster_size FROM fa GROUP BY cell),
+       |r AS (SELECT fa.vec_id, fa.cell, fa.dist, sz.cluster_size,
+       |  ROW_NUMBER() OVER (PARTITION BY fa.cell
+       |    ORDER BY fa.dist ASC, fa.vec_id ASC) AS rn
+       |  FROM fa JOIN sz USING (cell))
+       |SELECT vec_id AS doc_id, cell AS cluster, dist
+       |FROM r WHERE rn > cluster_size * 1 // 4""".stripMargin
+
   /** Exact replica of the cluster-balanced sampling composition: the SAME
     * Lloyd assignment chain, then temperature quotas (isqrt weights, exact
     * integer arithmetic) over CLUSTER ids instead of source domains —
@@ -1571,6 +1628,7 @@ object Training {
   val oracle: Map[String, String] = Map(
     "text_bpe_segment"       -> bpeSegmentSql,
     "embed_kmeans"           -> kmeansSql,
+    "embed_prototype_prune"  -> prototypePruneSql,
     "embed_cluster_sample"   -> clusterSampleSql,
     "ann_sq8_topk"           -> annSq8Sql,
     "ann_pq_topk"            -> annPqSql,
@@ -1609,6 +1667,7 @@ object Training {
     // star contraction shares the min-label output contract — same oracle
     "dedup_components_stars" -> componentsSql,
     "dedup_survivors"        -> survivorsSql,
+    "dedup_survivors_quality" -> survivorsQualitySql,
     "dedup_embedding_lsh"    -> embLshSql,
     "dedup_minhash_lsh"      -> jaccardSql,
     "dedup_simhash"          -> simhashSql,

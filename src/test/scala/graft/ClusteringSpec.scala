@@ -68,4 +68,24 @@ class ClusteringSpec extends AnyFunSuite {
     val c1 = cost(1); val c3 = cost(3)
     assert(c3 <= c1, s"Lloyd cost went up: iters=1 -> $c1, iters=3 -> $c3")
   }
+
+  test("prototypePrune: exact cut arithmetic, total-order ties, keepers only") {
+    import spark.implicits._
+    // hand clustering: cluster 0 has 8 members (dists 10,10,20,30,...,70 —
+    // a TIE at the cut), cluster 1 has 3 (cut = 3*1 div 4 = 0: keep all)
+    val c0 = Seq(10L, 10L, 20L, 30L, 40L, 50L, 60L, 70L).zipWithIndex
+      .map { case (dist, i) => (100L + i, 0L, dist, 8L) }
+    val c1 = Seq((200L, 1L, 5L, 3L), (201L, 1L, 6L, 3L), (202L, 1L, 7L, 3L))
+    val clustered = (c0 ++ c1).toDF("vec_id", "cluster", "dist", "cluster_size")
+    val kept = Clustering.prototypePrune(clustered, 1L, 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // cluster 0: drop 8*1 div 4 = 2 closest — the dist-10 pair, tie broken
+    // by vec_id, so 100 and 101 go, 102..107 stay; cluster 1: all stay
+    assert(kept.map(_._1).toSeq ==
+      Seq(102L, 103L, 104L, 105L, 106L, 107L, 200L, 201L, 202L))
+    // dropping everything (dropNum = dropDen) keeps nothing
+    assert(Clustering.prototypePrune(clustered, 1L, 1L).count() == 0L)
+    // guard
+    intercept[IllegalArgumentException](Clustering.prototypePrune(clustered, 5L, 4L))
+  }
 }

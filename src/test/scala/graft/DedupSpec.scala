@@ -297,4 +297,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.keys.exists(_.contains("z1")), s"unique text surfaced: ${out.keys}")
     assert(!out.keys.exists(_.contains("x1end")), s"doc-local suffix surfaced: ${out.keys}")
   }
+
+  test("dedupSurvivorsBy: exact+near families merge, keeper is max-quality") {
+    import spark.implicits._
+    // docs 0,1: exact copies (long shared text). doc 2: near-dup of them
+    // (one word changed). doc 3: unrelated. Quality column ranks doc 2
+    // highest, so the merged family keeps 2 — the min-id rule would keep 0.
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    val docs = Seq(
+      (0L, base, 10L),
+      (1L, base, 11L),
+      (2L, base.replace("token30", "changed"), 99L),
+      (3L, (1 to 30).map(i => s"other$i").mkString(" "), 50L)
+    ).toDF("doc_id", "text", "quality")
+    val fams = Dedup.dedupSurvivorsBy(docs, "quality", n = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(fams.toSeq == Seq((0L, 2L, 3L), (3L, 3L, 1L)),
+      s"got ${fams.toSeq}: family 0 = {0,1,2} keeps quality-99 doc 2; 3 alone")
+  }
 }
