@@ -88,6 +88,28 @@ object BloomIndex {
     (bits, k)
   }
 
+  /** Incremental sidecar maintenance after appends/compaction — same set
+    * algebra as [[ZoneMapIndex.refresh]]: drop rows for rewritten files,
+    * keep covered files untouched, build filters ONLY for missing files
+    * (read directly — the append increment, not the table). Hash parameters
+    * come from the existing index, so the refreshed sidecar stays
+    * single-parameter by construction. */
+  def refresh(table: DataFrame, index: DataFrame, c: String): DataFrame = {
+    val (bits, k) = storedParams(index)
+    val spark = table.sparkSession
+    val present = table.select(input_file_name().as("file")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = index.join(present, Seq("file"), "left_semi")
+    val missing = present
+      .join(index.select("file").distinct(), Seq("file"), "left_anti")
+      .collect().map(_.getString(0))
+    present.unpersist()
+    if (missing.isEmpty) kept
+    else kept.unionByName(
+      build(spark.read.schema(table.schema).parquet(missing.toIndexedSeq: _*),
+        c, bits, k))
+  }
+
   /** Files that MIGHT contain at least one of `values` in column `c`: a
     * value is admitted by a file iff ALL k of its bits are set in that
     * file's filter. Index-sized work only — the lookup set joins the

@@ -85,6 +85,29 @@ object ZoneMapIndex {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Incremental sidecar maintenance after appends/compaction — the index
+    * stays per-file, so freshness is SET algebra, no retrain: rows for
+    * files no longer in the table drop (compaction rewrote them), files the
+    * sidecar has stay untouched, and ONLY missing files are read and
+    * profiled (the append increment, not the table). The missing-file list
+    * is collected driver-side — file-manifest-sized, the same budget the
+    * scheduler itself spends listing the table. */
+  def refresh(table: DataFrame, index: DataFrame, cols: Seq[String],
+              maxStrLen: Int = 32): DataFrame = {
+    val spark = table.sparkSession
+    val present = table.select(input_file_name().as("file")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = index.join(present, Seq("file"), "left_semi")
+    val missing = present
+      .join(index.select("file").distinct(), Seq("file"), "left_anti")
+      .collect().map(_.getString(0))
+    present.unpersist()
+    if (missing.isEmpty) kept
+    else kept.unionByName(
+      build(spark.read.schema(table.schema).parquet(missing.toIndexedSeq: _*),
+        cols, maxStrLen))
+  }
+
   /** Files that MIGHT contain a row with `c` in [lo, hi] (either bound
     * optional; both-None means "any non-null value"). Index-sized work; the
     * comparison runs in the column's own type. A file survives iff it has

@@ -39,10 +39,11 @@ object Graph {
     * frame per round on `src` (AQE broadcasts the rank side while it fits —
     * a host-graph rank frame at 100M nodes exceeds that and the join
     * becomes the standard co-partitioned shuffle); contributions reduce
-    * map-side by `dst`. Per round there is ONE driver-side scalar (the
-    * dangling mass — metadata-sized, same per-round shape as `Clustering
-    * .kmeans`'s convergence check) and one `localCheckpoint` to cut the
-    * iterative lineage. Node count is computed once up front. */
+    * map-side by `dst`. The dangling mass folds in as a broadcast one-row
+    * aggregate, so the WHOLE iteration is declarative — no per-round driver
+    * action; the single final materialization drives every round, each
+    * round's lazy `localCheckpoint` cutting the iterative lineage as it
+    * computes. Node count is the one up-front driver scalar. */
   def pageRank(edges: DataFrame, iters: Int, dampNum: Long = 85L,
                dampDen: Long = 100L, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0 && iters <= 100, s"iters must be in [0, 100], got $iters")
@@ -68,18 +69,21 @@ object Graph {
       .localCheckpoint(false)
     var i = 0
     while (i < iters) {
-      // dangling mass: metadata-sized scalar (one long) per round
+      // dangling mass folds in as a broadcast ONE-ROW frame, not a driver
+      // scalar — the whole iteration stays declarative, so one final action
+      // drives every round (each round's lazy localCheckpoint materializes
+      // once on first touch and serves both its consumers: this aggregate
+      // and the contribution join)
       val dangling = pr.filter(col("deg") === 0L)
-        .agg(coalesce(sum(col("pr")), lit(0L)).cast("bigint"))
-        .head().getLong(0)
-      val share = dangling / n
+        .agg(coalesce(sum(col("pr")), lit(0L)).cast("bigint").as("dang"))
       val inc = e.join(pr.filter(col("deg") > 0L), col("src") === col("node"))
         .select(col("dst").as("node"), expr("pr div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).cast("bigint").as("inc"))
       pr = deg.join(inc, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"), col("deg"),
           (lit(base) +
-            expr(s"$dampNum * (coalesce(inc, 0L) + $share) div $dampDen"))
+            expr(s"$dampNum * (coalesce(inc, 0L) + dang div ${n}L) div $dampDen"))
             .cast("bigint").as("pr"))
         .localCheckpoint(false)
       i += 1

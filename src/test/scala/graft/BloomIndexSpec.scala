@@ -84,4 +84,29 @@ class BloomIndexSpec extends AnyFunSuite {
       BloomIndex.candidateFiles(spark, mixed, Seq(777L))
     }
   }
+
+  test("refresh: appended files get filters under the stored (bits, k), stale drop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomref_").toString
+    (0 until 2).foreach { k =>
+      (0 until 50).map(i => 1000L * k + i).toDF("id").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val idx0 = BloomIndex.build(spark.read.parquet(dir), "id", bits = 1 << 10, k = 2)
+      .localCheckpoint(true)
+    (0 until 50).map(i => 9000L + i).toDF("id").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val table = spark.read.parquet(dir)
+    val idx1 = BloomIndex.refresh(table, idx0, "id").localCheckpoint(true)
+    // the new value is found, and only in the appended file (no false negatives)
+    val hits = BloomIndex.candidateFiles(spark, idx1, Seq(9007L))
+    assert(hits.nonEmpty, "appended value must be indexed after refresh")
+    val rows = BloomIndex.lookup(spark, idx1, "id", Seq(9007L, 1003L), table.schema)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(1003L, 9007L))
+    // refreshed sidecar still carries exactly one (bits, k) pair
+    assert(idx1.select("bits", "k").distinct().count() == 1)
+    // no-op refresh is stable
+    assert(BloomIndex.refresh(table, idx1, "id").count() == idx1.count())
+  }
 }

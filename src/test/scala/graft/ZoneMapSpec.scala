@@ -118,4 +118,39 @@ class ZoneMapSpec extends AnyFunSuite {
     val m = Seq((1L, Map("a" -> 1))).toDF("v", "m")
     intercept[IllegalArgumentException](ZoneMapIndex.build(m, Seq("m")))
   }
+
+  test("refresh: appended files profile incrementally, rewritten files drop") {
+    import spark.implicits._
+    val dir = tempDir()
+    (0 until 2).foreach { k =>
+      (0 until 50).map(i => 1000L * k + i).toDF("v").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val idx0 = ZoneMapIndex.build(spark.read.parquet(dir), Seq("v"))
+      .localCheckpoint(true)
+    assert(idx0.count() == 2)
+    // append two more files: refresh profiles ONLY them and keeps the rest
+    (2 until 4).foreach { k =>
+      (0 until 50).map(i => 1000L * k + i).toDF("v").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val idx1 = ZoneMapIndex.refresh(spark.read.parquet(dir), idx0, Seq("v"))
+      .localCheckpoint(true)
+    assert(idx1.count() == 4)
+    assert(ZoneMapIndex.candidateFiles(idx1, "v", Some(3000L), Some(3010L)).length == 1)
+    // the two original sidecar rows survive byte-identical
+    val keep0 = idx0.collect().map(_.toSeq.toString).toSet
+    val keep1 = idx1.collect().map(_.toSeq.toString).toSet
+    assert(keep0.subsetOf(keep1), "existing rows must pass through untouched")
+    // compaction: rewrite the whole table into one file — stale rows drop
+    val dir2 = tempDir()
+    spark.read.parquet(dir).coalesce(1).write.mode("append").parquet(dir2)
+    val idx2 = ZoneMapIndex.refresh(spark.read.parquet(dir2), idx1, Seq("v"))
+    val r = idx2.collect()
+    assert(r.length == 1 && r.head.getAs[Long]("rows") == 200L,
+      "compacted layout leaves one fresh row, no stale files")
+    // no-op refresh returns the index unchanged
+    assert(ZoneMapIndex.refresh(spark.read.parquet(dir2), idx2, Seq("v"))
+      .collect().map(_.toSeq.toString).toSet == r.map(_.toSeq.toString).toSet)
+  }
 }
