@@ -42,4 +42,13 @@ object Exact {
     * One double division on identical operands → identical result everywhere.
     * DuckDB twin: `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(x)`. */
   def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** PARTIAL form of [[dsum]] for incremental view maintenance: the exact
+    * decimal sum with NO final double cast, so partials from any batch split
+    * re-merge associatively ([[dmergeSum]]) to the bit-identical total a
+    * single direct [[dsum]] scan would produce. */
+  def dpartSum(c: Column): Column = sum(c.cast(Money))
+
+  /** Merge of [[dpartSum]] partials → the same DOUBLE [[dsum]] returns. */
+  def dmergeSum(c: Column): Column = sum(c).cast(DoubleType)
 }

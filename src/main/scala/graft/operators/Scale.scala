@@ -166,6 +166,34 @@ object Scale {
     pruned.drop((0 until k).flatMap(i => Seq(s"__p$i", s"__w$i", s"__m$i")): _*)
   }
 
+  /** Per-group top-k with k-BOUNDED aggregation state — the scale-right twin
+    * of `ROW_NUMBER() OVER (PARTITION BY keys ORDER BY order) <= k`, which
+    * fully SORTS every group (O(N log N) per group after a whole-corpus
+    * shuffle). Here each map task keeps at most k rows per key (native
+    * [[graft.plans.TopKAgg]]; map-side combine caps the shuffle at
+    * k·keys·tasks rows) and the reduce merges k-bounded sorted runs —
+    * `TakeOrderedAndProject` generalized from a global limit to per-key.
+    *
+    * `order` gives (column, descending?) pairs evaluated lexicographically;
+    * they must reach a unique column (end in the row id) or equal-keyed rows
+    * keep an arbitrary subset — the same nondeterminism the window twin has.
+    * Output: keys ++ rnk (1-based) ++ order columns ++ payload columns. */
+  def topKPerKey(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)],
+                 k: Int, payload: Seq[String]): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val ordCols = order.map(_._1)
+    val flags = order.map(o => if (o._2) "D" else "A").mkString
+    val fields = (ordCols ++ payload).distinct
+    // struct(`a`, `b`) in SQL auto-names its fields after the referenced
+    // columns, so the exploded payload below reads back by the same names
+    val structSql = fields.map(f => s"`$f`").mkString("struct(", ", ", ")")
+    val agged = df.groupBy(keys.map(col): _*)
+      .agg(expr(s"graft_top_k($structSql, $k, '$flags')").as("top"))
+    agged.select((keys.map(col) :+ posexplode(col("top")).as(Seq("pos", "row"))): _*)
+      .select(keys.map(col) ++ Seq((col("pos") + 1).cast("int").as("rnk")) ++
+        fields.map(f => col(s"row.$f").as(f)): _*)
+  }
+
   /** Write a table bucketed by `key` so later joins on it are exchange-free. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
     df.write.mode("overwrite")

@@ -860,6 +860,145 @@ case class ArrayQL2(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = newLeft, right = newRight)
 }
 
+/** Native bounded-state per-group top-k aggregate:
+  * `graft_top_k(struct(...), k, 'DA...')` keeps only the `k` first rows of the
+  * group under the struct's lexicographic order (per-field direction from the
+  * flag string: 'D' descending, anything else ascending; fields past the
+  * string's length sort ascending) and evaluates to the sorted
+  * `array<struct>`.
+  *
+  * This is the scale-right twin of `ROW_NUMBER() OVER (PARTITION BY key
+  * ORDER BY ...) <= k`: the window form SORTS every group in full — at 100 TB
+  * that is a whole-corpus shuffle + per-partition sort whose cost is
+  * O(N log N) in the group size — while this aggregate's partial state is
+  * capped at `k` rows per group on every map task (map-side combine keeps the
+  * shuffle k-rows-per-key-per-task) and the merge is a k-bounded sorted-list
+  * merge. Same contract as Spark's own `TakeOrderedAndProject`, generalized
+  * from the global limit to per-key.
+  *
+  * DETERMINISM CONTRACT: the struct's ordered prefix must reach a unique
+  * column (e.g. end in the row id) — equal-keyed rows would otherwise keep an
+  * arbitrary subset, exactly as the window twin would return an arbitrary
+  * row_number assignment. NULL structs are skipped; an empty group evaluates
+  * to an empty array. Field comparisons use Catalyst's own SortOrder
+  * semantics (Descending = NULLS LAST, Ascending = NULLS FIRST — mirror any
+  * NULLS clause into the oracle when a sort column is nullable).
+  */
+case class TopKAgg(
+    child: Expression,
+    k: Int,
+    dirFlags: String,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.catalyst.expressions.UnsafeRow]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, Descending, InterpretedOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+  import scala.collection.mutable.ArrayBuffer
+
+  require(k >= 1, s"graft_top_k needs k >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_top_k"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case s: StructType
+      if org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(s) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_top_k expects a struct of orderable fields, got $other")
+  }
+
+  @transient private lazy val structType = child.dataType.asInstanceOf[StructType]
+  @transient private lazy val toUnsafe = UnsafeProjection.create(structType)
+  @transient private lazy val ord: Ordering[InternalRow] = {
+    val sos = structType.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      val dir = if (i < dirFlags.length && dirFlags.charAt(i) == 'D') Descending else Ascending
+      SortOrder(BoundReference(i, f.dataType, f.nullable), dir)
+    }
+    new InterpretedOrdering(sos)
+  }
+
+  override def createAggregationBuffer(): ArrayBuffer[UnsafeRow] = ArrayBuffer.empty
+
+  /** Binary-search insertion point: first index whose row sorts AFTER `row`
+    * (stable: equal rows keep arrival order, irrelevant under the unique-
+    * suffix contract). */
+  private def insertAt(buf: ArrayBuffer[UnsafeRow], row: InternalRow): Int = {
+    var lo = 0
+    var hi = buf.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ord.compare(buf(mid), row) <= 0) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override def update(buf: ArrayBuffer[UnsafeRow], input: InternalRow): ArrayBuffer[UnsafeRow] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val row = toUnsafe(v.asInstanceOf[InternalRow])
+    // full buffer + row not better than the current worst: no copy, no shift
+    if (buf.length >= k && ord.compare(buf.last, row) <= 0) return buf
+    buf.insert(insertAt(buf, row), row.copy())
+    if (buf.length > k) buf.remove(k)
+    buf
+  }
+
+  override def merge(b1: ArrayBuffer[UnsafeRow], b2: ArrayBuffer[UnsafeRow]): ArrayBuffer[UnsafeRow] = {
+    if (b2.isEmpty) return b1
+    if (b1.isEmpty) return b2
+    // k-bounded merge of two sorted runs (rows in both are already owned copies)
+    val out = new ArrayBuffer[UnsafeRow](math.min(k, b1.length + b2.length))
+    var i = 0
+    var j = 0
+    while (out.length < k && (i < b1.length || j < b2.length)) {
+      if (j >= b2.length || (i < b1.length && ord.compare(b1(i), b2(j)) <= 0)) {
+        out += b1(i); i += 1
+      } else { out += b2(j); j += 1 }
+    }
+    out
+  }
+
+  override def eval(buf: ArrayBuffer[UnsafeRow]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray[Any])
+
+  override def serialize(buf: ArrayBuffer[UnsafeRow]): Array[Byte] = {
+    var total = 4
+    buf.foreach(r => total += 4 + r.getSizeInBytes)
+    val bb = java.nio.ByteBuffer.allocate(total)
+    bb.putInt(buf.length)
+    buf.foreach { r => bb.putInt(r.getSizeInBytes); bb.put(r.getBytes) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[UnsafeRow] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val out = new ArrayBuffer[UnsafeRow](n)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt()
+      val arr = new Array[Byte](len)
+      bb.get(arr)
+      val row = new UnsafeRow(structType.size)
+      row.pointTo(arr, len)
+      out += row
+      i += 1
+    }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TopKAgg =
+    copy(child = newChild)
+}
+
 /** Registration for graft's native expressions.
   *
   * Two paths to the same registry entry:
@@ -974,6 +1113,15 @@ object GraftFunctions {
       s"graft_pq_adc takes (lut col, m code cols), got ${other.size} args")
   }
 
+  val topKInfo = new ExpressionInfo(classOf[TopKAgg].getName, "graft_top_k")
+  val topKBuilder: Seq[Expression] => Expression = {
+    case Seq(s, Literal(k: Int, IntegerType)) => TopKAgg(s, k, "")
+    case Seq(s, Literal(k: Int, IntegerType), Literal(d: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+      TopKAgg(s, k, d.toString)
+    case other => throw new IllegalArgumentException(
+      s"graft_top_k takes (struct col, int literal[, direction string literal]), got $other")
+  }
+
   val ql2Info = new ExpressionInfo(classOf[ArrayQL2].getName, "graft_ql2")
   val ql2Builder: Seq[Expression] => Expression = {
     case Seq(a, b) => ArrayQL2(a, b)
@@ -999,6 +1147,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_minmax_arr", minMaxArrBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_pq_adc", pqAdcBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_ql2", ql2Builder, "built-in")
+    reg.createOrReplaceTempFunction("graft_top_k", topKBuilder, "built-in")
   }
 }
 
@@ -1020,5 +1169,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minmax_arr"), GraftFunctions.minMaxArrInfo, GraftFunctions.minMaxArrBuilder))
     ext.injectFunction((FunctionIdentifier("graft_pq_adc"), GraftFunctions.pqAdcInfo, GraftFunctions.pqAdcBuilder))
     ext.injectFunction((FunctionIdentifier("graft_ql2"), GraftFunctions.ql2Info, GraftFunctions.ql2Builder))
+    ext.injectFunction((FunctionIdentifier("graft_top_k"), GraftFunctions.topKInfo, GraftFunctions.topKBuilder))
   }
 }

@@ -227,6 +227,19 @@ object Events {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
   }
 
+  /** Bounded-state per-user top-3 ([[graft.operators.Scale.topKPerKey]]):
+    * highest-value events per user, value ties broken by event_id. The
+    * oracle states the semantics as the window row_number form; the engine
+    * runs the k-bounded native aggregate whose map-side state never exceeds
+    * k rows per key — the window twin's full per-group sort is exactly what
+    * does not survive 100 TB. */
+  def topKPerUser(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.topKPerKey(
+      Tables.events(spark, dir).select("user_id", "event_id", "value"),
+      keys = Seq("user_id"),
+      order = Seq(("value", true), ("event_id", false)),
+      k = 3, payload = Seq.empty)
+
   /** Salted fact⋈dim join ([[graft.operators.Scale.saltedJoin]]): the fact
     * side's rows spread across salt sub-keys, the dimension replicates per
     * salt, so one hot user cannot pin a reducer. The salt is INTERNAL — the
@@ -429,6 +442,7 @@ object Events {
     "pipeline_table_routing" -> (tableRouting _),
     "events_zorder_cluster" -> (zorderCluster _),
     "events_zonemap_range" -> (zonemapRange _),
+    "events_topk_per_user" -> (topKPerUser _),
     "events_salted_join"   -> (saltedDimJoin _),
     "events_bloom_join"    -> (bloomDimJoin _),
     "events_asof_orders"   -> (asofOrders _),
@@ -536,6 +550,13 @@ object Events {
          |  ord.asof_orderkey, ord.asof_totalprice
          |FROM events e ASOF LEFT JOIN ord
          |  ON e.user_id = ord.o_custkey AND CAST(e.ts AS TIMESTAMP) >= ord.o_ts""".stripMargin,
+    "events_topk_per_user" ->
+      """SELECT user_id, CAST(rnk AS INT) AS rnk, value, event_id
+        |FROM (SELECT user_id, value, event_id,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |          ORDER BY value DESC, event_id) AS rnk
+        |      FROM events) t
+        |WHERE rnk <= 3""".stripMargin,
     "events_value_bands" ->
       s"""WITH e AS ($eCte),
          |q AS (SELECT MIN(value) AS mn, MAX(value) AS mx,

@@ -57,6 +57,57 @@ object Gold {
       .withColumn("new_customers", coalesce(col("new_customers"), lit(0L)))
   }
 
+  /** Incrementally-maintained daily sales — the summary-delta form of
+    * [[dailySales]]: each ingest batch contributes one mergeable partial
+    * per (order_date, o_custkey) — order count + exact DECIMAL revenue
+    * ([[graft.core.Exact.dpartSum]]) — and every report metric derives from
+    * the merged summary with NO rescan of ingested orders:
+    *  - n_orders / revenue / avg_order_value: associative sums (decimal sums
+    *    re-merge bit-identically to the direct scan);
+    *  - n_customers: the summary rows of a day ARE its distinct customers;
+    *  - new_customers: per-customer MIN(first day) is min-of-mins.
+    * The summary is the view's true incremental state lower bound (exact
+    * per-day distinct customers cannot be maintained with less), and it is
+    * ~|distinct (day, customer)| — independent of how many batches landed.
+    * At 100 TB this turns a nightly full-table gold rebuild into a
+    * batch-sized partial + summary-sized merge. The gate derives the report
+    * through the batch-partial algebra (one scan grouped by ingest batch);
+    * `GoldIvmSpec` drives the same partials through real lake appends with
+    * replay idempotence. Oracle = the full direct recompute: maintained
+    * view == recomputed view, bitwise. */
+  def dailySalesIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("order_date", to_date(col("o_orderdate")))
+    // per-batch mergeable partials (8 simulated ingest batches by order key)
+    val partials = o
+      .groupBy(col("order_date"), col("o_custkey"),
+        pmod(col("o_orderkey"), lit(8L)).as("batch"))
+      .agg(count(lit(1)).as("pn"), dpartSum(col("o_totalprice")).as("prev"))
+    foldDailySummary(partials)
+  }
+
+  /** Fold daily-sales partials — any frame carrying (order_date, o_custkey,
+    * pn, prev) rows from any batch split, in any mix of merge states — into
+    * the final report. Shared by the gate (in-plan batch partials) and
+    * `GoldIvmSpec` (partials re-read from real lake appends). */
+  def foldDailySummary(partials: DataFrame): DataFrame = {
+    val summary = partials.groupBy("order_date", "o_custkey")
+      .agg(sum(col("pn")).as("n"), sum(col("prev")).as("rev"))
+      .localCheckpoint(false) // two consumers below — compute the merge once
+    val newCust = summary.groupBy(col("o_custkey"))
+      .agg(min(col("order_date")).as("order_date"))
+      .groupBy(col("order_date"))
+      .agg(count(lit(1)).as("new_customers"))
+    summary.groupBy(col("order_date"))
+      .agg(
+        sum(col("n")).as("n_orders"),
+        sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_customers"),
+        (sum(col("rev")).cast("double") / sum(col("n"))).as("avg_order_value"))
+      .join(broadcast(newCust), Seq("order_date"), "left")
+      .withColumn("new_customers", coalesce(col("new_customers"), lit(0L)))
+  }
+
   /** Per-customer lifetime metrics + churn flag (reference DEMO.md:73-77).
     * Return rate comes from lineitem return flags joined through orders. */
   def customerMetrics(spark: SparkSession, dir: String): DataFrame = {
@@ -255,6 +306,7 @@ object Gold {
     "gold_revenue_usd"           -> (revenueUsd _),
     "gold_q1_pricing_summary"    -> (q1Agg _),
     "gold_daily_sales"           -> (dailySales _),
+    "gold_daily_sales_ivm"       -> (dailySalesIncremental _),
     "gold_customer_metrics"      -> (customerMetrics _),
     "gold_product_performance"   -> (productPerformance _),
     "gold_regional_revenue"      -> (regionalRevenue _),
@@ -340,6 +392,20 @@ object Gold {
         |FROM lineitem WHERE l_shipdate <= DATE '1999-06-30'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "gold_daily_sales" ->
+      """WITH o AS (SELECT *, CAST(o_orderdate AS DATE) AS order_date FROM orders),
+        |nc AS (SELECT first_date AS order_date, COUNT(*) AS new_customers FROM
+        |  (SELECT o_custkey, MIN(order_date) AS first_date FROM o GROUP BY 1) GROUP BY 1),
+        |d AS (SELECT order_date, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_order_value
+        |  FROM o GROUP BY 1)
+        |SELECT d.order_date, d.n_orders, d.revenue, d.n_customers, d.avg_order_value,
+        |  COALESCE(nc.new_customers, 0) AS new_customers
+        |FROM d LEFT JOIN nc USING (order_date)""".stripMargin,
+    // the IVM gate's oracle is the FULL RECOMPUTE — the maintained view must
+    // equal the from-scratch rebuild bitwise, which is the IVM contract
+    "gold_daily_sales_ivm" ->
       """WITH o AS (SELECT *, CAST(o_orderdate AS DATE) AS order_date FROM orders),
         |nc AS (SELECT first_date AS order_date, COUNT(*) AS new_customers FROM
         |  (SELECT o_custkey, MIN(order_date) AS first_date FROM o GROUP BY 1) GROUP BY 1),

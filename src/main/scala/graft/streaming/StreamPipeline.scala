@@ -169,6 +169,47 @@ object StreamPipeline {
       .start()
   }
 
+  /** Continuous gold-view maintenance (incremental view maintenance from the
+    * stream): every micro-batch lands its daily-sales SUMMARY-DELTA partials
+    * — per (order_date, customer) order count + exact DECIMAL revenue — into
+    * one lake table, so the full gold report (orders, revenue, distinct
+    * customers, new customers, averages) is answerable at any moment by
+    * [[graft.queries.Gold.foldDailySummary]] over the partial rows, never by
+    * rescanning ingested facts. The streaming twin of
+    * `Gold.dailySalesIncremental`, with the same algebra: decimal sums
+    * re-merge exactly, distinct-customer and first-order-date questions fold
+    * from the (day, customer) summary grain.
+    *
+    * Idempotence: same shard-scoped-replace contract as [[profilingInbox]] —
+    * a replayed micro-batch recomputes identical partials and overwrites its
+    * own shard's rows instead of double-counting. */
+  def goldInbox(spark: SparkSession, inbox: String, schema: StructType,
+                dateCol: String, custCol: String, priceCol: String,
+                lake: graft.lake.TableFormat, checkpoint: String,
+                maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    spark.readStream
+      .schema(schema)
+      .option("header", true)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(inbox)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val p = batch.select(
+            to_date(col(dateCol)).as("order_date"),
+            col(custCol).as("o_custkey"),
+            col(priceCol).as("price"))
+          .groupBy("order_date", "o_custkey")
+          .agg(count(lit(1)).as("pn"),
+            graft.core.Exact.dpartSum(col("price")).as("prev"))
+          .withColumn("shard", lit(id))
+        lake.upsert(p, "sales_partials", Seq("shard"))
+      }
+      .start()
+  }
+
   /** Continuous data-quality audit: every micro-batch runs the declarative
     * constraint rules ([[graft.operators.Constraints]] — uniqueness,
     * referential integrity against a fixed parent snapshot, accepted values,

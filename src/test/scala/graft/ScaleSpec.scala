@@ -142,4 +142,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(settled <= base + 4,
       s"storage blocks grew $base -> $settled after 25 repeated runs")
   }
+
+  test("topKPerKey equals the window row_number twin (desc + tiebreak, many partitions)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // duplicate order values force the id tiebreak; 13 partitions force
+    // partial-buffer serialization + k-bounded merges across map tasks
+    val df = (1L to 20000L).map(i => (i % 257, (i * 31) % 100, i))
+      .toDF("k", "v", "id").repartition(13)
+    val got = Scale.topKPerKey(df, Seq("k"), Seq(("v", true), ("id", false)),
+        k = 5, payload = Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val w = Window.partitionBy("k").orderBy(col("v").desc, col("id"))
+    val want = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("k", "rnk", "v", "id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
+  test("topKPerKey: k larger than group, ascending order, string payload") {
+    import spark.implicits._
+    val df = Seq((1L, 5L, "a"), (1L, 3L, "b"), (2L, 9L, "c"))
+      .toDF("k", "v", "tag")
+    val got = Scale.topKPerKey(df, Seq("k"), Seq(("v", false)), k = 10, payload = Seq("tag"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == Set((1L, 1, 3L, "b"), (1L, 2, 5L, "a"), (2L, 1, 9L, "c")))
+  }
+
+  test("topKPerKey aggregation state is k-bounded (ObjectHashAggregate, no window sort)") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i % 7, i)).toDF("k", "id")
+    val plan = Scale.topKPerKey(df, Seq("k"), Seq(("id", false)), k = 3, payload = Seq.empty)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate in:\n$plan")
+    assert(!plan.contains("Window"), s"top-k must not fall back to a window sort:\n$plan")
+  }
 }

@@ -265,6 +265,70 @@ class StreamSpec extends AnyFunSuite {
     assert(answers() == ((st, hq, hll, cms)), "idempotence across drains")
   }
 
+  test("continuous gold maintenance: streamed sales partials fold to the direct report") {
+    val root = Files.createTempDirectory("graft-stream-gold")
+    val inbox = root.resolve("inbox"); Files.createDirectories(inbox)
+    val ckpt = root.resolve("ckpt").toString
+    val lake = new graft.lake.ParquetDirFormat(root.resolve("lake").toString)
+    val schema = StructType(Seq(
+      StructField("okey", LongType), StructField("cust", LongType),
+      StructField("odate", StringType), StructField("price", DoubleType)))
+    def line(i: Int) =
+      s"$i,${i % 53},2024-0${1 + i % 3}-${10 + i % 15},${(i * 131 % 9000) / 100.0 + 5.0}"
+    def fileFor(name: String, ids: Range): Unit =
+      Files.write(inbox.resolve(name),
+        ("okey,cust,odate,price\n" + ids.map(line).mkString("\n")).getBytes)
+    fileFor("w1.csv", 0 until 300)
+    fileFor("w2.csv", 300 until 900)
+    def drain(): Unit = StreamPipeline.runAvailableNow(
+      StreamPipeline.goldInbox(spark, inbox.toString, schema,
+        dateCol = "odate", custCol = "cust", priceCol = "price",
+        lake = lake, checkpoint = ckpt, maxFilesPerTrigger = 1))
+    drain()
+    def report() = graft.queries.Gold.foldDailySummary(
+        lake.read(spark, "sales_partials"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSet
+    val streamed = report()
+    // direct single-batch twin over the union of both waves
+    import spark.implicits._
+    val all = (0 until 900).map { i =>
+      val Array(k, c, d, p) = line(i).split(",")
+      (k.toLong, c.toLong, d, p.toDouble)
+    }.toDF("okey", "cust", "odate", "price")
+    val direct = graft.queries.Gold.foldDailySummary(
+        all.select(to_date(col("odate")).as("order_date"),
+          col("cust").as("o_custkey"), col("price"))
+          .groupBy("order_date", "o_custkey")
+          .agg(count(lit(1)).as("pn"),
+            graft.core.Exact.dpartSum(col("price")).as("prev")))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSet
+    assert(streamed == direct, "streamed gold view diverged from direct recompute")
+    // late third wave: only the new partials land; the fold re-answers
+    fileFor("w3.csv", 900 until 1200)
+    drain()
+    val all3 = (0 until 1200).map { i =>
+      val Array(k, c, d, p) = line(i).split(",")
+      (k.toLong, c.toLong, d, p.toDouble)
+    }.toDF("okey", "cust", "odate", "price")
+    val direct3 = graft.queries.Gold.foldDailySummary(
+        all3.select(to_date(col("odate")).as("order_date"),
+          col("cust").as("o_custkey"), col("price"))
+          .groupBy("order_date", "o_custkey")
+          .agg(count(lit(1)).as("pn"),
+            graft.core.Exact.dpartSum(col("price")).as("prev")))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSet
+    assert(report() == direct3, "third wave did not fold in")
+    // drain with nothing new: shard-scoped replace keeps the view unchanged
+    drain()
+    assert(report() == direct3, "idempotence across drains")
+  }
+
   test("continuous DQ audit: per-batch constraint reports land keyed; replay overwrites") {
     import graft.operators.Constraints._
     val root = Files.createTempDirectory("graft-stream-dq")
