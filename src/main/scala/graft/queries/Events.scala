@@ -100,6 +100,74 @@ object Events {
         davg(col("value")).as("avg_value"),
         countDistinct(col("user_id")).as("n_users"))
 
+  /** Multi-dimensional CUBE aggregate — all four grouping sets of
+    * (event_type, day) in ONE pass (Spark expands to a single Expand +
+    * hash aggregate; at scale that is one shuffle for every subtotal level,
+    * vs four separate rollup jobs). grouping_id disambiguates subtotal rows
+    * from genuine NULL groups, same bit order as DuckDB's GROUPING_ID. */
+  def cubeRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .cube(col("event_type"), col("day"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+
+  /** PIVOT: per-day wide table with one count column per event type —
+    * groupBy().pivot() with an EXPLICIT value list, which keeps the plan a
+    * single aggregate (no values-discovery pre-query) and is the only form
+    * that scales: implicit pivot collects the distinct values to the driver.
+    * Missing combinations coalesce to 0 to match the FILTER-aggregate twin. */
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("view", "click", "signup", "purchase", "error")
+    val p = Tables.events(spark, dir)
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .groupBy("day")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(p)((df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L))))
+  }
+
+  /** Ranking-function suite over (user_id | ts, event_id): ntile quartiles,
+    * percent_rank, cume_dist, lag/lead — one window pass, one shuffle on the
+    * high-cardinality user key. The rank fractions are single divisions of
+    * identical integer operands in both engines, so the doubles match
+    * bitwise. */
+  def rankSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("qtile", ntile(4).over(w))
+      .withColumn("prank", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+  }
+
+  /** Calendar-spine gap fill with last-observation-carried-forward: the
+    * per-(event_type, day) daily revenue series densified to EVERY day in
+    * the corpus range (type × sequence(min_day, max_day) spine), missing
+    * days flagged and filled from the last observed day's value. The spine
+    * is types × days — tiny relative to the fact table — and the LOCF is
+    * one window pass per type, so the dense series costs one extra
+    * broadcast join at any scale. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+    val daily = e.groupBy("event_type", "day")
+      .agg(dsum(col("value")).as("day_value"))
+    val spine = e.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+      .crossJoin(e.select("event_type").distinct())
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("is_gap", col("day_value").isNull)
+      .withColumn("filled_value", last(col("day_value"), ignoreNulls = true).over(w))
+  }
+
   /** JSON property extraction + per-type stats (props is a JSON string).
     * The integer-regex guard keeps both engines identical on non-integral
     * values: DuckDB TRY_CAST('1.5' AS BIGINT) ROUNDS where Spark nulls. */
@@ -443,6 +511,10 @@ object Events {
     "events_zorder_cluster" -> (zorderCluster _),
     "events_zonemap_range" -> (zonemapRange _),
     "events_topk_per_user" -> (topKPerUser _),
+    "events_cube_rollup"   -> (cubeRollup _),
+    "events_pivot_daily"   -> (pivotDaily _),
+    "events_rank_suite"    -> (rankSuite _),
+    "events_gap_fill"      -> (gapFill _),
     "events_salted_join"   -> (saltedDimJoin _),
     "events_bloom_join"    -> (bloomDimJoin _),
     "events_asof_orders"   -> (asofOrders _),
@@ -550,6 +622,50 @@ object Events {
          |  ord.asof_orderkey, ord.asof_totalprice
          |FROM events e ASOF LEFT JOIN ord
          |  ON e.user_id = ord.o_custkey AND CAST(e.ts AS TIMESTAMP) >= ord.o_ts""".stripMargin,
+    "events_cube_rollup" ->
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day, value
+         |  FROM events)
+         |SELECT event_type, day, CAST(GROUPING(event_type, day) AS INT) AS gid,
+         |  COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM e GROUP BY CUBE (event_type, day)""".stripMargin,
+    "events_pivot_daily" ->
+      s"""SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+         |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+         |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+         |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+         |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+         |FROM events GROUP BY 1""".stripMargin,
+    "events_rank_suite" ->
+      s"""WITH e AS ($eCte)
+         |SELECT event_id, user_id, ts, value,
+         |  CAST(ntile(4) OVER w AS INT) AS qtile,
+         |  percent_rank() OVER w AS prank,
+         |  cume_dist() OVER w AS cdist,
+         |  lag(value, 1) OVER w AS prev_value,
+         |  lead(value, 1) OVER w AS next_value
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "events_gap_fill" ->
+      s"""WITH e AS MATERIALIZED (SELECT event_type,
+         |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day, value
+         |  FROM events),
+         |daily AS MATERIALIZED (SELECT event_type, day,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+         |  FROM e GROUP BY 1, 2),
+         |days AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM (SELECT MIN(day) AS mn, MAX(day) AS mx FROM e)),
+         |spine AS (SELECT t.event_type, d.day
+         |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN days d)
+         |SELECT s.event_type, s.day, daily.day_value,
+         |  daily.day_value IS NULL AS is_gap,
+         |  last_value(daily.day_value IGNORE NULLS) OVER (
+         |    PARTITION BY s.event_type ORDER BY s.day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+         |FROM spine s LEFT JOIN daily
+         |  ON s.event_type = daily.event_type AND s.day = daily.day""".stripMargin,
     "events_topk_per_user" ->
       """SELECT user_id, CAST(rnk AS INT) AS rnk, value, event_id
         |FROM (SELECT user_id, value, event_id,

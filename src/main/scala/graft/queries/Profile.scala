@@ -130,6 +130,26 @@ object Profile {
       .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
       .limit(100)
 
+  /** Join-key skew diagnostic — the pre-flight report behind the salted-join
+    * operators ([[graft.operators.Scale.saltedJoin]]): per-key counts, the
+    * top heavy hitters with their row share, and a recommended salt factor
+    * (ceil(share × default parallelism), floored at 1 — the number of
+    * sub-keys that levels the heaviest reducer). One hash aggregate + a
+    * 10-row top-k; the two-row totals frame rides a broadcast. At 100 TB
+    * this is the cheap scan you run BEFORE a shuffle join, not after it
+    * straggles. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("total_rows"), count(lit(1)).as("n_keys"))
+    counts.orderBy(col("cnt").desc, col("key").asc).limit(10)
+      .crossJoin(broadcast(tot))
+      .withColumn("share", col("cnt").cast("double") / col("total_rows"))
+      .withColumn("rec_salt",
+        greatest(lit(1L), ceil(col("share") * lit(32.0))))
+  }
+
   /** Incremental profiling round trip: 32 synthetic ingest shards each
     * contribute one mergeable partial ([[Profiling.statsPartials]]), and the
     * merge ([[Profiling.mergeStatsPartials]]) must land bit-for-bit on the
@@ -317,6 +337,7 @@ object Profile {
   }
 
   val queries: Map[String, Q] = Map(
+    "profile_skew_report"       -> (skewReport _),
     "profile_histogram_drift"   -> (eventsHistogramDrift _),
     "dq_constraint_audit"       -> (constraintAudit _),
     "profile_quantile_by_group" -> (eventsQuantilesByType _),
@@ -341,6 +362,13 @@ object Profile {
     "profile_number_potential"  -> (ordersNumberPotential _))
 
   val oracle: Map[String, String] = Map(
+    "profile_skew_report" ->
+      """WITH c AS (SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows, COUNT(*) AS n_keys FROM c)
+        |SELECT c.key, c.cnt, t.total_rows, t.n_keys,
+        |  CAST(c.cnt AS DOUBLE) / t.total_rows AS share,
+        |  GREATEST(1, CAST(CEIL(CAST(c.cnt AS DOUBLE) / t.total_rows * 32.0) AS BIGINT)) AS rec_salt
+        |FROM c, t ORDER BY c.cnt DESC, c.key LIMIT 10""".stripMargin,
     // grouped twin: one counter grid per source, identical hash arithmetic,
     // absent (source, term) pairs estimate 0 via the missing-counter rule
     "profile_cms_by_group" -> {
