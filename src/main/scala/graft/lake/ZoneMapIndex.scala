@@ -122,6 +122,28 @@ object ZoneMapIndex {
       .collect().map(_.getString(0)).toSeq
   }
 
+  /** Sideways-information-passing scan for a key-range-bounded JOIN (the
+    * zone-map analogue of dynamic partition pruning / a runtime min-max
+    * filter): fold the BUILD side's join keys to [min, max] — a two-value
+    * aggregate, metadata-sized by construction — and open only the probe
+    * files whose zone overlaps that range. Semantics-preserving for an
+    * inner equi-join: every build key lies inside [min, max], so the exact
+    * range re-filter [[rangeScan]] applies can never drop a matching probe
+    * row; false survivors are removed by the join itself. Pays off when the
+    * probe layout is clustered on the join key (Z-order / range-partitioned
+    * writes) and the build side is a bounded cohort — the common
+    * "small dim slice vs huge clustered fact" shape. Empty build side reads
+    * nothing. */
+  def keyBoundsPruneScan(spark: SparkSession, index: DataFrame, c: String,
+                         buildKeys: DataFrame, buildKeyCol: String,
+                         schema: StructType): DataFrame = {
+    val b = buildKeys.agg(min(col(buildKeyCol)), max(col(buildKeyCol))).head()
+    if (b.isNullAt(0))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else rangeScan(spark, index, c, Some(b.get(0)), Some(b.get(1)), schema)
+  }
+
   /** Range read through the index: open only candidate files, then re-apply
     * the EXACT predicate (clears truncation slack and bound overlap). An
     * empty candidate set reads nothing. */
