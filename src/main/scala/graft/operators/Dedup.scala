@@ -51,11 +51,70 @@ object Dedup {
   private[operators] def warnOnTrim(op: String, hot: DataFrame, dfCap: Int,
                                     noun: String = "shingle"): Unit = {
     val nHot = hot.count()
-    if (nHot > 0) log.warn(
+    if (nHot > 0) trimWarning(op, nHot, dfCap, noun)
+  }
+
+  private def trimWarning(op: String, nHot: Long, dfCap: String, noun: String): Unit =
+    log.warn(
       s"$op: $nHot $noun(s) exceed dfCap=$dfCap and are excluded from " +
         "candidate generation (emitted counts stay exact; pairs sharing ONLY " +
         s"capped ${noun}s are missed — see the operator's contract)")
+  private def trimWarning(op: String, nHot: Long, dfCap: Int, noun: String): Unit =
+    trimWarning(op, nHot, dfCap.toString, noun)
+
+  /** Zero-job flavor of [[warnOnTrim]]: the hot count rides a task
+    * ACCUMULATOR updated inside the same pass that generates candidates, and
+    * the warning is logged driver-side from a once-per-context job-end
+    * listener — the guard adds no Spark job and no second scan, so on a
+    * clean corpus (the common case) it is ~free, where the eager
+    * [[warnOnTrim]] paid a full aggregation action per call (the r10
+    * `dedup_minhash_lsh` +86% regression). Accumulators propagate through
+    * persist/localCheckpoint materialization, which `Dataset.observe`
+    * metrics do NOT (a CollectMetrics node inside a cached subtree vanishes
+    * from `observedMetrics` — measured, tools/ObserveProbe).
+    *
+    * The tick is a Scala UDF, deliberately: it must only ever wrap a
+    * COLLISION-SIZED frame (buckets with >= 2 members), never a corpus scan.
+    * Retried/speculative tasks can double-count — the warn is qualitative
+    * (nonzero means trimmed), so over-counting is harmless. The probe
+    * registry is size-capped; evicting a probe only stops FUTURE re-warns
+    * for frames that a long-lived session re-executes. */
+  private[operators] def observeTrim(df: DataFrame, op: String, dfCap: Int,
+                                     noun: String, hotCond: Column): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    registerTrimListener(sc)
+    val probe = new TrimProbe(
+      sc.longAccumulator(s"graft_trim: $op hot ${noun}s (dfCap=$dfCap)"),
+      op, dfCap, noun)
+    trimProbes.addLast(probe)
+    while (trimProbes.size > TrimProbeCap) trimProbes.pollFirst()
+    // close over the accumulator alone — the probe itself stays driver-side
+    val acc = probe.acc
+    val tick = udf { hot: Boolean => if (hot) acc.add(1L); true }
+    df.filter(tick(hotCond))
   }
+
+  private[graft] final class TrimProbe(val acc: org.apache.spark.util.LongAccumulator,
+                                       val op: String, val dfCap: Int, val noun: String) {
+    @volatile var logged: Long = 0L
+  }
+  // private[graft] so specs can assert a hot corpus actually reports
+  private[graft] val trimProbes = new java.util.concurrent.ConcurrentLinkedDeque[TrimProbe]()
+  private val TrimProbeCap = 256
+  private val trimListenerCtxs = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
+
+  private def registerTrimListener(sc: org.apache.spark.SparkContext): Unit =
+    trimListenerCtxs.synchronized {
+      if (trimListenerCtxs.add(sc))
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            trimProbes.forEach { p =>
+              val v = p.acc.value
+              if (v > p.logged) { trimWarning(p.op, v, p.dfCap, p.noun); p.logged = v }
+            }
+        })
+    }
 
   /** doc_id + distinct word-`n`-gram shingle set + its size. The set comes
     * from the one-pass native [[graft.plans.ShingleStrings]] — identical
@@ -133,7 +192,14 @@ object Dedup {
                             n: Int, tau: Double): DataFrame = {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sets = shingleSets(docs.join(candDocs, "doc_id"), n)
+    // candDocs is an ids-only frame bounded at 2x the candidate count:
+    // broadcast it so the corpus scan never shuffles. The shingled survivor
+    // sets feed BOTH join sides below, so persist them — unpersisted, the
+    // corpus scan + shingling re-runs twice per action. The a/b joins stay
+    // un-hinted: the set arrays can be wide, and AQE broadcast-converts them
+    // at runtime exactly when they are small enough.
+    val sets = shingleSets(docs.join(broadcast(candDocs), "doc_id"), n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"), col("n_shingles").as("na"))
     val b = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb"), col("n_shingles").as("nb"))
     cand.join(a, "doc_a").join(b, "doc_b")
@@ -248,40 +314,61 @@ object Dedup {
     * order is now a cost concern, not a silent hidden precondition). The gate
     * corpora sit far inside the contract (max band df at sf0.1 is single
     * digits vs the default cap 1000). `dfCap <= 0` disables the guard.
+    *
+    * Plan shape (capped path): ONE hash shuffle replaces both the band
+    * self-join and a separate df-profile pass — buckets fold to a k-BOUNDED
+    * sorted doc list via the native [[graft.plans.TopKAgg]] (per-bucket state
+    * capped at dfCap+1 ids even on a degenerate all-same-signature corpus),
+    * pairs then EXPLODE from each surviving bucket (df² rows, df <= dfCap,
+    * pure projection — no second exchange), and a TRUNCATED list (size =
+    * dfCap+1) is itself the hot-bucket signal, counted by [[observeTrim]]'s
+    * accumulator inside the same pass instead of a separate full band-table
+    * aggregation action per call (the r10 +86% regression on clean corpora,
+    * where the guard must be ~free).
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, bands: Int = 42,
                       rowsPerBand: Int = 3, tau: Double = 0.5,
                       dfCap: Int = 1000): DataFrame = {
+    require(dfCap < Int.MaxValue, "dfCap + 1 must stay an Int")
     val k = bands * rowsPerBand
     graft.plans.GraftFunctions.register(docs.sparkSession)
     // Signatures are a pure PROJECTION: the native shingle-hash array is one
     // row per document, and graft_minhash folds all k minima in one loop —
     // no explode, no wide aggregation (the aggregate formulation shipped a
-    // ~6.5 MiB codegen'd task binary). The signature table feeds both sides
-    // of the band self-join, so it is materialized once — the intermediate a
-    // cluster job would land to storage before the bucket join.
+    // ~6.5 MiB codegen'd task binary).
     val sig = Scale.fanOutScan(docs).select(col("doc_id"),
         expr(s"graft_minhash(graft_shingle_hashes(text, $n), $k)").as("sig"))
       .filter(size(col("sig")) > 0 && expr("sig[0]") =!= Long.MaxValue)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val bandsDf0 = sig.select(col("doc_id"),
       posexplode(array(bandKeyCols(bands, rowsPerBand): _*)).as(Seq("band", "bh")))
-    val bandsDf =
-      if (dfCap <= 0) bandsDf0
-      else {
-        // the hot list is tiny by construction (<= band rows / dfCap): broadcast
-        val hot = bandsDf0.groupBy("band", "bh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > dfCap).select("band", "bh")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        warnOnTrim("minhashLshPairs", hot, dfCap, noun = "band bucket")
-        bandsDf0.join(broadcast(hot), Seq("band", "bh"), "left_anti")
+    val cand0 =
+      if (dfCap <= 0) {
+        // guard explicitly disabled: the self-join formulation (unbounded
+        // bucket fan-out is the caller's declared choice). The signature
+        // table feeds both sides, so persist it once.
+        val b = bandsDf0.persist(StorageLevel.MEMORY_AND_DISK)
+        b.as("x").join(b.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      } else {
+        // singleton buckets (the overwhelming majority) emit no pairs and
+        // fall out before the probe, so the hot-bucket count rides the
+        // collision-bucket stream of the SAME action that generates pairs —
+        // no separate warn job, no persist, one end-to-end job
+        val grouped = observeTrim(
+          bandsDf0.groupBy("band", "bh")
+            .agg(expr(s"graft_top_k(struct(doc_id), ${dfCap + 1}, 'A')").as("ids"))
+            .filter(size(col("ids")) >= 2),
+          "minhashLshPairs", dfCap, noun = "band bucket",
+          hotCond = size(col("ids")) === dfCap + 1)
+        grouped.filter(size(col("ids")) <= dfCap)
+          .select(col("ids"), explode(col("ids")).as("ra"))
+          .select(col("ra.doc_id").as("doc_a"), explode(col("ids")).as("rb"))
+          .select(col("doc_a"), col("rb.doc_id").as("doc_b"))
+          .filter(col("doc_a") < col("doc_b"))
       }
-    val cand = bandsDf.as("x").join(bandsDf.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = cand0.distinct().persist(StorageLevel.MEMORY_AND_DISK)
     // Exact verification on TRUE string shingles (bitwise-identical to the
     // oracle), computed only for documents that appear in a candidate pair —
     // O(candidates), not O(corpus).

@@ -162,6 +162,25 @@ class DedupSpec extends AnyFunSuite {
     assert(secs < 120, s"capped band join took ${secs}s — candidate explosion?")
   }
 
+  test("hot-band guard reports trimmed buckets through the same-pass accumulator") {
+    import spark.implicits._
+    // the guard's warn rides a task accumulator inside the pair-generation
+    // pass (no extra job) — pin that a hot corpus actually REPORTS: the
+    // probe registered for this call must end the action with acc > 0
+    val before = Dedup.trimProbes.size()
+    val cohort = (0 until 8).map(i =>
+      (i.toLong, "the exact same document text repeated for every row here"))
+    val pairs = Dedup.minhashLshPairs(cohort.toDF("doc_id", "text"),
+      3, 42, 3, 0.5, dfCap = 3).collect()
+    assert(pairs.isEmpty, "every bucket of the cohort is over the cap")
+    assert(Dedup.trimProbes.size() > before, "the call registered no trim probe")
+    val probe = Dedup.trimProbes.peekLast()
+    assert(probe.op == "minhashLshPairs" && probe.dfCap == 3)
+    // accumulator updates land with task completion; the action has returned,
+    // so the value is final
+    assert(probe.acc.value > 0, "hot-bucket accumulator never reported")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val pairs = Dedup.embeddingNearDupPairs(emb, 0.4).collect()
