@@ -344,9 +344,9 @@ object Events {
     * then read BACK, so the gate hash-checks the full write->read round trip:
     * the clustered rewrite must lose/duplicate no rows and the portable
     * z-value must match the oracle's bucket+interleave arithmetic bitwise. */
-  private val zorderRoots = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val zorderRoots = new graft.core.BoundedCache[String, String]()
   def zorderCluster(spark: SparkSession, dir: String): DataFrame = {
-    val path = zorderRoots.getOrElseUpdate(dir, {
+    val path = zorderRoots.getOrElseUpdate(dir) {
       val root = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         import java.nio.file.{Files, Path}
@@ -360,7 +360,7 @@ object Events {
       graft.lake.ZOrder.writeZOrdered(src, s"$root/events_z",
         Seq("user_id", "value"), nFiles = 32)
       s"$root/events_z"
-    })
+    }
     spark.read.parquet(path).select("event_id", "user_id", "value", "zv")
   }
 
@@ -376,9 +376,9 @@ object Events {
     * events table — the physical layout, the sidecar and the pruning must
     * be invisible in the verified output (no lost files, no double reads,
     * no boundary-value slips at the stripe edges). */
-  private val zonemapRoots = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val zonemapRoots = new graft.core.BoundedCache[String, String]()
   def zonemapRange(spark: SparkSession, dir: String): DataFrame = {
-    val root = zonemapRoots.getOrElseUpdate(dir, {
+    val root = zonemapRoots.getOrElseUpdate(dir) {
       val r = java.nio.file.Files.createTempDirectory("graft_zonemap_").toString
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         import java.nio.file.{Files, Path}
@@ -395,7 +395,7 @@ object Events {
       graft.lake.ZoneMapIndex.build(layout, Seq("value"))
         .repartition(1).write.parquet(s"$r/events_v__zonemap")
       r
-    })
+    }
     val layout = spark.read.parquet(s"$root/events_v")
     val idx = spark.read.parquet(s"$root/events_v__zonemap")
     graft.lake.ZoneMapIndex.rangeScan(spark, idx, "value",
@@ -417,13 +417,13 @@ object Events {
     * routing frame (files/rows loaded, first/last load path per table) is
     * then oracle-checked against the same slicing done directly in SQL —
     * pinning both the aggregate AND the ledger's monotonic-fold semantics. */
-  private val routingCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val routingCache = new graft.core.BoundedCache[String, DataFrame]()
   def tableRouting(spark: SparkSession, dir: String): DataFrame =
     // per-dir cache: Verify + the bench's warm/timed repeats re-call the
     // builder; the ledger replay is driver-side IO that needn't rerun, and
     // the cached frame is a LocalRelation (built from driver memory), so the
     // harness's persistent-RDD clears can't invalidate it
-    routingCache.getOrElseUpdate(dir, buildTableRouting(spark, dir))
+    routingCache.getOrElseUpdate(dir)(buildTableRouting(spark, dir))
 
   private def buildTableRouting(spark: SparkSession, dir: String): DataFrame = {
     val files = Tables.events(spark, dir)

@@ -273,9 +273,9 @@ object Gold {
     * [[graft.lake.SnapshotDiff.diff]] reads both immutable versions back and
     * must reproduce the oracle's full-outer added/removed/changed ledger —
     * the write→time-travel→diff round trip, not just the join. */
-  private val diffRoots = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val diffRoots = new graft.core.BoundedCache[String, String]()
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val root = diffRoots.getOrElseUpdate(dir, {
+    val root = diffRoots.getOrElseUpdate(dir) {
       val r = java.nio.file.Files.createTempDirectory("graft_snapdiff_").toString
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         import java.nio.file.{Files, Path}
@@ -292,7 +292,7 @@ object Gold {
           when(col("o_orderkey") % 3 === 0, lit("CHANGED"))
             .otherwise(col("o_orderpriority"))), "orders_snap")
       r
-    })
+    }
     val lake = new graft.lake.ParquetDirFormat(root)
     val vs = lake.versions("orders_snap")
     graft.lake.SnapshotDiff.diff(spark, lake, "orders_snap",

@@ -277,23 +277,23 @@ object Training {
     * sampling gate: the clustering is the reusable persisted artifact,
     * sampling is the served query (an in-memory checkpoint would not survive
     * the bench harness's between-query cache clear). */
-  private val clusterRoots = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val clusterRoots = new graft.core.BoundedCache[String, String]()
   private def clusteredFull(s: SparkSession, d: String): DataFrame = {
-    val path = clusterRoots.getOrElseUpdate(d, {
+    val path = clusterRoots.getOrElseUpdate(d) {
       val p = java.nio.file.Files.createTempDirectory("graft_kmcluster_").toString
       Clustering.kmeans(Tables.embeddings(s, d), KmeansK, KmeansIters)
         .selectExpr("vec_id AS doc_id", "cluster", "dist", "cluster_size")
         .write.mode("overwrite").parquet(p)
       p
-    })
+    }
     s.read.parquet(path)
   }
   private def clusteredIds(s: SparkSession, d: String): DataFrame =
     clusteredFull(s, d).select("doc_id", "cluster")
 
-  private val indexRoots = scala.collection.concurrent.TrieMap.empty[String, graft.lake.ParquetDirFormat]
+  private val indexRoots = new graft.core.BoundedCache[String, graft.lake.ParquetDirFormat]()
   private def indexLake(s: SparkSession, d: String): graft.lake.ParquetDirFormat =
-    indexRoots.getOrElseUpdate(d, {
+    indexRoots.getOrElseUpdate(d) {
       val root = java.nio.file.Files.createTempDirectory("graft_ann_index_").toString
       // index-sized tree per JVM run: delete on exit or every Verify/Bench
       // invocation leaks one under /tmp
@@ -311,7 +311,7 @@ object Training {
       Similarity.buildLshIndex(Tables.embeddings(s, d), lake)
       Dedup.buildDedupIndex(corpusSplit(s, d), lake)
       lake
-    })
+    }
 
   /** Corpus/batch split for the incremental-dedup gate: every 10th document
     * is "today's batch", the rest the accumulated corpus the index is built
