@@ -591,6 +591,20 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     else readDirs(spark, t, keep.flatMap(_._2))
   }
 
+  /** Data FILES of the partitions whose column->value map satisfies `pred` —
+    * the manifest-pruning third of a composed [[SkippingScan]]: exposing the
+    * file list (rather than a DataFrame) lets callers intersect it with the
+    * zone-map and Bloom sidecars' candidate lists before opening anything.
+    * Manifest-sized listing work; no data file is read. Pruning is EXACT by
+    * construction (a file lives in exactly its partition's directory), so no
+    * re-filter is needed on the partition predicate. */
+  def partitionFiles(t: String, pred: Map[String, String] => Boolean): Seq[String] = {
+    val keep = manifest(t).filter { case (id, _) => pred(idToValues(id)) }
+    keep.flatMap(_._2).flatMap(rel => io.listFilesRecursive(s"${dataDir(t)}/$rel"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+  }
+
   /** Decode a partition id (`__p_c=v/...`) to column -> raw value. */
   def idToValues(id: String): Map[String, String] =
     id.split("/").map { seg =>

@@ -133,10 +133,16 @@ object ZoneMapIndex {
     * probe layout is clustered on the join key (Z-order / range-partitioned
     * writes) and the build side is a bounded cohort — the common
     * "small dim slice vs huge clustered fact" shape. Empty build side reads
-    * nothing. */
-  def keyBoundsPruneScan(spark: SparkSession, index: DataFrame, c: String,
+    * nothing.
+    *
+    * COST NOTE: unlike Spark's lazily-planned dynamic partition pruning this
+    * analogizes to, the bounds fold is an EAGER action at call time — the
+    * full build side runs here even if the returned frame is never consumed.
+    * Call it only when the result is definitely used. */
+  def keyBoundsPruneScan(index: DataFrame, c: String,
                          buildKeys: DataFrame, buildKeyCol: String,
                          schema: StructType): DataFrame = {
+    val spark = buildKeys.sparkSession
     val b = buildKeys.agg(min(col(buildKeyCol)), max(col(buildKeyCol))).head()
     if (b.isNullAt(0))
       spark.createDataFrame(

@@ -377,8 +377,11 @@ object Events {
     * be invisible in the verified output (no lost files, no double reads,
     * no boundary-value slips at the stripe edges). */
   private val zonemapRoots = new graft.core.BoundedCache[String, String]()
-  def zonemapRange(spark: SparkSession, dir: String): DataFrame = {
-    val root = zonemapRoots.getOrElseUpdate(dir) {
+  /** Shared per-dir layout build for the two zone-map gates (value-clustered
+    * for the range gate, user_id-clustered for the key-bounds join gate) —
+    * whichever gate runs first builds both. */
+  private def zonemapRoot(spark: SparkSession, dir: String): String =
+    zonemapRoots.getOrElseUpdate(dir) {
       val r = java.nio.file.Files.createTempDirectory("graft_zonemap_").toString
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         import java.nio.file.{Files, Path}
@@ -394,13 +397,102 @@ object Events {
       val layout = spark.read.parquet(s"$r/events_v")
       graft.lake.ZoneMapIndex.build(layout, Seq("value"))
         .repartition(1).write.parquet(s"$r/events_v__zonemap")
+      // second layout, clustered on the JOIN key, for the key-bounds gate:
+      // the "huge clustered fact vs bounded dim cohort" shape
+      src.repartitionByRange(32, col("user_id")).write.parquet(s"$r/events_u")
+      graft.lake.ZoneMapIndex.build(spark.read.parquet(s"$r/events_u"), Seq("user_id"))
+        .repartition(1).write.parquet(s"$r/events_u__zonemap")
       r
     }
+  def zonemapRange(spark: SparkSession, dir: String): DataFrame = {
+    val root = zonemapRoot(spark, dir)
     val layout = spark.read.parquet(s"$root/events_v")
     val idx = spark.read.parquet(s"$root/events_v__zonemap")
     graft.lake.ZoneMapIndex.rangeScan(spark, idx, "value",
         Some(120.5), Some(180.25), layout.schema)
       .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+  }
+
+  /** Key-bounds-pruned JOIN scan ([[graft.lake.ZoneMapIndex
+    * .keyBoundsPruneScan]]): the newest-signup active-user cohort (top decile
+    * of the event-observed user range — keys are assigned in signup order,
+    * so the cohort is a RANGE, the shape the prune exists for) joins the
+    * events fact through a
+    * user_id-clustered layout: the build side folds to [min, max] — a
+    * two-value aggregate — and only probe files whose user_id zone overlaps
+    * that range are opened; the exact join then clears the false survivors.
+    * The oracle is the PLAIN join — the pruning machinery must be invisible
+    * in the verified output, exactly like the salted/Bloom join gates. */
+  def keyRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val root = zonemapRoot(spark, dir)
+    val layout = spark.read.parquet(s"$root/events_u")
+    val idx = spark.read.parquet(s"$root/events_u__zonemap")
+    // cohort = newest decile of users WITH event activity (events cover only
+    // the low custkey range, so the bound comes from the fact side's own max)
+    val mx = Tables.events(spark, dir).agg(max(col("user_id")).as("mx"))
+    val cohort = Tables.customer(spark, dir).crossJoin(broadcast(mx))
+      .filter(col("c_custkey") * 10 >= col("mx") * 9 && col("c_custkey") <= col("mx"))
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.lake.ZoneMapIndex.keyBoundsPruneScan(idx, "user_id",
+        cohort.select("user_id"), "user_id", layout.schema)
+      .join(cohort, "user_id")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+  }
+
+  /** Users probed by the skipping-triad gate's point predicate. */
+  private val TriadUsers: Seq[Long] = (1L to 25L)
+
+  /** The full file-skipping TRIAD composed on ONE table
+    * ([[graft.lake.SkippingScan]]) — partition predicate through the
+    * manifest, range predicate through the zone-map sidecar, point predicate
+    * through the Bloom sidecar, intersected BEFORE any data file opens: the
+    * read shape a real lakehouse query runs, where the standalone gates each
+    * exercise one leg. The layout is a [[graft.lake.PartitionedTable]]
+    * partitioned by event_type and range-clustered by value inside each
+    * partition (repartition carries the partition key FIRST, so no task
+    * sprays sliver files across partition dirs). The oracle aggregates the
+    * same three predicates straight off the events table — pruning must be
+    * invisible: no lost stripe-edge rows, no double-counted files. */
+  private val triadRoots = new graft.core.BoundedCache[String, String]()
+  def skippingTriad(spark: SparkSession, dir: String): DataFrame = {
+    val root = triadRoots.getOrElseUpdate(dir) {
+      val r = java.nio.file.Files.createTempDirectory("graft_triad_").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        val p = Path.of(r)
+        if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+      }))
+      val src = Tables.events(spark, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val table = new graft.lake.PartitionedTable(r, Seq("event_type"))
+      table.create(src.repartitionByRange(32, col("event_type"), col("value")), "events_t")
+      val layout = table.read(spark, "events_t")
+      graft.lake.ZoneMapIndex.build(layout, Seq("value"))
+        .repartition(1).write.parquet(s"$r/events_t__zonemap")
+      graft.lake.BloomIndex.build(layout, "user_id")
+        .repartition(1).write.parquet(s"$r/events_t__bloom")
+      r
+    }
+    val table = new graft.lake.PartitionedTable(root, Seq("event_type"))
+    val layout = table.read(spark, "events_t")
+    val zm = spark.read.parquet(s"$root/events_t__zonemap")
+    val bf = spark.read.parquet(s"$root/events_t__bloom")
+    graft.lake.SkippingScan.scan(spark, table, "events_t",
+        m => m("event_type") == "purchase" || m("event_type") == "view",
+        zm, "value", Some(50.0), Some(400.0),
+        bf, "user_id", TriadUsers.map(_.asInstanceOf[Any]), layout.schema)
+      .groupBy("event_type", "user_id")
       .agg(count(lit(1)).cast("bigint").as("n_events"),
         dsum(col("value")).as("sum_value"),
         min(col("event_id")).as("min_event_id"),
@@ -510,6 +602,8 @@ object Events {
     "pipeline_table_routing" -> (tableRouting _),
     "events_zorder_cluster" -> (zorderCluster _),
     "events_zonemap_range" -> (zonemapRange _),
+    "events_keyrange_join" -> (keyRangeJoin _),
+    "events_skipping_triad" -> (skippingTriad _),
     "events_topk_per_user" -> (topKPerUser _),
     "events_cube_rollup"   -> (cubeRollup _),
     "events_pivot_daily"   -> (pivotDaily _),
@@ -602,6 +696,25 @@ object Events {
         |  MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
         |FROM events WHERE value >= 120.5 AND value <= 180.25
         |GROUP BY 1""".stripMargin,
+    "events_keyrange_join" ->
+      """WITH mx AS (SELECT MAX(user_id) AS m FROM events),
+        |coh AS (SELECT c_custkey AS user_id, c_mktsegment
+        |  FROM customer, mx WHERE c_custkey * 10 >= m * 9 AND c_custkey <= m)
+        |SELECT coh.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MIN(e.event_id) AS min_event_id, MAX(e.event_id) AS max_event_id
+        |FROM events e JOIN coh USING (user_id)
+        |GROUP BY 1""".stripMargin,
+    "events_skipping_triad" -> {
+      val users = (1L to 25L).mkString(", ")
+      s"""SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+         |FROM events
+         |WHERE event_type IN ('purchase', 'view')
+         |  AND value >= 50.0 AND value <= 400.0 AND user_id IN ($users)
+         |GROUP BY 1, 2""".stripMargin
+    },
     "events_salted_join" ->
       """SELECT e.event_id, e.user_id, e.value, c.c_mktsegment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,

@@ -502,4 +502,71 @@ class LakeSpec extends AnyFunSuite {
     assert(got == Map(1L -> "removed", 3L -> "changed",
       4L -> "changed", 5L -> "added"))
   }
+
+  test("manifest layout holds the Iceberg Hadoop version-file invariants") {
+    // Interop pin for the CAS commit protocol: it deliberately mirrors
+    // Iceberg's documented HadoopTableOperations scheme (Iceberg spec,
+    // "File System Tables": versioned metadata files committed by atomic
+    // no-overwrite rename, plus an ADVISORY version-hint file; the reference
+    // declares exactly such tables — terraform/bigquery_tables.tf:97-116),
+    // so a future real-catalog binding is a thin adapter. The invariants a
+    // HadoopCatalog-style reader relies on:
+    //  1. one metadata file per committed version, versions contiguous from 0
+    //     — history immutable (old version files never rewritten);
+    //  2. the hint names the latest version, but correctness never depends on
+    //     it: resolution is max(hint, scan), so a stale or REGRESSED hint
+    //     (losers of the hint race) still resolves to the newest manifest;
+    //  3. every data dir a manifest references exists on disk at commit time
+    //     (metadata never points at unwritten data).
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-iceberg-interop").toString
+    val t = new PartitionedTable(root, Seq("p"))
+    t.create(Seq((1L, "a"), (2L, "b")).toDF("id", "p"), "tt")
+    t.append(Seq((3L, "a")).toDF("id", "p"), "tt")
+    t.append(Seq((4L, "c")).toDF("id", "p"), "tt")
+
+    val mdir = java.nio.file.Path.of(root, "tt", "m")
+    val names = java.nio.file.Files.list(mdir).map(_.getFileName.toString)
+      .toArray.map(_.toString).filterNot(_.startsWith(".")) // Hadoop .crc sidecars
+      .sorted.toSeq
+    // (1) naming + contiguity from v0
+    assert(names.forall(_.matches("MANIFEST\\.v\\d+")), s"unexpected: $names")
+    val versions = names.map(_.stripPrefix("MANIFEST.v").toInt).sorted
+    assert(versions == (0 until versions.length), s"non-contiguous: $versions")
+    assert(versions.length == 3, "create + 2 appends = 3 committed versions")
+    // (2) hint = latest, advisory only: regress it and reads still see v2
+    val hint = java.nio.file.Path.of(root, "tt", "LAST")
+    assert(java.nio.file.Files.readString(hint).trim == "2")
+    val latest = t.read(spark, "tt").collect().map(_.getLong(0)).toSet
+    java.nio.file.Files.writeString(hint, "0")
+    assert(t.read(spark, "tt").collect().map(_.getLong(0)).toSet == latest,
+      "a regressed hint must not roll back reads (resolution = max(hint, scan))")
+    // ...and the next commit self-heals past the bad hint instead of
+    // colliding with an existing version file
+    t.append(Seq((5L, "a")).toDF("id", "p"), "tt")
+    assert(t.read(spark, "tt").count() == 5)
+    assert(java.nio.file.Files.readString(hint).trim == "3")
+    // (3) every manifest-referenced dir exists (all versions, full history)
+    (0 to 3).foreach { v =>
+      val body = java.nio.file.Files.readString(
+        java.nio.file.Path.of(root, "tt", "m", s"MANIFEST.v$v"))
+      body.split("\n").filter(_.nonEmpty).foreach { ln =>
+        ln.split("\t", 2)(1).split(",").foreach { rel =>
+          assert(java.nio.file.Files.isDirectory(
+            java.nio.file.Path.of(root, "tt", "p", rel)),
+            s"v$v references missing dir $rel")
+        }
+      }
+    }
+    // old version files stayed byte-stable across later commits: v0's
+    // referenced dirs still read back the create-time rows alone (the manual
+    // parse is itself the interop claim — any reader of the layout can
+    // time-travel from the version files without our code)
+    val v0dirs = java.nio.file.Files.readString(
+        java.nio.file.Path.of(root, "tt", "m", "MANIFEST.v0"))
+      .split("\n").filter(_.nonEmpty)
+      .flatMap(_.split("\t", 2)(1).split(","))
+      .map(rel => s"$root/tt/p/$rel").toSeq
+    assert(spark.read.parquet(v0dirs: _*).count() == 2L)
+  }
 }

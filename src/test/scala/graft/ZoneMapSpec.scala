@@ -153,4 +153,32 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(ZoneMapIndex.refresh(spark.read.parquet(dir2), idx2, Seq("v"))
       .collect().map(_.toSeq.toString).toSet == r.map(_.toSeq.toString).toSet)
   }
+
+  test("keyBoundsPruneScan: bounded build cohort opens only overlapping files, join-exact") {
+    import spark.implicits._
+    val dir = writeRanged() // 4 files, file k holds v in [1000k, 1000k+99]
+    val table = spark.read.parquet(dir)
+    val idx = ZoneMapIndex.build(table, Seq("v"))
+      .localCheckpoint(true)
+    // build cohort spans [2010, 2040] — only file 2 can overlap
+    val build = Seq(2010L, 2025L, 2040L, 2025L).toDF("k")
+    val scanned = ZoneMapIndex.keyBoundsPruneScan(idx, "v", build, "k", table.schema)
+    assert(scanned.inputFiles.length == 1, "3 of 4 files must be skipped")
+    // inner-join equivalence: prune+join == plain join, row for row
+    val got = scanned.join(build.distinct(), col("v") === col("k"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val want = table.join(build.distinct(), col("v") === col("k"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && want == Seq(2010L, 2025L, 2040L))
+    // straddling cohort keeps the superset (2 files), never loses a match
+    val wide = Seq(1090L, 2010L).toDF("k")
+    val scannedWide = ZoneMapIndex.keyBoundsPruneScan(idx, "v", wide, "k", table.schema)
+    assert(scannedWide.inputFiles.length == 2)
+    assert(scannedWide.join(wide, col("v") === col("k")).count() == 2L)
+    // empty build side reads nothing; all-null build side likewise
+    assert(ZoneMapIndex.keyBoundsPruneScan(idx, "v",
+      Seq.empty[Long].toDF("k"), "k", table.schema).count() == 0L)
+    assert(ZoneMapIndex.keyBoundsPruneScan(idx, "v",
+      Seq[Option[Long]](None, None).toDF("k"), "k", table.schema).count() == 0L)
+  }
 }
