@@ -464,6 +464,62 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     }
   }
 
+  test("PageRank: fixed-round cost stays linear on a 25x host graph", SlowRehearsal) {
+    import graft.operators.Graph
+    // synthetic host graphs with the gate oracle's edge recipe (dst =
+    // (src² + 3) mod N, ~15% dangling) at 2k and 50k nodes: the per-round
+    // plan is an edges⋈ranks shuffle join + a dst-keyed aggregate — both
+    // linear in |E| — and rounds are FIXED (5), so 25x nodes must stay in
+    // the linear band. Bound 50 for 25x data (per the curation 25x band):
+    // far below a quadratic stage's 625x; the real tripwires are a
+    // per-round driver action or an unkeyed global window, both of which
+    // multiply with graph size.
+    def hostGraph(n: Long): DataFrame =
+      spark.range(n).filter(col("id") % 20 < 17)
+        .select(col("id").as("src"), ((col("id") * col("id") + 3L) % n).as("dst"))
+    def run(n: Long): Long = {
+      val ranks = Graph.pageRank(hostGraph(n), iters = 5)
+      val rows = runRows(ranks)
+      rows
+    }
+    run(2000L) // codegen/JIT warm for the plan shape
+    val (tS, nS) = timed("pagerank 2k nodes")(run(2000L))
+    val (tB, nB) = timed("pagerank 50k nodes (25x)")(run(50000L))
+    assert(nS > 1500 && nB > 40000, "every reachable node keeps one rank row")
+    assert(tB / tS < 50.0, f"superlinear blowup: $tS%.1f s -> $tB%.1f s")
+  }
+
+  test("minhash LSH band join: 25x clusters stay linear, hot cohort stays bounded",
+       SlowRehearsal) {
+    // the r10-introduced bounded candidate generation at scale: 200 vs 5000
+    // vocabulary-disjoint near-dup clusters of 10 (25x cluster count, same
+    // cluster shape), so TRUE pairs scale exactly with the data — 45 pairs
+    // per cluster — and any bucket-join blowup lands in wall clock. The big
+    // corpus additionally carries a 5000-doc byte-identical cohort (ids
+    // >= 10^9) whose band buckets all exceed dfCap: its pairs are missed
+    // LOUDLY per the operator contract (exact-dup territory), candidate
+    // volume stays bands x corpus x dfCap, and the run must not blow the
+    // linear band despite the 12.5M would-be pairs the cap suppresses.
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val root = Files.createTempDirectory("graft-rehearsal-mh25")
+    writeTbl(clusterCorpus(docs.filter(col("doc_id") % 25 === 0), 1), root, "small")
+    val cohort = (0 until 5000).map(i =>
+      (1000000000L + i, "mega cohort identical boilerplate text that skipped exact dedup"))
+      .toDF("doc_id", "text")
+    writeTbl(clusterCorpus(docs, 1).select("doc_id", "text").unionByName(cohort),
+      root, "big")
+    val (tS, nS) = timed("minhash 200 clusters") {
+      runRows(Dedup.minhashLshPairs(spark.read.parquet(s"$root/small.parquet"), 3, 42, 3, 0.5))
+    }
+    val (tB, nB) = timed("minhash 5000 clusters + hot cohort (25x)") {
+      runRows(Dedup.minhashLshPairs(spark.read.parquet(s"$root/big.parquet"), 3, 42, 3, 0.5))
+    }
+    assert(nS == 45L * 200, s"45 pairs per cluster: got $nS")
+    assert(nB == 45L * 5000, s"45 pairs per cluster and ZERO cohort pairs: got $nB")
+    assert(tB / tS < 50.0, f"superlinear blowup: $tS%.1f s -> $tB%.1f s")
+  }
+
   test("sequence packing scales linearly on a 10x corpus", SlowRehearsal) {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val (t1, n1) = timed("pack 1x")(runRows(TextOps.packSequences(docs)))
