@@ -526,6 +526,56 @@ object TextOps {
       .select(col("doc_id"), (col("reason") === "keep").as("keep"), col("reason"))
   }
 
+  /** [[curationDecisions]] with NEAR-duplicates folded into the attribution —
+    * the [[graft.operators.Dedup.dedupSurvivorsBy]] quality-keeper families
+    * (exact md5 star edges + banded MinHash near-dup pairs, closed by
+    * connected components; keeper = highest quality_score, tie lowest
+    * doc_id) decide who survives deduplication, and every non-keeper family
+    * member gets a first-failing-filter reason: 'exact_dup' when it has a
+    * byte-identical twin, 'near_dup' otherwise. Keepers then run the
+    * lang > quality > repetition chain exactly as before — a family keeper
+    * is the kept COPY, not a kept document.
+    *
+    * Scale shape: everything rides proven paths — the decision frame is one
+    * corpus projection scan (lang + quality fused), families come from the
+    * banded near-dup path + O(rounds) component folding, and the keeper fold
+    * is one map-side-combined max_by over the unique (quality, -doc_id) key. */
+  def curationDecisionsFamilies(docs: DataFrame,
+                                targetLangs: Seq[String] = Seq("en"),
+                                minQuality: Double = 2.0,
+                                n: Int = 3, tau: Double = 0.5): DataFrame = {
+    val keyed = docs.select(md5(col("text")).as("k"), col("doc_id"))
+    val groups = keyed.groupBy("k")
+      .agg(min(col("doc_id")).as("g"), count(lit(1)).cast("bigint").as("kc"))
+    val ek = keyed.join(groups, "k")
+    val exactEdges = ek.filter(col("doc_id") =!= col("g"))
+      .select(col("doc_id").as("doc_a"), col("g").as("doc_b"))
+    val nearEdges = Dedup.minhashLshPairs(docs, n, tau = tau).select("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(exactEdges.union(nearEdges))
+    val perDoc = withQualityCols(withLangScores(withToks(docs)))
+      .select("doc_id", "lang_pred", "quality_score")
+    val rep = repetitionScore(docs).select("doc_id", "is_repetitive")
+    // referenced by the keeper fold AND the decision join: materialize once
+    val fam = perDoc
+      .join(ek.select("doc_id", "kc"), "doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("family", coalesce(col("component_id"), col("doc_id")))
+      .localCheckpoint(false)
+    val keepers = fam.groupBy("family")
+      .agg(max_by(col("doc_id"),
+        struct(col("quality_score"), (-col("doc_id")))).as("keep_doc_id"))
+    fam.join(keepers, "family")
+      .join(rep, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("doc_id") =!= col("keep_doc_id") && col("kc") > 1, lit("exact_dup"))
+          .when(col("doc_id") =!= col("keep_doc_id"), lit("near_dup"))
+          .when(!col("lang_pred").isin(targetLangs: _*), lit("lang"))
+          .when(col("quality_score") < minQuality, lit("quality"))
+          .when(coalesce(col("is_repetitive"), lit(false)), lit("repetition"))
+          .otherwise(lit("keep")))
+      .select(col("doc_id"), (col("reason") === "keep").as("keep"), col("reason"))
+  }
+
   /** Corpus vocabulary heavy hitters: the `k` most frequent terms with their
     * total and document frequencies — the vocabulary/stopword-discovery pass
     * every corpus build runs. One explode + one hash aggregate (map-side
@@ -761,7 +811,8 @@ object TextOps {
                        minQuality: Double = 2.0,
                        budgetPerSource: Long = 1000L,
                        packBudget: Int = 2048, packShards: Int = 16,
-                       nShards: Int = 16): DataFrame = {
+                       nShards: Int = 16,
+                       nearN: Int = 3, nearTau: Double = 0.5): DataFrame = {
     val meta = docs.select("doc_id", "source", "lang")
     // 1. line-level boilerplate dedup -> text v1
     val d1 = TextOps.dedupLines(docs, lineMaxDf)
@@ -786,8 +837,11 @@ object TextOps {
         dsirBuckets, dsirKeepPct)
       .filter(col("selected")).select("doc_id")
     val d3 = d2.join(sel, "doc_id")
-    // 4. first-failing-filter curation decision
-    val keep = curationDecisions(d3, targetLangs, minQuality)
+    // 4. first-failing-filter curation decision, at the FAMILY level: the
+    //    dedupSurvivorsBy quality-keeper families fold near-duplicates into
+    //    the attribution, so a near-copy that slipped past exact dedup drops
+    //    here as 'near_dup' instead of surviving to the budget stage
+    val keep = curationDecisionsFamilies(d3, targetLangs, minQuality, nearN, nearTau)
       .filter(col("keep")).select("doc_id")
     val d4 = d3.join(keep, "doc_id").localCheckpoint(false)
     // 5. per-source token-budget sampling

@@ -56,6 +56,11 @@ object Training {
     * (~54 tokens/doc, a handful of post-curation survivors per source, so a
     * 200-token budget genuinely cuts instead of passing everything). */
   val E2eBudget = 200L
+  /** Near-dup tau for the e2e chain's family stage: post-excision survivors
+    * can only share sub-window (< 8-token) runs — the marker-interleaved
+    * companion pairs land at J ≈ 0.45-0.51 — so the chain runs the
+    * aggressive-dedup setting instead of the standalone gates' 0.5. */
+  val E2eNearTau = 0.4
   /** Integer-grid k-means gate: 8 cells, 2 Lloyd iterations (the oracle
     * unrolls the identical iterations as CTEs). */
   val KmeansK = 8
@@ -156,19 +161,24 @@ object Training {
                                      .isin(DsirTargetSources: _*),
                                    DsirBuckets, DsirKeepPct)),
     "text_curation"          -> ((s, d) => TextOps.curationDecisions(Tables.documents(s, d))),
+    // family-level attribution: dedupSurvivorsBy quality-keeper families
+    // (exact stars + banded near-dup pairs) decide survival; non-keepers
+    // split into exact_dup vs near_dup, keepers run the usual filter chain
+    "text_curation_families" -> ((s, d) => TextOps.curationDecisionsFamilies(
+                                   Tables.documents(s, d), tau = JaccardTau)),
     // the COMPOSED curation chain over the same constructed 4-line text as
-    // text_line_dedup: line dedup -> substring excision -> DSIR -> curation
-    // decisions -> token budget -> pack -> shuffle shards, one gate
+    // text_line_dedup, PLUS marker-interleaved near-dup companion pairs
+    // (every 8th token -> a doc-unique marker, so no 8-token window is
+    // shared — the only similarity shape that can SURVIVE the excision
+    // stage — while trigram overlap stays at J ~ 0.45-0.51): line dedup ->
+    // substring excision -> DSIR -> family-level curation decisions ->
+    // token budget -> pack -> shuffle shards, one gate
     "text_curation_e2e"      -> ((s, d) => TextOps.curationPipeline(
-                                   Tables.documents(s, d).withColumn("text",
-                                     org.apache.spark.sql.functions.concat_ws("\n",
-                                       org.apache.spark.sql.functions.expr("substr(text, 1, 40)"),
-                                       org.apache.spark.sql.functions.expr("'standard disclaimer for ' || source"),
-                                       org.apache.spark.sql.functions.expr("substr(text, 41)"),
-                                       org.apache.spark.sql.functions.lit("copyright corpus collection"))),
+                                   e2eInput(s, d),
                                    DsirTargetSources, LineMaxDf, SubstrWindow,
                                    DsirBuckets, DsirKeepPct,
-                                   budgetPerSource = E2eBudget)),
+                                   budgetPerSource = E2eBudget,
+                                   nearTau = E2eNearTau)),
     "text_shuffle_shards"    -> ((s, d) => TextOps.shuffleShards(Tables.documents(s, d))),
     // the corpus has no newlines, so the gate CONSTRUCTS a 4-line document:
     // two content lines (split of the original text), one per-source
@@ -323,6 +333,33 @@ object Training {
     Tables.documents(s, d).filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
 
   // ---- oracle SQL ----------------------------------------------------------
+
+  /** The e2e chain's input corpus: every doc re-lined into the constructed
+    * 4-line boilerplate shape (same as `text_line_dedup`), plus TWO
+    * marker-interleaved companions per 20th doc — every 8th token replaced
+    * by a (doc, copy, position)-unique marker, so companions share NO
+    * 8-token window with anything (they pass excision untouched, and the
+    * corpus cannot excise them) while the c1/c2 pair keeps trigram Jaccard
+    * ~0.45-0.51: the ONLY similarity shape that can reach the chain's
+    * family stage, which is exactly what it exists to attribute. */
+  private def e2eInput(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftFunctions.register(s)
+    val base = Tables.documents(s, d).withColumn("text", concat_ws("\n",
+      expr("substr(text, 1, 40)"),
+      expr("'standard disclaimer for ' || source"),
+      expr("substr(text, 41)"),
+      lit("copyright corpus collection")))
+    def companion(c: Int) = Tables.documents(s, d)
+      .filter(col("doc_id") % 20 === 0)
+      .withColumn("text", expr(
+        s"array_join(transform(graft_tokens(text), (t, i) -> " +
+          s"IF((i + 1) % 8 = 0, " +
+          s"concat('u', cast(doc_id as string), 'c$c', 'p', cast(i + 1 as string)), " +
+          s"t)), ' ')"))
+      .withColumn("doc_id", col("doc_id") + lit(c * 10000000L))
+    base.unionByName(companion(1)).unionByName(companion(2))
+  }
 
   private val toks = Portable.tokensDuck("text")
 
@@ -577,11 +614,90 @@ object Training {
        |LEFT JOIN rep ON ex.doc_id = rep.doc_id)
        |SELECT doc_id, reason = 'keep' AS keep, reason FROM r""".stripMargin
 
+  /** Mirror of [[TextOps.curationDecisionsFamilies]]: the union family graph
+    * (exact md5 star edges + exact all-pairs near-dup edges, equal to the
+    * banded MinHash output under the 2e-8 miss contract) closed by a
+    * recursive CTE, keepers ranked by (quality_score DESC, doc_id ASC), and
+    * non-keepers attributed exact_dup (byte-identical twin exists) vs
+    * near_dup before the lang > quality > repetition chain. Shares the
+    * signal CTE text with [[curationSql]] and the closure with
+    * [[survivorsQualitySql]]. */
+  private lazy val curationFamiliesSql =
+    s"""WITH RECURSIVE $jaccardCtes,
+       |pairs AS ($jaccardSelect),
+       |k AS (SELECT md5(text) AS k, MIN(doc_id) AS g, COUNT(*) AS kc
+       |  FROM documents GROUP BY 1),
+       |ek AS MATERIALIZED (SELECT d.doc_id, k.g, k.kc FROM documents d
+       |  JOIN k ON md5(d.text) = k.k),
+       |xe AS (SELECT doc_id AS doc_a, g AS doc_b FROM ek WHERE doc_id <> g),
+       |alledges AS (SELECT doc_a, doc_b FROM pairs
+       |  UNION SELECT doc_a, doc_b FROM xe),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM alledges
+       |  UNION SELECT doc_b, doc_a FROM alledges),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id
+       |  FROM reach GROUP BY a),
+       |t AS MATERIALIZED (SELECT doc_id, text, $toks AS toks FROM documents),
+       |lg AS (SELECT doc_id,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopEn)} AS r_en,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopEs)} AS r_es,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopDe)} AS r_de,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopFr)} AS r_fr
+       |FROM t),
+       |lp AS (SELECT doc_id, $langCase AS lang_pred FROM lg),
+       |c AS (SELECT doc_id, text, toks,
+       |  len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopEn)} AS stop_ratio,
+       |  length(regexp_replace(text, '[^a-z ]', '', 'g')) AS alpha_chars
+       |FROM t),
+       |q AS MATERIALIZED (SELECT doc_id,
+       |  (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) +
+       |  (CASE WHEN stop_ratio > 0 THEN 1.0 ELSE 0.0 END) +
+       |  CASE WHEN n_tokens > 0 THEN n_distinct::DOUBLE / n_tokens ELSE 0::DOUBLE END +
+       |  CASE WHEN length(text) > 0 THEN alpha_chars::DOUBLE / length(text) ELSE 0::DOUBLE END AS quality_score
+       |FROM c),
+       |fam AS MATERIALIZED (SELECT ek.doc_id, ek.kc,
+       |  COALESCE(cm.component_id, ek.doc_id) AS family
+       |  FROM ek LEFT JOIN comp cm ON cm.doc_id = ek.doc_id),
+       |fr AS (SELECT fam.family, fam.doc_id, ROW_NUMBER() OVER (
+       |  PARTITION BY fam.family ORDER BY q.quality_score DESC, fam.doc_id ASC) AS rn
+       |  FROM fam JOIN q ON q.doc_id = fam.doc_id),
+       |kp AS (SELECT family, doc_id AS keep_doc_id FROM fr WHERE rn = 1),
+       |tk AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+       |uc AS (SELECT doc_id, t, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS t FROM tk) GROUP BY doc_id, t),
+       |ua AS (SELECT doc_id, SUM(tf) AS n, MAX(tf) AS top FROM uc GROUP BY doc_id),
+       |bc AS (SELECT doc_id, t, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i + 1])) AS t FROM tk WHERE len(toks) > 1)
+       |  GROUP BY doc_id, t),
+       |ba AS (SELECT doc_id, SUM(tf) AS n, MAX(tf) AS top FROM bc GROUP BY doc_id),
+       |rep AS (SELECT ua.doc_id,
+       |  (ua.top::DOUBLE / ua.n > 0.2 OR COALESCE(ba.top::DOUBLE / ba.n, 0.0) > 0.18) AS is_rep
+       |  FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id),
+       |r AS (SELECT fam.doc_id,
+       |  CASE WHEN fam.doc_id <> kp.keep_doc_id AND fam.kc > 1 THEN 'exact_dup'
+       |       WHEN fam.doc_id <> kp.keep_doc_id THEN 'near_dup'
+       |       WHEN lp.lang_pred NOT IN ('en') THEN 'lang'
+       |       WHEN q.quality_score < 2.0 THEN 'quality'
+       |       WHEN COALESCE(rep.is_rep, FALSE) THEN 'repetition'
+       |       ELSE 'keep' END AS reason
+       |FROM fam JOIN kp USING (family)
+       |JOIN lp ON fam.doc_id = lp.doc_id JOIN q ON fam.doc_id = q.doc_id
+       |LEFT JOIN rep ON fam.doc_id = rep.doc_id)
+       |SELECT doc_id, reason = 'keep' AS keep, reason FROM r""".stripMargin
+
   /** Oracle twin of [[TextOps.curationPipeline]] over the constructed 4-line
     * text: SEVEN stages CTE-composed in one statement, each stage's fragment
     * the same SQL its standalone oracle uses, re-rooted on the previous
     * stage's output — so a column-contract drift between stages breaks the
-    * hash even when every standalone gate stays green. Every output column is
+    * hash even when every standalone gate stays green. Stage 4 is the
+    * FAMILY-level decision ([[curationFamiliesSql]]'s machinery re-rooted on
+    * d3: recursive-CTE closure of exact stars + all-pairs near-dup edges,
+    * quality keepers, exact_dup/near_dup attribution). Every output column is
     * BIGINT/INT/VARCHAR (no floats cross the comparator). lazy: composes
     * [[langCase]], declared further down.
     *
@@ -595,10 +711,19 @@ object Training {
     val B = DsirBuckets
     val L = SubstrWindow
     val sh8 = Portable.shinglesDuck("toks", L)
-    s"""WITH d0 AS MATERIALIZED (SELECT doc_id, source, lang,
+    s"""WITH RECURSIVE d0 AS MATERIALIZED (
+       |SELECT doc_id, source, lang,
        |  substr(text, 1, 40) || chr(10) || 'standard disclaimer for ' || source
        |    || chr(10) || substr(text, 41) || chr(10) || 'copyright corpus collection' AS text
-       |FROM documents),
+       |FROM documents
+       |UNION ALL
+       |SELECT doc_id + cc * 10000000, source, lang,
+       |  array_to_string(list_transform(generate_series(1, len(tk)),
+       |    i -> CASE WHEN i % 8 = 0
+       |         THEN 'u' || doc_id || 'c' || cc || 'p' || i ELSE tk[i] END), ' ')
+       |FROM (SELECT doc_id, source, lang, $toks AS tk
+       |      FROM documents WHERE doc_id % 20 = 0),
+       |     (SELECT unnest([1, 2]) AS cc)),
        |ll AS (SELECT doc_id,
        |  generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
        |  unnest(string_split(text, chr(10))) AS line FROM d0),
@@ -647,10 +772,31 @@ object Training {
        |sthr AS (SELECT quantile_cont(dsir_score, $DsirKeepPct) AS thr FROM ssc),
        |d3 AS MATERIALIZED (SELECT d2.* FROM d2 JOIN ssc USING (doc_id) CROSS JOIN sthr
        |  WHERE ssc.dsir_score::DOUBLE >= sthr.thr),
-       |ck AS (SELECT md5(text) AS k, MIN(doc_id) AS keep FROM d3 GROUP BY 1),
-       |cex AS (SELECT d.doc_id, d.doc_id <> ck.keep AS is_exact_dup
-       |  FROM d3 d JOIN ck ON md5(d.text) = ck.k),
        |ct AS MATERIALIZED (SELECT doc_id, text, $toks AS toks FROM d3),
+       |ctk AS MATERIALIZED (SELECT doc_id, toks FROM ct WHERE len(toks) > 0),
+       |nk AS (SELECT md5(text) AS k, MIN(doc_id) AS g, COUNT(*) AS kc
+       |  FROM d3 GROUP BY 1),
+       |nke AS MATERIALIZED (SELECT d.doc_id, nk.g, nk.kc FROM d3 d
+       |  JOIN nk ON md5(d.text) = nk.k),
+       |nxe AS (SELECT doc_id AS doc_a, g AS doc_b FROM nke WHERE doc_id <> g),
+       |nsets AS (SELECT doc_id, list_distinct(${Portable.shinglesDuck("toks", 3)}) AS sh FROM ctk),
+       |nsets2 AS MATERIALIZED (SELECT doc_id, sh, len(sh) AS n FROM nsets WHERE len(sh) > 0),
+       |nshr AS (SELECT doc_id, unnest(sh) AS s FROM nsets2),
+       |npr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM nshr a JOIN nshr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |npairs AS (SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b, inter::DOUBLE / (x.n + y.n - inter) AS jaccard
+       |    FROM npr JOIN nsets2 x ON doc_a = x.doc_id JOIN nsets2 y ON doc_b = y.doc_id)
+       |  WHERE jaccard >= $E2eNearTau),
+       |nall AS (SELECT doc_a, doc_b FROM npairs UNION SELECT doc_a, doc_b FROM nxe),
+       |nedges AS (SELECT doc_a AS a, doc_b AS b FROM nall
+       |  UNION SELECT doc_b, doc_a FROM nall),
+       |nreach(a, b) AS (
+       |  SELECT a, b FROM nedges
+       |  UNION
+       |  SELECT r.a, e.b FROM nreach r JOIN nedges e ON r.b = e.a),
+       |ncomp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id
+       |  FROM nreach GROUP BY a),
        |clg AS (SELECT doc_id,
        |  ${Portable.stopRatioDuck("toks", Portable.StopEn)} AS r_en,
        |  ${Portable.stopRatioDuck("toks", Portable.StopEs)} AS r_es,
@@ -669,7 +815,13 @@ object Training {
        |  CASE WHEN n_tokens > 0 THEN n_distinct::DOUBLE / n_tokens ELSE 0::DOUBLE END +
        |  CASE WHEN length(text) > 0 THEN alpha_chars::DOUBLE / length(text) ELSE 0::DOUBLE END AS quality_score
        |FROM cc),
-       |ctk AS MATERIALIZED (SELECT doc_id, toks FROM ct WHERE len(toks) > 0),
+       |nfam AS MATERIALIZED (SELECT nke.doc_id, nke.kc,
+       |  COALESCE(nc.component_id, nke.doc_id) AS family
+       |  FROM nke LEFT JOIN ncomp nc ON nc.doc_id = nke.doc_id),
+       |nfr AS (SELECT nfam.family, nfam.doc_id, ROW_NUMBER() OVER (
+       |  PARTITION BY nfam.family ORDER BY cq.quality_score DESC, nfam.doc_id ASC) AS rn
+       |  FROM nfam JOIN cq ON cq.doc_id = nfam.doc_id),
+       |nkp AS (SELECT family, doc_id AS keep_doc_id FROM nfr WHERE rn = 1),
        |cuc AS (SELECT doc_id, t, COUNT(*) AS tf
        |  FROM (SELECT doc_id, unnest(toks) AS t FROM ctk) GROUP BY doc_id, t),
        |cua AS (SELECT doc_id, SUM(tf) AS n, MAX(tf) AS top FROM cuc GROUP BY doc_id),
@@ -681,14 +833,16 @@ object Training {
        |crep AS (SELECT cua.doc_id,
        |  (cua.top::DOUBLE / cua.n > 0.2 OR COALESCE(cba.top::DOUBLE / cba.n, 0.0) > 0.18) AS is_rep
        |  FROM cua LEFT JOIN cba ON cua.doc_id = cba.doc_id),
-       |cr AS (SELECT cex.doc_id,
-       |  CASE WHEN cex.is_exact_dup THEN 'exact_dup'
+       |cr AS (SELECT nfam.doc_id,
+       |  CASE WHEN nfam.doc_id <> nkp.keep_doc_id AND nfam.kc > 1 THEN 'exact_dup'
+       |       WHEN nfam.doc_id <> nkp.keep_doc_id THEN 'near_dup'
        |       WHEN clp.lang_pred NOT IN ('en') THEN 'lang'
        |       WHEN cq.quality_score < 2.0 THEN 'quality'
        |       WHEN COALESCE(crep.is_rep, FALSE) THEN 'repetition'
        |       ELSE 'keep' END AS reason
-       |FROM cex JOIN clp ON cex.doc_id = clp.doc_id JOIN cq ON cex.doc_id = cq.doc_id
-       |LEFT JOIN crep ON cex.doc_id = crep.doc_id),
+       |FROM nfam JOIN nkp USING (family)
+       |JOIN clp ON nfam.doc_id = clp.doc_id JOIN cq ON nfam.doc_id = cq.doc_id
+       |LEFT JOIN crep ON nfam.doc_id = crep.doc_id),
        |d4 AS MATERIALIZED (SELECT d3.* FROM d3 JOIN cr USING (doc_id) WHERE cr.reason = 'keep'),
        |bt AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens,
        |  ${Portable.sampleBucketDuck("doc_id")} AS bkt FROM d4),
@@ -1676,6 +1830,7 @@ object Training {
     "dedup_incremental"      -> incrementalSql,
     "dedup_substr_excise"    -> substrExciseSql,
     "text_curation"          -> curationSql,
+    "text_curation_families" -> curationFamiliesSql,
     "text_curation_e2e"      -> curationE2ESql,
     "text_shuffle_shards"    -> shuffleShardsSql,
     "text_line_dedup"        -> lineDedupSql,
