@@ -78,6 +78,33 @@ class SkippingScanSpec extends AnyFunSuite {
       "fully relaxed triad must differ from the tight one")
   }
 
+  test("append + sidecar refresh: the triad stays exact and sees the new files") {
+    import spark.implicits._
+    val (table, layout0, zm0, bf0) = build()
+    // append a new cat=a stripe carrying fresh v range + fresh ids
+    val extra = (0 until 50).map(i => ("a", 9000L + i, s"id_a_${9000L + i}"))
+      .toDF("cat", "v", "id").repartition(1)
+    table.append(extra, "t")
+    val layout = table.read(spark, "t")
+    // refresh profiles ONLY the appended files; old rows pass through
+    val zm = ZoneMapIndex.refresh(layout, zm0, Seq("v")).localCheckpoint(true)
+    val bf = BloomIndex.refresh(layout, bf0, "id").localCheckpoint(true)
+    assert(zm.count() > zm0.count() && bf.select("file").distinct().count() >
+      bf0.select("file").distinct().count())
+    // a query into the NEW range/ids must find them through the triad
+    val scan = SkippingScan.scan(spark, table, "t",
+      m => m("cat") == "a", zm, "v", Some(9000L), Some(9049L),
+      bf, "id", Seq("id_a_9005", "id_a_9049"), layout.schema)
+    val got = scan.collect().map(_.getLong(1)).sorted.toSeq
+    assert(got == Seq(9005L, 9049L))
+    // and a stale-index query (un-refreshed sidecars) would MISS them —
+    // pinning that refresh is load-bearing, not a no-op
+    val stale = SkippingScan.candidateFiles(spark, table, "t",
+      m => m("cat") == "a", zm0, "v", Some(9000L), Some(9049L),
+      bf0, "id", Seq("id_a_9005"))
+    assert(stale.isEmpty, "stale sidecars must not know the appended stripe")
+  }
+
   test("empty intersection reads nothing; empty points match nothing") {
     val (table, layout, zm, bf) = build()
     // partition says cat=a, range says stripe 3, points say an id from cat=b
