@@ -148,15 +148,17 @@ object Excel {
   /** Read the first worksheet as an all-string DataFrame, first row forced to
     * be the header (empty header cells become column<i>). */
   def read(spark: SparkSession, path: String): DataFrame = {
-    // legacy .xls is an OLE2 binary, not a zip — fail with a clear message
-    // instead of an opaque ZipException
+    // dispatch by magic, like the reference's st_read: zip -> xlsx here,
+    // OLE2 -> the from-scratch BIFF8 reader
     val magic = {
       val in = new java.io.FileInputStream(path)
       try { val b = new Array[Byte](2); in.read(b); b } finally in.close()
     }
-    require(magic.sameElements(Array[Byte]('P', 'K')),
-      s"$path is not an XLSX (zip) workbook — legacy .xls (OLE2) is not " +
-        "supported; convert to .xlsx")
+    if (!magic.sameElements(Array[Byte]('P', 'K'))) {
+      require(ExcelLegacy.isOle2(path),
+        s"$path is neither an XLSX (zip) nor a legacy .xls (OLE2) workbook")
+      return ExcelLegacy.read(spark, path)
+    }
     val zip = new ZipFile(path)
     try {
       val shared = sharedStrings(zip)
