@@ -35,6 +35,8 @@ object FormatDetector {
     def startsWith(p: Array[Byte]) = head.length >= p.length && head.take(p.length).sameElements(p)
     if (startsWith("PAR1".getBytes)) Formats.Parquet
     else if (startsWith(Array[Byte]('P', 'K', 3, 4))) Formats.Excel
+    // OLE2 magic: legacy .xls (Excel.read dispatches zip vs BIFF8 itself)
+    else if (startsWith(Array(0xD0, 0xCF, 0x11, 0xE0).map(_.toByte))) Formats.Excel
     else {
       val firstPrintable = head.dropWhile(b => b == ' ' || b == '\n' || b == '\r' || b == '\t')
       if (firstPrintable.headOption.contains('{'.toByte)) Formats.Json

@@ -95,6 +95,18 @@ class ExcelSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("id", "v"))
   }
 
+  test("loadRaw routes legacy .xls — by extension AND by OLE2 magic") {
+    import spark.implicits._
+    val byExt = tmp("routed.xls")
+    graft.sources.ExcelLegacy.write(Seq(("9", "z")).toDF("id", "v"), byExt)
+    val df = graft.pipeline.FilePipeline.loadRaw(spark, byExt)
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("9", "z")))
+    // extension-less: format detection must fall through to the OLE2 magic
+    val noExt = tmp("routed_xls_blob")
+    graft.sources.ExcelLegacy.write(Seq(("3", "m")).toDF("id", "v"), noExt)
+    assert(graft.sources.FormatDetector.detect(noExt) == graft.sources.Formats.Excel)
+  }
+
   test("writer refuses data-sized exports") {
     import spark.implicits._
     val big = spark.range(0, 50).toDF("id")
