@@ -105,6 +105,63 @@ class ExcelLegacySpec extends AnyFunSuite {
     assert(row5.getString(0) == "7" && row5.getString(1) == "0.07")
   }
 
+  test("property: BIFF cell strings survive the byte round trip exactly") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // unicode-heavy strings (BMP only — BIFF8 is UTF-16 code units; the
+    // writer stores raw units, so surrogate PAIRS round-trip too, but
+    // unpaired surrogates are not valid strings to begin with)
+    val genChar = Gen.frequency(
+      (8, Gen.alphaNumChar),
+      (2, Gen.oneOf('ü', 'π', '—', '中', '日', '€', '\t')),
+      (1, Gen.const(' ')))
+    val genStr = Gen.nonEmptyListOf(genChar).map(_.mkString.take(100))
+    val prop = Prop.forAll(Gen.nonEmptyListOf(genStr).map(_.take(20))) { vals =>
+      val cells = (0x0204, ExcelLegacy.labelBody(0, 0, "h")) +:
+        vals.zipWithIndex.map { case (v, i) =>
+          (0x0204, ExcelLegacy.labelBody(i + 1, 0, v))
+        }
+      val path = tmp(".xls")
+      java.nio.file.Files.write(java.nio.file.Path.of(path),
+        ExcelLegacy.cfbContainer(ExcelLegacy.biffStream(cells)))
+      val got = ExcelLegacy.read(spark, path).collect().map(_.getString(0)).toSeq
+      got == vals
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("corrupt containers refuse loudly — no hangs, no garbage frames") {
+    import spark.implicits._
+    val good = tmp(".xls")
+    ExcelLegacy.write(Seq(("1", "a")).toDF("id", "v"), good)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Path.of(good))
+    def expectFailure(mutate: Array[Byte] => Array[Byte]): Unit = {
+      val p = tmp(".xls")
+      java.nio.file.Files.write(java.nio.file.Path.of(p), mutate(bytes.clone()))
+      intercept[Exception](ExcelLegacy.read(spark, p))
+    }
+    // truncated mid-sector
+    expectFailure(b => java.util.Arrays.copyOfRange(b, 0, b.length / 2))
+    // FAT chain cycle: point the directory sector's FAT entry at itself
+    expectFailure { b =>
+      val firstDir = (b(48) & 0xFF) | ((b(49) & 0xFF) << 8)
+      val fatOff = 512 + firstDir * 4 // FAT sector 0 starts at byte 512
+      b(fatOff) = (firstDir & 0xFF).toByte
+      b(fatOff + 1) = ((firstDir >> 8) & 0xFF).toByte
+      b(fatOff + 2) = 0; b(fatOff + 3) = 0
+      b
+    }
+    // wrong container version
+    expectFailure { b => b(26) = 4; b }
+    // magic intact but the directory holds no Workbook stream: blank out
+    // the directory sector entirely
+    expectFailure { b =>
+      val firstDir = (b(48) & 0xFF) | ((b(49) & 0xFF) << 8)
+      java.util.Arrays.fill(b, 512 + firstDir * 512, 512 + (firstDir + 1) * 512, 0.toByte)
+      b
+    }
+  }
+
   test("SST strings split across CONTINUE records reassemble (LABELSST path)") {
     // build globals with an SST whose single long string splits mid-char
     // stream: SST holds cstTotal/cstUnique + cch/flags + first half of the
