@@ -43,10 +43,14 @@ object SkippingScan {
                      lo: Option[Any], hi: Option[Any],
                      bloomIdx: DataFrame, pointCol: String,
                      points: Seq[Any]): Seq[String] = {
-    val part = table.partitionFiles(t, partPred).map(pathOf).toSet
+    // the URI path KEYS the intersection only; what comes back out is the
+    // manifest's ORIGINAL string — a scheme-stripped path handed to the scan
+    // would re-resolve against the default filesystem, reading the wrong
+    // file (or nothing) on exactly the remote-lake deployments this is for
+    val part = table.partitionFiles(t, partPred).map(f => pathOf(f) -> f).toMap
     val zone = ZoneMapIndex.candidateFiles(zoneIdx, rangeCol, lo, hi).map(pathOf).toSet
     val bloom = BloomIndex.candidateFiles(spark, bloomIdx, points).map(pathOf).toSet
-    (part & zone & bloom).toSeq.sorted
+    part.collect { case (k, orig) if zone(k) && bloom(k) => orig }.toSeq.sorted
   }
 
   /** The composed read: open ONLY the triad's candidate files, then re-apply

@@ -88,9 +88,14 @@ object Dedup {
       op, dfCap, noun)
     trimProbes.addLast(probe)
     while (trimProbes.size > TrimProbeCap) trimProbes.pollFirst()
-    // close over the accumulator alone — the probe itself stays driver-side
+    // close over the accumulator alone — the probe itself stays driver-side.
+    // asNondeterministic is LOAD-BEARING, not cosmetic: a deterministic
+    // predicate may be reordered/combined with the caller's later
+    // size-based filter, which would DROP hot rows before the tick runs and
+    // silence the warn; Catalyst never reorders around a nondeterministic
+    // filter, so the tick is pinned upstream of the drop.
     val acc = probe.acc
-    val tick = udf { hot: Boolean => if (hot) acc.add(1L); true }
+    val tick = udf { hot: Boolean => if (hot) acc.add(1L); true }.asNondeterministic()
     df.filter(tick(hotCond))
   }
 
@@ -192,13 +197,13 @@ object Dedup {
                             n: Int, tau: Double): DataFrame = {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    // candDocs is an ids-only frame bounded at 2x the candidate count:
-    // broadcast it so the corpus scan never shuffles. The shingled survivor
-    // sets feed BOTH join sides below, so persist them — unpersisted, the
-    // corpus scan + shingling re-runs twice per action. The a/b joins stay
-    // un-hinted: the set arrays can be wide, and AQE broadcast-converts them
-    // at runtime exactly when they are small enough.
-    val sets = shingleSets(docs.join(broadcast(candDocs), "doc_id"), n)
+    // The shingled survivor sets feed BOTH join sides below, so persist
+    // them — unpersisted, the corpus scan + shingling re-runs twice per
+    // action (the measured r11 win). Every join here stays UN-hinted: AQE
+    // broadcast-converts the candidate-doc id list at runtime exactly when
+    // it is small, and a degenerate corpus (dfCap <= 0, duplicate-heavy)
+    // with an unbounded candidate set never meets a forced broadcast.
+    val sets = shingleSets(docs.join(candDocs, "doc_id"), n)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"), col("n_shingles").as("na"))
     val b = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb"), col("n_shingles").as("nb"))
@@ -659,20 +664,40 @@ object Dedup {
     * one map-side-combined max_by over a unique (quality, -doc_id) key, so
     * ties cannot go nondeterministic. */
   def dedupSurvivorsBy(docs: DataFrame, qualityCol: String,
-                       n: Int = 3, tau: Double = 0.5): DataFrame = {
-    val keyed = docs.select(md5(col("text")).as("k"), col("doc_id"))
-    val gmin = keyed.groupBy("k").agg(min(col("doc_id")).as("g"))
-    val exactEdges = keyed.join(gmin, "k")
-      .filter(col("doc_id") =!= col("g"))
-      .select(col("doc_id").as("doc_a"), col("g").as("doc_b"))
-    val nearEdges = minhashLshPairs(docs, n, tau = tau).select("doc_a", "doc_b")
-    val comp = connectedComponents(exactEdges.union(nearEdges))
+                       n: Int = 3, tau: Double = 0.5): DataFrame =
     docs.select(col("doc_id"), col(qualityCol).as("__q"))
-      .join(comp, Seq("doc_id"), "left")
-      .withColumn("family", coalesce(col("component_id"), col("doc_id")))
+      .join(dedupFamilies(docs, n, tau).select("doc_id", "family"), "doc_id")
       .groupBy("family")
       .agg(max_by(col("doc_id"), struct(col("__q"), (-col("doc_id")))).as("keep_doc_id"),
         count(lit(1)).cast("bigint").as("n_members"))
+
+  /** The union FAMILY GRAPH shared by [[dedupSurvivorsBy]] and
+    * [[graft.operators.TextOps.curationDecisionsFamilies]]: one row per
+    * document with its family id (component min over exact-md5 star edges +
+    * banded near-dup pair edges; untouched docs are their own family) and
+    * `kc`, the size of its exact-duplicate group. Keeper POLICY stays with
+    * the callers; what must never diverge between them — and is therefore
+    * defined once — is this graph (both consumers are oracle-gated on
+    * byte-equivalent family semantics). `bands`/`rowsPerBand` size the LSH
+    * recall to the caller's tau: the default 42x3 scheme is built for the
+    * J >= 0.7 near-dup band (miss ~2e-8); a tau in the 0.4s needs a
+    * shorter-band scheme like 63x2 (miss at J = 0.45: ~7e-7, vs ~2e-2 under
+    * 42x3 — a per-pair coin flip no bitwise gate can ride on). */
+  def dedupFamilies(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
+                    bands: Int = 42, rowsPerBand: Int = 3): DataFrame = {
+    val keyed = docs.select(md5(col("text")).as("k"), col("doc_id"))
+    val groups = keyed.groupBy("k")
+      .agg(min(col("doc_id")).as("g"), count(lit(1)).cast("bigint").as("kc"))
+    val ek = keyed.join(groups, "k")
+    val exactEdges = ek.filter(col("doc_id") =!= col("g"))
+      .select(col("doc_id").as("doc_a"), col("g").as("doc_b"))
+    val nearEdges = minhashLshPairs(docs, n, bands, rowsPerBand, tau)
+      .select("doc_a", "doc_b")
+    val comp = connectedComponents(exactEdges.union(nearEdges))
+    ek.select("doc_id", "kc")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("kc"),
+        coalesce(col("component_id"), col("doc_id")).as("family"))
   }
 
   /** Embedding near-dup pairs via LSH blocking — the 100 TB path for cosine

@@ -543,23 +543,17 @@ object TextOps {
   def curationDecisionsFamilies(docs: DataFrame,
                                 targetLangs: Seq[String] = Seq("en"),
                                 minQuality: Double = 2.0,
-                                n: Int = 3, tau: Double = 0.5): DataFrame = {
-    val keyed = docs.select(md5(col("text")).as("k"), col("doc_id"))
-    val groups = keyed.groupBy("k")
-      .agg(min(col("doc_id")).as("g"), count(lit(1)).cast("bigint").as("kc"))
-    val ek = keyed.join(groups, "k")
-    val exactEdges = ek.filter(col("doc_id") =!= col("g"))
-      .select(col("doc_id").as("doc_a"), col("g").as("doc_b"))
-    val nearEdges = Dedup.minhashLshPairs(docs, n, tau = tau).select("doc_a", "doc_b")
-    val comp = Dedup.connectedComponents(exactEdges.union(nearEdges))
+                                n: Int = 3, tau: Double = 0.5,
+                                bands: Int = 42, rowsPerBand: Int = 3): DataFrame = {
     val perDoc = withQualityCols(withLangScores(withToks(docs)))
       .select("doc_id", "lang_pred", "quality_score")
     val rep = repetitionScore(docs).select("doc_id", "is_repetitive")
-    // referenced by the keeper fold AND the decision join: materialize once
+    // referenced by the keeper fold AND the decision join: materialize once.
+    // The family graph itself is the SHARED Dedup.dedupFamilies — this
+    // operator and dedupSurvivorsBy are both oracle-gated on byte-equivalent
+    // family semantics, so the graph is defined exactly once.
     val fam = perDoc
-      .join(ek.select("doc_id", "kc"), "doc_id")
-      .join(comp, Seq("doc_id"), "left")
-      .withColumn("family", coalesce(col("component_id"), col("doc_id")))
+      .join(Dedup.dedupFamilies(docs, n, tau, bands, rowsPerBand), "doc_id")
       .localCheckpoint(false)
     val keepers = fam.groupBy("family")
       .agg(max_by(col("doc_id"),
@@ -812,7 +806,8 @@ object TextOps {
                        budgetPerSource: Long = 1000L,
                        packBudget: Int = 2048, packShards: Int = 16,
                        nShards: Int = 16,
-                       nearN: Int = 3, nearTau: Double = 0.5): DataFrame = {
+                       nearN: Int = 3, nearTau: Double = 0.5,
+                       nearBands: Int = 42, nearRowsPerBand: Int = 3): DataFrame = {
     val meta = docs.select("doc_id", "source", "lang")
     // 1. line-level boilerplate dedup -> text v1
     val d1 = TextOps.dedupLines(docs, lineMaxDf)
@@ -845,7 +840,8 @@ object TextOps {
     //    dedupSurvivorsBy quality-keeper families fold near-duplicates into
     //    the attribution, so a near-copy that slipped past exact dedup drops
     //    here as 'near_dup' instead of surviving to the budget stage
-    val keep = curationDecisionsFamilies(d3, targetLangs, minQuality, nearN, nearTau)
+    val keep = curationDecisionsFamilies(d3, targetLangs, minQuality, nearN, nearTau,
+        nearBands, nearRowsPerBand)
       .filter(col("keep")).select("doc_id")
     val d4 = d3.join(keep, "doc_id").localCheckpoint(false)
     // 5. per-source token-budget sampling

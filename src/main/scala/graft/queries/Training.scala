@@ -173,12 +173,17 @@ object Training {
     // stage — while trigram overlap stays at J ~ 0.45-0.51): line dedup ->
     // substring excision -> DSIR -> family-level curation decisions ->
     // token budget -> pack -> shuffle shards, one gate
+    // 63x2 banding (not the default 42x3): the chain's tau is 0.4 and the
+    // companion pairs sit at J ~ 0.45-0.51, where the 42x3 scheme misses a
+    // true pair with p ~ 2e-2 per pair — a coin flip no bitwise gate can
+    // ride on; under 63x2 (same 126-hash budget) the miss is ~7e-7
     "text_curation_e2e"      -> ((s, d) => TextOps.curationPipeline(
                                    e2eInput(s, d),
                                    DsirTargetSources, LineMaxDf, SubstrWindow,
                                    DsirBuckets, DsirKeepPct,
                                    budgetPerSource = E2eBudget,
-                                   nearTau = E2eNearTau)),
+                                   nearTau = E2eNearTau,
+                                   nearBands = 63, nearRowsPerBand = 2)),
     "text_shuffle_shards"    -> ((s, d) => TextOps.shuffleShards(Tables.documents(s, d))),
     // the corpus has no newlines, so the gate CONSTRUCTS a 4-line document:
     // two content lines (split of the original text), one per-source
@@ -632,7 +637,7 @@ object Training {
        |xe AS (SELECT doc_id AS doc_a, g AS doc_b FROM ek WHERE doc_id <> g),
        |alledges AS (SELECT doc_a, doc_b FROM pairs
        |  UNION SELECT doc_a, doc_b FROM xe),
-       |edges AS (SELECT doc_a AS a, doc_b AS b FROM alledges
+       |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM alledges
        |  UNION SELECT doc_b, doc_a FROM alledges),
        |reach(a, b) AS (
        |  SELECT a, b FROM edges
@@ -789,7 +794,7 @@ object Training {
        |    FROM npr JOIN nsets2 x ON doc_a = x.doc_id JOIN nsets2 y ON doc_b = y.doc_id)
        |  WHERE jaccard >= $E2eNearTau),
        |nall AS (SELECT doc_a, doc_b FROM npairs UNION SELECT doc_a, doc_b FROM nxe),
-       |nedges AS (SELECT doc_a AS a, doc_b AS b FROM nall
+       |nedges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM nall
        |  UNION SELECT doc_b, doc_a FROM nall),
        |nreach(a, b) AS (
        |  SELECT a, b FROM nedges
@@ -1356,7 +1361,7 @@ object Training {
   private lazy val survivorsSql =
     s"""WITH RECURSIVE $jaccardCtes,
        |pairs AS ($jaccardSelect),
-       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION SELECT doc_b, doc_a FROM pairs),
        |reach(a, b) AS (
        |  SELECT a, b FROM edges
@@ -1385,7 +1390,7 @@ object Training {
        |  JOIN k ON md5(d.text) = k.k WHERE d.doc_id <> k.g),
        |alledges AS (SELECT doc_a, doc_b FROM pairs
        |  UNION SELECT doc_a, doc_b FROM xe),
-       |edges AS (SELECT doc_a AS a, doc_b AS b FROM alledges
+       |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM alledges
        |  UNION SELECT doc_b, doc_a FROM alledges),
        |reach(a, b) AS (
        |  SELECT a, b FROM edges
@@ -1468,7 +1473,7 @@ object Training {
        |pairs AS (SELECT x.vec_id AS pa, y.vec_id AS pb FROM e x JOIN e y
        |  ON x.cell = y.cell AND x.vec_id < y.vec_id
        |  WHERE ((${Portable.dotDuck("x.embedding", "y.embedding")}) / (x.nrm * y.nrm)) >= $CosineTau),
-       |edges AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+       |edges AS MATERIALIZED (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
        |reach(a, b) AS (
        |  SELECT a, b FROM edges
        |  UNION
@@ -1506,7 +1511,7 @@ object Training {
   private val componentsSql =
     s"""WITH RECURSIVE $jaccardCtes,
        |pairs AS ($jaccardSelect),
-       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION SELECT doc_b, doc_a FROM pairs),
        |reach(a, b) AS (
        |  SELECT a, b FROM edges

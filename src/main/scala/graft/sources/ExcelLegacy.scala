@@ -195,7 +195,6 @@ object ExcelLegacy {
     private def ensure(): Unit = {
       while (rec < parts.length && off >= parts(rec).length) { rec += 1; off = 0 }
     }
-    def atBoundary: Boolean = { ensure(); off == 0 && rec > 0 }
     def u8(): Int = { ensure(); val v = parts(rec)(off) & 0xFF; off += 1; v }
     def u16(): Int = u8() | (u8() << 8)
     def u32(): Int = u16() | (u16() << 16)
@@ -214,8 +213,15 @@ object ExcelLegacy {
     }
     def done: Boolean = { ensure(); rec >= parts.length }
 
-    /** One XLUnicodeRichExtendedString: cch chars honoring per-boundary flag
-      * refresh; rich runs / ext blocks skipped. */
+    /** One XLUnicodeRichExtendedString. CONTINUE contract: whenever the
+      * CHARACTER data lands in a record after the one holding the header's
+      * last byte — including the split-exactly-after-header case, where zero
+      * chars precede the boundary — the new record re-emits a flags byte.
+      * Rich-run / ext blocks continue WITHOUT flag bytes (spec), so plain
+      * cross-boundary `bytes` reads them. A character may never split across
+      * records; a record whose remainder cannot hold one full character is
+      * malformed and refuses loudly instead of swallowing the next record's
+      * flags byte as character data. */
     def string(): String = {
       val cch = u16()
       var flags = u8()
@@ -223,15 +229,17 @@ object ExcelLegacy {
       val ext = (flags & 0x04) != 0
       val cRun = if (rich) u16() else 0
       val cbExt = if (ext) u32() else 0
+      var lastRec = rec // record holding the last header byte
       val sb = new StringBuilder(cch)
       var left = cch
       while (left > 0) {
         ensure()
-        if (off == 0 && sb.nonEmpty) flags = u8() // boundary: fresh grbit
+        if (rec != lastRec) { flags = u8(); lastRec = rec }
         val wide = (flags & 0x01) != 0
         val per = if (wide) 2 else 1
         val avail = remainingInRec / per
-        val take = math.max(1, math.min(left, avail))
+        require(avail > 0, "malformed SST: a character split across records")
+        val take = math.min(left, avail)
         val raw = bytes(take * per)
         if (wide) sb.append(new String(raw, java.nio.charset.StandardCharsets.UTF_16LE))
         else raw.foreach(b => sb.append((b & 0xFF).toChar))
@@ -454,6 +462,12 @@ object ExcelLegacy {
     // sectors: [FAT f][dir 1][miniFAT m][data d]; FAT covers all of them
     var f = 1
     while (f * 128 < f + 1 + miniFatSectors + dataSectors) f += 1
+    // the header's 109 DIFAT slots are the only FAT index this writer emits;
+    // a workbook needing more (> ~7 MB stream) would silently produce a file
+    // whose tail sectors no reader can reach — refuse instead
+    require(f <= 109,
+      s"workbook stream needs $f FAT sectors but the header DIFAT holds 109 " +
+        "(~7 MB cap) — export smaller slices or use the xlsx writer")
     val total = f + 1 + miniFatSectors + dataSectors
     val dirSid = f
     val miniFatSid = f + 1

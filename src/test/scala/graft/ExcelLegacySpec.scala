@@ -162,6 +162,38 @@ class ExcelLegacySpec extends AnyFunSuite {
     }
   }
 
+  test("SST split EXACTLY after a string header: CONTINUE flags byte is not eaten as a char") {
+    // real writers split wherever the record fills — including right after
+    // cch+flags with ZERO chars emitted; the continuation still re-emits a
+    // flags byte, which a naive 'have we read chars yet' test swallows
+    def u16b(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def u32b(v: Int) = u16b(v & 0xFFFF) ++ u16b((v >>> 16) & 0xFFFF)
+    def rec(typ: Int, body: Array[Byte]) = u16b(typ) ++ u16b(body.length) ++ body
+    val sstBody = u32b(1) ++ u32b(1) ++ u16b(5) ++ Array[Byte](0) // header only
+    val contBody = Array[Byte](1) ++ // fresh flags: wide
+      "hello".getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+    val bof5 = rec(0x0809, u16b(0x0600) ++ u16b(0x0005) ++ u16b(0) ++ u16b(0) ++ u32b(0) ++ u32b(0))
+    val bof10 = rec(0x0809, u16b(0x0600) ++ u16b(0x0010) ++ u16b(0) ++ u16b(0) ++ u32b(0) ++ u32b(0))
+    val eof = rec(0x000A, Array.emptyByteArray)
+    val sheet = bof10 ++
+      rec(0x00FD, u16b(0) ++ u16b(0) ++ u16b(0) ++ u32b(0)) ++
+      rec(0x0204, u16b(1) ++ u16b(0) ++ u16b(0) ++ u16b(1) ++ Array[Byte](0) ++ "r".getBytes("ISO-8859-1")) ++
+      eof
+    val globalsHead = bof5 ++ rec(0x00FC, sstBody) ++ rec(0x003C, contBody)
+    val globals = globalsHead ++
+      rec(0x0085, u32b(0) ++ u16b(0) ++ Array[Byte](2, 0) ++ "S1".getBytes("ISO-8859-1")) ++ eof
+    val lbOff = globalsHead.length + 4
+    val wb = globals ++ sheet
+    val pos = globals.length
+    wb(lbOff) = (pos & 0xFF).toByte
+    wb(lbOff + 1) = ((pos >> 8) & 0xFF).toByte
+    val path = tmp(".xls")
+    java.nio.file.Files.write(java.nio.file.Path.of(path), ExcelLegacy.cfbContainer(wb))
+    val back = ExcelLegacy.read(spark, path)
+    assert(back.columns.toSeq == Seq("hello"))
+    assert(back.collect().map(_.getString(0)).toSeq == Seq("r"))
+  }
+
   test("SST strings split across CONTINUE records reassemble (LABELSST path)") {
     // build globals with an SST whose single long string splits mid-char
     // stream: SST holds cstTotal/cstUnique + cch/flags + first half of the

@@ -113,11 +113,20 @@ class RecoverySpec extends AnyFunSuite {
     assertThrows[IllegalStateException](JsonRepair.jsonlAtomic(spark, arrays))
   }
 
-  test("legacy .xls fails with a clear unsupported message, not a ZipException") {
-    val path = write("old.xls", new String(Array[Char](0xD0, 0xCF, 0x11, 0xE0)) + "junk")
+  test("non-workbook bytes fail with a clear message, not a ZipException") {
+    // legacy .xls itself is SUPPORTED since r11 (ExcelLegacy); what must
+    // still refuse loudly is a file that is neither zip nor OLE2...
+    val junk = write("old.xls", "MZjunk that is no workbook at all")
     val e = intercept[IllegalArgumentException](
-      graft.sources.Excel.read(spark, path))
-    assert(e.getMessage.contains("convert to .xlsx"))
+      graft.sources.Excel.read(spark, junk))
+    assert(e.getMessage.contains("neither an XLSX"))
+    // ...and an OLE2-magic file whose container is truncated garbage
+    val truncated = java.nio.file.Files.createTempFile("graft-recovery", ".xls")
+    truncated.toFile.deleteOnExit()
+    java.nio.file.Files.write(truncated,
+      Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte) ++
+        Array.fill[Byte](100)(0x42))
+    intercept[Exception](graft.sources.Excel.read(spark, truncated.toString))
   }
 
   test("clean jsonl passes through unchanged") {

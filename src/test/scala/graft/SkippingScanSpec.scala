@@ -52,9 +52,11 @@ class SkippingScanSpec extends AnyFunSuite {
     val scan = SkippingScan.scan(spark, table, "t",
       m => m("cat") == "a", zm, "v", Some(2000L), Some(2099L), bf, "id", points,
       layout.schema)
-    // only candidate files are opened
-    val opened = scan.inputFiles.map(f => new java.net.URI(f).getPath).toSet
-    assert(opened.subsetOf(candidates.toSet) && opened.size < total)
+    // only candidate files are opened (candidates return the manifest's
+    // ORIGINAL strings — compare on the normalized URI path)
+    def norm(s: String) = { val u = new java.net.URI(s); if (u.getScheme != null) u.getPath else s }
+    val opened = scan.inputFiles.map(norm).toSet
+    assert(opened.subsetOf(candidates.map(norm).toSet) && opened.size < total)
     // exactness vs the direct triple-predicate scan
     val got = scan.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
     val want = layout.filter(col("cat") === "a" && col("v").between(2000L, 2099L) &&
