@@ -191,7 +191,20 @@ private[lake] final class LakeFs(root: String) {
   private def conf: Configuration =
     SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
-  val fs: FileSystem = new HPath(root).getFileSystem(conf)
+  // a PRIVATE (non-cached) FileSystem with checksum sidecars OFF: the lake's
+  // metadata files are small parsed text whose integrity the atomic-rename
+  // commit protocol already guarantees (a torn read fails parsing), while
+  // ChecksumFileSystem moves a file and its .crc as TWO renames — racing
+  // CAS committers can strand a LOSER's .crc beside the WINNER's manifest,
+  // a permanent mismatch no retry clears (LakeSpec racing-appender flake).
+  // newInstance (not get) so the cached, checksum-verifying FileSystem every
+  // other reader in the JVM shares is untouched.
+  val fs: FileSystem = {
+    val f = FileSystem.newInstance(new HPath(root).toUri, conf)
+    f.setWriteChecksum(false)
+    f.setVerifyChecksum(false)
+    f
+  }
   private lazy val fc = org.apache.hadoop.fs.FileContext.getFileContext(
     new HPath(root).toUri, conf)
 
@@ -199,8 +212,27 @@ private[lake] final class LakeFs(root: String) {
   def mkdirs(p: String): Unit = fs.mkdirs(new HPath(p))
 
   def readString(p: String): String = {
-    val in = fs.open(new HPath(p))
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    // ChecksumFileSystem (the LocalFS default) renames the data file and its
+    // .crc sidecar as TWO operations, so a reader racing a CAS commit can
+    // see the committed file beside a not-yet-renamed checksum and throw
+    // ChecksumException. The committed file is immutable from the moment its
+    // rename lands, so a short bounded retry reads the settled pair; on
+    // HDFS/object stores the window does not exist and the first attempt
+    // wins. (Surfaced by LakeSpec's racing-appender case, rarely.)
+    var attempt = 0
+    while (true) {
+      try {
+        val in = fs.open(new HPath(p))
+        try return scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          attempt += 1
+          if (attempt >= 20) throw e
+          Thread.sleep(5L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   def writeString(p: String, s: String): Unit = {
@@ -215,19 +247,53 @@ private[lake] final class LakeFs(root: String) {
     fc.rename(new HPath(tmp), new HPath(p), Options.Rename.OVERWRITE)
   }
 
-  /** Compare-and-swap commit primitive: write a temp sibling, then rename to
-    * the destination REFUSING an existing one — the winner of a race creates
-    * the file, every loser gets false. Same protocol as Iceberg's Hadoop
-    * table-operations version-file commit (public design): rename-without-
-    * overwrite is atomic on HDFS/POSIX directories; on a raw local FS the
-    * existence check inside FileContext is check-then-act with a tiny
-    * window, the documented caveat the object-store/HDFS deployment closes. */
+  /** Best-effort [[writeStringAtomic]] for ADVISORY files (the LAST version
+    * hint): FileContext's OVERWRITE rename is delete-then-refusing-rename
+    * on a local FS, so racing hint writers can interleave such that a
+    * loser's rename sees a winner's fresh file and throws — which is fine
+    * for a hint (correctness is max(hint, scan); SOMEONE's fresh hint is in
+    * place). Swallows exactly that race and cleans ONLY ITS OWN temp file —
+    * never a sibling's, whose rename may still be in flight. */
+  def writeHint(p: String, s: String): Unit = {
+    val tmp = s"$p.tmp${System.nanoTime()}-${Thread.currentThread().getId}"
+    try {
+      writeString(tmp, s)
+      fc.rename(new HPath(tmp), new HPath(p), Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException
+           | _: java.nio.file.FileAlreadyExistsException
+           | _: java.io.FileNotFoundException =>
+        try fs.delete(new HPath(tmp), false) catch { case _: Exception => () }
+    }
+  }
+
+  /** Compare-and-swap commit primitive: write a temp sibling, then publish
+    * it to the destination REFUSING an existing one — the winner of a race
+    * creates the file, every loser gets false. Same protocol as Iceberg's
+    * Hadoop table-operations version-file commit (public design).
+    *
+    * On a LOCAL filesystem the publish is `link(2)` (Files.createLink),
+    * the one POSIX primitive whose no-overwrite failure is ATOMIC —
+    * FileContext's Rename.NONE is an existence CHECK over File.renameTo,
+    * which silently REPLACES, so two racing winners could both "succeed"
+    * and one commit's manifest would vanish (LakeSpec's racing-appender
+    * case caught exactly that, ~2% of runs). Non-local schemes keep the
+    * FileContext rename, which HDFS implements atomically server-side. */
   def writeStringIfAbsent(p: String, s: String): Boolean = {
     if (exists(p)) return false
     val tmp = s"$p.tmp${System.nanoTime()}"
     writeString(tmp, s)
-    try { fc.rename(new HPath(tmp), new HPath(p), Options.Rename.NONE); true }
-    catch {
+    val uri = new HPath(p).toUri
+    val local = uri.getScheme == null || uri.getScheme == "file"
+    try {
+      if (local) {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(uri.getPath),
+          java.nio.file.Paths.get(new HPath(tmp).toUri.getPath))
+        fs.delete(new HPath(tmp), false)
+      } else fc.rename(new HPath(tmp), new HPath(p), Options.Rename.NONE)
+      true
+    } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
         fs.delete(new HPath(tmp), false); false
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -311,7 +377,7 @@ class ParquetDirFormat(root: String) extends TableFormat {
     val writer = df.write.mode(SaveMode.Overwrite)
     val parts = partitionSpec(table)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(dir)
-    io.writeStringAtomic(pointer(table), next.toString)
+    io.writeHint(pointer(table), next.toString)
   }
 
   override def create(df: DataFrame, table: String): Unit = {
@@ -485,8 +551,9 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     val body = entries.map { case (id, dirs) => s"$id\t${dirs.mkString(",")}" }
       .mkString("\n")
     if (!io.writeStringIfAbsent(manifestFile(t, next), body)) return false
-    // hint only (see currentVersion) — losers of the hint race are benign
-    io.writeStringAtomic(pointer(t), next.toString)
+    // hint only (see currentVersion) — losers of the hint race are benign,
+    // including FileContext's OVERWRITE-rename TOCTOU under racing winners
+    io.writeHint(pointer(t), next.toString)
     true
   }
 
