@@ -1,0 +1,330 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types._
+
+/** PLANNER-INTEGRATED data skipping: a [[FileIndex]] that consults the
+  * manifest's partition values, the [[ZoneMapIndex]] sidecar, and the
+  * [[BloomIndex]] sidecar from the filters Spark itself pushes down — so a
+  * plain `AutoSkip.read(spark, root, t).filter(...)` prunes files for ANY
+  * predicate, without the caller naming an index (the reference gets this
+  * transparently from its engine: pmgraham/biglake-iceberg-pipeline
+  * terraform/bigquery_tables.tf:97-116 declares Iceberg tables and
+  * tools/quality.py queries never name an index — the engine prunes). The
+  * API-mediated [[SkippingScan]] remains for callers that want the candidate
+  * list itself; this is the path every OTHER query takes.
+  *
+  * How it plugs into Spark: [[read]] returns a DataFrame over a
+  * `HadoopFsRelation` whose location is a [[SidecarFileIndex]]. Catalyst
+  * optimizes the query normally; `FileSourceStrategy` hands the pushed-down
+  * data filters to `FileIndex.listFiles`, which keeps only files whose
+  * sidecar evidence admits a match. The physical plan RETAINS the full
+  * filter, so pruning can only drop files that provably contain no matching
+  * row — correctness never depends on the sidecars, they only shrink I/O.
+  *
+  * Superset guarantee under churn: data files in this lake are IMMUTABLE
+  * (commits add or remove whole files, never rewrite in place), and a file
+  * the sidecars do not cover is kept UNCONDITIONALLY. So a stale sidecar —
+  * mid-refresh, racing an append or compaction, missing entirely, torn —
+  * can only cost extra file opens, never rows. The pruning decision per
+  * file: (no zone evidence OR zone overlaps) AND (no bloom evidence OR
+  * bloom admits).
+  *
+  * 100 TB shape: the pruning decision is file-manifest-sized driver work
+  * (the same budget the scheduler spends listing the table); the zone/
+  * partition bounds are collected once per read handle (files × indexed
+  * columns), and the Bloom membership test runs as one index-sized Spark
+  * job per distinct point-value set, never touching data files. */
+object AutoSkip {
+
+  private def pathOf(s: String): String =
+    try {
+      val u = new java.net.URI(s)
+      if (u.getScheme != null) u.getPath else s
+    } catch { case _: Exception => s }
+
+  private def idxDir(root: String, t: String) = s"$root/$t/idx"
+  private def zoneDir(root: String, t: String) = s"${idxDir(root, t)}/zonemap"
+  private def bloomDir(root: String, t: String, c: String) =
+    s"${idxDir(root, t)}/bloom__$c"
+
+  /** Build (or incrementally refresh) the table's skipping sidecars: a
+    * zone map over `zoneCols` and one Bloom filter per `bloomCols` entry,
+    * stored UNDER the table directory so every later [[read]] finds them
+    * without being told. Refresh is the sidecars' own set algebra — only
+    * files missing from the sidecar are scanned. The swap is
+    * stage-then-rename; a reader racing the swap sees either index
+    * generation or none, and "none" just means no pruning this read. */
+  def index(spark: SparkSession, root: String, t: String,
+            zoneCols: Seq[String], bloomCols: Seq[String] = Seq.empty): Unit = {
+    val table = PartitionedTable.open(root, t)
+    val df = table.read(spark, t)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new HPath(root).getFileSystem(conf)
+
+    def swapIn(build: => DataFrame, dir: String): Unit = {
+      val tmp = s"$dir.tmp${System.nanoTime()}"
+      build.coalesce(1).write.parquet(tmp)
+      fs.delete(new HPath(dir), true)
+      fs.rename(new HPath(tmp), new HPath(dir))
+    }
+
+    if (zoneCols.nonEmpty) {
+      val zd = zoneDir(root, t)
+      swapIn(
+        if (fs.exists(new HPath(zd)))
+          ZoneMapIndex.refresh(df, spark.read.parquet(zd), zoneCols)
+        else ZoneMapIndex.build(df, zoneCols),
+        zd)
+    }
+    bloomCols.foreach { c =>
+      val bd = bloomDir(root, t, c)
+      swapIn(
+        if (fs.exists(new HPath(bd)))
+          BloomIndex.refresh(df, spark.read.parquet(bd), c)
+        else BloomIndex.build(df, c),
+        bd)
+    }
+  }
+
+  /** Open the table for reading THROUGH the sidecars: any filter later
+    * applied to the returned frame prunes files automatically. Missing or
+    * unreadable sidecars degrade to an unpruned (still correct) scan. The
+    * handle snapshots the manifest at call time, like every other read in
+    * this lake. */
+  def read(spark: SparkSession, root: String, t: String): DataFrame = {
+    val table = PartitionedTable.open(root, t)
+    val schema = table.read(spark, t).schema
+    val withId = table.dataFileStatuses(t)
+    val statuses = withId.map(_._2)
+
+    // partition values from the manifest path mapping: exact bounds
+    // (min = max = value) for STRING partition columns; Hive's default-
+    // partition marker means "this column is null here". Non-string
+    // partition columns are skipped (their path rendering is not the
+    // column's value space) — the zone sidecar covers those if indexed.
+    val stringPartCols = table.partitionColumns
+      .filter(c => schema.fields.exists(f => f.name == c && f.dataType == StringType))
+      .toSet
+    val partBounds: Map[String, Map[String, ColZone]] = withId.map { case (id, st) =>
+      val vals = table.idToValues(id)
+      val zones = vals.collect {
+        case (c, raw) if stringPartCols(c) =>
+          if (raw == "__HIVE_DEFAULT_PARTITION__")
+            c -> ColZone(null, null, nulls = 1L, rows = 1L)
+          else {
+            val v = org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+            c -> ColZone(v, v, nulls = 0L, rows = 1L)
+          }
+      }
+      pathOf(st.getPath.toString) -> zones
+    }.toMap
+
+    // existence-gate every sidecar probe (no WARN spam, no analysis cost for
+    // indexes that were never built); a present-but-torn sidecar still
+    // degrades to "no pruning" through the Try
+    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val zones: Map[String, Map[String, ColZone]] =
+      if (!fs.exists(new HPath(zoneDir(root, t)))) Map.empty
+      else scala.util.Try(collectZones(spark, zoneDir(root, t))).getOrElse(Map.empty)
+
+    val blooms: Seq[BloomSidecar] = schema.fields.toSeq
+      .filter(f => bloomSafeType(f.dataType))
+      .filter(f => fs.exists(new HPath(bloomDir(root, t, f.name))))
+      .flatMap { f =>
+        scala.util.Try {
+          val idx = spark.read.parquet(bloomDir(root, t, f.name))
+          val covered = idx.select("file").distinct()
+            .collect().map(r => pathOf(r.getString(0))).toSet
+          BloomSidecar(f.name, f.dataType, idx, covered)
+        }.toOption
+      }
+
+    val fileIndex = new SidecarFileIndex(spark, new HPath(s"$root/$t"),
+      statuses, partBounds, zones, blooms)
+    val relation = HadoopFsRelation(fileIndex, new StructType(), schema, None,
+      new ParquetFileFormat, Map.empty[String, String])(spark)
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relation)
+  }
+
+  /** The [[SidecarFileIndex]] behind a frame [[read]] produced (after any
+    * number of filters/projections) — lets specs assert which files the last
+    * action actually opened via [[SidecarFileIndex.lastKept]]. */
+  private[graft] def fileIndexOf(df: DataFrame): Option[SidecarFileIndex] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: HadoopFsRelation => h.location match {
+            case s: SidecarFileIndex => Some(s)
+            case _ => None
+          }
+          case _ => None
+        }
+    }.flatten
+
+  /** Per-file, per-column pruning evidence in CATALYST-INTERNAL values
+    * (UTF8String for strings, raw primitives elsewhere) so comparisons run
+    * in the column's own type against filter literals directly. A null
+    * min/max with nulls >= rows means "no non-null value in this file". */
+  private[graft] final case class ColZone(min: Any, max: Any, nulls: Long, rows: Long)
+
+  private[graft] final case class BloomSidecar(col: String, dt: DataType,
+                                              index: DataFrame, covered: Set[String])
+
+  /** Types whose JVM toString equals Spark's CAST(x AS STRING) — the
+    * canonical form [[BloomIndex]] hashes. Restricting bloom pruning to
+    * these types is what keeps a rendering mismatch from becoming a false
+    * negative (= lost rows). */
+  private def bloomSafeType(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  private def collectZones(spark: SparkSession,
+                           dir: String): Map[String, Map[String, ColZone]] = {
+    val idx = spark.read.parquet(dir)
+    val cols = idx.schema.fieldNames.filter(_.endsWith("__min")).map(_.dropRight(5))
+    val rowsIdx = idx.schema.fieldIndex("rows")
+    val fileIdx = idx.schema.fieldIndex("file")
+    val colMeta = cols.map { c =>
+      val dt = idx.schema(s"${c}__min").dataType
+      (c, idx.schema.fieldIndex(s"${c}__min"), idx.schema.fieldIndex(s"${c}__max"),
+        idx.schema.fieldIndex(s"${c}__nulls"),
+        CatalystTypeConverters.createToCatalystConverter(dt))
+    }
+    idx.collect().map { r =>
+      val rows = r.getLong(rowsIdx)
+      val zones = colMeta.map { case (c, mi, ma, nu, conv) =>
+        val mn = if (r.isNullAt(mi)) null else conv(r.get(mi))
+        val mx = if (r.isNullAt(ma)) null else conv(r.get(ma))
+        c -> ColZone(mn, mx, r.getLong(nu), rows)
+      }.toMap
+      pathOf(r.getString(fileIdx)) -> zones
+    }.toMap
+  }
+
+  /** The [[FileIndex]] doing the transparent pruning. `partitionSchema` is
+    * empty on purpose: partition columns live IN the data files (the lake
+    * keeps real columns and uses shadow columns for layout), so every
+    * predicate arrives as a data filter and one bounds mechanism covers
+    * partition, zone, and bloom evidence uniformly. */
+  private[graft] final class SidecarFileIndex(
+      spark: SparkSession, root: HPath, allFiles: Seq[FileStatus],
+      partBounds: Map[String, Map[String, ColZone]],
+      zones: Map[String, Map[String, ColZone]],
+      blooms: Seq[BloomSidecar]) extends FileIndex {
+
+    /** Last pruning outcome, for specs asserting which files a query opened. */
+    @volatile var lastKept: Seq[String] = allFiles.map(_.getPath.toString)
+
+    override def rootPaths: Seq[HPath] = Seq(root)
+    override def partitionSchema: StructType = new StructType()
+    override def sizeInBytes: Long = allFiles.map(_.getLen).sum
+    override def inputFiles: Array[String] = allFiles.map(_.getPath.toString).toArray
+    override def refresh(): Unit = () // snapshot handle — reopen via AutoSkip.read
+
+    // one bloom membership job per distinct (column, value-set) per handle
+    private val bloomCache =
+      scala.collection.concurrent.TrieMap.empty[(String, Set[String]), Set[String]]
+
+    override def listFiles(partitionFilters: Seq[Expression],
+                           dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+      val filters = partitionFilters ++ dataFilters
+      val bloomKeeps: Seq[(BloomSidecar, Set[String])] = blooms.flatMap { b =>
+        pointValues(filters, b.col, b.dt).map { vs =>
+          b -> bloomCache.getOrElseUpdate((b.col, vs),
+            BloomIndex.candidateFiles(spark, b.index, vs.toSeq.sorted)
+              .map(pathOf).toSet)
+        }
+      }
+      val kept = allFiles.filter { st =>
+        val key = pathOf(st.getPath.toString)
+        val bounds = partBounds.getOrElse(key, Map.empty) ++
+          zones.getOrElse(key, Map.empty)
+        filters.forall(f => keepByBounds(bounds, f)) &&
+          bloomKeeps.forall { case (b, cand) => !b.covered(key) || cand(key) }
+      }
+      lastKept = kept.map(_.getPath.toString)
+      Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+    }
+
+    /** Conservative zone evaluation: true = the file MIGHT contain a
+      * matching row (keep), false = provably cannot (prune). Unhandled
+      * expression shapes keep the file — pruning is an optimization with a
+      * one-sided error budget. */
+    private def keepByBounds(b: Map[String, ColZone], e: Expression): Boolean = e match {
+      case And(l, r) => keepByBounds(b, l) && keepByBounds(b, r)
+      case Or(l, r) => keepByBounds(b, l) || keepByBounds(b, r)
+      case EqualTo(a: AttributeReference, Literal(v, dt)) => overlaps(b, a, dt, Some(v), Some(v))
+      case EqualTo(Literal(v, dt), a: AttributeReference) => overlaps(b, a, dt, Some(v), Some(v))
+      case EqualNullSafe(a: AttributeReference, Literal(null, _)) => mightBeNull(b, a)
+      case EqualNullSafe(a: AttributeReference, Literal(v, dt)) => overlaps(b, a, dt, Some(v), Some(v))
+      case GreaterThan(a: AttributeReference, Literal(v, dt)) => overlaps(b, a, dt, Some(v), None)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) => overlaps(b, a, dt, Some(v), None)
+      case LessThan(a: AttributeReference, Literal(v, dt)) => overlaps(b, a, dt, None, Some(v))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) => overlaps(b, a, dt, None, Some(v))
+      case GreaterThan(Literal(v, dt), a: AttributeReference) => overlaps(b, a, dt, None, Some(v))
+      case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) => overlaps(b, a, dt, None, Some(v))
+      case LessThan(Literal(v, dt), a: AttributeReference) => overlaps(b, a, dt, Some(v), None)
+      case LessThanOrEqual(Literal(v, dt), a: AttributeReference) => overlaps(b, a, dt, Some(v), None)
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists { case Literal(v, dt) => overlaps(b, a, dt, Some(v), Some(v)) }
+      case InSet(a: AttributeReference, vs) =>
+        vs.exists(v => overlaps(b, a, a.dataType, Some(v), Some(v)))
+      case IsNull(a: AttributeReference) => mightBeNull(b, a)
+      case IsNotNull(a: AttributeReference) =>
+        b.get(a.name).forall(z => z.nulls < z.rows)
+      case _ => true
+    }
+
+    private def mightBeNull(b: Map[String, ColZone], a: AttributeReference): Boolean =
+      b.get(a.name).forall(_.nulls > 0L)
+
+    /** Does the file's [min, max] for `a` overlap [lo, hi]? Literal values
+      * whose type differs from the stored bounds' type keep the file (a
+      * cast the planner inserted that we will not second-guess). A file
+      * with no non-null value for the column cannot match any range. */
+    private def overlaps(b: Map[String, ColZone], a: AttributeReference,
+                         dt: DataType, lo: Option[Any], hi: Option[Any]): Boolean =
+      b.get(a.name) match {
+        case None => true
+        case Some(z) =>
+          if (z.nulls >= z.rows || z.min == null || z.max == null) false
+          else if (dt != a.dataType) true
+          else {
+            val ord = TypeUtils.getInterpretedOrdering(dt)
+            lo.forall(v => v == null || ord.compare(z.max, v) >= 0) &&
+              hi.forall(v => v == null || ord.compare(z.min, v) <= 0)
+          }
+      }
+
+    /** Point values a TOP-LEVEL conjunct pins `c` to, rendered in the
+      * canonical string form the Bloom sidecar hashes; None when no such
+      * conjunct exists (no bloom pruning for this query). */
+    private def pointValues(filters: Seq[Expression], c: String,
+                            dt: DataType): Option[Set[String]] = {
+      def render(v: Any): Option[String] =
+        Option(v).map(x => CatalystTypeConverters.convertToScala(x, dt).toString)
+      val sets = filters.flatMap {
+        case EqualTo(a: AttributeReference, Literal(v, ldt))
+          if a.name == c && ldt == dt => render(v).map(Set(_))
+        case EqualTo(Literal(v, ldt), a: AttributeReference)
+          if a.name == c && ldt == dt => render(v).map(Set(_))
+        case In(a: AttributeReference, vs)
+          if a.name == c && vs.forall { case Literal(_, ldt) => ldt == dt; case _ => false } =>
+          Some(vs.flatMap { case Literal(v, _) => render(v) }.toSet)
+        case InSet(a: AttributeReference, vs) if a.name == c =>
+          Some(vs.flatMap(render).toSet)
+        case _ => None
+      }
+      if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+    }
+  }
+}

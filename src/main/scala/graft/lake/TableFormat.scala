@@ -191,20 +191,19 @@ private[lake] final class LakeFs(root: String) {
   private def conf: Configuration =
     SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
-  // a PRIVATE (non-cached) FileSystem with checksum sidecars OFF: the lake's
-  // metadata files are small parsed text whose integrity the atomic-rename
-  // commit protocol already guarantees (a torn read fails parsing), while
-  // ChecksumFileSystem moves a file and its .crc as TWO renames — racing
-  // CAS committers can strand a LOSER's .crc beside the WINNER's manifest,
-  // a permanent mismatch no retry clears (LakeSpec racing-appender flake).
-  // newInstance (not get) so the cached, checksum-verifying FileSystem every
-  // other reader in the JVM shares is untouched.
-  val fs: FileSystem = {
-    val f = FileSystem.newInstance(new HPath(root).toUri, conf)
-    f.setWriteChecksum(false)
-    f.setVerifyChecksum(false)
-    f
-  }
+  // a PRIVATE (non-Hadoop-cached) FileSystem with checksum sidecars OFF: the
+  // lake's metadata files are small parsed text whose integrity the atomic-
+  // rename commit protocol already guarantees (a torn read fails parsing),
+  // while ChecksumFileSystem moves a file and its .crc as TWO renames —
+  // racing CAS committers can strand a LOSER's .crc beside the WINNER's
+  // manifest, a permanent mismatch no retry clears (LakeSpec racing-appender
+  // flake). newInstance (not get) so the cached, checksum-verifying
+  // FileSystem every other reader in the JVM shares is untouched — but ONE
+  // such instance per scheme/authority for the whole JVM ([[LakeFs.fsFor]]):
+  // a per-LakeFs newInstance is never closed, so every `new PartitionedTable`
+  // (e.g. one per skipping-triad query call) would leak a FileSystem and its
+  // statistics registration for the JVM lifetime.
+  val fs: FileSystem = LakeFs.fsFor(root, conf)
   private lazy val fc = org.apache.hadoop.fs.FileContext.getFileContext(
     new HPath(root).toUri, conf)
 
@@ -324,6 +323,25 @@ private[lake] final class LakeFs(root: String) {
   }
 }
 
+private[lake] object LakeFs {
+  // JVM-wide checksum-disabled FileSystem per scheme/authority (see the
+  // instance comment): bounded by the number of distinct stores a process
+  // talks to, not by how many table handles callers construct.
+  private val instances =
+    scala.collection.concurrent.TrieMap.empty[String, FileSystem]
+
+  private[lake] def fsFor(root: String, conf: Configuration): FileSystem = {
+    val uri = new HPath(root).toUri
+    val key = s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}"
+    instances.getOrElseUpdate(key, {
+      val f = FileSystem.newInstance(uri, conf)
+      f.setWriteChecksum(false)
+      f.setVerifyChecksum(false)
+      f
+    })
+  }
+}
+
 /** Versioned Parquet-directory table: `<root>/<table>/v<N>/` + `LAST` pointer.
   * Readers resolve the pointer then scan one immutable snapshot directory —
   * writers commit by writing v<N+1> fully, then flipping the pointer (atomic
@@ -356,9 +374,22 @@ class ParquetDirFormat(root: String) extends TableFormat {
     commit(df, table)
   }
 
-  private def currentVersion(table: String): Option[Int] =
-    if (io.exists(pointer(table))) Some(io.readString(pointer(table)).trim.toInt)
-    else None
+  /** The LAST pointer is a best-effort HINT ([[LakeFs.writeHint]] swallows
+    * rename races), so a committed version whose hint write lost must still
+    * be visible: resolution takes max(hint, scan) like [[PartitionedTable]].
+    * The scan only counts v<N> directories carrying Spark's _SUCCESS marker —
+    * a writer that died mid-write leaves no marker and stays invisible, so
+    * the "write v<N+1> fully, then publish" protocol is preserved. */
+  private def currentVersion(table: String): Option[Int] = {
+    val hint =
+      if (io.exists(pointer(table)))
+        scala.util.Try(io.readString(pointer(table)).trim.toInt).toOption
+      else None
+    val scanned = io.list(tableDir(table)).map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toInt)
+      .filter(v => io.exists(s"${versionDir(table, v)}/_SUCCESS"))
+    (hint.toSeq ++ scanned).maxOption
+  }
 
   private def versionDir(table: String, v: Int): String =
     s"${tableDir(table)}/v$v"
@@ -498,6 +529,17 @@ class ParquetDirFormat(root: String) extends TableFormat {
   * `__p_`-prefixed duplicate columns keep the real columns in the files), so
   * value escaping always matches what is on disk.
   */
+object PartitionedTable {
+  /** Open an existing table from its recorded PARTITION spec — the handle a
+    * reader constructs without knowing the layout (e.g. [[AutoSkip.read]]). */
+  def open(root: String, t: String): PartitionedTable = {
+    val io = new LakeFs(root)
+    val pf = s"$root/$t/PARTITION"
+    require(io.exists(pf), s"no PARTITION spec at $pf — not a PartitionedTable layout")
+    new PartitionedTable(root, io.readString(pf).trim.split(",").toSeq)
+  }
+}
+
 class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFormat {
   require(partitionCols.nonEmpty, "PartitionedTable needs partition columns")
   private val io = new LakeFs(root)
@@ -671,6 +713,21 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString)
   }
+
+  /** The partition spec this handle was opened with (see
+    * [[PartitionedTable.open]] for recovering it from disk). */
+  def partitionColumns: Seq[String] = partitionCols
+
+  /** (partitionId, FileStatus) for every data file in the current manifest
+    * snapshot — the raw material for a [[AutoSkip.SidecarFileIndex]], which
+    * needs sizes and partition identities, not just paths. Same
+    * manifest-sized listing budget as [[partitionFiles]]. */
+  def dataFileStatuses(t: String): Seq[(String, FileStatus)] =
+    manifest(t).flatMap { case (id, dirs) =>
+      dirs.flatMap(rel => io.listFilesRecursive(s"${dataDir(t)}/$rel"))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(id -> _)
+    }
 
   /** Decode a partition id (`__p_c=v/...`) to column -> raw value. */
   def idToValues(id: String): Map[String, String] =

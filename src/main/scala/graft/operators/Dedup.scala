@@ -96,7 +96,12 @@ object Dedup {
     // filter, so the tick is pinned upstream of the drop.
     val acc = probe.acc
     val tick = udf { hot: Boolean => if (hot) acc.add(1L); true }.asNondeterministic()
-    df.filter(tick(hotCond))
+    // coalesce is LOAD-BEARING: the UDF takes a primitive Boolean, so a NULL
+    // hotCond would make Spark skip the call and yield NULL — and the filter
+    // would then silently DROP that row from the DATA path, turning an
+    // observation-only guard into a correctness hazard. A null condition
+    // must tick nothing but keep the row.
+    df.filter(tick(coalesce(hotCond, lit(false))))
   }
 
   private[graft] final class TrimProbe(val acc: org.apache.spark.util.LongAccumulator,
@@ -694,9 +699,16 @@ object Dedup {
     val nearEdges = minhashLshPairs(docs, n, bands, rowsPerBand, tau)
       .select("doc_a", "doc_b")
     val comp = connectedComponents(exactEdges.union(nearEdges))
-    ek.select("doc_id", "kc")
+    // base the final map on DOCS, not on the md5-keyed join: a NULL text
+    // yields a NULL key that never matches the "k" equi-join, so such docs
+    // would silently vanish from the family map (and from every consumer —
+    // survivors, curation decisions — that owes EVERY doc a row). A null-text
+    // doc is its own family of size 1: null texts are not comparable, so
+    // they are neither exact nor near duplicates of anything.
+    docs.select("doc_id")
+      .join(ek.select("doc_id", "kc"), Seq("doc_id"), "left")
       .join(comp, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("kc"),
+      .select(col("doc_id"), coalesce(col("kc"), lit(1L)).as("kc"),
         coalesce(col("component_id"), col("doc_id")).as("family"))
   }
 

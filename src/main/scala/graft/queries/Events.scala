@@ -463,8 +463,8 @@ object Events {
     * same three predicates straight off the events table — pruning must be
     * invisible: no lost stripe-edge rows, no double-counted files. */
   private val triadRoots = new graft.core.BoundedCache[String, String]()
-  def skippingTriad(spark: SparkSession, dir: String): DataFrame = {
-    val root = triadRoots.getOrElseUpdate(dir) {
+  private def triadRoot(spark: SparkSession, dir: String): String =
+    triadRoots.getOrElseUpdate(dir) {
       val r = java.nio.file.Files.createTempDirectory("graft_triad_").toString
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         import java.nio.file.{Files, Path}
@@ -482,8 +482,13 @@ object Events {
         .repartition(1).write.parquet(s"$r/events_t__zonemap")
       graft.lake.BloomIndex.build(layout, "user_id")
         .repartition(1).write.parquet(s"$r/events_t__bloom")
+      // table-attached sidecars for the PLANNER-integrated path
+      // ([[autoSkipRead]]) — same layout, engine-transparent pruning
+      graft.lake.AutoSkip.index(spark, r, "events_t", Seq("value"), Seq("user_id"))
       r
     }
+  def skippingTriad(spark: SparkSession, dir: String): DataFrame = {
+    val root = triadRoot(spark, dir)
     val table = new graft.lake.PartitionedTable(root, Seq("event_type"))
     val layout = table.read(spark, "events_t")
     val zm = spark.read.parquet(s"$root/events_t__zonemap")
@@ -492,6 +497,27 @@ object Events {
         m => m("event_type") == "purchase" || m("event_type") == "view",
         zm, "value", Some(50.0), Some(400.0),
         bf, "user_id", TriadUsers.map(_.asInstanceOf[Any]), layout.schema)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+  }
+
+  /** The SAME triad predicates as [[skippingTriad]], but as a PLAIN
+    * `read(...).filter(...)` — no index is named anywhere in the query. The
+    * [[graft.lake.AutoSkip]] FileIndex consults the manifest's partition
+    * values, the zone-map sidecar, and the Bloom sidecar from the filters
+    * Catalyst pushes down, so pruning is the ENGINE's job (the reference's
+    * model: terraform/bigquery_tables.tf:97-116 declares the layout and
+    * BigQuery prunes server-side; queries never change). The oracle is
+    * identical to the triad gate's — pruning must be invisible. */
+  def autoSkipRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = triadRoot(spark, dir)
+    graft.lake.AutoSkip.read(spark, root, "events_t")
+      .filter(col("event_type").isin("purchase", "view") &&
+        col("value") >= 50.0 && col("value") <= 400.0 &&
+        col("user_id").isin(TriadUsers: _*))
       .groupBy("event_type", "user_id")
       .agg(count(lit(1)).cast("bigint").as("n_events"),
         dsum(col("value")).as("sum_value"),
@@ -604,6 +630,7 @@ object Events {
     "events_zonemap_range" -> (zonemapRange _),
     "events_keyrange_join" -> (keyRangeJoin _),
     "events_skipping_triad" -> (skippingTriad _),
+    "events_autoskip_read" -> (autoSkipRead _),
     "events_topk_per_user" -> (topKPerUser _),
     "events_cube_rollup"   -> (cubeRollup _),
     "events_pivot_daily"   -> (pivotDaily _),
@@ -706,6 +733,16 @@ object Events {
         |FROM events e JOIN coh USING (user_id)
         |GROUP BY 1""".stripMargin,
     "events_skipping_triad" -> {
+      val users = (1L to 25L).mkString(", ")
+      s"""SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |  MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+         |FROM events
+         |WHERE event_type IN ('purchase', 'view')
+         |  AND value >= 50.0 AND value <= 400.0 AND user_id IN ($users)
+         |GROUP BY 1, 2""".stripMargin
+    },
+    "events_autoskip_read" -> {
       val users = (1L to 25L).mkString(", ")
       s"""SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

@@ -363,7 +363,14 @@ object ExcelLegacy {
     if (cells.isEmpty) Seq.empty
     else {
       val maxRow = cells.keys.map(_._1).max
-      (0 to maxRow).map(r => cells.collect { case ((`r`, c), v) => c -> v }.toMap)
+      // group the cell map by row ONCE so assembly is O(cells + rows): a
+      // per-row cells.collect rescan is O(rows × cells) — ~10^9 traversals
+      // on a full 65k-row BIFF8 sheet, minutes of driver time for a read
+      // that should take seconds.
+      val byRow = cells.groupBy(_._1._1)
+      (0 to maxRow).map(r =>
+        byRow.get(r).fold(Map.empty[Int, String])(
+          _.map { case ((_, c), v) => c -> v }.toMap))
     }
   }
 

@@ -1,0 +1,161 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import graft.lake.{AutoSkip, PartitionedTable}
+
+/** Planner-integrated skipping pins: a PLAIN `AutoSkip.read(...).filter(...)`
+  * must (a) return exactly what an unpruned scan returns for every predicate
+  * shape, and (b) demonstrably open only sidecar-admitted files — without the
+  * query naming any index. Staleness cases pin the superset guarantee: files
+  * the sidecars don't cover are never pruned. */
+class AutoSkipSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tempDir(): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_autoskip_").toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      val p = Path.of(root)
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(q => Files.deleteIfExists(q))
+    }))
+    root
+  }
+
+  /** cat in {a, b} partitions; v clustered into 4 stripes of 100 per cat;
+    * id high-cardinality, scattered per stripe — the triad's shape. */
+  private def build(indexed: Boolean = true): (String, PartitionedTable) = {
+    import spark.implicits._
+    val root = tempDir()
+    val rows = for {
+      cat <- Seq("a", "b"); k <- 0 until 4; i <- 0 until 100
+    } yield (cat, 1000L * k + i, s"id_${cat}_${1000L * k + i}")
+    val src = rows.toDF("cat", "v", "id")
+      .repartitionByRange(8, col("cat"), col("v"))
+    val table = new PartitionedTable(root, Seq("cat"))
+    table.create(src, "t")
+    if (indexed) AutoSkip.index(spark, root, "t", Seq("v"), Seq("id"))
+    (root, table)
+  }
+
+  private def keptOf(df: DataFrame): Seq[String] =
+    AutoSkip.fileIndexOf(df).get.lastKept
+
+  private def assertSameRows(pruned: DataFrame, plain: DataFrame): Unit = {
+    val a = pruned.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val b = plain.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("plain filtered read prunes through partition + zone + bloom, exact result") {
+    val (root, table) = build()
+    val plain = table.read(spark, "t")
+    val total = plain.inputFiles.length
+    val pred = (d: DataFrame) => d.filter(
+      col("cat") === "a" && col("v") >= 2000L && col("v") <= 2099L &&
+        col("id").isin("id_a_2010", "id_a_2020"))
+    val pruned = pred(AutoSkip.read(spark, root, "t"))
+    assertSameRows(pruned, pred(plain))
+    val kept = keptOf(pruned)
+    assert(kept.nonEmpty && kept.size < total,
+      s"must skip files: kept ${kept.size} of $total")
+    // every kept file is in cat=a (partition pruning visibly engaged)
+    assert(kept.forall(_.contains("cat=a")), kept.mkString("\n"))
+  }
+
+  test("InSet path (many-value IN) still prunes and matches") {
+    val (root, table) = build()
+    val plain = table.read(spark, "t")
+    val ids = (0 until 15).map(i => s"id_b_${3000 + i}") // > inSetConversionThreshold
+    val pred = (d: DataFrame) => d.filter(col("id").isin(ids: _*))
+    val pruned = pred(AutoSkip.read(spark, root, "t"))
+    assertSameRows(pruned, pred(plain))
+    assert(keptOf(pruned).size < plain.inputFiles.length)
+  }
+
+  test("range-only predicate prunes by zone map alone") {
+    val (root, table) = build()
+    val plain = table.read(spark, "t")
+    val pred = (d: DataFrame) => d.filter(col("v") > 2999L && col("v") < 3050L)
+    val pruned = pred(AutoSkip.read(spark, root, "t"))
+    assertSameRows(pruned, pred(plain))
+    assert(keptOf(pruned).size < plain.inputFiles.length)
+  }
+
+  test("OR of two handled predicates keeps the union, never loses rows") {
+    val (root, table) = build()
+    val plain = table.read(spark, "t")
+    val pred = (d: DataFrame) =>
+      d.filter(col("v") <= 5L || col("v") >= 3095L)
+    val pruned = pred(AutoSkip.read(spark, root, "t"))
+    assertSameRows(pruned, pred(plain))
+  }
+
+  test("predicate matching nothing opens zero files") {
+    val (root, _) = build()
+    val pruned = AutoSkip.read(spark, root, "t")
+      .filter(col("v") >= 100000L)
+    assert(pruned.count() == 0L)
+    assert(keptOf(pruned).isEmpty)
+  }
+
+  test("unindexed table reads correct and unpruned (sidecars advisory)") {
+    val (root, table) = build(indexed = false)
+    val plain = table.read(spark, "t")
+    val pred = (d: DataFrame) => d.filter(col("v") >= 2000L && col("v") <= 2099L)
+    val pruned = pred(AutoSkip.read(spark, root, "t"))
+    assertSameRows(pruned, pred(plain))
+  }
+
+  test("stale sidecar after append: new files kept unconditionally (superset)") {
+    import spark.implicits._
+    val (root, table) = build()
+    // append rows the sidecars have never seen, with values that WOULD be
+    // pruned if the sidecar (wrongly) claimed to cover the new files
+    table.append(Seq(("a", 2050L, "id_new_1"), ("b", 2051L, "id_new_2"))
+      .toDF("cat", "v", "id"), "t")
+    val plain = table.read(spark, "t")
+    val pred = (d: DataFrame) => d.filter(
+      col("v") >= 2000L && col("v") <= 2099L && col("id").isin("id_new_1", "id_a_2010"))
+    val pruned = pred(AutoSkip.read(spark, root, "t"))
+    assertSameRows(pruned, pred(plain))
+    assert(pruned.count() == 2L)
+    // refresh folds the appended files in; pruning tightens, result unchanged
+    AutoSkip.index(spark, root, "t", Seq("v"), Seq("id"))
+    val again = pred(AutoSkip.read(spark, root, "t"))
+    assertSameRows(again, pred(plain))
+  }
+
+  test("null-safe: IsNull finds the default-partition rows, IsNotNull prunes them") {
+    import spark.implicits._
+    val root = tempDir()
+    val table = new PartitionedTable(root, Seq("cat"))
+    table.create(Seq((Option("a"), 1L), (Option("a"), 2L), (None, 3L))
+      .toDF("cat", "v"), "t")
+    val plain = table.read(spark, "t")
+    val isNull = AutoSkip.read(spark, root, "t").filter(col("cat").isNull)
+    assertSameRows(isNull, plain.filter(col("cat").isNull))
+    assert(isNull.count() == 1L)
+    val eq = AutoSkip.read(spark, root, "t").filter(col("cat") === "a")
+    assertSameRows(eq, plain.filter(col("cat") === "a"))
+    assert(keptOf(eq).forall(!_.contains("__HIVE_DEFAULT_PARTITION__")))
+  }
+
+  test("projection-only read (no filter) returns everything") {
+    val (root, table) = build()
+    val pruned = AutoSkip.read(spark, root, "t").select("id")
+    assert(pruned.count() == table.read(spark, "t").count())
+  }
+
+  test("unhandled predicate shapes keep all candidate rows (conservative)") {
+    val (root, table) = build()
+    val plain = table.read(spark, "t")
+    // endswith is not a bounds-expressible shape; must not prune wrongly
+    val pred = (d: DataFrame) => d.filter(col("id").endsWith("_2010") && col("v") >= 2000L)
+    val pruned = pred(AutoSkip.read(spark, root, "t"))
+    assertSameRows(pruned, pred(plain))
+  }
+}
