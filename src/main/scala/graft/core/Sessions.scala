@@ -12,6 +12,57 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
+  // Hold strong references to recent queries' METRIC ACCUMULATORS: Spark
+  // registers them WEAKLY (AccumulatorContext), so when a query's Dataset
+  // goes out of scope while an orphaned side job it spawned (an
+  // AQE-abandoned broadcast/subquery stage) is still finishing, a GC can
+  // collect the metrics and every late task completion then logs an
+  // ERROR-level DAGScheduler stack per accumulator ("Failed to update
+  // accumulator ... non-existent") — benign, but noise that would mask a
+  // real scheduler failure (93 stacks in the r12 full-test log). Pinning
+  // keeps the accumulators alive across the straggler window. Deliberately
+  // NOT the whole QueryExecution: that would also pin the plan's
+  // localCheckpointed RDDs and the ContextCleaner could never drain their
+  // storage blocks (measured — ScaleSpec's 25x-repeat leak case fails).
+  private val recentMetrics =
+    new java.util.concurrent.ConcurrentLinkedDeque[Seq[AnyRef]]()
+  private val pinnedSessions = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  private def metricsOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[AnyRef] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val buf = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      buf ++= n.metrics.values
+      n match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(r.child)
+        case _ =>
+      }
+      n.children.foreach(walk)
+      n.subqueries.foreach(walk)
+    }
+    walk(p)
+    buf.toSeq
+  }
+
+  private def pinExecutions(spark: SparkSession): Unit =
+    pinnedSessions.synchronized {
+      if (pinnedSessions.add(spark))
+        spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+          private def keep(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+            val ms = scala.util.Try(metricsOf(qe.executedPlan)).getOrElse(Seq.empty)
+            recentMetrics.addLast(ms)
+            while (recentMetrics.size > 256) recentMetrics.pollFirst()
+          }
+          override def onSuccess(fn: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit = keep(qe)
+          override def onFailure(fn: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = keep(qe)
+        })
+    }
+
   /** Local session for tests and ad-hoc runs. */
   def local(cores: Int = 4, appName: String = "graft"): SparkSession = {
     val spark = SparkSession
@@ -21,10 +72,19 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // interrupt tasks of CANCELLED jobs (unneeded broadcast stages, take/
+      // isEmpty leftovers) instead of letting them run to completion: a
+      // straggler that completes after its query's metric accumulators are
+      // GC'd makes the DAGScheduler log an ERROR stack per accumulator
+      // ("Failed to update accumulator ... non-existent") — benign, but
+      // ERROR-level noise that would mask a real scheduler failure. Killed
+      // tasks never report accumulators, so the noise class is closed.
+      .config("spark.sql.execution.interruptOnCancel", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    pinExecutions(spark)
     spark
   }
 

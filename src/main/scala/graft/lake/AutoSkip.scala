@@ -49,48 +49,59 @@ object AutoSkip {
       if (u.getScheme != null) u.getPath else s
     } catch { case _: Exception => s }
 
-  private def idxDir(root: String, t: String) = s"$root/$t/idx"
-  private def zoneDir(root: String, t: String) = s"${idxDir(root, t)}/zonemap"
-  private def bloomDir(root: String, t: String, c: String) =
-    s"${idxDir(root, t)}/bloom__$c"
+  private def idxLake(root: String, t: String) =
+    new ParquetDirFormat(s"$root/$t/idx")
+  private def bloomTable(c: String) = s"bloom__$c"
 
-  /** Build (or incrementally refresh) the table's skipping sidecars: a
-    * zone map over `zoneCols` and one Bloom filter per `bloomCols` entry,
-    * stored UNDER the table directory so every later [[read]] finds them
-    * without being told. Refresh is the sidecars' own set algebra — only
-    * files missing from the sidecar are scanned. The swap is
-    * stage-then-rename; a reader racing the swap sees either index
-    * generation or none, and "none" just means no pruning this read. */
+  // serialize in-process refreshers per table: two concurrent index() calls
+  // racing the SAME next version of the sidecar lake could tear each other's
+  // snapshot write (ParquetDirFormat is single-writer; the DATA lake's CAS
+  // protocol is PartitionedTable's). Cross-process races stay benign — a
+  // torn generation reads as "no sidecar" and costs pruning, never rows.
+  private val refreshLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Build (or incrementally refresh) the table's skipping sidecars: a zone
+    * map over `zoneCols` and one Bloom filter per `bloomCols` entry, stored
+    * as VERSIONED [[ParquetDirFormat]] tables under the table directory so
+    * every later [[read]] finds them without being told. Refresh is the
+    * sidecars' own set algebra — only files missing from the sidecar are
+    * scanned. Each refresh commits a NEW immutable snapshot and old
+    * generations are retained (see [[expireIndexGenerations]]), so a read
+    * handle opened against any committed generation stays stable under
+    * concurrent refreshes — the superset guarantee needs no coordination. */
   def index(spark: SparkSession, root: String, t: String,
-            zoneCols: Seq[String], bloomCols: Seq[String] = Seq.empty): Unit = {
-    val table = PartitionedTable.open(root, t)
-    val df = table.read(spark, t)
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = new HPath(root).getFileSystem(conf)
-
-    def swapIn(build: => DataFrame, dir: String): Unit = {
-      val tmp = s"$dir.tmp${System.nanoTime()}"
-      build.coalesce(1).write.parquet(tmp)
-      fs.delete(new HPath(dir), true)
-      fs.rename(new HPath(tmp), new HPath(dir))
-    }
-
-    if (zoneCols.nonEmpty) {
-      val zd = zoneDir(root, t)
-      swapIn(
-        if (fs.exists(new HPath(zd)))
-          ZoneMapIndex.refresh(df, spark.read.parquet(zd), zoneCols)
+            zoneCols: Seq[String], bloomCols: Seq[String] = Seq.empty): Unit =
+    refreshLocks.getOrElseUpdate(s"$root/$t", new Object).synchronized {
+      val table = PartitionedTable.open(root, t)
+      val df = table.read(spark, t)
+      val lake = idxLake(root, t)
+      def put(build: => DataFrame, name: String): Unit = {
+        val snap = build.coalesce(1)
+        if (lake.exists(name)) lake.overwrite(snap, name)
+        else lake.create(snap, name)
+      }
+      if (zoneCols.nonEmpty) put(
+        if (lake.exists("zonemap"))
+          ZoneMapIndex.refresh(df, lake.read(spark, "zonemap"), zoneCols)
         else ZoneMapIndex.build(df, zoneCols),
-        zd)
+        "zonemap")
+      bloomCols.foreach { c =>
+        put(
+          if (lake.exists(bloomTable(c)))
+            BloomIndex.refresh(df, lake.read(spark, bloomTable(c)), c)
+          else BloomIndex.build(df, c),
+          bloomTable(c))
+      }
     }
-    bloomCols.foreach { c =>
-      val bd = bloomDir(root, t, c)
-      swapIn(
-        if (fs.exists(new HPath(bd)))
-          BloomIndex.refresh(df, spark.read.parquet(bd), c)
-        else BloomIndex.build(df, c),
-        bd)
-    }
+
+  /** Maintenance: drop superseded sidecar generations (each [[index]] call
+    * retains its predecessors so in-flight read handles never lose their
+    * snapshot). Schedule like any snapshot expiration — not per refresh. */
+  def expireIndexGenerations(root: String, t: String): Unit = {
+    val lake = idxLake(root, t)
+    (Seq("zonemap") ++ lake.tables().filter(_.startsWith("bloom__")))
+      .filter(lake.exists).foreach(lake.expireSnapshots)
   }
 
   /** Open the table for reading THROUGH the sidecars: any filter later
@@ -126,20 +137,22 @@ object AutoSkip {
       pathOf(st.getPath.toString) -> zones
     }.toMap
 
-    // existence-gate every sidecar probe (no WARN spam, no analysis cost for
-    // indexes that were never built); a present-but-torn sidecar still
-    // degrades to "no pruning" through the Try
-    val fs = new HPath(root).getFileSystem(spark.sessionState.newHadoopConf())
+    // sidecars resolve through the VERSIONED index lake: the handle pins one
+    // committed immutable generation, so concurrent refreshes can never tear
+    // a query mid-flight. Existence-gated (no probe cost for indexes never
+    // built); a torn/unreadable sidecar degrades to "no pruning" via the Try.
+    val lake = idxLake(root, t)
     val zones: Map[String, Map[String, ColZone]] =
-      if (!fs.exists(new HPath(zoneDir(root, t)))) Map.empty
-      else scala.util.Try(collectZones(spark, zoneDir(root, t))).getOrElse(Map.empty)
+      if (!lake.exists("zonemap")) Map.empty
+      else scala.util.Try(collectZones(lake.read(spark, "zonemap")))
+        .getOrElse(Map.empty)
 
     val blooms: Seq[BloomSidecar] = schema.fields.toSeq
       .filter(f => bloomSafeType(f.dataType))
-      .filter(f => fs.exists(new HPath(bloomDir(root, t, f.name))))
+      .filter(f => scala.util.Try(lake.exists(bloomTable(f.name))).getOrElse(false))
       .flatMap { f =>
         scala.util.Try {
-          val idx = spark.read.parquet(bloomDir(root, t, f.name))
+          val idx = lake.read(spark, bloomTable(f.name))
           val covered = idx.select("file").distinct()
             .collect().map(r => pathOf(r.getString(0))).toSet
           BloomSidecar(f.name, f.dataType, idx, covered)
@@ -187,9 +200,7 @@ object AutoSkip {
     case _ => false
   }
 
-  private def collectZones(spark: SparkSession,
-                           dir: String): Map[String, Map[String, ColZone]] = {
-    val idx = spark.read.parquet(dir)
+  private def collectZones(idx: DataFrame): Map[String, Map[String, ColZone]] = {
     val cols = idx.schema.fieldNames.filter(_.endsWith("__min")).map(_.dropRight(5))
     val rowsIdx = idx.schema.fieldIndex("rows")
     val fileIdx = idx.schema.fieldIndex("file")

@@ -458,6 +458,12 @@ class ParquetDirFormat(root: String) extends TableFormat {
     commit(df.repartition(nFiles), table)
   }
 
+  /** Names of all tables under this root (directories with a LAST pointer
+    * or at least one committed version). Listing-sized driver work. */
+  def tables(): Seq[String] =
+    io.list(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(exists).sorted
+
   /** All snapshot versions currently on disk (oldest first). */
   def versions(table: String): Seq[Int] =
     io.list(tableDir(table)).map(_.getPath.getName)

@@ -77,17 +77,31 @@ object Dedup {
     * COLLISION-SIZED frame (buckets with >= 2 members), never a corpus scan.
     * Retried/speculative tasks can double-count — the warn is qualitative
     * (nonzero means trimmed), so over-counting is harmless. The probe
-    * registry is size-capped; evicting a probe only stops FUTURE re-warns
-    * for frames that a long-lived session re-executes. */
+    * registry is keyed by call signature and bounded by the static set of
+    * call sites; only dead contexts' entries are ever evicted, so a late
+    * task update always finds its accumulator registered (no DAGScheduler
+    * "non-existent accumulator" ERROR spam). */
   private[operators] def observeTrim(df: DataFrame, op: String, dfCap: Int,
                                      noun: String, hotCond: Column): DataFrame = {
     val sc = df.sparkSession.sparkContext
     registerTrimListener(sc)
-    val probe = new TrimProbe(
-      sc.longAccumulator(s"graft_trim: $op hot ${noun}s (dfCap=$dfCap)"),
-      op, dfCap, noun)
-    trimProbes.addLast(probe)
-    while (trimProbes.size > TrimProbeCap) trimProbes.pollFirst()
+    // ONE accumulator per (context, call signature), held STRONGLY for the
+    // context's lifetime and REUSED across calls (its value is cumulative;
+    // the probe's `logged` watermark makes the warn fire on growth). The old
+    // per-call probes were deque-evicted and GC'd while straggler tasks of
+    // cancelled/short-circuited jobs were still reporting, and every late
+    // update against a dropped accumulator logs an ERROR-level DAGScheduler
+    // stack ("Failed to update accumulator ... non-existent") — noise that
+    // would one day mask a real scheduler failure. The registry is bounded
+    // by construction (call signatures are a static handful); entries of
+    // DEAD contexts — which can no longer receive updates — are dropped
+    // when a new context pushes the registry over the cap.
+    val key = (sc.applicationId, op, dfCap, noun)
+    val probe = trimProbes.getOrElseUpdate(key,
+      new TrimProbe(sc.longAccumulator(s"graft_trim: $op hot ${noun}s (dfCap=$dfCap)"),
+        op, dfCap, noun))
+    if (trimProbes.size > TrimProbeCap)
+      trimProbes.keys.filter(_._1 != sc.applicationId).foreach(trimProbes.remove)
     // close over the accumulator alone — the probe itself stays driver-side.
     // asNondeterministic is LOAD-BEARING, not cosmetic: a deterministic
     // predicate may be reordered/combined with the caller's later
@@ -108,8 +122,13 @@ object Dedup {
                                        val op: String, val dfCap: Int, val noun: String) {
     @volatile var logged: Long = 0L
   }
-  // private[graft] so specs can assert a hot corpus actually reports
-  private[graft] val trimProbes = new java.util.concurrent.ConcurrentLinkedDeque[TrimProbe]()
+  // keyed by (applicationId, op, dfCap, noun); private[graft] so specs can
+  // assert a hot corpus actually reports
+  private[graft] val trimProbes =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int, String), TrimProbe]
+  private[graft] def trimProbeFor(sc: org.apache.spark.SparkContext, op: String,
+                                  dfCap: Int, noun: String): Option[TrimProbe] =
+    trimProbes.get((sc.applicationId, op, dfCap, noun))
   private val TrimProbeCap = 256
   private val trimListenerCtxs = java.util.Collections.newSetFromMap(
     new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
@@ -119,7 +138,7 @@ object Dedup {
       if (trimListenerCtxs.add(sc))
         sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
-            trimProbes.forEach { p =>
+            trimProbes.values.foreach { p =>
               val v = p.acc.value
               if (v > p.logged) { trimWarning(p.op, v, p.dfCap, p.noun); p.logged = v }
             }
@@ -523,13 +542,47 @@ object Dedup {
     * `maxIter`). For unbounded-diameter graphs use
     * [[connectedComponentsStars]] (O(log diameter) rounds).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+                          driverEdgeCap: Long = 1L << 20): DataFrame = {
     // localCheckpoint, NOT persist: caching truncates COMPUTE but not the
     // LOGICAL plan, so every round would re-analyze the whole nested lineage
     // (including the expensive pair-generation plan) and per-round planning
     // time compounds. Checkpointing gives each round an O(1) plan. On a
     // cluster with executor loss, swap for reliable checkpoint(dir).
     val edges0 = pairs.select("doc_a", "doc_b").localCheckpoint(true)
+    // Size-gated regime switch (same pattern as dedupLines' broadcast
+    // regime): a near-dup graph is PAIR-sized, not corpus-sized — after
+    // exact dedup it is usually a small fraction of documents — so when the
+    // materialized edge list fits a driver budget (cap ~1M edges ≈ 16 MB,
+    // the broadcast-threshold class), fold it with union-find in one pass
+    // instead of paying the iterative path's per-round shuffle + scheduling
+    // floor (2-3 s/run at gate scale, O(diameter) rounds always). Identical
+    // output by construction: linking larger root -> smaller root keeps
+    // every root the component MINIMUM, the distributed contract. The
+    // distributed path remains for graphs past the cap — the count below is
+    // free (the edge list is already checkpoint-materialized).
+    if (edges0.schema.fields.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType) &&
+        edges0.count() <= driverEdgeCap) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges0.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return parent.keys.toSeq.sorted.map(k => (k, find(k)))
+        .toDF("doc_id", "component_id")
+    }
     val edges = edges0
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -691,24 +744,25 @@ object Dedup {
   def dedupFamilies(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
                     bands: Int = 42, rowsPerBand: Int = 3): DataFrame = {
     val keyed = docs.select(md5(col("text")).as("k"), col("doc_id"))
-    val groups = keyed.groupBy("k")
+    // a NULL text yields a NULL key, which an inner equi-join would DROP —
+    // and with it the doc's row in every consumer (survivors, curation
+    // decisions) that owes EVERY doc a decision. Null texts are not
+    // comparable, so such a doc is its own family of size 1: groups are
+    // built over non-null keys only and keyed LEFT-joins them, null-key rows
+    // coalescing to (own id, kc = 1).
+    val groups = keyed.filter(col("k").isNotNull).groupBy("k")
       .agg(min(col("doc_id")).as("g"), count(lit(1)).cast("bigint").as("kc"))
-    val ek = keyed.join(groups, "k")
+    val ek = keyed.join(groups, Seq("k"), "left")
+      .select(col("doc_id"), coalesce(col("g"), col("doc_id")).as("g"),
+        coalesce(col("kc"), lit(1L)).as("kc"))
     val exactEdges = ek.filter(col("doc_id") =!= col("g"))
       .select(col("doc_id").as("doc_a"), col("g").as("doc_b"))
     val nearEdges = minhashLshPairs(docs, n, bands, rowsPerBand, tau)
       .select("doc_a", "doc_b")
     val comp = connectedComponents(exactEdges.union(nearEdges))
-    // base the final map on DOCS, not on the md5-keyed join: a NULL text
-    // yields a NULL key that never matches the "k" equi-join, so such docs
-    // would silently vanish from the family map (and from every consumer —
-    // survivors, curation decisions — that owes EVERY doc a row). A null-text
-    // doc is its own family of size 1: null texts are not comparable, so
-    // they are neither exact nor near duplicates of anything.
-    docs.select("doc_id")
-      .join(ek.select("doc_id", "kc"), Seq("doc_id"), "left")
+    ek.select("doc_id", "kc")
       .join(comp, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("kc"), lit(1L)).as("kc"),
+      .select(col("doc_id"), col("kc"),
         coalesce(col("component_id"), col("doc_id")).as("family"))
   }
 
@@ -825,11 +879,17 @@ object Dedup {
     * span merging is a per-document window function (doc-bounded state); the
     * excision is an in-place array filter against each doc's own span list.
     * Nothing is ever quadratic in corpus size. */
-  def exactSubstrExcise(docs: DataFrame, l: Int = 8): DataFrame = {
+  def exactSubstrExcise(docs: DataFrame, l: Int = 8,
+                        carry: Seq[String] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.plans.GraftFunctions.register(docs.sparkSession)
+    // `carry` columns ride the output row untouched (provenance like source/
+    // lang) so chained pipelines need no meta re-join per stage; the window
+    // projection below reads only doc_id+toks, so column pruning keeps the
+    // carried columns out of the aggregation path
     val base = Scale.fanOutScan(docs)
-      .select(col("doc_id"), expr("graft_tokens(text)").as("toks"))
+      .select(col("doc_id") +: carry.map(col) :+
+        expr("graft_tokens(text)").as("toks"): _*)
     val wins = base
       .select(col("doc_id"),
         posexplode(expr(Portable.shinglesSpark("toks", l))).as(Seq("pos", "w")))
@@ -853,10 +913,9 @@ object Dedup {
         coalesce(col("spans"), expr("CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>)")))
       .withColumn("__kept",
         expr("filter(toks, (t, i) -> NOT exists(__sp, sp -> i >= sp.s AND i < sp.e))"))
-      .select(
-        col("doc_id"),
-        size(col("toks")).cast("bigint").as("n_tokens"),
-        (size(col("toks")) - size(col("__kept"))).cast("bigint").as("n_removed"),
-        array_join(col("__kept"), " ").as("clean_text"))
+      .select(col("doc_id") +: carry.map(col) :+
+        size(col("toks")).cast("bigint").as("n_tokens") :+
+        (size(col("toks")) - size(col("__kept"))).cast("bigint").as("n_removed") :+
+        array_join(col("__kept"), " ").as("clean_text"): _*)
   }
 }

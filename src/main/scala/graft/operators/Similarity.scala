@@ -108,7 +108,18 @@ object Similarity {
         s"transform($col_, x -> cast(x / sqrt(graft_dot($col_, $col_)) as float)) END"))
   }
 
-  /** Exact cosine top-k for queries `vec_id < nQueries` (self excluded). */
+  /** Exact cosine top-k for queries `vec_id < nQueries` (self excluded).
+    *
+    * This is the ground-truth leg of [[recallAtK]] — the measurement run on
+    * the largest affordable sample before indexing a corpus — so its shape
+    * must survive scale like everything else: the top-k fold is the
+    * k-BOUNDED [[Scale.topKPerKey]] aggregate (per-map-task state capped at
+    * k per query, map-side combined), NOT a `row_number` window, which would
+    * land every scored (query, corpus) row in one reducer per query and
+    * fully sort the corpus there — the exact shape
+    * [[graft.plans.TopKAgg]]'s scaladoc names as what does not survive
+    * 100 TB. (neighbor_id ends the order, so ties are deterministic and the
+    * output is bitwise-identical to the window form.) */
   def bruteForceTopK(emb: DataFrame, nQueries: Int = 20, k: Int = 10): DataFrame = {
     val e = withNorm(emb)
     val q = e.filter(col("vec_id") < nQueries)
@@ -116,12 +127,24 @@ object Similarity {
     val v = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_v"), col("nrm").as("norm_v"))
     val scored = v.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineCol)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rnk")
+    topKScored(scored, k)
   }
+
+  /** Shared k-BOUNDED per-query fold for every ranking stage in this file:
+    * top `k` neighbors by `measure` (descending iff `desc`), neighbor_id
+    * breaking ties ascending — via [[Scale.topKPerKey]]'s capped aggregate,
+    * never a `row_number` window. Output (query_id, neighbor_id, measure,
+    * rnk), bitwise-identical to the window form (the tie-break reaches the
+    * unique neighbor_id). */
+  private def topKBy(scored: DataFrame, measure: String, desc: Boolean,
+                     k: Int): DataFrame =
+    Scale.topKPerKey(scored.select("query_id", "neighbor_id", measure),
+        Seq("query_id"), Seq((measure, desc), ("neighbor_id", false)), k, Seq.empty)
+      .select("query_id", "neighbor_id", measure, "rnk")
+
+  /** k-bounded (cosine desc, neighbor_id asc) fold for the exact legs. */
+  private def topKScored(scored: DataFrame, k: Int): DataFrame =
+    topKBy(scored, "cosine", desc = true, k)
 
   /** Recall@k evaluation of the LSH index against brute-force ground truth —
     * the measurement that decides nTables/nBits BEFORE committing a 100 TB
@@ -166,17 +189,16 @@ object Similarity {
       .select("vec_id", "embedding", "table", "bucket")
   }
 
-  /** Exact cosine re-rank of (query_id, neighbor_id) candidate pairs. */
+  /** Exact cosine re-rank of (query_id, neighbor_id) candidate pairs —
+    * candidate-bounded input, but the fold is the same k-bounded
+    * [[Scale.topKPerKey]] aggregate as [[bruteForceTopK]]: a hot bucket
+    * (every ANN family can produce one) must not become a one-reducer sort. */
   private def rerank(e: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("emb_q"), col("nrm").as("norm_q"))
     val v = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_v"), col("nrm").as("norm_v"))
     val scored = cand.join(broadcast(q), "query_id").join(v, "neighbor_id")
       .withColumn("cosine", cosineCol)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rnk")
+    topKScored(scored, k)
   }
 
   /** ANN top-k via LSH candidate generation + exact cosine re-rank. */
@@ -250,11 +272,7 @@ object Similarity {
     val scored = candV.join(broadcast(q), "query_id")
       .withColumn("norm_v", sqrt(expr("graft_dot(emb_v, emb_v)")))
       .withColumn("cosine", cosineCol)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rnk")
+    topKScored(scored, k)
   }
 
   /** Build an LSH index as a MATERIALIZED lake artifact: the exploded
@@ -651,28 +669,23 @@ object Similarity {
       min(col("emb_q")).as("emb_q"))
       .localCheckpoint(false)
     val adcArgs = ("lutm" +: (0 until m).map(mm => s"code_$mm")).mkString(", ")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
-    val ranked = codes.crossJoin(broadcast(lutRows.select("query_id", "lutm")))
+    // ADC scores the whole candidate set (the corpus for the flat path) —
+    // the shortlist fold must therefore be the k-bounded aggregate, not a
+    // per-query window sort of everything scored
+    val scored = codes.crossJoin(broadcast(lutRows.select("query_id", "lutm")))
       .withColumn("approx_dist", expr(s"graft_pq_adc($adcArgs)"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("approx_dist"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("rnk", row_number().over(w))
-    if (refine <= k)
-      ranked.filter(col("rnk") <= k)
-        .select("query_id", "neighbor_id", "approx_dist", "rnk")
+    if (refine <= k) topKBy(scored, "approx_dist", desc = false, k)
     else {
       // exact refinement: full-precision L2 on the shortlist only
-      val short = ranked.filter(col("rnk") <= refine).select("query_id", "neighbor_id")
+      val short = topKBy(scored, "approx_dist", desc = false, refine)
+        .select("query_id", "neighbor_id")
       val qv = lutRows.select(col("query_id"), col("emb_q"))
       val nv = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_v"))
-      val w2 = Window.partitionBy("query_id")
-        .orderBy(col("l2_dist").asc, col("neighbor_id").asc)
-      short.join(broadcast(qv), "query_id").join(nv, "neighbor_id")
+      val exact = short.join(broadcast(qv), "query_id").join(nv, "neighbor_id")
         .withColumn("l2_dist", expr("graft_l2(emb_q, emb_v)"))
-        .withColumn("rnk", row_number().over(w2))
-        .filter(col("rnk") <= k)
-        .select("query_id", "neighbor_id", "l2_dist", "rnk")
+      topKBy(exact, "l2_dist", desc = false, k)
     }
   }
 
@@ -709,20 +722,16 @@ object Similarity {
     val approx = codes.select(col("vec_id").as("neighbor_id"), col("c").as("cv"))
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("approx_dist", expr("graft_ql2(cq, cv)"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("approx_dist").asc, col("neighbor_id").asc)
-    val short = approx.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= refine).select("query_id", "neighbor_id")
+    // integer-code scan over the corpus → k-bounded shortlist fold (see
+    // topKBy: never a per-query window sort of the scored corpus)
+    val short = topKBy(approx, "approx_dist", desc = false, refine)
+      .select("query_id", "neighbor_id")
     val qv = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
     val nv = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_v"))
-    val w2 = Window.partitionBy("query_id")
-      .orderBy(col("l2_dist").asc, col("neighbor_id").asc)
-    short.join(broadcast(qv), "query_id").join(nv, "neighbor_id")
+    val exact = short.join(broadcast(qv), "query_id").join(nv, "neighbor_id")
       .withColumn("l2_dist", expr("graft_l2(emb_q, emb_v)"))
-      .withColumn("rnk", row_number().over(w2))
-      .filter(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "l2_dist", "rnk")
+    topKBy(exact, "l2_dist", desc = false, k)
   }
 
   /** Build a PQ index as a MATERIALIZED lake artifact: codebook + codes tables

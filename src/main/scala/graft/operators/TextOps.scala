@@ -637,7 +637,10 @@ object TextOps {
     * boilerplate survive with empty `clean_text`, so downstream filters see
     * them rather than silently losing rows. */
   def dedupLines(docs: DataFrame, maxDf: Int = 5,
-                 broadcastBadBytes: Long = 64L << 20): DataFrame = {
+                 broadcastBadBytes: Long = 64L << 20,
+                 carry: Seq[String] = Seq.empty): DataFrame = {
+    // `carry` columns ride the output untouched (provenance like source/
+    // lang), so chained pipelines need no meta re-join after this stage
     val src = Scale.fanOutScan(docs)
     val lines = src
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
@@ -659,23 +662,29 @@ object TextOps {
         .withColumn("__ne", filter(split(col("text"), "\n"), l => l =!= ""))
         .filter(size(col("__ne")) > 0)
         .withColumn("__kept", filter(col("__ne"), l => not(array_contains(col("bad"), l))))
-        .select(
-          col("doc_id"),
-          size(col("__ne")).cast("bigint").as("n_lines"),
-          size(col("__kept")).cast("bigint").as("n_lines_kept"),
-          array_join(col("__kept"), "\n").as("clean_text"))
+        .select(col("doc_id") +: carry.map(col) :+
+          size(col("__ne")).cast("bigint").as("n_lines") :+
+          size(col("__kept")).cast("bigint").as("n_lines_kept") :+
+          array_join(col("__kept"), "\n").as("clean_text"): _*)
     } else {
       val kept = lines.join(badDf.select("line"), Seq("line"), "left_anti")
-      val totals = lines.groupBy("doc_id").agg(count(lit(1)).cast("bigint").as("n_lines"))
+      // per-doc totals as a PROJECTION over src (not a groupBy over the
+      // exploded lines): same value — the count of non-empty lines — and the
+      // carry columns ride the row for free; all-boilerplate-free docs with
+      // zero non-empty lines drop, same as the broadcast regime
+      val totals = src
+        .withColumn("__ne", filter(split(col("text"), "\n"), l => l =!= ""))
+        .filter(size(col("__ne")) > 0)
+        .select(col("doc_id") +: carry.map(col) :+
+          size(col("__ne")).cast("bigint").as("n_lines"): _*)
       val reassembled = kept.groupBy("doc_id").agg(
         count(lit(1)).cast("bigint").as("n_lines_kept"),
         expr("array_join(transform(array_sort(collect_list(struct(pos, line))), s -> s.line), '\\n')")
           .as("clean_text"))
       totals.join(reassembled, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"), col("n_lines"),
-          coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .select(col("doc_id") +: carry.map(col) :+ col("n_lines") :+
+          coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept") :+
+          coalesce(col("clean_text"), lit("")).as("clean_text"): _*)
     }
   }
 
@@ -808,11 +817,10 @@ object TextOps {
                        nShards: Int = 16,
                        nearN: Int = 3, nearTau: Double = 0.5,
                        nearBands: Int = 42, nearRowsPerBand: Int = 3): DataFrame = {
-    val meta = docs.select("doc_id", "source", "lang")
-    // 1. line-level boilerplate dedup -> text v1
-    val d1 = TextOps.dedupLines(docs, lineMaxDf)
-      .select(col("doc_id"), col("clean_text"))
-      .join(meta, "doc_id")
+    // 1. line-level boilerplate dedup -> text v1; (source, lang) CARRY
+    //    through both text-rewriting stages, so the chain pays no per-stage
+    //    meta re-join (two corpus-sized joins in the pre-r12 shape)
+    val d1 = TextOps.dedupLines(docs, lineMaxDf, carry = Seq("source", "lang"))
       .select(col("doc_id"), col("source"), col("lang"), col("clean_text").as("text"))
     // 2. exact substring excision -> text v2 (checkpoint: 5 downstream
     //    scans). Deliberately WITHOUT a materialized toks column: carrying
@@ -821,9 +829,7 @@ object TextOps {
     //    checkpoint write/read of corpus-sized arrays costs more than the
     //    projection it saves (withToks still passes a toks-carrying frame
     //    through untouched, for callers whose economics differ).
-    val d2 = Dedup.exactSubstrExcise(d1, substrWindow)
-      .select(col("doc_id"), col("clean_text"))
-      .join(meta, "doc_id")
+    val d2 = Dedup.exactSubstrExcise(d1, substrWindow, carry = Seq("source", "lang"))
       .select(col("doc_id"), col("source"), col("lang"), col("clean_text").as("text"))
       .localCheckpoint(false)
     // 3. DSIR importance selection on the cleaned text (token-less docs have

@@ -158,4 +158,67 @@ class AutoSkipSpec extends AnyFunSuite {
     val pruned = pred(AutoSkip.read(spark, root, "t"))
     assertSameRows(pruned, pred(plain))
   }
+
+  test("superset under churn: racing appenders + compactor + refreshers never lose rows") {
+    import spark.implicits._
+    // 8 racing workers, mirroring the lake's CAS-commit races: 2 appenders
+    // (compose-commits, both must land), 1 compactor (read-modify-write,
+    // aborts loudly on conflict and retries next round), 2 sidecar
+    // refreshers (serialized in-process; each commits a NEW index
+    // generation), 3 readers asserting on every iteration that the PRUNED
+    // read over their snapshot equals the UNPRUNED read over the same
+    // files — the superset guarantee as an exact-equality check, because
+    // the retained filter clears pruning slack.
+    val root = tempDir()
+    val table = new PartitionedTable(root, Seq("cat"))
+    def rowsFor(base: Long, n: Int) = (0 until n).map { j =>
+      val v = base + j
+      (if (v % 2 == 0) "a" else "b", v, s"id_$v")
+    }
+    table.create(rowsFor(0L, 200).toDF("cat", "v", "id"), "t")
+    AutoSkip.index(spark, root, "t", Seq("v"), Seq("id"))
+
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appendsLeft = new java.util.concurrent.atomic.AtomicInteger(12)
+    val nextBase = new java.util.concurrent.atomic.AtomicLong(1000L)
+    def worker(f: () => Unit): Thread = {
+      val th = new Thread(() => {
+        try while (appendsLeft.get() > 0) f()
+        catch { case t: Throwable => failures.add(t); appendsLeft.set(0) }
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    val appenders = (1 to 2).map(_ => worker { () =>
+      if (appendsLeft.getAndDecrement() > 0)
+        table.append(rowsFor(nextBase.getAndAdd(50L), 50).toDF("cat", "v", "id"), "t")
+    })
+    val compactor = worker { () =>
+      try table.compact(spark, "t")
+      catch { case _: java.util.ConcurrentModificationException => () } // documented abort
+      Thread.sleep(30)
+    }
+    val refreshers = (1 to 2).map(_ => worker { () =>
+      AutoSkip.index(spark, root, "t", Seq("v"), Seq("id"))
+    })
+    val readers = (1 to 3).map(_ => worker { () =>
+      val pruned = AutoSkip.read(spark, root, "t").filter(
+        col("v") >= 40L && col("v") <= 160L && col("cat") === "a")
+      val got = pruned.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      val snapFiles = AutoSkip.fileIndexOf(pruned).get.inputFiles
+      val want = spark.read.schema(pruned.schema).parquet(snapFiles.toIndexedSeq: _*)
+        .filter(col("v") >= 40L && col("v") <= 160L && col("cat") === "a")
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      assert(got == want, s"pruned read lost rows: got ${got.size}, want ${want.size}")
+    })
+    (appenders ++ Seq(compactor) ++ refreshers ++ readers).foreach(_.join(120000))
+    assert(failures.isEmpty, s"racing worker failed: ${failures.peek()}")
+    // convergence: the settled table reads identically pruned and plain
+    AutoSkip.index(spark, root, "t", Seq("v"), Seq("id"))
+    val pred = (d: DataFrame) => d.filter(col("v") >= 40L && col("v") <= 1100L)
+    assertSameRows(pred(AutoSkip.read(spark, root, "t")), pred(table.read(spark, "t")))
+    // seed covers v 0..199, the 12 appended blocks cover 1000..1599 exactly
+    // once each (every decrement-winning appender lands via rebase-commit)
+    assert(pred(table.read(spark, "t")).count() ==
+      (40L to 199L).size + (1000L to 1100L).size)
+  }
 }

@@ -38,6 +38,11 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expected)
     // representatives are members of their own component
     assert(got.values.toSet.subsetOf(got.keySet))
+    // and the DISTRIBUTED min-label regime (edge list over the driver cap)
+    // produces the identical labeling — force it by zeroing the cap
+    val dist = Dedup.connectedComponents(pairsDf, driverEdgeCap = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
   }
 
   test("star-contraction components: deep chain converges in O(log d) rounds") {
@@ -167,18 +172,18 @@ class DedupSpec extends AnyFunSuite {
     // the guard's warn rides a task accumulator inside the pair-generation
     // pass (no extra job) — pin that a hot corpus actually REPORTS: the
     // probe registered for this call must end the action with acc > 0
-    val before = Dedup.trimProbes.size()
+    val before = Dedup.trimProbeFor(spark.sparkContext, "minhashLshPairs", 3, "band bucket")
+      .map(_.acc.value.longValue).getOrElse(0L)
     val cohort = (0 until 8).map(i =>
       (i.toLong, "the exact same document text repeated for every row here"))
     val pairs = Dedup.minhashLshPairs(cohort.toDF("doc_id", "text"),
       3, 42, 3, 0.5, dfCap = 3).collect()
     assert(pairs.isEmpty, "every bucket of the cohort is over the cap")
-    assert(Dedup.trimProbes.size() > before, "the call registered no trim probe")
-    val probe = Dedup.trimProbes.peekLast()
-    assert(probe.op == "minhashLshPairs" && probe.dfCap == 3)
+    val probe = Dedup.trimProbeFor(spark.sparkContext, "minhashLshPairs", 3, "band bucket")
+    assert(probe.isDefined, "the call registered no trim probe")
     // accumulator updates land with task completion; the action has returned,
-    // so the value is final
-    assert(probe.acc.value > 0, "hot-bucket accumulator never reported")
+    // so the value is final (cumulative per signature — assert GROWTH)
+    assert(probe.get.acc.value.longValue > before, "hot-bucket accumulator never reported")
   }
 
   test("embedding near-dup pairs are symmetric-free and above threshold") {

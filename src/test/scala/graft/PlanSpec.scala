@@ -41,6 +41,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Broadcast"), "query set must broadcast")
   }
 
+  test("ANN ranking stages fold top-k through the bounded aggregate, not a window") {
+    // row_number().over(partitionBy(query_id)) lands every scored corpus row
+    // in ONE reducer per query and fully sorts it there — the shape the
+    // TopKAgg scaladoc names as what does not survive 100 TB. Every exact/
+    // approx ranking leg must plan the k-bounded ObjectHashAggregate instead.
+    // (The IVF gates keep one window: cell-ranking, bounded by nCentroids.)
+    for (g <- Seq("ann_brute_force_topk", "ann_lsh_topk", "ann_pq_topk",
+                  "ann_sq8_topk", "ann_recall_eval")) {
+      val p = plan(g)
+      assert(p.contains("ObjectHashAggregate"),
+        s"$g must fold top-k via graft_top_k:\n${p.take(400)}")
+      assert(!p.contains("Window"),
+        s"$g must not sort per-query via a window:\n${p.take(400)}")
+    }
+  }
+
   test("dedup-keep-latest: single shuffle on the partition keys") {
     val p = plan("events_dedup_latest")
     // one Exchange for the window partitioning; a second would mean the

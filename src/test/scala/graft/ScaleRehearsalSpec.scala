@@ -633,4 +633,42 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(nCand <= 16L)
     info(f"lookup wall on the 10x index: $tq%.2f s over $idxRows index words")
   }
+
+  test("skipping-triad serve rides CANDIDATE files, not total files, at a 25x layout",
+       SlowRehearsal) {
+    import spark.implicits._
+    // two layouts with the SAME candidate set for the probe predicate
+    // (cat='a', v in stripe 0, three point ids) but 25x the total files:
+    // the zone-map scaladoc's ~1M-file concern is that the driver-side
+    // candidate intersection grows with the MANIFEST, so serve time on the
+    // big layout must stay near the small layout's, nowhere near 25x.
+    def mk(stripes: Int): String = {
+      val root = Files.createTempDirectory(s"graft-triad25-$stripes").toString
+      val rows = for {
+        cat <- Seq("a", "b"); k <- 0 until stripes; i <- 0 until 200
+      } yield (cat, 1000L * k + i, s"id_${cat}_${1000L * k + i}")
+      val src = rows.toDF("cat", "v", "id")
+        .repartitionByRange(2 * stripes, col("cat"), col("v"))
+      val table = new graft.lake.PartitionedTable(root, Seq("cat"))
+      table.create(src, "t")
+      graft.lake.AutoSkip.index(spark, root, "t", Seq("v"), Seq("id"))
+      root
+    }
+    val rootS = mk(8)    // ~16 data files
+    val rootB = mk(200)  // ~400 data files (25x)
+    def probe(root: String) = graft.lake.AutoSkip.read(spark, root, "t").filter(
+      col("cat") === "a" && col("v") >= 0L && col("v") <= 199L &&
+        col("id").isin("id_a_10", "id_a_20", "id_a_30"))
+    val (_, _) = timed("triad serve warmup")(runRows(probe(rootS)))
+    val (tS, nS) = timed("triad serve 16-file layout")(runRows(probe(rootS)))
+    val dfB = probe(rootB)
+    val (tB, nB) = timed("triad serve 400-file layout")(runRows(dfB))
+    assert(nS == 3 && nB == 3)
+    // pruning held: the 25x layout opened a candidate-sized file set
+    val keptB = graft.lake.AutoSkip.fileIndexOf(dfB).get.lastKept
+    assert(keptB.size <= 8,
+      s"25x layout opened ${keptB.size} files — candidate set should be stripe-sized")
+    assert(tB <= math.max(4 * tS, tS + 4.0),
+      f"serve grew with TOTAL files: $tS%.2f s (16 files) -> $tB%.2f s (400 files)")
+  }
 }
