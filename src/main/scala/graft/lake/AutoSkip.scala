@@ -72,9 +72,22 @@ object AutoSkip {
     * concurrent refreshes — the superset guarantee needs no coordination. */
   def index(spark: SparkSession, root: String, t: String,
             zoneCols: Seq[String], bloomCols: Seq[String] = Seq.empty): Unit =
+    indexFrom(spark, root, t, PartitionedTable.open(root, t).read(spark, t),
+      zoneCols, bloomCols)
+
+  /** [[index]] for a plain versioned [[ParquetDirFormat]] table — same
+    * sidecar layout under `<root>/<t>/idx` (the `idx` directory never
+    * matches the `v<N>` version-dir pattern, so the table's own version
+    * resolution ignores it). */
+  def indexDir(spark: SparkSession, root: String, t: String,
+               zoneCols: Seq[String], bloomCols: Seq[String] = Seq.empty): Unit =
+    indexFrom(spark, root, t, new ParquetDirFormat(root).read(spark, t),
+      zoneCols, bloomCols)
+
+  private def indexFrom(spark: SparkSession, root: String, t: String,
+                        df: DataFrame, zoneCols: Seq[String],
+                        bloomCols: Seq[String]): Unit =
     refreshLocks.getOrElseUpdate(s"$root/$t", new Object).synchronized {
-      val table = PartitionedTable.open(root, t)
-      val df = table.read(spark, t)
       val lake = idxLake(root, t)
       def put(build: => DataFrame, name: String): Unit = {
         val snap = build.coalesce(1)
@@ -113,29 +126,82 @@ object AutoSkip {
     val table = PartitionedTable.open(root, t)
     val schema = table.read(spark, t).schema
     val withId = table.dataFileStatuses(t)
-    val statuses = withId.map(_._2)
+    val partVals = withId.map { case (id, st) =>
+      pathOf(st.getPath.toString) -> table.idToValues(id)
+    }.toMap
+    open(spark, root, t, withId.map(_._2), partVals, schema,
+      virtualPartCols = Seq.empty)
+  }
 
-    // partition values from the manifest path mapping: exact bounds
+  /** [[read]] for a plain versioned [[ParquetDirFormat]] table: the same
+    * transparent pruning, with partition values (when the table was
+    * createPartitioned) recovered from the `c=v` path segments Spark wrote
+    * inside the snapshot directory. */
+  def readDir(spark: SparkSession, root: String, t: String): DataFrame = {
+    val table = new ParquetDirFormat(root)
+    val schema = table.read(spark, t).schema
+    val statuses = table.dataFileStatuses(t)
+    val parts = table.partitionSpec(t).toSet
+    val partVals = statuses.map { st =>
+      val vals = st.getPath.toString.split("/").filter(_.contains("="))
+        .map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> unescapePathName(v)
+        }.filter(kv => parts(kv._1)).toMap
+      pathOf(st.getPath.toString) -> vals
+    }.toMap
+    open(spark, root, t, statuses, partVals, schema,
+      virtualPartCols = table.partitionSpec(t))
+  }
+
+  /** Inverse of Spark/Hive partition-path escaping (%xx sequences). */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** `virtualPartCols`: partition columns NOT present in the data files
+    * (Spark's own `partitionBy` strips them — the ParquetDirFormat layout).
+    * They become the FileIndex's REAL partitionSchema, with per-file values
+    * parsed from the path, because Spark removes partition-only predicates
+    * from the post-scan filter and trusts the FileIndex to prune them
+    * EXACTLY. PartitionedTable passes none: its shadow-column layout keeps
+    * real columns in the files, so every predicate stays a data filter. */
+  private def open(spark: SparkSession, root: String, t: String,
+                   statuses: Seq[FileStatus],
+                   partVals: Map[String, Map[String, String]],
+                   schema: StructType,
+                   virtualPartCols: Seq[String]): DataFrame = {
+    // partition values from the layout's path mapping: exact bounds
     // (min = max = value) for STRING partition columns; Hive's default-
     // partition marker means "this column is null here". Non-string
     // partition columns are skipped (their path rendering is not the
     // column's value space) — the zone sidecar covers those if indexed.
-    val stringPartCols = table.partitionColumns
-      .filter(c => schema.fields.exists(f => f.name == c && f.dataType == StringType))
-      .toSet
-    val partBounds: Map[String, Map[String, ColZone]] = withId.map { case (id, st) =>
-      val vals = table.idToValues(id)
-      val zones = vals.collect {
-        case (c, raw) if stringPartCols(c) =>
-          if (raw == "__HIVE_DEFAULT_PARTITION__")
-            c -> ColZone(null, null, nulls = 1L, rows = 1L)
-          else {
-            val v = org.apache.spark.unsafe.types.UTF8String.fromString(raw)
-            c -> ColZone(v, v, nulls = 0L, rows = 1L)
-          }
-      }
-      pathOf(st.getPath.toString) -> zones
-    }.toMap
+    val stringPartCols = schema.fields
+      .filter(_.dataType == StringType).map(_.name).toSet
+    val partBounds: Map[String, Map[String, ColZone]] = partVals.map {
+      case (key, vals) =>
+        val zones = vals.collect {
+          case (c, raw) if stringPartCols(c) =>
+            if (raw == "__HIVE_DEFAULT_PARTITION__")
+              c -> ColZone(null, null, nulls = 1L, rows = 1L)
+            else {
+              val v = org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+              c -> ColZone(v, v, nulls = 0L, rows = 1L)
+            }
+        }
+        key -> zones
+    }
 
     // sidecars resolve through the VERSIONED index lake: the handle pins one
     // committed immutable generation, so concurrent refreshes can never tear
@@ -159,9 +225,30 @@ object AutoSkip {
         }.toOption
       }
 
+    val partSchema = StructType(schema.fields.filter(f => virtualPartCols.contains(f.name)))
+    val dataSchema = StructType(schema.fields.filterNot(f => virtualPartCols.contains(f.name)))
+    // per-file partition VALUES in the partition schema's own types (legacy
+    // string cast, the same parse partition discovery applies); the raw
+    // string map doubles as the grouping key in listFiles
+    val partRows: Map[String, (Map[String, String], InternalRow)] =
+      if (partSchema.isEmpty) Map.empty
+      else statuses.map { st =>
+        val key = pathOf(st.getPath.toString)
+        val vals = partVals.getOrElse(key, Map.empty)
+        val row = InternalRow.fromSeq(partSchema.fields.toSeq.map { f =>
+          vals.get(f.name) match {
+            case Some(raw) if raw != "__HIVE_DEFAULT_PARTITION__" =>
+              scala.util.Try(Cast(
+                Literal(org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+                  StringType), f.dataType, Option("UTC")).eval(null)).getOrElse(null)
+            case _ => null
+          }
+        })
+        key -> (vals.filter(kv => partSchema.fieldNames.contains(kv._1)), row)
+      }.toMap
     val fileIndex = new SidecarFileIndex(spark, new HPath(s"$root/$t"),
-      statuses, partBounds, zones, blooms)
-    val relation = HadoopFsRelation(fileIndex, new StructType(), schema, None,
+      statuses, partBounds, zones, blooms, partSchema, partRows)
+    val relation = HadoopFsRelation(fileIndex, partSchema, dataSchema, None,
       new ParquetFileFormat, Map.empty[String, String])(spark)
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(relation)
@@ -221,22 +308,29 @@ object AutoSkip {
     }.toMap
   }
 
-  /** The [[FileIndex]] doing the transparent pruning. `partitionSchema` is
-    * empty on purpose: partition columns live IN the data files (the lake
-    * keeps real columns and uses shadow columns for layout), so every
+  /** The [[FileIndex]] doing the transparent pruning. For the
+    * PartitionedTable layout `partSchema` is empty on purpose — partition
+    * columns live IN the data files (shadow-column layout), so every
     * predicate arrives as a data filter and one bounds mechanism covers
-    * partition, zone, and bloom evidence uniformly. */
+    * partition, zone, and bloom evidence uniformly. For ParquetDirFormat
+    * layouts (`partitionBy`-stripped columns) `partSchema` carries the
+    * virtual partition columns and listFiles must — and does — apply the
+    * partition filters EXACTLY against each file's parsed values, because
+    * Spark removes partition-only predicates from the post-scan filter. */
   private[graft] final class SidecarFileIndex(
       spark: SparkSession, root: HPath, allFiles: Seq[FileStatus],
       partBounds: Map[String, Map[String, ColZone]],
       zones: Map[String, Map[String, ColZone]],
-      blooms: Seq[BloomSidecar]) extends FileIndex {
+      blooms: Seq[BloomSidecar],
+      partSchema: StructType = new StructType(),
+      partRows: Map[String, (Map[String, String], InternalRow)] = Map.empty)
+    extends FileIndex {
 
     /** Last pruning outcome, for specs asserting which files a query opened. */
     @volatile var lastKept: Seq[String] = allFiles.map(_.getPath.toString)
 
     override def rootPaths: Seq[HPath] = Seq(root)
-    override def partitionSchema: StructType = new StructType()
+    override def partitionSchema: StructType = partSchema
     override def sizeInBytes: Long = allFiles.map(_.getLen).sum
     override def inputFiles: Array[String] = allFiles.map(_.getPath.toString).toArray
     override def refresh(): Unit = () // snapshot handle — reopen via AutoSkip.read
@@ -255,15 +349,38 @@ object AutoSkip {
               .map(pathOf).toSet)
         }
       }
+      // EXACT partition-filter predicate over the virtual partition values
+      // (bind by name, null evals drop — SQL filter semantics); the bounds
+      // mechanism below additionally prunes on anything it understands
+      val exactPart: InternalRow => Boolean =
+        if (partSchema.isEmpty || partitionFilters.isEmpty) _ => true
+        else {
+          val bound = partitionFilters.map(_.transform {
+            case a: AttributeReference =>
+              val i = partSchema.fieldIndex(a.name)
+              BoundReference(i, partSchema.fields(i).dataType, nullable = true)
+          }).reduce(And)
+          val pred = Predicate.createInterpreted(bound)
+          row => pred.eval(row)
+        }
       val kept = allFiles.filter { st =>
         val key = pathOf(st.getPath.toString)
         val bounds = partBounds.getOrElse(key, Map.empty) ++
           zones.getOrElse(key, Map.empty)
-        filters.forall(f => keepByBounds(bounds, f)) &&
+        partRows.get(key).forall(pr => exactPart(pr._2)) &&
+          filters.forall(f => keepByBounds(bounds, f)) &&
           bloomKeeps.forall { case (b, cand) => !b.covered(key) || cand(key) }
       }
       lastKept = kept.map(_.getPath.toString)
-      Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+      if (partSchema.isEmpty)
+        Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+      else
+        kept.groupBy(st => partRows.get(pathOf(st.getPath.toString)).map(_._1))
+          .map { case (_, sts) =>
+            val row = partRows.get(pathOf(sts.head.getPath.toString))
+              .map(_._2).getOrElse(InternalRow.empty)
+            PartitionDirectory(row, sts.toArray)
+          }.toSeq
     }
 
     /** Conservative zone evaluation: true = the file MIGHT contain a

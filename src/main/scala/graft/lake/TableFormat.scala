@@ -458,6 +458,15 @@ class ParquetDirFormat(root: String) extends TableFormat {
     commit(df.repartition(nFiles), table)
   }
 
+  /** FileStatus of every data file in the CURRENT snapshot — the raw
+    * material for [[AutoSkip.readDir]]'s FileIndex. Listing-sized work. */
+  def dataFileStatuses(table: String): Seq[FileStatus] = {
+    val v = currentVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $table"))
+    io.listFilesRecursive(versionDir(table, v))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Names of all tables under this root (directories with a LAST pointer
     * or at least one committed version). Listing-sized driver work. */
   def tables(): Seq[String] =

@@ -159,6 +159,37 @@ class AutoSkipSpec extends AnyFunSuite {
     assertSameRows(pruned, pred(plain))
   }
 
+  test("ParquetDirFormat tables get the same transparent pruning (readDir)") {
+    import spark.implicits._
+    val root = tempDir()
+    val lake = new graft.lake.ParquetDirFormat(root)
+    val rows = for {
+      cat <- Seq("a", "b"); k <- 0 until 4; i <- 0 until 100
+    } yield (cat, 1000L * k + i, s"id_${cat}_${1000L * k + i}")
+    lake.createPartitioned(rows.toDF("cat", "v", "id")
+      .repartitionByRange(8, col("v")), "t", Seq("cat"))
+    AutoSkip.indexDir(spark, root, "t", Seq("v"), Seq("id"))
+    val plain = lake.read(spark, "t")
+    val total = plain.inputFiles.length
+    val pred = (d: DataFrame) => d.filter(
+      col("cat") === "b" && col("v") >= 2000L && col("v") <= 2099L &&
+        col("id") === "id_b_2050")
+    val pruned = pred(AutoSkip.readDir(spark, root, "t"))
+    // column order differs under partitionBy (partition col moves last in
+    // the physical files but the declared schema pins it) — compare values
+    val a = pruned.select("cat", "v", "id").collect().map(_.toSeq).toSeq
+    val b = pred(plain).select("cat", "v", "id").collect().map(_.toSeq).toSeq
+    assert(a == b && a.size == 1)
+    val kept = keptOf(pruned)
+    assert(kept.nonEmpty && kept.size < total, s"kept ${kept.size} of $total")
+    assert(kept.forall(_.contains("cat=b")))
+    // overwrite commits a new version; a fresh handle tracks it (stale
+    // sidecar entries for dead files are simply never consulted)
+    lake.overwrite(rows.filter(_._1 == "a").toDF("cat", "v", "id"), "t")
+    val after = AutoSkip.readDir(spark, root, "t").filter(col("v") === 2050L)
+    assert(after.count() == lake.read(spark, "t").filter(col("v") === 2050L).count())
+  }
+
   test("superset under churn: racing appenders + compactor + refreshers never lose rows") {
     import spark.implicits._
     // 8 racing workers, mirroring the lake's CAS-commit races: 2 appenders
