@@ -427,41 +427,30 @@ object TextOps {
     * machine-generated and boilerplate text tips these long before a human
     * reads it. `is_repetitive` applies the thresholds.
     *
-    * Scale shape: explode + TWO-LEVEL hash aggregation — (doc, term) partial
-    * counts combine map-side, then one |vocab-per-doc|-sized per-doc
-    * aggregate; no window, no sort, no per-doc collect. The bigram pass
-    * reuses the same shape on zip_with-adjacent pairs. At 100 TB both
-    * shuffles carry distinct-term rows, not token occurrences. */
+    * Scale shape (r12): the statistics are PER-DOCUMENT by definition, so
+    * they are one native projection ([[graft.plans.RepetitionStats]]: one
+    * pass over each row's token array yielding total/distinct/top counts
+    * for unigrams and adjacent bigrams) — ZERO shuffles, where the portable
+    * explode → (doc, term) aggregate → per-doc aggregate → join formulation
+    * (which the DuckDB oracle still replays) ships every token occurrence
+    * of the corpus through two shuffles. The derived fractions divide the
+    * same integers in the same order, so the gate stays bitwise. */
   def repetitionScore(docs: DataFrame,
                       topTokenMax: Double = 0.2,
                       topBigramMax: Double = 0.18): DataFrame = {
-    val toks = withToks(docs).select(col("doc_id"), col("toks"))
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    withToks(docs).select(col("doc_id"), col("toks"))
       .filter(size(col("toks")) > 0)
-      // lazy localCheckpoint for the same reason as [[contamination]]: two
-      // downstream explodes share it, the returned plan still references it,
-      // and a persist would pin a cache entry per call (r7 ADVICE class)
-      .localCheckpoint(false)
-    def topShare(exploded: DataFrame, out: String): DataFrame =
-      exploded.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-        .groupBy("doc_id").agg(
-          sum(col("tf")).as(s"__n_$out"),
-          count(lit(1)).as(s"__d_$out"),
-          max(col("tf")).as(s"__top_$out"))
-    val uni = topShare(toks.select(col("doc_id"), explode(col("toks")).as("t")), "uni")
-    val bi = topShare(toks
-      .filter(size(col("toks")) > 1)
-      .select(col("doc_id"), explode(expr(
-        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), " +
-          "(a, b) -> concat(a, ' ', b))")).as("t")), "bi")
-    uni.join(bi, Seq("doc_id"), "left")
+      .withColumn("__st", expr("graft_rep_stats(toks)"))
       .select(
         col("doc_id"),
-        col("__n_uni").cast("bigint").as("n_tokens"),
-        ((col("__n_uni") - col("__d_uni")).cast("double") / col("__n_uni"))
+        col("__st.n_uni").cast("bigint").as("n_tokens"),
+        ((col("__st.n_uni") - col("__st.d_uni")).cast("double") / col("__st.n_uni"))
           .as("dup_token_frac"),
-        (col("__top_uni").cast("double") / col("__n_uni")).as("top_token_frac"),
-        coalesce(col("__top_bi").cast("double") / col("__n_bi"), lit(0.0))
-          .as("top_bigram_frac"))
+        (col("__st.top_uni").cast("double") / col("__st.n_uni")).as("top_token_frac"),
+        when(col("__st.n_bi") > 0,
+            col("__st.top_bi").cast("double") / col("__st.n_bi"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
       .withColumn("is_repetitive",
         col("top_token_frac") > topTokenMax || col("top_bigram_frac") > topBigramMax)
   }

@@ -329,6 +329,65 @@ case class Tokens(child: Expression)
     copy(child = newChild)
 }
 
+/** Native expression: per-document repetition statistics in ONE pass over
+  * the token array — `struct<n_uni, d_uni, top_uni, n_bi, d_bi, top_bi>`
+  * (total / distinct / max-frequency for unigrams and adjacent bigrams, all
+  * BIGINT). The statistics are per-document by definition, so computing
+  * them as two explode → (doc_id, term) hash-aggregates → per-doc
+  * re-aggregates → join (the portable formulation the oracle replays) ships
+  * every token of the corpus through TWO shuffles to produce one row per
+  * document; this is a projection — zero shuffles — and the fractions
+  * derived from these integers divide identically in both engines, so the
+  * gate stays bitwise. A doc with < 2 tokens reports n_bi = 0 (the
+  * aggregate twin has NO bigram row there; callers coalesce the fraction
+  * to 0 either way). */
+case class RepetitionStats(child: Expression)
+  extends UnaryExpression with codegen.CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_uni", LongType, nullable = false),
+    StructField("d_uni", LongType, nullable = false),
+    StructField("top_uni", LongType, nullable = false),
+    StructField("n_bi", LongType, nullable = false),
+    StructField("d_bi", LongType, nullable = false),
+    StructField("top_bi", LongType, nullable = false)))
+  override def prettyName: String = "graft_rep_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_rep_stats expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val uni = new java.util.HashMap[String, Long]()
+    val bi = new java.util.HashMap[String, Long]()
+    var prev: String = null
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i).toString
+      uni.merge(t, 1L, (a, b) => a + b)
+      if (prev != null) bi.merge(prev + " " + t, 1L, (a, b) => a + b)
+      prev = t
+      i += 1
+    }
+    def top(m: java.util.HashMap[String, Long]): Long = {
+      var mx = 0L
+      val it = m.values().iterator()
+      while (it.hasNext) { val v = it.next(); if (v > mx) mx = v }
+      mx
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      n.toLong, uni.size.toLong, top(uni),
+      math.max(0L, n.toLong - 1L), bi.size.toLong, top(bi))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native expression: full MinHash signature (k minima over the affine hash
   * family) from an array of shingle hashes — `array<bigint>[k]` per row.
   *
@@ -1057,6 +1116,13 @@ object GraftFunctions {
       s"graft_tokens takes exactly 1 argument, got ${other.size}")
   }
 
+  val repStatsInfo = new ExpressionInfo(classOf[RepetitionStats].getName, "graft_rep_stats")
+  val repStatsBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => RepetitionStats(a)
+    case other => throw new IllegalArgumentException(
+      s"graft_rep_stats takes exactly 1 argument, got ${other.size}")
+  }
+
   val tsMultiInfo = new ExpressionInfo(classOf[MultiFormatTimestamp].getName, "graft_ts_multi")
   val tsMultiBuilder: Seq[Expression] => Expression = {
     case Seq(a) => MultiFormatTimestamp(a)
@@ -1148,6 +1214,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_pq_adc", pqAdcBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_ql2", ql2Builder, "built-in")
     reg.createOrReplaceTempFunction("graft_top_k", topKBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_rep_stats", repStatsBuilder, "built-in")
   }
 }
 
@@ -1170,5 +1237,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_pq_adc"), GraftFunctions.pqAdcInfo, GraftFunctions.pqAdcBuilder))
     ext.injectFunction((FunctionIdentifier("graft_ql2"), GraftFunctions.ql2Info, GraftFunctions.ql2Builder))
     ext.injectFunction((FunctionIdentifier("graft_top_k"), GraftFunctions.topKInfo, GraftFunctions.topKBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_rep_stats"), GraftFunctions.repStatsInfo, GraftFunctions.repStatsBuilder))
   }
 }

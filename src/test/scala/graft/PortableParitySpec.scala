@@ -246,4 +246,38 @@ class PortableParitySpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(r.getAs[Double]("legacy_dist")))
     }
   }
+  test("graft_rep_stats == explode + two-level aggregate formulation, exactly") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // edge shapes: single token (no bigrams), all-identical, all-distinct,
+    // repeated bigram, unicode tokens
+    val docs = Seq(
+      (1L, "solo"),
+      (2L, "a a a a"),
+      (3L, "w x y z"),
+      (4L, "to be or not to be to be"),
+      (5L, "héllo wörld héllo wörld héllo")
+    ).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      expr("graft_tokens(text)").as("toks")).filter(size(col("toks")) > 0)
+    val native = toks.select(col("doc_id"), expr("graft_rep_stats(toks)").as("st"))
+      .select(col("doc_id"), col("st.n_uni"), col("st.d_uni"), col("st.top_uni"),
+        col("st.n_bi"), col("st.d_bi"), col("st.top_bi"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    def agg(exploded: org.apache.spark.sql.DataFrame) =
+      exploded.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id").agg(sum(col("tf")).as("n"),
+          count(lit(1)).as("d"), max(col("tf")).as("top"))
+    val uni = agg(toks.select(col("doc_id"), explode(col("toks")).as("t")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val bi = agg(toks.filter(size(col("toks")) > 1).select(col("doc_id"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b))")).as("t")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    native.foreach { case (id, (nu, du, tu, nb, db, tb)) =>
+      assert((nu, du, tu) == uni(id), s"uni mismatch for doc $id")
+      assert((nb, db, tb) == bi.getOrElse(id, (0L, 0L, 0L)), s"bi mismatch for doc $id")
+    }
+  }
+
 }
