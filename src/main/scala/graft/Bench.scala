@@ -35,6 +35,25 @@ object Bench {
         finally src.close()
       } catch { case _: Exception => 0L }
 
+    // CPU calibration probe: a fixed single-threaded integer-hash workload
+    // timed at window start and end. Steal jiffies miss a whole contention
+    // class — the r12 windows drifted a UNIFORM ~1.2x per query at <500
+    // accounted steal (frequency scaling / same-host sharing) — so the
+    // record carries an engine-independent speed constant two windows can
+    // be normalized by before their totals are compared.
+    def calibrate(): Double = {
+      var acc = 0x9e3779b97f4a7c15L
+      val t0 = System.nanoTime()
+      var i = 0L
+      while (i < 200000000L) {
+        acc ^= i; acc *= 0xff51afd7ed558ccdL; acc ^= (acc >>> 33)
+        i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (acc == 42L) System.err.println("never") // keep the loop observable
+      dt
+    }
+
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run to named queries — the
     // iterate-on-one-plan loop. Filtered runs never overwrite bench_last.json
     // (the durable full-surface record). A misspelled name is an ERROR, not a
@@ -133,6 +152,7 @@ object Bench {
     // (the second pass is also fully warm) and keep the quieter attempt.
     val maxAttempts = sys.env.get("SPARK_GRAFT_STEAL_RETRIES")
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(1) + 1
+    val calStart = calibrate()
     var (results, stealTotal) = measure()
     var attempt = 1
     while (stealTotal > ContendedJiffies && attempt < maxAttempts) {
@@ -143,13 +163,15 @@ object Bench {
       if (s2 < stealTotal) { results = r2; stealTotal = s2 }
     }
     val contended = stealTotal > ContendedJiffies
+    val calEnd = calibrate()
     def jmap(f: ((Double, Double, Double)) => Double): String =
       results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},""" +
         s""""queries_min":${jmap(_._2)},"queries_spread":${jmap(_._3)},""" +
-        s""""steal_jiffies":$stealTotal,"contended":$contended,"sf":"$sfDir"}"""
+        s""""steal_jiffies":$stealTotal,"contended":$contended,""" +
+        f""""cal_start_sec":$calStart%.3f,"cal_end_sec":$calEnd%.3f,"sf":"$sfDir"}"""
     println(line)
     // the driver captures stdout (and can truncate the tail); the in-repo copy
     // is the durable record the next round's analysis reads. A CONTENDED run

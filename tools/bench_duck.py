@@ -46,6 +46,21 @@ def steal_jiffies():
     return 0
 
 
+def calibrate():
+    """Fixed single-threaded integer-hash workload, timed at window start
+    and end. Normalizes THIS harness's windows across time (steal jiffies
+    miss the uniform-drift contention class; see the r12 pair-B record) —
+    not comparable to graft.Bench's own probe, which serves the same
+    purpose for its windows."""
+    acc = 0x9E3779B97F4A7C15
+    t0 = time.monotonic()
+    for i in range(20000000):
+        acc ^= i
+        acc = (acc * 0xFF51AFD7ED558CCD) & 0xFFFFFFFFFFFFFFFF
+        acc ^= acc >> 33
+    return time.monotonic() - t0
+
+
 def main(sf_dir, oracle_json, repo_dir="."):
     con = duckdb.connect()
     con.execute(f"SET threads TO {THREADS}")
@@ -54,6 +69,7 @@ def main(sf_dir, oracle_json, repo_dir="."):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(oracle_json))
 
+    cal_start = calibrate()
     steal_start = steal_jiffies()
     results = {}
     for name in sorted(oracles):
@@ -104,6 +120,7 @@ def main(sf_dir, oracle_json, repo_dir="."):
         else:
             results[name] = (-1.0, -1.0, -1.0)
     steal_total = steal_jiffies() - steal_start
+    cal_end = calibrate()
 
     def jmap(i):
         return "{" + ",".join(f'"{k}":{v[i]}' for k, v in results.items()) + "}"
@@ -112,6 +129,7 @@ def main(sf_dir, oracle_json, repo_dir="."):
     line = (f'{{"engine":"duckdb","metric":"total","value":{total},"unit":"sec",'
             f'"queries":{jmap(0)},"queries_min":{jmap(1)},'
             f'"queries_spread":{jmap(2)},"steal_jiffies":{steal_total},'
+            f'"cal_start_sec":{cal_start:.3f},"cal_end_sec":{cal_end:.3f},'
             f'"sf":"{sf_dir}"}}')
     print(line)
     with open(os.path.join(repo_dir, "bench_duck_last.json"), "w") as f:
