@@ -21,6 +21,7 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.Sessions.instrument(spark)
 
     // Host steal-time accounting: this host has a noisy co-tenant, and a
     // stolen window can inflate a wall-clock timing 5-10x. Jiffies of steal

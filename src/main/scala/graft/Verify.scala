@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.Sessions.instrument(spark)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q1,q2 dumps (and lists oracle SQL for) just the named
     // gates — the iterate-on-one-gate loop. Same validation contract as Bench:

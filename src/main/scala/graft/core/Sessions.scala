@@ -47,6 +47,11 @@ object Sessions {
     buf.toSeq
   }
 
+  /** Install the accumulator pin on a session built elsewhere (Bench,
+    * Verify): the ERROR-spam class lives wherever long query streams run,
+    * not only under tests. Idempotent per session. */
+  def instrument(spark: SparkSession): Unit = pinExecutions(spark)
+
   private def pinExecutions(spark: SparkSession): Unit =
     pinnedSessions.synchronized {
       if (pinnedSessions.add(spark))

@@ -43,11 +43,7 @@ import org.apache.spark.sql.types._
   * job per distinct point-value set, never touching data files. */
 object AutoSkip {
 
-  private def pathOf(s: String): String =
-    try {
-      val u = new java.net.URI(s)
-      if (u.getScheme != null) u.getPath else s
-    } catch { case _: Exception => s }
+  private def pathOf(s: String): String = LakePaths.pathOf(s)
 
   private def idxLake(root: String, t: String) =
     new ParquetDirFormat(s"$root/$t/idx")
@@ -154,21 +150,7 @@ object AutoSkip {
       virtualPartCols = table.partitionSpec(t))
   }
 
-  /** Inverse of Spark/Hive partition-path escaping (%xx sequences). */
-  private def unescapePathName(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 3 <= s.length) {
-        try {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  private def unescapePathName(s: String): String = LakePaths.unescapePathName(s)
 
   /** `virtualPartCols`: partition columns NOT present in the data files
     * (Spark's own `partitionBy` strips them — the ParquetDirFormat layout).
@@ -204,16 +186,18 @@ object AutoSkip {
     }
 
     // sidecars resolve through the VERSIONED index lake: the handle pins one
-    // committed immutable generation, so concurrent refreshes can never tear
-    // a query mid-flight. Existence-gated (no probe cost for indexes never
-    // built); a torn/unreadable sidecar degrades to "no pruning" via the Try.
+    // committed immutable generation (resolved LAZILY, on the first
+    // listFiles that actually carries filters — a projection-only read must
+    // not pay one Spark job per sidecar it can never use). Existence-gated
+    // (no probe cost for indexes never built); a torn/unreadable sidecar
+    // degrades to "no pruning" via the Try.
     val lake = idxLake(root, t)
-    val zones: Map[String, Map[String, ColZone]] =
+    val zonesF: () => Map[String, Map[String, ColZone]] = () =>
       if (!lake.exists("zonemap")) Map.empty
       else scala.util.Try(collectZones(lake.read(spark, "zonemap")))
         .getOrElse(Map.empty)
 
-    val blooms: Seq[BloomSidecar] = schema.fields.toSeq
+    val bloomsF: () => Seq[BloomSidecar] = () => schema.fields.toSeq
       .filter(f => bloomSafeType(f.dataType))
       .filter(f => scala.util.Try(lake.exists(bloomTable(f.name))).getOrElse(false))
       .flatMap { f =>
@@ -247,7 +231,7 @@ object AutoSkip {
         key -> (vals.filter(kv => partSchema.fieldNames.contains(kv._1)), row)
       }.toMap
     val fileIndex = new SidecarFileIndex(spark, new HPath(s"$root/$t"),
-      statuses, partBounds, zones, blooms, partSchema, partRows)
+      statuses, partBounds, zonesF, bloomsF, partSchema, partRows)
     val relation = HadoopFsRelation(fileIndex, partSchema, dataSchema, None,
       new ParquetFileFormat, Map.empty[String, String])(spark)
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -320,11 +304,15 @@ object AutoSkip {
   private[graft] final class SidecarFileIndex(
       spark: SparkSession, root: HPath, allFiles: Seq[FileStatus],
       partBounds: Map[String, Map[String, ColZone]],
-      zones: Map[String, Map[String, ColZone]],
-      blooms: Seq[BloomSidecar],
+      zonesF: () => Map[String, Map[String, ColZone]],
+      bloomsF: () => Seq[BloomSidecar],
       partSchema: StructType = new StructType(),
       partRows: Map[String, (Map[String, String], InternalRow)] = Map.empty)
     extends FileIndex {
+
+    // forced only by a filtered listFiles — see the open() scaladoc
+    private lazy val zones = zonesF()
+    private lazy val blooms = bloomsF()
 
     /** Last pruning outcome, for specs asserting which files a query opened. */
     @volatile var lastKept: Seq[String] = allFiles.map(_.getPath.toString)
@@ -342,6 +330,12 @@ object AutoSkip {
     override def listFiles(partitionFilters: Seq[Expression],
                            dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
       val filters = partitionFilters ++ dataFilters
+      if (filters.isEmpty) {
+        // nothing can prune — answer from the listing alone, never forcing
+        // the sidecar reads
+        lastKept = allFiles.map(_.getPath.toString)
+        return groupDirs(allFiles)
+      }
       val bloomKeeps: Seq[(BloomSidecar, Set[String])] = blooms.flatMap { b =>
         pointValues(filters, b.col, b.dt).map { vs =>
           b -> bloomCache.getOrElseUpdate((b.col, vs),
@@ -372,16 +366,19 @@ object AutoSkip {
           bloomKeeps.forall { case (b, cand) => !b.covered(key) || cand(key) }
       }
       lastKept = kept.map(_.getPath.toString)
+      groupDirs(kept)
+    }
+
+    private def groupDirs(files: Seq[FileStatus]): Seq[PartitionDirectory] =
       if (partSchema.isEmpty)
-        Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+        Seq(PartitionDirectory(InternalRow.empty, files.toArray))
       else
-        kept.groupBy(st => partRows.get(pathOf(st.getPath.toString)).map(_._1))
+        files.groupBy(st => partRows.get(pathOf(st.getPath.toString)).map(_._1))
           .map { case (_, sts) =>
             val row = partRows.get(pathOf(sts.head.getPath.toString))
               .map(_._2).getOrElse(InternalRow.empty)
             PartitionDirectory(row, sts.toArray)
           }.toSeq
-    }
 
     /** Conservative zone evaluation: true = the file MIGHT contain a
       * matching row (keep), false = provably cannot (prune). Unhandled

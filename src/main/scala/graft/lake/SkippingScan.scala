@@ -28,11 +28,7 @@ import org.apache.spark.sql.types.StructType
   * component here, so the intersection never misses on a scheme prefix. */
 object SkippingScan {
 
-  private def pathOf(s: String): String =
-    try {
-      val u = new java.net.URI(s)
-      if (u.getScheme != null) u.getPath else s
-    } catch { case _: Exception => s }
+  private def pathOf(s: String): String = LakePaths.pathOf(s)
 
   /** Candidate files for (partition pred) AND (rangeCol in [lo, hi]) AND
     * (pointCol IN points) — the pruning decision alone, exposed so tests and

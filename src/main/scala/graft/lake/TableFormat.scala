@@ -323,17 +323,54 @@ private[lake] final class LakeFs(root: String) {
   }
 }
 
+/** Shared path-identity helpers: every sidecar keys files by
+  * `input_file_name()` URIs while manifests list Hadoop paths — both
+  * normalize to the URI path component; and partition directories use
+  * Spark/Hive %xx escaping. One copy, so the normalization caveats (e.g.
+  * never hand a scheme-stripped path back to a scan) cannot drift between
+  * consumers. */
+private[lake] object LakePaths {
+  /** URI path component of a file identifier (scheme-insensitive KEY —
+    * never feed the result back to a scan; keep the original string). */
+  def pathOf(s: String): String =
+    try {
+      val u = new java.net.URI(s)
+      if (u.getScheme != null) u.getPath else s
+    } catch { case _: Exception => s }
+
+  /** Inverse of Spark/Hive partition-path escaping (%xx sequences). */
+  def unescapePathName(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}
+
 private[lake] object LakeFs {
   // JVM-wide checksum-disabled FileSystem per scheme/authority (see the
   // instance comment): bounded by the number of distinct stores a process
-  // talks to, not by how many table handles callers construct.
+  // talks to, not by how many table handles callers construct. The FIRST
+  // caller's Configuration wins for that scheme/authority (later confs are
+  // ignored on cache hits — acceptable: these are lake METADATA reads whose
+  // only required setting is checksum-off, applied here); computeIfAbsent
+  // makes creation atomic so a racing first call can never leak a second
+  // never-closed instance.
   private val instances =
-    scala.collection.concurrent.TrieMap.empty[String, FileSystem]
+    new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
 
   private[lake] def fsFor(root: String, conf: Configuration): FileSystem = {
     val uri = new HPath(root).toUri
     val key = s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}"
-    instances.getOrElseUpdate(key, {
+    instances.computeIfAbsent(key, _ => {
       val f = FileSystem.newInstance(uri, conf)
       f.setWriteChecksum(false)
       f.setVerifyChecksum(false)
@@ -751,21 +788,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
       k.stripPrefix(Shadow) -> unescapePathName(v)
     }.toMap
 
-  /** Inverse of Spark/Hive partition-path escaping (%xx sequences). */
-  private def unescapePathName(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 3 <= s.length) {
-        try {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  private def unescapePathName(s: String): String = LakePaths.unescapePathName(s)
 
   override def create(df: DataFrame, t: String): Unit = {
     require(!exists(t), s"table already exists: $t")

@@ -553,14 +553,18 @@ object Dedup {
     // Size-gated regime switch (same pattern as dedupLines' broadcast
     // regime): a near-dup graph is PAIR-sized, not corpus-sized — after
     // exact dedup it is usually a small fraction of documents — so when the
-    // materialized edge list fits a driver budget (cap ~1M edges ≈ 16 MB,
-    // the broadcast-threshold class), fold it with union-find in one pass
-    // instead of paying the iterative path's per-round shuffle + scheduling
-    // floor (2-3 s/run at gate scale, O(diameter) rounds always). Identical
-    // output by construction: linking larger root -> smaller root keeps
-    // every root the component MINIMUM, the distributed contract. The
-    // distributed path remains for graphs past the cap — the count below is
-    // free (the edge list is already checkpoint-materialized).
+    // materialized edge list fits a driver budget, fold it with union-find
+    // in one pass instead of paying the iterative path's per-round shuffle
+    // + scheduling floor (2-3 s/run at gate scale, O(diameter) rounds
+    // always). Budget, honestly: the cap's 1M edges collect as specialized
+    // (Long, Long) tuples (~50 MB with object headers) and the boxed
+    // parent map peaks around ~100-200 MB transient driver heap — a LARGE
+    // broadcast's class, not a small one; size driverEdgeCap down on a
+    // driver-lean deployment. Identical output by construction: linking
+    // larger root -> smaller root keeps every root the component MINIMUM,
+    // the distributed contract. The distributed path remains for graphs
+    // past the cap — the count below is free (the edge list is already
+    // checkpoint-materialized).
     if (edges0.schema.fields.forall(_.dataType ==
           org.apache.spark.sql.types.LongType) &&
         edges0.count() <= driverEdgeCap) {
@@ -574,11 +578,13 @@ object Dedup {
         while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edges0.collect().foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      // collect primitive pairs, not Rows — the Row form would roughly
+      // triple the transient footprint at the cap
+      edges0.rdd.map(r => (r.getLong(0), r.getLong(1))).collect().foreach {
+        case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       return parent.keys.toSeq.sorted.map(k => (k, find(k)))
         .toDF("doc_id", "component_id")

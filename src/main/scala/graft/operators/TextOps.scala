@@ -657,15 +657,18 @@ object TextOps {
           array_join(col("__kept"), "\n").as("clean_text"): _*)
     } else {
       val kept = lines.join(badDf.select("line"), Seq("line"), "left_anti")
-      // per-doc totals as a PROJECTION over src (not a groupBy over the
-      // exploded lines): same value — the count of non-empty lines — and the
-      // carry columns ride the row for free; all-boilerplate-free docs with
-      // zero non-empty lines drop, same as the broadcast regime
-      val totals = src
-        .withColumn("__ne", filter(split(col("text"), "\n"), l => l =!= ""))
-        .filter(size(col("__ne")) > 0)
-        .select(col("doc_id") +: carry.map(col) :+
-          size(col("__ne")).cast("bigint").as("n_lines"): _*)
+      // totals stay the explode + aggregate shape (the CLAUDE.md hot-path
+      // rule: no interpreted HOF chains over corpus-sized rows — a
+      // projection-collapsed filter(split(...)) would inline the lambda per
+      // consumer); carry columns join back from a slim doc projection — this
+      // regime is the pathological huge-bad-set fallback, already join-bound
+      val totals0 = lines.groupBy("doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_lines"))
+      val totals =
+        if (carry.isEmpty) totals0
+        else totals0
+          .join(src.select(col("doc_id") +: carry.map(col): _*), "doc_id")
+          .select(col("doc_id") +: carry.map(col) :+ col("n_lines"): _*)
       val reassembled = kept.groupBy("doc_id").agg(
         count(lit(1)).cast("bigint").as("n_lines_kept"),
         expr("array_join(transform(array_sort(collect_list(struct(pos, line))), s -> s.line), '\\n')")
