@@ -54,13 +54,21 @@ object Clustering {
   }
 
   /** Nearest-centroid assignment: (vec_id, cell, dist, q); dist is the exact
-    * integer squared L2, ties to the lowest cell. */
+    * integer squared L2, ties to the lowest cell.
+    *
+    * The argmin folds through the k-BOUNDED [[Scale.topKPerKey]] aggregate
+    * (k = 1), not a `row_number` window: the window form would push the full
+    * corpus × k fan-out through one exchange EVERY Lloyd iteration, while the
+    * aggregate's map-side combine caps each iteration's exchange at corpus
+    * rows — the same fold [[Similarity.ivfRankCells]] uses, same
+    * (dist asc, cell asc)-to-unique-cell tie order, so the kept rows are
+    * bitwise-identical to the window twin's. */
   private def assign(q: DataFrame, cent: DataFrame): DataFrame =
-    q.crossJoin(broadcast(cent))
-      .withColumn("dist", expr(Portable.qL2Spark("q", "c")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cell").asc)))
-      .filter(col("rn") === 1)
+    Scale.topKPerKey(
+        q.crossJoin(broadcast(cent))
+          .withColumn("dist", expr(Portable.qL2Spark("q", "c")))
+          .select("vec_id", "dist", "cell", "q"),
+        Seq("vec_id"), Seq(("dist", false), ("cell", false)), 1, Seq("q"))
       .select("vec_id", "cell", "dist", "q")
 
   /** Mean-update on the integer grid: per-(cell, dim) BIGINT sums, re-snapped

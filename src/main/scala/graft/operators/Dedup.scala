@@ -837,7 +837,7 @@ object Dedup {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val centroids = Similarity.ivfCentroids(emb, nCells)
     val v = Scale.fanOutScan(emb).select(col("vec_id"), col("embedding").as("emb_v"))
-    val asg = Similarity.ivfRankCells(v, centroids).filter(col("rn") === 1)
+    val asg = Similarity.ivfRankCells(v, centroids, 1)
       .select(col("vec_id"), col("cell"))
     val e = Scale.fanOutScan(emb)
       .select(col("vec_id"), col("embedding"),

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.functions.Portable
@@ -396,9 +395,11 @@ object Similarity {
     val e = withNorm(emb)
     val centroids = ivfCentroids(emb, nCentroids)
     val v = Scale.fanOutScan(emb).select(col("vec_id"), col("embedding").as("emb_v"))
-    val ranked = ivfRankCells(v, centroids)
-    val assigned = ranked.filter(col("rn") === 1).select("vec_id", "cell")
-    val qCells = ranked.filter(col("vec_id") < nQueries && col("rn") <= nProbe)
+    val assigned = ivfRankCells(v, centroids, 1).select("vec_id", "cell")
+    // query probing ranks only the nQueries query vectors (pre-filtered —
+    // per-vec_id ranking is independent, so this is value-identical to
+    // filtering after)
+    val qCells = ivfRankCells(v.filter(col("vec_id") < nQueries), centroids, nProbe)
       .select(col("vec_id").as("query_id"), col("cell"))
     val cand = assigned.join(broadcast(qCells), "cell")
       .filter(col("vec_id") =!= col("query_id"))
@@ -419,17 +420,31 @@ object Similarity {
       .select(expr("vec_id div stride").as("cell"), col("embedding").as("emb_c"))
   }
 
-  /** Rank every (vector, cell) pair by exact L2 through the fixed-order
+  /** Rank each vector's `k` nearest cells by exact L2 through the fixed-order
     * graft_dot chain, ties to the lowest cell — shared by corpus assignment
-    * (rn = 1) and query probing (rn <= nProbe), so the served index path is
-    * bitwise-identical to the in-memory one. */
-  private[operators] def ivfRankCells(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    * (k = 1) and query probing (k = nProbe), so the served index path is
+    * bitwise-identical to the in-memory one. Output (vec_id, rn, dist, cell,
+    * emb_v), rn 1-based.
+    *
+    * The fold is the k-BOUNDED [[Scale.topKPerKey]] aggregate, NOT a
+    * `row_number` window: the window form would push the full
+    * corpus × nCentroids fan-out through one exchange — at √N centroids
+    * that is N^1.5 rows in one shuffle, the dominant cost of building an
+    * IVF index at 100 TB — while the aggregate's map-side combine caps the
+    * exchange at corpus × k rows (FAISS does assignment as a local argmin;
+    * this is the distributed equivalent). (dist asc, cell asc) reaches the
+    * unique cell id, so the kept rows are bitwise-identical to the window
+    * twin's. */
+  private[operators] def ivfRankCells(vecs: DataFrame, centroids: DataFrame,
+                                      k: Int): DataFrame = {
     val dist = expr(
       "(graft_dot(emb_v, emb_v) + graft_dot(emb_c, emb_c)) - CAST(2 AS DOUBLE) * graft_dot(emb_v, emb_c)")
-    vecs.crossJoin(broadcast(centroids))
+    val scored = vecs.crossJoin(broadcast(centroids))
       .withColumn("dist", dist)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cell").asc)))
+      .select("vec_id", "dist", "cell", "emb_v")
+    Scale.topKPerKey(scored, Seq("vec_id"),
+        Seq(("dist", false), ("cell", false)), k, Seq("emb_v"))
+      .withColumnRenamed("rnk", "rn")
   }
 
   /** Build an IVF index as a MATERIALIZED lake artifact: centroid + cell
@@ -442,8 +457,8 @@ object Similarity {
     GraftFunctions.register(emb.sparkSession)
     val centroids = ivfCentroids(emb, nCentroids)
     val v = Scale.fanOutScan(emb).select(col("vec_id"), col("embedding").as("emb_v"))
-    val assigned = ivfRankCells(v, centroids)
-      .filter(col("rn") === 1).persist(StorageLevel.MEMORY_AND_DISK)
+    val assigned = ivfRankCells(v, centroids, 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     def put(df: DataFrame, t: String): Unit =
       if (lake.exists(t)) lake.overwrite(df, t) else lake.create(df, t)
     put(centroids, s"${prefix}_centroids")
@@ -478,8 +493,8 @@ object Similarity {
     require(centroids.columns.contains("emb_c"),
       s"no emb_c column in ${prefix}_centroids — not an IVF index")
     val v = Scale.fanOutScan(embNew).select(col("vec_id"), col("embedding").as("emb_v"))
-    val assigned = ivfRankCells(v, centroids)
-      .filter(col("rn") === 1).persist(StorageLevel.MEMORY_AND_DISK)
+    val assigned = ivfRankCells(v, centroids, 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     lake.append(
       assigned.select(col("vec_id"), col("emb_v").as("embedding"), col("cell"))
         .repartition(col("cell")),
@@ -515,7 +530,7 @@ object Similarity {
     // literals (unconditional directory pruning on the cell-partitioned
     // assignment table; dynamic partition pruning is a heuristic, this
     // isn't) and the broadcast join side, with no cache pin.
-    val qCellRows = ivfRankCells(q, centroids).filter(col("rn") <= nProbe)
+    val qCellRows = ivfRankCells(q, centroids, nProbe)
       .select(col("vec_id").as("query_id"), col("cell"))
       .collect()
     import spark.implicits._
@@ -857,12 +872,15 @@ object Similarity {
       .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "center")
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qe"))
-    val qCells = q.crossJoin(broadcast(centersDf))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(qe, center, (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (a, v) -> a + v)"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("dist").asc, col("cell").asc)))
-      .filter(col("rk") <= nProbe)
+    // nQueries x nCentroids rows — bounded, but folded through the same
+    // k-bounded aggregate as every other ranking stage so the ANN family
+    // plans zero Window nodes
+    val qCells = Scale.topKPerKey(
+        q.crossJoin(broadcast(centersDf))
+          .withColumn("dist", expr(
+            "aggregate(zip_with(qe, center, (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (a, v) -> a + v)"))
+          .select("query_id", "dist", "cell"),
+        Seq("query_id"), Seq(("dist", false), ("cell", false)), nProbe, Seq.empty)
       .select("query_id", "cell")
     val cand = assigned.join(broadcast(qCells), "cell")
       .filter(col("vec_id") =!= col("query_id"))

@@ -46,15 +46,25 @@ class PlanSpec extends AnyFunSuite {
     // in ONE reducer per query and fully sorts it there — the shape the
     // TopKAgg scaladoc names as what does not survive 100 TB. Every exact/
     // approx ranking leg must plan the k-bounded ObjectHashAggregate instead.
-    // (The IVF gates keep one window: cell-ranking, bounded by nCentroids.)
+    // r13: the IVF gates' cell-ranking (assignment + probing) folds through
+    // the same aggregate — the window form pushed the full corpus x
+    // nCentroids fan-out through one exchange (N^1.5 rows at sqrt-N
+    // centroids), the dominant cost of building an IVF index at 100 TB — so
+    // the whole ANN family now plans ZERO Window nodes.
     for (g <- Seq("ann_brute_force_topk", "ann_lsh_topk", "ann_pq_topk",
-                  "ann_sq8_topk", "ann_recall_eval")) {
+                  "ann_sq8_topk", "ann_recall_eval",
+                  "ann_ivf_topk", "ann_ivf_index_topk")) {
       val p = plan(g)
       assert(p.contains("ObjectHashAggregate"),
         s"$g must fold top-k via graft_top_k:\n${p.take(400)}")
       assert(!p.contains("Window"),
         s"$g must not sort per-query via a window:\n${p.take(400)}")
     }
+    // dedup_semantic's cell assignment uses the same fold, but its final
+    // plan collapses through the union-find LocalTableScan (checkpointed
+    // upstream), so only the no-Window half is observable
+    assert(!plan("dedup_semantic").contains("Window"),
+      "dedup_semantic must not rank cells via a window")
   }
 
   test("dedup-keep-latest: single shuffle on the partition keys") {
@@ -179,6 +189,10 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Broadcast"), "centroids must broadcast")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       "no shuffled join anywhere in the Lloyd round")
+    // r13: the argmin folds through the k-bounded aggregate, never a
+    // corpus x k row_number exchange (one per Lloyd iteration otherwise)
+    assert(!p.contains("Window"),
+      s"kmeans assignment must not rank cells via a window:\n${p.take(400)}")
   }
 
   test("bloom join: membership probe filters the fact side BELOW the join exchange") {
