@@ -549,7 +549,11 @@ object Dedup {
     // (including the expensive pair-generation plan) and per-round planning
     // time compounds. Checkpointing gives each round an O(1) plan. On a
     // cluster with executor loss, swap for reliable checkpoint(dir).
-    val edges0 = pairs.select("doc_a", "doc_b").localCheckpoint(true)
+    // LAZY: the regime-gate count() below is the first action, so the edge
+    // list materializes inside it (one job) instead of paying a separate
+    // eager checkpoint job first; count() scans every partition, so the
+    // checkpoint is complete for whichever regime consumes it next.
+    val edges0 = pairs.select("doc_a", "doc_b").localCheckpoint(false)
     // Size-gated regime switch (same pattern as dedupLines' broadcast
     // regime): a near-dup graph is PAIR-sized, not corpus-sized — after
     // exact dedup it is usually a small fraction of documents — so when the
@@ -917,8 +921,11 @@ object Dedup {
     base.join(spans, Seq("doc_id"), "left")
       .withColumn("__sp",
         coalesce(col("spans"), expr("CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>)")))
-      .withColumn("__kept",
-        expr("filter(toks, (t, i) -> NOT exists(__sp, sp -> i >= sp.s AND i < sp.e))"))
+      // native merge pass, not the filter/exists HOF pair: two interpreted
+      // lambdas per corpus TOKEN was the chain's hottest projection (the
+      // profileAll lesson, r13 measured on the e2e gate); values identical,
+      // spans arrive sorted from the sort_array above
+      .withColumn("__kept", expr("graft_span_filter(toks, __sp)"))
       .select(col("doc_id") +: carry.map(col) :+
         size(col("toks")).cast("bigint").as("n_tokens") :+
         (size(col("toks")) - size(col("__kept"))).cast("bigint").as("n_removed") :+

@@ -43,6 +43,25 @@ object TextOps {
     else Scale.fanOutScan(docs).withColumn("toks", expr("graft_tokens(text)"))
   }
 
+  /** Token-COUNT passthrough, the slim sibling of [[withToks]]: consumers
+    * that need only `n_tokens` (budget sampling, packing) accept a
+    * precomputed integer column instead of re-tokenizing the corpus — a
+    * chained pipeline computes the count once per rewrite of `text` and the
+    * downstream stages ride it. Carrying the LONG is nothing like carrying
+    * the token ARRAYS through checkpoints (the measured CLAUDE.md negative);
+    * content staleness stays the caller's contract, as with `toks`. */
+  private def withNTokens(docs: DataFrame): DataFrame = {
+    if (docs.columns.contains("n_tokens")) {
+      val t = docs.schema("n_tokens").dataType
+      require(t == org.apache.spark.sql.types.LongType ||
+        t == org.apache.spark.sql.types.IntegerType,
+        s"'n_tokens' passthrough column must be int/bigint (token count); got ${t.sql}. " +
+          "Rename or drop the conflicting column before calling TextOps.")
+      docs.withColumn("n_tokens", col("n_tokens").cast("bigint"))
+    } else withToks(docs)
+      .withColumn("n_tokens", size(col("toks")).cast("bigint")).drop("toks")
+  }
+
   /** Per-document token statistics + polynomial fingerprint of the raw text.
     * Counts are exact integers; the average is one int/int double division. */
   def tokenStats(docs: DataFrame): DataFrame = {
@@ -255,8 +274,7 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    withToks(docs)
-      .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+    withNTokens(docs)
       .filter(col("n_tokens") > 0)
       .withColumn("shard", col("doc_id") % shards)
       .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
@@ -404,8 +422,8 @@ object TextOps {
   def tokenBudgetSample(docs: DataFrame, budgetPerSource: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgetPerSource > 0, "budget must be positive")
-    val t = withToks(docs).select(col("doc_id"), col("source"),
-      size(col("toks")).cast("bigint").as("n_tokens"),
+    val t = withNTokens(docs).select(col("doc_id"), col("source"),
+      col("n_tokens"),
       expr(Portable.sampleBucketSpark("doc_id")).as("bkt"))
     val bucketAgg = t.groupBy("source", "bkt").agg(sum(col("n_tokens")).as("b_sum"))
     val wBuckets = Window.partitionBy("source").orderBy("bkt")
@@ -484,15 +502,15 @@ object TextOps {
     * priority order every curation pipeline needs to make drop attribution
     * deterministic: exact_dup > lang > quality > repetition > keep.
     *
-    * Scale shape: the language and quality signals are pure projections
-    * fused into ONE corpus scan ([[withLangScores]] then [[withQualityCols]]
-    * on the same frame — no self-join); the two inherently aggregating
-    * signals (md5 keep-first dedup, repetition token shares) join back by
-    * key. Total cost: one projection scan + one 128-bit-key hash aggregate +
-    * one exploded token aggregate — each already proven at corpus scale by
-    * its standalone gate. Documents that tokenize to nothing have no
-    * repetition row (left join, never repetitive) and predict 'unknown',
-    * so they fall out at the `lang` stage. */
+    * Scale shape: the language, quality, AND repetition signals are pure
+    * projections fused into ONE corpus scan ([[withLangScores]],
+    * [[withQualityCols]], [[withRepetitive]] on the same frame — no
+    * self-join); the one inherently aggregating signal (md5 keep-first
+    * dedup) joins back by key. Total cost: one projection scan + one
+    * 128-bit-key hash aggregate — each already proven at corpus scale by
+    * its standalone gate. Documents that tokenize to nothing are never
+    * repetitive and predict 'unknown', so they fall out at the `lang`
+    * stage. */
   def curationDecisions(docs: DataFrame, targetLangs: Seq[String] = Seq("en"),
                         minQuality: Double = 2.0): DataFrame = {
     val keepers = docs.groupBy(md5(col("text")).as("k"))
@@ -500,20 +518,37 @@ object TextOps {
     val ex = docs.select(col("doc_id"), md5(col("text")).as("k"))
       .join(keepers, "k")
       .select(col("doc_id"), (col("doc_id") =!= col("keep_doc_id")).as("is_exact_dup"))
-    val perDoc = withQualityCols(withLangScores(withToks(docs)))
-      .select("doc_id", "lang_pred", "quality_score")
-    val rep = repetitionScore(docs).select("doc_id", "is_repetitive")
+    val perDoc = withRepetitive(withQualityCols(withLangScores(withToks(docs))))
+      .select("doc_id", "lang_pred", "quality_score", "is_repetitive")
     perDoc
       .join(ex, "doc_id")
-      .join(rep, Seq("doc_id"), "left")
       .withColumn("reason",
         when(col("is_exact_dup"), lit("exact_dup"))
           .when(!col("lang_pred").isin(targetLangs: _*), lit("lang"))
           .when(col("quality_score") < minQuality, lit("quality"))
-          .when(coalesce(col("is_repetitive"), lit(false)), lit("repetition"))
+          .when(col("is_repetitive"), lit("repetition"))
           .otherwise(lit("keep")))
       .select(col("doc_id"), (col("reason") === "keep").as("keep"), col("reason"))
   }
+
+  /** Appends `is_repetitive` to a tokenized frame as a pure projection — the
+    * per-row twin of [[repetitionScore]]'s thresholds, fused into the same
+    * corpus scan as the lang/quality columns so the curation deciders pay no
+    * separate repetition scan + doc_id join. Token-less docs have NO row in
+    * [[repetitionScore]] (its `coalesce(is_repetitive, false)` left join),
+    * so here they are `false` directly — value-identical. */
+  private def withRepetitive(tokenized: DataFrame,
+                             topTokenMax: Double = 0.2,
+                             topBigramMax: Double = 0.18): DataFrame =
+    tokenized
+      .withColumn("__rs", expr("graft_rep_stats(toks)"))
+      .withColumn("is_repetitive",
+        size(col("toks")) > 0 &&
+          ((col("__rs.top_uni").cast("double") / col("__rs.n_uni")) > topTokenMax ||
+            when(col("__rs.n_bi") > 0,
+                col("__rs.top_bi").cast("double") / col("__rs.n_bi"))
+              .otherwise(lit(0.0)) > topBigramMax))
+      .drop("__rs")
 
   /** [[curationDecisions]] with NEAR-duplicates folded into the attribution —
     * the [[graft.operators.Dedup.dedupSurvivorsBy]] quality-keeper families
@@ -534,13 +569,15 @@ object TextOps {
                                 minQuality: Double = 2.0,
                                 n: Int = 3, tau: Double = 0.5,
                                 bands: Int = 42, rowsPerBand: Int = 3): DataFrame = {
-    val perDoc = withQualityCols(withLangScores(withToks(docs)))
-      .select("doc_id", "lang_pred", "quality_score")
-    val rep = repetitionScore(docs).select("doc_id", "is_repetitive")
+    val perDoc = withRepetitive(withQualityCols(withLangScores(withToks(docs))))
+      .select("doc_id", "lang_pred", "quality_score", "is_repetitive")
     // referenced by the keeper fold AND the decision join: materialize once.
     // The family graph itself is the SHARED Dedup.dedupFamilies — this
     // operator and dedupSurvivorsBy are both oracle-gated on byte-equivalent
-    // family semantics, so the graph is defined exactly once.
+    // family semantics, so the graph is defined exactly once. is_repetitive
+    // rides the same projection scan (one boolean per row in the
+    // checkpoint), replacing the pre-r13 separate repetition scan +
+    // corpus-keyed left join downstream of it.
     val fam = perDoc
       .join(Dedup.dedupFamilies(docs, n, tau, bands, rowsPerBand), "doc_id")
       .localCheckpoint(false)
@@ -548,13 +585,12 @@ object TextOps {
       .agg(max_by(col("doc_id"),
         struct(col("quality_score"), (-col("doc_id")))).as("keep_doc_id"))
     fam.join(keepers, "family")
-      .join(rep, Seq("doc_id"), "left")
       .withColumn("reason",
         when(col("doc_id") =!= col("keep_doc_id") && col("kc") > 1, lit("exact_dup"))
           .when(col("doc_id") =!= col("keep_doc_id"), lit("near_dup"))
           .when(!col("lang_pred").isin(targetLangs: _*), lit("lang"))
           .when(col("quality_score") < minQuality, lit("quality"))
-          .when(coalesce(col("is_repetitive"), lit(false)), lit("repetition"))
+          .when(col("is_repetitive"), lit("repetition"))
           .otherwise(lit("keep")))
       .select(col("doc_id"), (col("reason") === "keep").as("keep"), col("reason"))
   }
@@ -638,19 +674,27 @@ object TextOps {
     // bad set, so an in-function unpersist can never be safe, and a persist
     // is pinned by the CacheManager until one — repeated calls in a long
     // session would accumulate cached blocks (r7 ADVICE). Checkpoint blocks
-    // are freed by the ContextCleaner once the plan is unreachable.
+    // are freed by the ContextCleaner once the plan is unreachable. LAZY:
+    // the byte probe below is the first action, so the checkpoint
+    // materializes inside it instead of paying a separate eager job.
     val badDf = lines.groupBy("line")
       .agg(countDistinct(col("doc_id")).as("line_df"))
       .filter(col("line_df") > maxDf)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val badBytes = badDf.agg(coalesce(sum(octet_length(col("line"))), lit(0L)))
       .collect()(0).getLong(0)
     if (badBytes <= broadcastBadBytes) {
-      val bad = badDf.agg(collect_set(col("line")).as("bad"))
-      src.crossJoin(broadcast(bad))
+      // the probe just bounded the set at broadcastBadBytes, so holding it
+      // on the driver is safe — shipped as ONE literal array (the ANN
+      // probe-cell pattern), so the output is a pure projection over the
+      // source scan: no collect_set subquery stage, no broadcast exchange,
+      // and the scan fuses straight into the consuming chain's DAG
+      val badArr = badDf.select("line").collect().map(_.getString(0)).toSeq
+      val bad = typedLit(badArr)
+      src
         .withColumn("__ne", filter(split(col("text"), "\n"), l => l =!= ""))
         .filter(size(col("__ne")) > 0)
-        .withColumn("__kept", filter(col("__ne"), l => not(array_contains(col("bad"), l))))
+        .withColumn("__kept", filter(col("__ne"), l => not(array_contains(bad, l))))
         .select(col("doc_id") +: carry.map(col) :+
           size(col("__ne")).cast("bigint").as("n_lines") :+
           size(col("__kept")).cast("bigint").as("n_lines_kept") :+
@@ -845,7 +889,12 @@ object TextOps {
     val keep = curationDecisionsFamilies(d3, targetLangs, minQuality, nearN, nearTau,
         nearBands, nearRowsPerBand)
       .filter(col("keep")).select("doc_id")
-    val d4 = d3.join(keep, "doc_id").localCheckpoint(false)
+    // n_tokens rides the checkpoint as ONE long per row (NOT the token
+    // arrays — the measured CLAUDE.md negative), so the budget and packing
+    // stages' withNTokens passthrough skips two more corpus tokenizations
+    val d4 = d3.join(keep, "doc_id")
+      .withColumn("n_tokens", size(expr("graft_tokens(text)")).cast("bigint"))
+      .localCheckpoint(false)
     // 5. per-source token-budget sampling
     val tb = tokenBudgetSample(d4, budgetPerSource)
     val d5 = d4.join(tb.select("doc_id"), "doc_id")

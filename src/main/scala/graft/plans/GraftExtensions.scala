@@ -388,6 +388,60 @@ case class RepetitionStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Native expression: `graft_span_filter(toks, spans)` keeps the tokens whose
+  * 0-based index is NOT covered by any `[s, e)` span — the excision step of
+  * exact-substring dedup ([[graft.operators.Dedup.exactSubstrExcise]]).
+  *
+  * The portable formulation is `filter(toks, (t, i) -> NOT exists(spans,
+  * sp -> i >= sp.s AND i < sp.e))` — two nested interpreted higher-order
+  * lambdas invoked per corpus TOKEN (the CLAUDE.md hot-path class: HOFs
+  * never codegen, and projection collapse re-inlines them per consumer).
+  * This is one merge pass instead: spans arrive sorted by `s` (sort_array
+  * over merged maximal spans upstream), so a single forward pointer decides
+  * every token in O(tokens + spans) with no per-element closures. Correct
+  * for any sorted-by-s span list, overlapping or not: the pointer advances
+  * only past spans with e <= i, so the first remaining span has e > i and
+  * covers i iff its s <= i (later spans start no earlier). Value-identical
+  * to the HOF chain, so the oracle SQL is untouched. */
+case class SpanFilterTokens(left: Expression, right: Expression)
+  extends BinaryExpression with codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_span_filter"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(_: StringType, _),
+          ArrayType(StructType(Array(a, b)), _))
+      if a.dataType == IntegerType && b.dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_span_filter expects (array<string>, array<struct<int, int>>), got $other")
+  }
+
+  override def nullSafeEval(toksAny: Any, spansAny: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val toks = toksAny.asInstanceOf[ArrayData]
+    val spans = spansAny.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val m = spans.numElements()
+    val kept = new Array[AnyRef](n)
+    var k = 0
+    var j = 0
+    var i = 0
+    while (i < n) {
+      while (j < m && spans.getStruct(j, 2).getInt(1) <= i) j += 1
+      val covered = j < m && spans.getStruct(j, 2).getInt(0) <= i
+      if (!covered) { kept(k) = toks.getUTF8String(i); k += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(kept, k).asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native expression: full MinHash signature (k minima over the affine hash
   * family) from an array of shingle hashes — `array<bigint>[k]` per row.
   *
@@ -1123,6 +1177,13 @@ object GraftFunctions {
       s"graft_rep_stats takes exactly 1 argument, got ${other.size}")
   }
 
+  val spanFilterInfo = new ExpressionInfo(classOf[SpanFilterTokens].getName, "graft_span_filter")
+  val spanFilterBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => SpanFilterTokens(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_span_filter takes exactly 2 arguments, got ${other.size}")
+  }
+
   val tsMultiInfo = new ExpressionInfo(classOf[MultiFormatTimestamp].getName, "graft_ts_multi")
   val tsMultiBuilder: Seq[Expression] => Expression = {
     case Seq(a) => MultiFormatTimestamp(a)
@@ -1215,6 +1276,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_ql2", ql2Builder, "built-in")
     reg.createOrReplaceTempFunction("graft_top_k", topKBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_rep_stats", repStatsBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_span_filter", spanFilterBuilder, "built-in")
   }
 }
 
@@ -1238,5 +1300,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_ql2"), GraftFunctions.ql2Info, GraftFunctions.ql2Builder))
     ext.injectFunction((FunctionIdentifier("graft_top_k"), GraftFunctions.topKInfo, GraftFunctions.topKBuilder))
     ext.injectFunction((FunctionIdentifier("graft_rep_stats"), GraftFunctions.repStatsInfo, GraftFunctions.repStatsBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_span_filter"), GraftFunctions.spanFilterInfo, GraftFunctions.spanFilterBuilder))
   }
 }

@@ -1,0 +1,63 @@
+package graft.tools
+
+import graft.core.{Sessions, Tables}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+
+/** Builder tool: per-JOB wall timing of one warm curation-e2e run — names
+  * every driver-blocking action (eager checkpoints, probes, broadcast
+  * subqueries) the chain pays, so the trims target real latency. */
+object E2eJobProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.local(32, "graft-e2ejobprobe")
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    @volatile var log = List.empty[(Int, Double, String)]
+    @volatile var stages = List.empty[(Int, Double, Double, String)]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        // the final stage's name carries the action callsite (File.scala:line)
+        val site = js.stageInfos.sortBy(_.stageId).lastOption.map(_.name).getOrElse("")
+        starts.put(js.jobId, (System.nanoTime(), site))
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        Option(starts.remove(je.jobId)).foreach { case (t0, site) =>
+          log ::= ((je.jobId, (System.nanoTime() - t0) / 1e9, site))
+        }
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (for (a <- si.completionTime; b <- si.submissionTime)
+          yield (a - b) / 1e3).getOrElse(-1.0)
+        val cpu = si.taskMetrics.executorRunTime / 1e3
+        // first graft frame in the callsite stack names the operator
+        val frame = si.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("graft.tools"))
+          .getOrElse(si.name).trim
+        stages ::= ((si.stageId, wall, cpu, frame))
+      }
+    })
+    def run(label: String): Unit = {
+      log = Nil
+      stages = Nil
+      val t0 = System.nanoTime()
+      graft.operators.TextOps.curationPipeline(
+          Tables.documents(spark, sfDir), Seq("web"))
+        .write.format("noop").mode("overwrite").save()
+      val total = (System.nanoTime() - t0) / 1e9
+      println(f"JOBPROBE $label total $total%.2f s, ${log.size} jobs, ${stages.size} stages")
+      // per-callsite rollup: submission-to-completion wall + summed task time
+      stages.groupBy(_._4).map { case (name, ss) =>
+        (ss.map(_._2).sum, ss.map(_._3).sum, ss.length, name)
+      }.toSeq.sortBy(-_._1).take(20).foreach { case (w, c, n, name) =>
+        println(f"JOBPROBE   stage $w%6.2f s wall $c%6.2f s task x$n%-3d ${name.take(70)}")
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    run("cold")
+    run("warm1")
+    run("warm2")
+    spark.stop()
+  }
+}
