@@ -55,6 +55,27 @@ object Bench {
       dt
     }
 
+    // Per-query JVM diagnostics (stderr, driver ignores it): GC time delta,
+    // heap used, and JIT code-cache occupancy. Motive: the r12 driver window
+    // showed 5-12x swings on the decimal-heavy gold queries at LOW steal and
+    // flat calibration — same binary, so the suspect is JVM state (code-cache
+    // flushing de-JITting the widest codegen, or GC pressure), and the only
+    // way to name it is to record these alongside every timing.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).filter(_ > 0).sum
+    }
+    def jvmStats(): String = {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      val code = pools.filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getUsed).sum >> 20
+      val heap = java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage.getUsed >> 20
+      s"heap ${heap}M code ${code}M"
+    }
+
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run to named queries — the
     // iterate-on-one-plan loop. Filtered runs never overwrite bench_last.json
     // (the durable full-surface record). A misspelled name is an ERROR, not a
@@ -98,6 +119,7 @@ object Bench {
         r
       }
       val s0 = stealJiffies()
+      val gc0 = gcMillis()
       once() // warmup
       var runs = Seq(once(), once(), once()).flatten.sorted
       // Spread guard: a stolen/contended window inflates a single run 5-10x,
@@ -114,6 +136,8 @@ object Bench {
       }
       val stolen = stealJiffies() - s0
       if (stolen > 0) System.err.println(s"[bench] $name: $stolen steal jiffies during runs")
+      System.err.println(f"[bench] $name: gc ${gcMillis() - gc0} ms, ${jvmStats()}, " +
+        f"runs ${runs.map(r => f"$r%.2f").mkString(",")}")
       // Judge from the fastest three ONLY when the host accounted ENOUGH
       // steal during this query's window to plausibly explain the excess —
       // discarding slow samples is justified exactly when the slowness is

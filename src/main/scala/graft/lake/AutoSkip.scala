@@ -104,14 +104,69 @@ object AutoSkip {
       }
     }
 
-  /** Maintenance: drop superseded sidecar generations (each [[index]] call
-    * retains its predecessors so in-flight read handles never lose their
-    * snapshot). Schedule like any snapshot expiration — not per refresh. */
-  def expireIndexGenerations(root: String, t: String): Unit = {
+  /** Maintenance: drop superseded sidecar generations, RETAINING the
+    * `retainLast` most recent predecessors of the current one (each refresh
+    * commits a new generation, so in-flight read handles opened up to
+    * `retainLast` refreshes ago keep their snapshot; older handles degrade
+    * to unpruned-but-correct reads via the superset guarantee). The
+    * write-transparent refresh ([[refreshAfterCommit]]) applies this policy
+    * automatically so per-commit refreshes cannot accumulate one sidecar
+    * snapshot per table commit forever; call directly for a tighter
+    * schedule. */
+  def expireIndexGenerations(root: String, t: String, retainLast: Int = 0): Unit = {
     val lake = idxLake(root, t)
     (Seq("zonemap") ++ lake.tables().filter(_.startsWith("bloom__")))
-      .filter(lake.exists).foreach(lake.expireSnapshots)
+      .distinct.filter(lake.exists)
+      .foreach(lake.expireSnapshots(_, retainLast))
   }
+
+  /** How many superseded sidecar generations a write-transparent refresh
+    * retains (see [[expireIndexGenerations]]). */
+  val CommitRefreshRetain = 3
+
+  /** WRITE-transparent sidecar maintenance — the commit hook both lake
+    * formats call after a successful data commit: iff the table has sidecars
+    * (someone called [[index]]/[[indexDir]] at least once), refresh them
+    * against the just-committed snapshot, discovering the indexed column
+    * sets from the sidecars themselves (zone columns from the zonemap's
+    * `<c>__min` fields, Bloom columns from the `bloom__<c>` table names).
+    * A plain `append` → plain [[read]] therefore prunes the NEW files with
+    * no `index()` call in user code — the reference's engines maintain
+    * statistics on every load the same way (BigQuery keeps Iceberg metadata
+    * itself, terraform/bigquery_tables.tf:97-116; DuckDB computes zone maps
+    * at write time).
+    *
+    * Cost: refresh is the sidecars' own set algebra — only files missing
+    * from the sidecar are scanned, i.e. the increment just written — and
+    * un-indexed tables pay two file stats. Old generations beyond
+    * [[CommitRefreshRetain]] are expired here too, so steady-state sidecar
+    * storage is O(retain), not O(commits). Failure NEVER fails the data
+    * commit (it already landed): any error degrades to a stale sidecar,
+    * which the superset guarantee makes correct-but-unpruned. Recursion
+    * terminates structurally: sidecar tables live in a ParquetDirFormat
+    * lake whose own tables have no `idx` directory, so their commits no-op
+    * here. */
+  private[lake] def refreshAfterCommit(spark: SparkSession, root: String,
+                                       t: String, df: => DataFrame): Unit =
+    try {
+      val lake = idxLake(root, t)
+      val hasZone = lake.exists("zonemap")
+      val bloomCols = scala.util.Try(lake.tables()).getOrElse(Seq.empty)
+        .filter(_.startsWith("bloom__")).map(_.stripPrefix("bloom__"))
+      if (!hasZone && bloomCols.isEmpty) return
+      val zoneCols =
+        if (!hasZone) Seq.empty[String]
+        else lake.read(spark, "zonemap").schema.fieldNames.toSeq
+          .filter(_.endsWith("__min")).map(_.stripSuffix("__min"))
+      indexFrom(spark, root, t, df, zoneCols, bloomCols)
+      expireIndexGenerations(root, t, CommitRefreshRetain)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"sidecar refresh after commit on $root/$t failed " +
+          s"(reads stay correct, pruning may lag until the next refresh): $e")
+    }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Open the table for reading THROUGH the sidecars: any filter later
     * applied to the returned frame prunes files automatically. Missing or

@@ -446,6 +446,10 @@ class ParquetDirFormat(root: String) extends TableFormat {
     val parts = partitionSpec(table)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer).parquet(dir)
     io.writeHint(pointer(table), next.toString)
+    // write-transparent sidecar maintenance: no-op unless this table was
+    // ever indexed (two file stats); never fails the commit
+    AutoSkip.refreshAfterCommit(df.sparkSession, root, table,
+      read(df.sparkSession, table))
   }
 
   override def create(df: DataFrame, table: String): Unit = {
@@ -525,12 +529,15 @@ class ParquetDirFormat(root: String) extends TableFormat {
     spark.read.parquet(versionDir(table, version))
   }
 
-  /** Snapshot expiration: delete all version directories older than the
-    * current pointer (Iceberg's expire_snapshots). Readers pinned to old
-    * snapshots lose them — call on a maintenance schedule, not per commit. */
-  def expireSnapshots(table: String): Seq[Int] = {
+  /** Snapshot expiration: delete version directories older than the current
+    * pointer (Iceberg's expire_snapshots), RETAINING the `retainLast` most
+    * recent predecessors (0 = drop every superseded snapshot). Readers
+    * pinned to expired snapshots lose them — call on a maintenance
+    * schedule, not per commit (the sidecar auto-refresh applies its own
+    * bounded retention, [[AutoSkip.CommitRefreshRetain]]). */
+  def expireSnapshots(table: String, retainLast: Int = 0): Seq[Int] = {
     val cur = currentVersion(table).getOrElse(return Seq.empty)
-    val old = versions(table).filter(_ < cur)
+    val old = versions(table).filter(_ < cur).sorted.dropRight(retainLast)
     old.foreach(v => io.delete(versionDir(table, v)))
     old
   }
@@ -597,6 +604,48 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
   private val io = new LakeFs(root)
   private val Shadow = "__p_"
 
+  /** The table's CURRENT partition spec — the PARTITION file when the table
+    * exists (it may have been [[evolvePartitionSpec]]d after this handle was
+    * constructed), else the constructor's columns. New stages always write
+    * under the current spec; manifests may reference directories of EARLIER
+    * specs (ids are self-describing `__p_c=v` paths), which every reader
+    * parses per entry. */
+  private def specOf(t: String): Seq[String] = {
+    val pf = s"${tableDir(t)}/PARTITION"
+    if (io.exists(pf)) io.readString(pf).trim.split(",").toSeq
+    else partitionCols
+  }
+
+  /** PARTITION-SPEC EVOLUTION (Iceberg's evolve-spec semantics, spec §4
+    * "Partition Evolution" — public design): change how FUTURE writes are
+    * partitioned without rewriting a single existing file. Existing manifest
+    * entries keep their old-spec directory ids (readable and
+    * manifest-prunable exactly as committed — old snapshots keep the old
+    * spec); new appends stage under the new spec; a partition-scoped rewrite
+    * (upsert/compact) MIGRATES the partitions it touches to the current
+    * spec, so tables converge lazily. Data files carry every real column
+    * regardless of spec (the shadow-column layout), so no read path depends
+    * on which spec wrote a file. Mixed-spec correctness notes: [[upsert]]'s
+    * keys-determine-partition shortcut disables itself while any old-spec
+    * entry remains, and [[AutoSkip.read]] prunes per file from its own
+    * entry's values (a column absent from an old spec simply contributes no
+    * partition evidence — superset). Racing writers are benign: a stage in
+    * flight under the old spec commits old-spec ids, which are exactly the
+    * mixed state this supports. */
+  def evolvePartitionSpec(t: String, newCols: Seq[String]): Unit = {
+    require(newCols.nonEmpty, "partition spec needs at least one column")
+    require(exists(t), s"no such table: $t")
+    if (io.exists(schemaFile(t))) {
+      val fields = org.apache.spark.sql.types.DataType.fromJson(
+          io.readString(schemaFile(t)))
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+      val missing = newCols.filterNot(fields)
+      require(missing.isEmpty,
+        s"partition columns not in table schema: ${missing.mkString(", ")}")
+    }
+    io.writeString(s"${tableDir(t)}/PARTITION", newCols.mkString(","))
+  }
+
   private def tableDir(t: String) = s"$root/$t"
   private def pointer(t: String) = s"${tableDir(t)}/LAST"
   private def manifestFile(t: String, v: Int) = s"${tableDir(t)}/m/MANIFEST.v$v"
@@ -656,13 +705,16 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     * Iceberg-style: on losing the CAS, re-read the winner's entries and
     * rebase via `rebase` — two racing appenders thus BOTH land (neither
     * lost) instead of last-writer-wins. */
-  private def commitRebase(t: String)(
+  private def commitRebase(t: String, spark: SparkSession)(
       rebase: Seq[(String, Seq[String])] => Seq[(String, Seq[String])]): Unit = {
     var attempts = 0
     while (attempts < 32) {
       val cur = currentVersion(t)
       val entries = rebase(cur.map(_ => manifestAt(t)._2).getOrElse(Seq.empty))
-      if (casCommit(t, cur, entries)) return
+      if (casCommit(t, cur, entries)) {
+        AutoSkip.refreshAfterCommit(spark, root, t, read(spark, t))
+        return
+      }
       attempts += 1
     }
     throw new IllegalStateException(
@@ -676,7 +728,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     * become unreferenced; expireUnreferenced cleans them) and the CALLER
     * retries the whole operation: Iceberg's validation-failure semantics.
     * `base` = None expects the table to not exist yet (create). */
-  private def commitExpect(t: String, base: Option[Int],
+  private def commitExpect(t: String, spark: SparkSession, base: Option[Int],
                            entries: Seq[(String, Seq[String])]): Unit = {
     val cur = currentVersion(t)
     if (cur != base || !casCommit(t, base, entries))
@@ -686,6 +738,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
           s"${currentVersion(t).map("v" + _).getOrElse("nothing")} is now current; " +
           "this commit is aborted and its staged directories are unreferenced " +
           "(expireUnreferenced cleans them) — retry the operation")
+    AutoSkip.refreshAfterCommit(spark, root, t, read(spark, t))
   }
 
   /** Stage-write `df` partitioned by shadow columns, move each staged
@@ -696,9 +749,10 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     // (the CAS commit then serializes whose manifest references what)
     val next = java.util.UUID.randomUUID().toString.take(8)
     val staging = s"${tableDir(t)}/.staging-$tag-$next"
-    val shadowed = partitionCols.foldLeft(df)((d, c) => d.withColumn(Shadow + c, col(c)))
+    val spec = specOf(t) // stages always write under the CURRENT spec
+    val shadowed = spec.foldLeft(df)((d, c) => d.withColumn(Shadow + c, col(c)))
     shadowed.write.mode(SaveMode.Overwrite)
-      .partitionBy(partitionCols.map(Shadow + _): _*).parquet(staging)
+      .partitionBy(spec.map(Shadow + _): _*).parquet(staging)
     // discover the partition directories Spark wrote (canonical escaping);
     // only `name=value` segments count — _SUCCESS/_temporary never match
     def leaves(dir: String, rel: String, depth: Int): Seq[(String, String)] =
@@ -709,7 +763,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
           leaves(st.getPath.toString,
             if (rel.isEmpty) name else s"$rel/$name", depth - 1)
         }
-    val staged = leaves(staging, "", partitionCols.length)
+    val staged = leaves(staging, "", spec.length)
     val moved = staged.zipWithIndex.map { case ((src, id), i) =>
       val rel = s"$id/$tag-$next-$i"
       io.rename(src, s"${dataDir(t)}/$rel")
@@ -797,7 +851,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     // schema survives independently of data files, so an empty create (or a
     // later overwrite-to-empty) still reads/appends with the right columns
     io.writeString(schemaFile(t), df.schema.json)
-    commitExpect(t, None, mergeEntries(Seq.empty, stage(df, t, "create")))
+    commitExpect(t, df.sparkSession, None, mergeEntries(Seq.empty, stage(df, t, "create")))
   }
 
   /** Fold newly staged (id, dir) pairs into existing entries: touched
@@ -817,20 +871,23 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     val target = read(df.sparkSession, t)
     val aligned = Align.to(df, target.schema.map(f => f.name -> f.dataType).toMap)
     val staged = stage(aligned, t, "append")
-    commitRebase(t)(cur => mergeEntries(cur, staged))
+    commitRebase(t, df.sparkSession)(cur => mergeEntries(cur, staged))
   }
 
   override def overwrite(df: DataFrame, t: String): Unit = {
     if (!exists(t)) { create(df, t); return }
     val staged = stage(df, t, "overwrite")
-    commitRebase(t)(_ => mergeEntries(Seq.empty, staged))
+    commitRebase(t, df.sparkSession)(_ => mergeEntries(Seq.empty, staged))
     // only after the commit landed: an aborted commit must not leave SCHEMA
     // describing data that never became current
     io.writeString(schemaFile(t), df.schema.json)
   }
 
   /** Partition id of a data file path: the segments between `p/` and the
-    * version directory (id depth = partitionCols.length by construction). */
+    * version directory. Depth is derived from the path itself — id segments
+    * always carry `=` (Spark's path escaping never leaves a raw `=` inside a
+    * value) and tag/version dirs never do — so mixed-spec manifests (after
+    * [[evolvePartitionSpec]]) resolve every file to its OWN spec's id. */
   private def idOfFilePath(t: String, filePath: String): String = {
     val p = if (filePath.contains(":")) new java.net.URI(filePath).getPath else filePath
     val d = {
@@ -838,7 +895,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
       if (dd.contains(":")) new java.net.URI(dd).getPath else dd
     }
     require(p.startsWith(d + "/"), s"file $filePath is outside $d")
-    p.stripPrefix(d + "/").split("/").take(partitionCols.length).mkString("/")
+    p.stripPrefix(d + "/").split("/").takeWhile(_.contains("=")).mkString("/")
   }
 
   /** Partition-scoped delete-matching-then-insert: partitions that receive
@@ -864,8 +921,15 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     val srcKeys = aligned.select(keys.map(k => col(k).as(s"__k_$k")): _*).distinct()
     def keyCond(df: DataFrame) =
       keys.map(k => df(k) <=> srcKeys(s"__k_$k")).reduce(_ && _)
+    // the keys-determine-partition shortcut is only sound when EVERY
+    // remaining entry is under the current spec: an old-spec partition can
+    // hold a staged key even when the new spec's columns are all keys
+    val spec = specOf(t)
+    val allCurrentSpec =
+      untouched0.forall(_._1.split("/").length == spec.length)
     val hitIds: Set[String] =
-      if (partitionCols.forall(keys.contains) || untouched0.isEmpty) Set.empty
+      if ((spec.forall(keys.contains) && allCurrentSpec) || untouched0.isEmpty)
+        Set.empty
       else {
         val scan = readDirs(spark, t, untouched0.flatMap(_._2))
           .select(keys.map(col) :+ input_file_name().as("__file"): _*)
@@ -882,7 +946,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
         stage(old.join(srcKeys, keyCond(old), "left_anti"), t, "upsert-kept")
       }
     val untouched = existing.filterNot(e => rewriteIds.contains(e._1))
-    commitExpect(t, Some(baseV), mergeEntries(untouched, stagedNew ++ stagedKept))
+    commitExpect(t, spark, Some(baseV), mergeEntries(untouched, stagedNew ++ stagedKept))
   }
 
   /** Partition-scoped SINGLE-COMMIT CDC apply: the delete half and the
@@ -935,7 +999,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
           t, "cdc-kept")
       }
     val untouched = existing.filterNot(e => rewriteIds.contains(e._1))
-    commitExpect(t, Some(baseV), mergeEntries(untouched, stagedNew ++ stagedKept))
+    commitExpect(t, spark, Some(baseV), mergeEntries(untouched, stagedNew ++ stagedKept))
   }
 
   /** Partition-scoped key-targeted DELETE: a key-columns-only probe (the
@@ -957,7 +1021,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     val old = readDirs(spark, t, entries.filter(e => hitIds.contains(e._1)).flatMap(_._2))
     val kept = old.join(srcKeys,
       keys.map(k => old(k) <=> srcKeys(s"__k_$k")).reduce(_ && _), "left_anti")
-    commitExpect(t, Some(baseV), mergeEntries(entries.filterNot(e => hitIds.contains(e._1)),
+    commitExpect(t, spark, Some(baseV), mergeEntries(entries.filterNot(e => hitIds.contains(e._1)),
       stage(kept, t, "delete-keys")))
   }
 
@@ -982,7 +1046,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     val rewriteDirs = entries.filter(e => hitIds.contains(e._1)).flatMap(_._2)
     val kept = readDirs(spark, t, rewriteDirs).filter(!coalesce(pred, lit(false)))
     val staged = stage(kept, t, "delete")
-    commitExpect(t, Some(baseV),
+    commitExpect(t, spark, Some(baseV),
       mergeEntries(entries.filterNot(e => hitIds.contains(e._1)), staged))
     deleted
   }
@@ -994,7 +1058,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     val (multi, single) = entries.partition(_._2.length > 1)
     if (multi.isEmpty) return
     val staged = stage(readDirs(spark, t, multi.flatMap(_._2)), t, "compact")
-    commitExpect(t, Some(baseV), mergeEntries(single, staged))
+    commitExpect(t, spark, Some(baseV), mergeEntries(single, staged))
   }
 
   /** OPTIMIZE ... ZORDER BY: rewrite the whole table with files clustered on
@@ -1017,12 +1081,12 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     // user 'zv' column (e.g. one a z-ordered writer produced) must survive
     // the rewrite with that column intact
     val zc = "__zv_compact"
-    val keyCols = (partitionCols :+ zc).map(col)
+    val keyCols = (specOf(t) :+ zc).map(col)
     val arranged = ZOrder.withZValue(all, zCols, bits, zc)
       .repartitionByRange(nTasks, keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
       .drop(zc)
-    commitExpect(t, Some(baseV), mergeEntries(Seq.empty, stage(arranged, t, "zorder")))
+    commitExpect(t, spark, Some(baseV), mergeEntries(Seq.empty, stage(arranged, t, "zorder")))
   }
 
   /** Delete data directories no longer referenced by the current manifest and
@@ -1030,14 +1094,19 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
   def expireUnreferenced(t: String): Seq[String] = {
     val live = manifest(t).flatMap(_._2).toSet
     val removed = scala.collection.mutable.ArrayBuffer.empty[String]
-    def walk(dir: String, prefix: String, depth: Int): Unit =
+    // descend while segments are partition ids (`c=v`); the first non-id
+    // level is the tag directory the manifest references. Path-derived, not
+    // spec-length-derived: after evolvePartitionSpec the tree holds ids of
+    // several depths, and a fixed depth would misread old-spec tag dirs as
+    // id levels and delete LIVE data.
+    def walk(dir: String, prefix: String): Unit =
       io.list(dir).filter(_.isDirectory).foreach { st =>
         val name = st.getPath.getName
         val rel = if (prefix.isEmpty) name else s"$prefix/$name"
-        if (depth > 0) walk(st.getPath.toString, rel, depth - 1)
+        if (name.contains("=")) walk(st.getPath.toString, rel)
         else if (!live.contains(rel)) { io.delete(st.getPath.toString); removed += rel }
       }
-    walk(dataDir(t), "", partitionCols.length)
+    walk(dataDir(t), "")
     val cur = currentVersion(t).getOrElse(return removed.toSeq)
     io.list(s"${tableDir(t)}/m").map(_.getPath.getName)
       .filter(n => (n.matches("MANIFEST\\.v\\d+") && n.drop(10).toInt < cur) ||

@@ -113,10 +113,27 @@ class AutoSkipSpec extends AnyFunSuite {
   test("stale sidecar after append: new files kept unconditionally (superset)") {
     import spark.implicits._
     val (root, table) = build()
-    // append rows the sidecars have never seen, with values that WOULD be
-    // pruned if the sidecar (wrongly) claimed to cover the new files
+    // r13: appends refresh sidecars transparently, so REAL staleness must be
+    // constructed — snapshot the pre-append sidecar generation and restore it
+    // after the append, exactly what a crashed/lagging refresher leaves
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    val idx = Path.of(root, "t", "idx")
+    val saved = Path.of(root, "idx_saved")
+    def copyTree(from: Path, to: Path): Unit =
+      Files.walk(from).forEach { p =>
+        val q = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(q)
+        else Files.copy(p, q, StandardCopyOption.REPLACE_EXISTING)
+      }
+    def rmTree(p: Path): Unit = if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(q => Files.deleteIfExists(q))
+    copyTree(idx, saved)
+    // append rows the saved sidecar generation has never seen, with values
+    // that WOULD be pruned if it (wrongly) claimed to cover the new files
     table.append(Seq(("a", 2050L, "id_new_1"), ("b", 2051L, "id_new_2"))
       .toDF("cat", "v", "id"), "t")
+    rmTree(idx); copyTree(saved, idx); rmTree(saved)
     val plain = table.read(spark, "t")
     val pred = (d: DataFrame) => d.filter(
       col("v") >= 2000L && col("v") <= 2099L && col("id").isin("id_new_1", "id_a_2010"))
@@ -127,6 +144,64 @@ class AutoSkipSpec extends AnyFunSuite {
     AutoSkip.index(spark, root, "t", Seq("v"), Seq("id"))
     val again = pred(AutoSkip.read(spark, root, "t"))
     assertSameRows(again, pred(plain))
+  }
+
+  test("write-transparent maintenance: plain append -> plain read prunes NEW files, no index() call") {
+    import spark.implicits._
+    val (root, table) = build() // indexed once at build; user code below never calls index()
+    table.append(Seq(("a", 9000L, "id_auto_1"), ("a", 9001L, "id_auto_2"),
+      ("b", 9002L, "id_auto_3")).toDF("cat", "v", "id"), "t")
+    val plain = table.read(spark, "t")
+    val total = plain.inputFiles.length
+    // range disjoint from every pre-append stripe: only the appended files
+    // can match, and the commit-hook refresh must have zone-covered them
+    val pred = (d: DataFrame) => d.filter(col("v") >= 9000L)
+    val pruned = pred(AutoSkip.read(spark, root, "t"))
+    assertSameRows(pruned, pred(plain))
+    assert(pruned.count() == 3L)
+    val kept = keptOf(pruned)
+    assert(kept.nonEmpty && kept.size < total,
+      s"appended files must be pruned against without an index() call: " +
+        s"kept ${kept.size} of $total")
+    // and the OLD stripes stay prunable too (the refresh kept, not replaced,
+    // existing coverage); point-lookup through the bloom sidecar still works
+    val pointPred = (d: DataFrame) => d.filter(col("id") === "id_auto_2")
+    val point = pointPred(AutoSkip.read(spark, root, "t"))
+    assertSameRows(point, pointPred(plain))
+    assert(keptOf(point).size < total)
+    // per-commit refreshes retain a BOUNDED generation history (the commit
+    // hook applies CommitRefreshRetain) — steady-state sidecar storage must
+    // not grow one snapshot per table commit
+    for (i <- 0 until 8)
+      table.append(Seq(("a", 9100L + i, s"id_gen_$i")).toDF("cat", "v", "id"), "t")
+    val gens = new graft.lake.ParquetDirFormat(s"$root/t/idx").versions("zonemap")
+    assert(gens.size <= AutoSkip.CommitRefreshRetain + 1,
+      s"sidecar generations must stay bounded, saw ${gens.size}: $gens")
+  }
+
+  test("mixed partition specs after evolvePartitionSpec: pruning correct across both") {
+    import spark.implicits._
+    val (root, table) = build() // partitioned by cat, indexed on v (zone) + id (bloom)
+    table.evolvePartitionSpec("t", Seq("cat", "id"))
+    // new-spec appends; the commit hook refreshes the sidecars transparently
+    table.append(Seq(("a", 9000L, "id_mx_1"), ("b", 9001L, "id_mx_2"))
+      .toDF("cat", "v", "id"), "t")
+    val plain = table.read(spark, "t")
+    val total = plain.inputFiles.length
+    // predicate spanning both specs: an old-spec stripe value AND a new file
+    val pred = (d: DataFrame) => d.filter(
+      col("cat") === "a" && (col("v") === 2010L || col("v") === 9000L))
+    val pruned = pred(AutoSkip.read(spark, root, "t"))
+    assertSameRows(pruned, pred(plain))
+    assert(pruned.count() == 2L)
+    val kept = keptOf(pruned)
+    assert(kept.nonEmpty && kept.size < total, s"kept ${kept.size} of $total")
+    assert(kept.forall(_.contains("cat=a")), kept.mkString("\n"))
+    // new-spec partition values participate: an id equality prunes to the
+    // new file through its id partition segment AND the bloom sidecar
+    val p2 = AutoSkip.read(spark, root, "t").filter(col("id") === "id_mx_2")
+    assert(p2.count() == 1L)
+    assert(keptOf(p2).size < total)
   }
 
   test("null-safe: IsNull finds the default-partition rows, IsNotNull prunes them") {

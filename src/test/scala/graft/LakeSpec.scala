@@ -206,6 +206,45 @@ class LakeSpec extends AnyFunSuite {
     assert(t.read(spark, "pt7").filter($"id" === 1L).head().getString(2) == "new")
   }
 
+  test("partition-spec evolution: old files unrewritten, new spec for new writes, mixed reads exact") {
+    import spark.implicits._
+    val t = pfmt("day")
+    t.create(Seq((1L, "d1", "web", "a"), (2L, "d2", "api", "b"))
+      .toDF("id", "day", "et", "v"), "ptev")
+    val oldEntries = t.entries("ptev").toMap
+    val oldFiles = t.dataFileStatuses("ptev").map(_._2.getPath.toString).toSet
+    t.evolvePartitionSpec("ptev", Seq("day", "et"))
+    // new writes land under the new spec; OLD entries keep their dirs verbatim
+    t.append(Seq((3L, "d1", "web", "c")).toDF("id", "day", "et", "v"), "ptev")
+    val after = t.entries("ptev").toMap
+    assert(after("__p_day=d1") == oldEntries("__p_day=d1"), "old entry rewritten")
+    assert(after("__p_day=d2") == oldEntries("__p_day=d2"), "old entry rewritten")
+    assert(after.keySet.contains("__p_day=d1/__p_et=web"), after.keySet.toString)
+    assert(oldFiles.subsetOf(
+      t.dataFileStatuses("ptev").map(_._2.getPath.toString).toSet),
+      "spec evolution must not touch existing data files")
+    // mixed-spec read is exact; manifest pruning parses each entry's OWN spec
+    assert(t.read(spark, "ptev").count() == 3)
+    assert(t.readPartitions(spark, "ptev", _("day") == "d1").count() == 2)
+    assert(t.readPartitions(spark, "ptev",
+      v => v.get("et").contains("web")).count() == 1) // only new-spec entries expose et
+    // upsert whose keys ⊇ NEW spec must still find a key living in an
+    // OLD-spec partition (the keys-determine-partition shortcut is unsound
+    // while mixed): no duplicate, value replaced, partition migrated
+    t.upsert(Seq((1L, "d1", "web", "A2")).toDF("id", "day", "et", "v"),
+      "ptev", Seq("id", "day", "et"))
+    val one = t.read(spark, "ptev").filter($"id" === 1L).collect()
+    assert(one.length == 1, s"duplicate key after mixed-spec upsert: ${one.length}")
+    assert(one.head.getString(3) == "A2")
+    assert(t.read(spark, "ptev").count() == 3)
+    // unreferenced-dir expiry walks BOTH spec depths without deleting live data
+    t.expireUnreferenced("ptev")
+    assert(t.read(spark, "ptev").count() == 3)
+    // rewritten (migrated) partitions now carry new-spec ids only
+    assert(t.entries("ptev").forall { case (id, _) =>
+      !id.startsWith("__p_day=d1") || id.split("/").length == 2 }, t.entries("ptev").toString)
+  }
+
   test("readPartitions with no matching partition returns empty, not an error") {
     import spark.implicits._
     val t = pfmt("day")

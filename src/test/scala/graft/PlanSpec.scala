@@ -31,6 +31,18 @@ class PlanSpec extends AnyFunSuite {
         "not carry the distinct through the wide join")
   }
 
+  test("product performance: part dimension stays broadcast (never sort-merge)") {
+    // r12 driver-window forensics: gold_product_performance spiked 5-12x at
+    // LOW steal and flat calibration. The explicit broadcast(p) hint rules
+    // out an AQE broadcast->SMJ flip — pin that it stays true, so a future
+    // hint-dropping refactor cannot reopen the question silently. (Bench now
+    // also records per-query gc/heap/code-cache to stderr, so a recurrence
+    // arrives with its cause attached.)
+    val p = plan("gold_product_performance")
+    assert(p.contains("BroadcastHashJoin"), "part dim must broadcast")
+    assert(!p.contains("SortMergeJoin"), s"broadcast hint lost:\n${p.take(400)}")
+  }
+
   test("top parts by revenue plans TakeOrderedAndProject, not a global sort") {
     val p = plan("gold_top_parts_by_revenue")
     assert(p.contains("TakeOrderedAndProject"), p.take(400))
