@@ -277,9 +277,15 @@ object AutoSkip {
         val row = InternalRow.fromSeq(partSchema.fields.toSeq.map { f =>
           vals.get(f.name) match {
             case Some(raw) if raw != "__HIVE_DEFAULT_PARTITION__" =>
+              // the SESSION time zone, not a hardcoded UTC: Spark's own
+              // partition discovery parses timestamp/date partition values
+              // under sessionLocalTimeZone, and the served values must agree
+              // with it (r12 ADVICE)
               scala.util.Try(Cast(
                 Literal(org.apache.spark.unsafe.types.UTF8String.fromString(raw),
-                  StringType), f.dataType, Option("UTC")).eval(null)).getOrElse(null)
+                  StringType), f.dataType,
+                Option(spark.sessionState.conf.sessionLocalTimeZone)).eval(null))
+                .getOrElse(null)
             case _ => null
           }
         })

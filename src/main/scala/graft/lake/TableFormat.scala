@@ -356,20 +356,26 @@ private[lake] object LakePaths {
 }
 
 private[lake] object LakeFs {
-  // JVM-wide checksum-disabled FileSystem per scheme/authority (see the
-  // instance comment): bounded by the number of distinct stores a process
-  // talks to, not by how many table handles callers construct. The FIRST
-  // caller's Configuration wins for that scheme/authority (later confs are
-  // ignored on cache hits — acceptable: these are lake METADATA reads whose
-  // only required setting is checksum-off, applied here); computeIfAbsent
-  // makes creation atomic so a racing first call can never leak a second
-  // never-closed instance.
+  // JVM-wide checksum-disabled FileSystem per (scheme/authority, fs-conf
+  // fingerprint): bounded by the number of distinct stores (times their few
+  // conf variants) a process talks to, not by how many table handles callers
+  // construct. The fingerprint covers the `fs.<scheme>.` settings —
+  // credentials, endpoints, impl switches — so a caller whose conf differs
+  // on anything that changes the CONNECTION gets its own instance instead of
+  // silently receiving the first caller's (r12 ADVICE); confs differing only
+  // outside that prefix intentionally share. computeIfAbsent makes creation
+  // atomic so a racing first call can never leak a second never-closed
+  // instance.
   private val instances =
     new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
 
   private[lake] def fsFor(root: String, conf: Configuration): FileSystem = {
     val uri = new HPath(root).toUri
-    val key = s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}"
+    val scheme = Option(uri.getScheme).getOrElse("file")
+    val fsProps = new java.util.TreeMap[String, String](
+      conf.getPropsWithPrefix(s"fs.$scheme."))
+    val fp = Integer.toHexString(fsProps.toString.hashCode)
+    val key = s"$scheme://${Option(uri.getAuthority).getOrElse("")}#$fp"
     instances.computeIfAbsent(key, _ => {
       val f = FileSystem.newInstance(uri, conf)
       f.setWriteChecksum(false)

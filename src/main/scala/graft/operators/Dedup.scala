@@ -99,9 +99,14 @@ object Dedup {
     val key = (sc.applicationId, op, dfCap, noun)
     val probe = trimProbes.getOrElseUpdate(key,
       new TrimProbe(sc.longAccumulator(s"graft_trim: $op hot ${noun}s (dfCap=$dfCap)"),
-        op, dfCap, noun))
+        op, dfCap, noun, new java.lang.ref.WeakReference(sc)))
+    // cap relief evicts only probes whose OWN context is provably dead
+    // (stopped or collected) — never "any appId but mine": a second live
+    // SparkContext in the same JVM (test suites) must not lose a probe its
+    // straggler tasks still update, or the very ERROR spam this registry
+    // exists to prevent comes back (r12 ADVICE)
     if (trimProbes.size > TrimProbeCap)
-      trimProbes.keys.filter(_._1 != sc.applicationId).foreach(trimProbes.remove)
+      trimProbes.foreach { case (k, p) => if (p.contextDead) trimProbes.remove(k) }
     // close over the accumulator alone — the probe itself stays driver-side.
     // asNondeterministic is LOAD-BEARING, not cosmetic: a deterministic
     // predicate may be reordered/combined with the caller's later
@@ -118,9 +123,19 @@ object Dedup {
     df.filter(tick(coalesce(hotCond, lit(false))))
   }
 
+  /** Default driver union-find budget: 1M edges on a roomy driver, scaled
+    * DOWN with the actual heap on driver-lean deployments (~1 edge per KiB
+    * of max heap ≈ a few % of it transient during the fold — the r12
+    * ADVICE's "derive it from driver memory" rather than a fixed large
+    * constant). */
+  private[graft] def DefaultDriverEdgeCap: Long =
+    math.min(1L << 20, Runtime.getRuntime.maxMemory() >> 10)
+
   private[graft] final class TrimProbe(val acc: org.apache.spark.util.LongAccumulator,
-                                       val op: String, val dfCap: Int, val noun: String) {
+                                       val op: String, val dfCap: Int, val noun: String,
+                                       ctx: java.lang.ref.WeakReference[org.apache.spark.SparkContext]) {
     @volatile var logged: Long = 0L
+    def contextDead: Boolean = { val c = ctx.get(); c == null || c.isStopped }
   }
   // keyed by (applicationId, op, dfCap, noun); private[graft] so specs can
   // assert a hot corpus actually reports
@@ -543,7 +558,7 @@ object Dedup {
     * [[connectedComponentsStars]] (O(log diameter) rounds).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
-                          driverEdgeCap: Long = 1L << 20): DataFrame = {
+                          driverEdgeCap: Long = DefaultDriverEdgeCap): DataFrame = {
     // localCheckpoint, NOT persist: caching truncates COMPUTE but not the
     // LOGICAL plan, so every round would re-analyze the whole nested lineage
     // (including the expensive pair-generation plan) and per-round planning
@@ -553,7 +568,14 @@ object Dedup {
     // list materializes inside it (one job) instead of paying a separate
     // eager checkpoint job first; count() scans every partition, so the
     // checkpoint is complete for whichever regime consumes it next.
-    val edges0 = pairs.select("doc_a", "doc_b").localCheckpoint(false)
+    // Null endpoints drop UNIFORMLY before the regime gate: a null doc id is
+    // not linkable under SQL join semantics (the distributed rounds'
+    // equi-joins never match it), and the driver fold would NPE on
+    // r.getLong — filtering here makes both regimes agree on degenerate
+    // input instead of diverging (r12 ADVICE).
+    val edges0 = pairs.select("doc_a", "doc_b")
+      .filter(col("doc_a").isNotNull && col("doc_b").isNotNull)
+      .localCheckpoint(false)
     // Size-gated regime switch (same pattern as dedupLines' broadcast
     // regime): a near-dup graph is PAIR-sized, not corpus-sized — after
     // exact dedup it is usually a small fraction of documents — so when the

@@ -346,6 +346,65 @@ class PlanSpec extends AnyFunSuite {
       s"cum-sum window must partition by the group key:\n${p.take(600)}")
   }
 
+  test("window inventory: every Window node in every gate plan is classified bounded") {
+    // The engine-wide pin the r12 verdict asked for: a corpus-sized window
+    // sort (one reducer fully sorting an unbounded group) must never enter a
+    // gate plan unnoticed. Every gate that plans a Window node is listed
+    // here with WHY its window state is bounded — either the partition key
+    // caps the group (per-doc positions, per-user events, per-source
+    // buckets) or the frame is a report/aggregate, not the corpus. A NEW
+    // window in any gate fails this test until it is consciously classified;
+    // a classified gate that loses its windows flags the stale entry.
+    // maxNodes is the observed node count — growth means a new window shape.
+    val classified: Map[String, (Int, String)] = Map(
+      "dedup_cdc_chunks"         -> (1, "per doc_id: chunk boundaries over one doc's positions"),
+      "dedup_substr_excise"      -> (2, "per doc_id: island merge over one doc's repeated windows"),
+      "embed_cluster_sample"     -> (2, "per (dom,bkt) then dom over BUCKET rows — two-phase prefix"),
+      "embed_prototype_prune"    -> (1, "per cluster: exact-rank cut; documented sketch path at 100TB"),
+      "events_asof_orders"       -> (1, "per join key: as-of ordering within one key's rows"),
+      "events_dedup_latest"      -> (3, "per (user,event_type): keep-latest over one key's events"),
+      "events_funnel_5step"      -> (1, "global over the per-step aggregate (<= 5 rows)"),
+      "events_funnel_steps"      -> (1, "global over the per-step aggregate (report-sized)"),
+      "events_gap_fill"          -> (1, "per event_type: LOCF over one series' calendar days"),
+      "events_rank_suite"        -> (1, "per user_id: ranking one user's events"),
+      "events_rolling_avg"       -> (2, "per user_id: bounded frame over one user's events"),
+      "events_session_overlap"   -> (2, "per user_id: session bounds over one user's events"),
+      "events_sessionize"        -> (2, "per user_id: gap flags over one user's events"),
+      "events_upsert_latest"     -> (9, "per (user,event_type) x three latest-collapse legs"),
+      "gold_scd2_priority"       -> (3, "per o_custkey, ONE exchange+sort (pinned above)"),
+      "profile_events_type_dist" -> (1, "global over the type-distribution report"),
+      "profile_one_scan"         -> (4, "global over per-family sketch aggregates (bins/report)"),
+      "profile_quantile_by_group"-> (4, "per event_type over BIN rows (histogram, not corpus)"),
+      "profile_quantile_sketch"  -> (4, "global over histogram bins (report-sized)"),
+      "text_curation_e2e"        -> (8, "budget/pack/shard stages: per (source|lang,bkt|shard) two-phase prefixes"),
+      "text_domain_cap"          -> (6, "per registrable_domain: cap-rank within one domain"),
+      "text_pack_sequences"      -> (1, "per (lang,shard): running offset within one shard"),
+      "text_shuffle_shards"      -> (1, "per shard: rank within one shard (parallelism = nShards)"),
+      "text_temperature_sample"  -> (2, "per (dom,bkt) then dom over BUCKET rows (pinned above)"),
+      "text_token_budget"        -> (2, "per (source,bkt) then source over BUCKET rows — two-phase"),
+      "text_train_split_by"      -> (1, "global over the strata report"))
+    val nodeRe = "(?m)^[\\s:+\\-*()0-9]*Window(?:GroupLimit)?\\s".r
+    val withWindows = scala.collection.mutable.Map.empty[String, Int]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+      val n = nodeRe.findAllIn(p).size
+      if (n > 0) withWindows(name) = n
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    val unclassified = withWindows.keySet -- classified.keySet
+    assert(unclassified.isEmpty,
+      s"gates with UNCLASSIFIED Window nodes (add with a boundedness rationale): " +
+        s"${unclassified.toSeq.sorted.map(g => s"$g(${withWindows(g)})").mkString(", ")}")
+    val grew = withWindows.filter { case (g, n) => n > classified(g)._1 }
+    assert(grew.isEmpty,
+      s"gates whose Window count GREW (classify the new shape): " +
+        s"${grew.toSeq.sorted.map { case (g, n) => s"$g $n>${classified(g)._1}" }.mkString(", ")}")
+    val stale = classified.keySet -- withWindows.keySet
+    assert(stale.isEmpty,
+      s"classified gates with no Window anymore (drop stale entries): ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
   test("z-order: zv is scan-fused arithmetic over one broadcast stats row") {
     val df = graft.lake.ZOrder.withZValue(
       graft.core.Tables.events(spark, TestSpark.sfDir)

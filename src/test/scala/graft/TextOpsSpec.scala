@@ -157,6 +157,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(cold.getLong(0) <= 100L && cold.getLong(1) > 0)
   }
 
+  test("n_tokens passthrough: precomputed count rides budget/pack; wrong type fails loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftFunctions.register(spark)
+    val docs = Seq((1L, "web", "en", "a b c"), (2L, "web", "en", "d e"),
+      (3L, "api", "en", "f")).toDF("doc_id", "source", "lang", "text")
+    val pre = docs.withColumn("n_tokens", expr("size(graft_tokens(text))").cast("bigint"))
+    // identical output with and without the precomputed column
+    for ((a, b) <- Seq(
+        (TextOps.tokenBudgetSample(docs, 100L), TextOps.tokenBudgetSample(pre, 100L)),
+        (TextOps.packSequences(docs, 4, 2), TextOps.packSequences(pre, 4, 2))))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // a conflicting non-integer n_tokens column must fail loudly, not
+    // silently order the budget by garbage
+    val bad = docs.withColumn("n_tokens", lit("many"))
+    val e = intercept[IllegalArgumentException](TextOps.tokenBudgetSample(bad, 100L))
+    assert(e.getMessage.contains("n_tokens"))
+  }
+
   test("repetitionScore: exact fractions on a hand corpus, thresholds flag spam") {
     import spark.implicits._
     val docs = Seq(
