@@ -578,6 +578,10 @@ object TextOps {
     // rides the same projection scan (one boolean per row in the
     // checkpoint), replacing the pre-r13 separate repetition scan +
     // corpus-keyed left join downstream of it.
+    // A/B'd r13: dropping this checkpoint (letting both consumers recompute
+    // the post-CC remainder) was a wash at gate scale (7.1 vs 7.4 s probe,
+    // +3 AQE stages) and pays a SECOND full corpus projection + md5-agg at
+    // 100 TB — the checkpoint stays.
     val fam = perDoc
       .join(Dedup.dedupFamilies(docs, n, tau, bands, rowsPerBand), "doc_id")
       .localCheckpoint(false)
@@ -857,10 +861,19 @@ object TextOps {
                        nShards: Int = 16,
                        nearN: Int = 3, nearTau: Double = 0.5,
                        nearBands: Int = 42, nearRowsPerBand: Int = 3): DataFrame = {
+    // 0. right-size a tiny corpus so the chain's ~70 stages schedule a few
+    //    full tasks instead of defaultParallelism slivers each; at real
+    //    corpus sizes this is a no-op (see Scale.rightSizeForChain)
+    val docs0 = Scale.rightSizeForChain(docs)
     // 1. line-level boilerplate dedup -> text v1; (source, lang) CARRY
     //    through both text-rewriting stages, so the chain pays no per-stage
     //    meta re-join (two corpus-sized joins in the pre-r12 shape)
-    val d1 = TextOps.dedupLines(docs, lineMaxDf, carry = Seq("source", "lang"))
+    //    d1 stays UNcheckpointed although excision scans it twice (window
+    //    hashing + the excise join back): A/B'd r13, the text-only
+    //    checkpoint write+read LOST to recomputing the line-filter chain
+    //    (min-of-6 probe 6.5 -> 6.8 s) — the projection is cheaper than the
+    //    materialization at any scale where the corpus rewrite is I/O-bound
+    val d1 = TextOps.dedupLines(docs0, lineMaxDf, carry = Seq("source", "lang"))
       .select(col("doc_id"), col("source"), col("lang"), col("clean_text").as("text"))
     // 2. exact substring excision -> text v2 (checkpoint: 5 downstream
     //    scans). Deliberately WITHOUT a materialized toks column: carrying

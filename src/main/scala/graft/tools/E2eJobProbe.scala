@@ -41,10 +41,12 @@ object E2eJobProbe {
       log = Nil
       stages = Nil
       val t0 = System.nanoTime()
-      graft.operators.TextOps.curationPipeline(
-          Tables.documents(spark, sfDir), Seq("web"))
-        .write.format("noop").mode("overwrite").save()
+      val df = graft.operators.TextOps.curationPipeline(
+        Tables.documents(spark, sfDir), Seq("web"))
+      val tc = (System.nanoTime() - t0) / 1e9
+      df.write.format("noop").mode("overwrite").save()
       val total = (System.nanoTime() - t0) / 1e9
+      println(f"JOBPROBE $label construct $tc%.2f s action ${total - tc}%.2f s")
       println(f"JOBPROBE $label total $total%.2f s, ${log.size} jobs, ${stages.size} stages")
       // per-callsite rollup: submission-to-completion wall + summed task time
       stages.groupBy(_._4).map { case (name, ss) =>
@@ -56,8 +58,19 @@ object E2eJobProbe {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     run("cold")
-    run("warm1")
-    run("warm2")
+    val n = sys.env.getOrElse("E2E_REPS", "6").toInt
+    val walls = (1 to n).map { i =>
+      log = Nil; stages = Nil
+      val t0 = System.nanoTime()
+      graft.operators.TextOps.curationPipeline(
+          Tables.documents(spark, sfDir), Seq("web"))
+        .write.format("noop").mode("overwrite").save()
+      val w = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      w
+    }
+    println(f"JOBPROBE reps ${walls.map(w => f"$w%.2f").mkString(",")} min ${walls.min}%.2f")
     spark.stop()
   }
 }
