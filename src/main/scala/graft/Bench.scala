@@ -119,8 +119,11 @@ object Bench {
         r
       }
       val s0 = stealJiffies()
-      val gc0 = gcMillis()
       once() // warmup
+      // gc delta EXCLUDES the warmup (first materialization is the
+      // allocation-heaviest part) so the printed number describes the same
+      // window the timings are judged from
+      val gc0 = gcMillis()
       var runs = Seq(once(), once(), once()).flatten.sorted
       // Spread guard: a stolen/contended window inflates a single run 5-10x,
       // and with only three samples the median can still land on a polluted

@@ -137,8 +137,15 @@ object AutoSkip {
     * at write time).
     *
     * Cost: refresh is the sidecars' own set algebra — only files missing
-    * from the sidecar are scanned, i.e. the increment just written — and
-    * un-indexed tables pay two file stats. Old generations beyond
+    * from the sidecar are scanned. For APPENDS that is the increment just
+    * written; for REWRITE verbs (overwrite/compact/z-order/heavy upserts)
+    * every rewritten file is "missing", so the hook re-profiles what the
+    * commit rewrote — one extra read of the rewritten volume for the zone
+    * map plus one per Bloom column. That is the price of stats-at-write
+    * (DuckDB pays it inside the write; BigQuery maintains Iceberg metadata
+    * per load) and it is proportional to the commit's own write volume,
+    * never to an untouched remainder. Un-indexed tables pay two file
+    * stats. Old generations beyond
     * [[CommitRefreshRetain]] are expired here too, so steady-state sidecar
     * storage is O(retain), not O(commits). Failure NEVER fails the data
     * commit (it already landed): any error degrades to a stale sidecar,

@@ -372,10 +372,14 @@ private[lake] object LakeFs {
   private[lake] def fsFor(root: String, conf: Configuration): FileSystem = {
     val uri = new HPath(root).toUri
     val scheme = Option(uri.getScheme).getOrElse("file")
+    // the FULL canonical props string, not its 32-bit hashCode: a collision
+    // between two credential sets must never silently share a connection.
+    // Growth is bounded by distinct conf VARIANTS per store (a deployment
+    // rotating credentials should close/rotate at its own layer; instances
+    // here are deliberately never closed, as before)
     val fsProps = new java.util.TreeMap[String, String](
       conf.getPropsWithPrefix(s"fs.$scheme."))
-    val fp = Integer.toHexString(fsProps.toString.hashCode)
-    val key = s"$scheme://${Option(uri.getAuthority).getOrElse("")}#$fp"
+    val key = s"$scheme://${Option(uri.getAuthority).getOrElse("")}#$fsProps"
     instances.computeIfAbsent(key, _ => {
       val f = FileSystem.newInstance(uri, conf)
       f.setWriteChecksum(false)
@@ -929,10 +933,13 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
       keys.map(k => df(k) <=> srcKeys(s"__k_$k")).reduce(_ && _)
     // the keys-determine-partition shortcut is only sound when EVERY
     // remaining entry is under the current spec: an old-spec partition can
-    // hold a staged key even when the new spec's columns are all keys
+    // hold a staged key even when the new spec's columns are all keys.
+    // Compared by the id's COLUMN NAMES, not its depth — a same-length
+    // evolution (day -> et) changes the columns without changing depth
     val spec = specOf(t)
-    val allCurrentSpec =
-      untouched0.forall(_._1.split("/").length == spec.length)
+    def idCols(id: String): Seq[String] =
+      id.split("/").toSeq.map(_.split("=", 2)(0).stripPrefix(Shadow))
+    val allCurrentSpec = untouched0.forall(e => idCols(e._1) == spec)
     val hitIds: Set[String] =
       if ((spec.forall(keys.contains) && allCurrentSpec) || untouched0.isEmpty)
         Set.empty

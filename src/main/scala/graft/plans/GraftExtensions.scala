@@ -406,7 +406,13 @@ case class RepetitionStats(child: Expression)
 case class SpanFilterTokens(left: Expression, right: Expression)
   extends BinaryExpression with codegen.CodegenFallback {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // element nullability follows the INPUT array: a null token that survives
+  // the index filter stays null in the output (declaring containsNull=false
+  // over a nullable input would let downstream codegen elide null checks)
+  override def dataType: DataType = left.dataType match {
+    case ArrayType(et, cn) => ArrayType(et, cn)
+    case other => other
+  }
   override def prettyName: String = "graft_span_filter"
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -424,14 +430,40 @@ case class SpanFilterTokens(left: Expression, right: Expression)
     val spans = spansAny.asInstanceOf[ArrayData]
     val n = toks.numElements()
     val m = spans.numElements()
+    // the merge pointer requires spans sorted by s; the function is
+    // registered session-wide, so UNSORTED input from SQL callers must not
+    // silently mis-filter — verify once (spans are per-document, tiny) and
+    // fall back to the order-insensitive scan when violated
+    var sorted = true
+    var v = 1
+    while (sorted && v < m) {
+      if (spans.getStruct(v, 2).getInt(0) < spans.getStruct(v - 1, 2).getInt(0))
+        sorted = false
+      v += 1
+    }
     val kept = new Array[AnyRef](n)
     var k = 0
     var j = 0
     var i = 0
     while (i < n) {
-      while (j < m && spans.getStruct(j, 2).getInt(1) <= i) j += 1
-      val covered = j < m && spans.getStruct(j, 2).getInt(0) <= i
-      if (!covered) { kept(k) = toks.getUTF8String(i); k += 1 }
+      val covered =
+        if (sorted) {
+          while (j < m && spans.getStruct(j, 2).getInt(1) <= i) j += 1
+          j < m && spans.getStruct(j, 2).getInt(0) <= i
+        } else {
+          var c = false
+          var s = 0
+          while (!c && s < m) {
+            val sp = spans.getStruct(s, 2)
+            c = sp.getInt(0) <= i && i < sp.getInt(1)
+            s += 1
+          }
+          c
+        }
+      if (!covered) {
+        kept(k) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+        k += 1
+      }
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(

@@ -277,6 +277,36 @@ class DedupSpec extends AnyFunSuite {
       "india juliet kilo lima mike november oscar papa quebec")))
   }
 
+  test("graft_span_filter: HOF parity, null elements survive typed, unsorted spans fall back") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    // parity with the order-insensitive filter/exists twin on sorted spans
+    val df = Seq(Tuple1(Seq("a", "b", "c", "d", "e"))).toDF("toks")
+      .withColumn("sp", expr(
+        "array(named_struct('s', 1, 'e', 2), named_struct('s', 3, 'e', 5))"))
+    val native = df.select(expr("graft_span_filter(toks, sp)")).head.getSeq[String](0)
+    val hof = df.select(expr(
+      "filter(toks, (t, i) -> NOT exists(sp, x -> i >= x.s AND i < x.e))"))
+      .head.getSeq[String](0)
+    assert(native == Seq("a", "c") && native == hof)
+    // UNSORTED spans must produce the same set as the HOF twin (the merge
+    // pointer verifies order and falls back), never a silent mis-filter
+    val un = df.withColumn("sp", expr(
+      "array(named_struct('s', 3, 'e', 5), named_struct('s', 1, 'e', 2))"))
+    assert(un.select(expr("graft_span_filter(toks, sp)")).head.getSeq[String](0)
+      == Seq("a", "c"))
+    // null elements in a nullable input array survive under a NULLABLE
+    // output type (declaring containsNull=false there would let codegen
+    // elide null checks downstream)
+    val withNull = spark.sql(
+      "SELECT graft_span_filter(array('a', CAST(NULL AS STRING), 'c'), " +
+        "array(named_struct('s', 2, 'e', 3))) AS kept")
+    assert(withNull.schema("kept").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    assert(withNull.head.getSeq[String](0) == Seq("a", null))
+  }
+
   test("exactSubstrExcise: overlapping repeated windows merge into one maximal span") {
     import spark.implicits._
     // docs share a 10-token passage -> three overlapping repeated windows

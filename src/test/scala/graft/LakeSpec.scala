@@ -245,6 +245,21 @@ class LakeSpec extends AnyFunSuite {
       !id.startsWith("__p_day=d1") || id.split("/").length == 2 }, t.entries("ptev").toString)
   }
 
+  test("SAME-LENGTH spec evolution still disables the upsert shortcut (column names, not depth)") {
+    import spark.implicits._
+    val t = pfmt("day")
+    t.create(Seq((1L, "d1", "web", "a")).toDF("id", "day", "et", "v"), "ptev2")
+    // day -> et: same spec LENGTH, different column — the old __p_day=d1
+    // entry can still hold a staged key, so the keys-superset shortcut must
+    // not skip the scan (a depth-only check would)
+    t.evolvePartitionSpec("ptev2", Seq("et"))
+    t.upsert(Seq((1L, "d1", "web", "A2")).toDF("id", "day", "et", "v"),
+      "ptev2", Seq("id", "et"))
+    val one = t.read(spark, "ptev2").filter($"id" === 1L).collect()
+    assert(one.length == 1, s"duplicate key after same-length spec evolution: ${one.length}")
+    assert(one.head.getString(3) == "A2")
+  }
+
   test("readPartitions with no matching partition returns empty, not an error") {
     import spark.implicits._
     val t = pfmt("day")
