@@ -908,9 +908,17 @@ object TextOps {
     val d4 = d3.join(keep, "doc_id")
       .withColumn("n_tokens", size(expr("graft_tokens(text)")).cast("bigint"))
       .localCheckpoint(false)
-    // 5. per-source token-budget sampling
-    val tb = tokenBudgetSample(d4, budgetPerSource)
-    val d5 = d4.join(tb.select("doc_id"), "doc_id")
+    // 5. per-source token-budget sampling. tb has THREE consumers (both d5
+    //    scans + the final cum_tokens join) and d5 has TWO (packing,
+    //    shuffle-shards) — uncheckpointed, the bucket-prefix-sum chain would
+    //    re-execute per reference (the CLAUDE.md gained-a-consumer rule).
+    //    d5 drops `text` first: the packing/shard stages consume only
+    //    (doc_id, source, lang, n_tokens), so the checkpoint writes narrow
+    //    rows, not the selected corpus — cheap even at 100 TB.
+    val tb = tokenBudgetSample(d4, budgetPerSource).localCheckpoint(false)
+    val d5 = d4.select("doc_id", "source", "lang", "n_tokens")
+      .join(tb.select("doc_id"), "doc_id")
+      .localCheckpoint(false)
     // 6. sequence packing + 7. deterministic shuffle shards, both over the
     //    final surviving set
     val pk = packSequences(d5, packBudget, packShards)

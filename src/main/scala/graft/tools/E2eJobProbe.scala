@@ -11,8 +11,9 @@ object E2eJobProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(32, "graft-e2ejobprobe")
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
-    @volatile var log = List.empty[(Int, Double, String)]
+    @volatile var log = List.empty[(Int, Double, Double, String)] // (id, startOff, dur, site)
     @volatile var stages = List.empty[(Int, Double, Double, String)]
+    @volatile var epoch = System.nanoTime()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         // the final stage's name carries the action callsite (File.scala:line)
@@ -21,7 +22,7 @@ object E2eJobProbe {
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(starts.remove(je.jobId)).foreach { case (t0, site) =>
-          log ::= ((je.jobId, (System.nanoTime() - t0) / 1e9, site))
+          log ::= ((je.jobId, (t0 - epoch) / 1e9, (System.nanoTime() - t0) / 1e9, site))
         }
       }
       override def onStageCompleted(
@@ -61,11 +62,24 @@ object E2eJobProbe {
     val n = sys.env.getOrElse("E2E_REPS", "6").toInt
     val walls = (1 to n).map { i =>
       log = Nil; stages = Nil
+      epoch = System.nanoTime()
       val t0 = System.nanoTime()
       graft.operators.TextOps.curationPipeline(
           Tables.documents(spark, sfDir), Seq("web"))
         .write.format("noop").mode("overwrite").save()
       val w = (System.nanoTime() - t0) / 1e9
+      if (i == n) {
+        // warm-run job TIMELINE: start offset, duration, gap since the
+        // previous job's end (driver-side planning/analysis time), site
+        val jobs = log.sortBy(_._2)
+        var prevEnd = 0.0
+        jobs.foreach { case (id, off, dur, site) =>
+          val gap = off - prevEnd
+          println(f"JOBPROBE warm job $id%3d @$off%6.2f dur $dur%5.2f gap $gap%5.2f ${site.take(60)}")
+          prevEnd = math.max(prevEnd, off + dur)
+        }
+        println(f"JOBPROBE warm jobsum ${jobs.map(_._3).sum}%.2f wall $w%.2f")
+      }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       w
