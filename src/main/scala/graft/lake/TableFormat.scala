@@ -687,12 +687,20 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
   private def manifestAt(t: String): (Int, Seq[(String, Seq[String])]) = {
     val v = currentVersion(t).getOrElse(
       throw new IllegalArgumentException(s"no such table: $t"))
-    val entries = io.readString(manifestFile(t, v)).split("\n").toSeq
+    (v, manifestEntriesAt(t, v))
+  }
+
+  /** Manifest entries at an EXPLICIT committed version — every commit leaves
+    * its manifest behind (they are the version history), so this reads any
+    * version whose manifest has not been expired. */
+  private def manifestEntriesAt(t: String, v: Int): Seq[(String, Seq[String])] = {
+    require(io.exists(manifestFile(t, v)),
+      s"table $t has no manifest for version $v (never committed, or expired)")
+    io.readString(manifestFile(t, v)).split("\n").toSeq
       .filter(_.nonEmpty).map { ln =>
         val Array(id, dirs) = ln.split("\t", 2)
         id -> dirs.split(",").toSeq
       }
-    (v, entries)
   }
 
   /** Try to land `entries` as version `base`+1 through a compare-and-swap on
@@ -1138,4 +1146,58 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
   /** Current committed version — for tests and inspection (commit-count
     * assertions: a single-commit operation advances this by exactly 1). */
   def version(t: String): Option[Int] = currentVersion(t)
+
+  /** All committed versions whose manifests are still on disk, ascending. */
+  def versions(t: String): Seq[Int] =
+    io.list(s"${tableDir(t)}/m").map(_.getPath.getName)
+      .filter(_.matches("MANIFEST\\.v\\d+")).map(_.drop(10).toInt).sorted
+
+  /** Time-travel read: the table exactly as version `v` committed it —
+    * manifests are the retained version history, so this is a plain read of
+    * that version's file list (fails if the version's manifest, or data dirs
+    * an expiry removed, are gone — the Iceberg/Delta retention contract). */
+  def readVersion(spark: SparkSession, t: String, v: Int): DataFrame = {
+    val dirs = manifestEntriesAt(t, v).flatMap(_._2)
+    if (dirs.isEmpty) emptyFrame(spark, t) else readDirs(spark, t, dirs)
+  }
+
+  /** Incremental changefeed read — the Delta `table_changes` / Iceberg
+    * incremental-scan analogue (both public behaviors; reference engines
+    * expose the same via BigQuery table snapshots/changes): every row added
+    * or removed between two committed versions, tagged `_change_type`
+    * ('insert' | 'delete') and `_commit_version` (the commit that did it).
+    *
+    * Granularity is the FILE DIFF of consecutive manifests: appends surface
+    * as pure inserts; a partition-scoped upsert/delete surfaces the
+    * rewritten partition's old files as deletes and its new files as inserts
+    * (an unchanged row inside a rewritten partition reports as delete +
+    * insert — exactly Delta CDF's behavior without per-row change tracking).
+    * Cost is proportional to CHANGED files only — untouched partitions are
+    * committed by reference, so they never enter the diff; nothing rescans
+    * the table. Downstream incremental consumers (silver/gold maintenance)
+    * fold the delete leg as retractions and the insert leg as additions.
+    * Requires the in-between manifests and their removed files to still
+    * exist (run before [[expireUnreferenced]], the retention contract). */
+  def readChanges(spark: SparkSession, t: String, fromV: Int, toV: Int): DataFrame = {
+    require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
+    var prev = manifestEntriesAt(t, fromV).flatMap(_._2).toSet
+    val legs = (fromV + 1 to toV).flatMap { v =>
+      val cur = manifestEntriesAt(t, v).flatMap(_._2).toSet
+      val out = Seq(((cur -- prev).toSeq.sorted, "insert"),
+          ((prev -- cur).toSeq.sorted, "delete"))
+        .collect { case (dirs, ct) if dirs.nonEmpty =>
+          readDirs(spark, t, dirs)
+            .withColumn("_change_type", lit(ct))
+            .withColumn("_commit_version", lit(v))
+        }
+      prev = cur
+      out
+    }
+    if (legs.isEmpty)
+      emptyFrame(spark, t)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0))
+        .limit(0)
+    else legs.reduce(_ unionByName _)
+  }
 }

@@ -129,6 +129,42 @@ object Similarity {
     topKScored(scored, k)
   }
 
+  /** Exact PRE-FILTER vector search — top-k cosine neighbors drawn ONLY from
+    * the vectors in `allowed` (single id column, any name): the vector-store
+    * operation behind "nearest English documents", "neighbors not in the
+    * benchmark set", or any metadata-scoped retrieval. Pre-filter semantics
+    * (the filter restricts the CANDIDATE set before ranking, so the result
+    * is exactly the top-k of the filtered corpus) — the alternative,
+    * post-filtering an unfiltered top-k, silently returns < k rows whenever
+    * the filter and the neighborhood disagree.
+    *
+    * Queries are `vec_id < nQueries`, NOT themselves filtered (scoping the
+    * query set is the caller's one-line join), self excluded as everywhere.
+    *
+    * Scale shape: the allow-set arrives as a left-semi join BEFORE any
+    * distance math, so only qualifying vectors are scored (metadata
+    * predicates push down to the metadata table's scan and the semi-join is
+    * id-keyed — broadcast when the filter is tight, shuffle otherwise, AQE's
+    * call); norms are computed inline on the single pass (no corpus-wide
+    * norm materialization for vectors the filter drops); the ranking fold is
+    * the k-bounded [[Scale.topKPerKey]] aggregate, never a Window. */
+  def filteredTopK(emb: DataFrame, allowed: DataFrame,
+                   nQueries: Int = 20, k: Int = 10): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    def nrm = sqrt(expr("graft_dot(embedding, embedding)"))
+    val q = Scale.fanOutScan(emb).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"),
+        nrm.as("norm_q"))
+    val v = Scale.fanOutScan(emb)
+      .join(allowed.select(col(allowed.columns.head).as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_v"),
+        nrm.as("norm_v"))
+    val scored = v.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineCol)
+    topKScored(scored, k)
+  }
+
   /** Shared k-BOUNDED per-query fold for every ranking stage in this file:
     * top `k` neighbors by `measure` (descending iff `desc`), neighbor_id
     * breaking ties ascending — via [[Scale.topKPerKey]]'s capped aggregate,
@@ -513,11 +549,19 @@ object Similarity {
     * cluster). Query cost is independent of index build cost — no corpus
     * assignment pass at query time. Parquet round-trips float arrays and
     * cell ids exactly, so the result is bitwise-identical to
-    * [[ivfFlatTopK]] on the same corpus. */
+    * [[ivfFlatTopK]] on the same corpus.
+    *
+    * `allowed` (optional, single id column) makes the serve METADATA-SCOPED —
+    * [[filteredTopK]]'s pre-filter semantics through the index: the allow-set
+    * semi-joins the PROBED-cell candidates, so its cost is proportional to
+    * candidate volume, never the corpus, and the ranking sees only qualifying
+    * vectors. Under a tight filter the probed cells may simply hold fewer
+    * than k qualifying vectors — the caller's dial is `nProbe`, exactly as
+    * with unfiltered IVF recall. */
   def queryIvfIndex(spark: org.apache.spark.sql.SparkSession,
                     lake: graft.lake.ParquetDirFormat, emb: DataFrame,
                     prefix: String = "ivf", nQueries: Int = 20, k: Int = 10,
-                    nProbe: Int = 4): DataFrame = {
+                    nProbe: Int = 4, allowed: Option[DataFrame] = None): DataFrame = {
     GraftFunctions.register(spark)
     val centroids = lake.read(spark, s"${prefix}_centroids")
     require(centroids.columns.contains("emb_c"),
@@ -541,8 +585,11 @@ object Similarity {
     // layout) — no (query, vector) pair can repeat (one cell per vector,
     // distinct probed cells per query), so no dedup and NO corpus-sized
     // embedding scan: serve reads probed-cell volume only
-    val assigned = prunedTo(lake.read(spark, s"${prefix}_assign"), "cell", probed)
+    val assigned0 = prunedTo(lake.read(spark, s"${prefix}_assign"), "cell", probed)
       .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
+    val assigned = allowed.fold(assigned0)(a =>
+      assigned0.join(a.select(col(a.columns.head).as("vec_id")),
+        Seq("vec_id"), "left_semi"))
     val candV = assigned.join(broadcast(qCells), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

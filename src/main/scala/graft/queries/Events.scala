@@ -339,6 +339,43 @@ object Events {
       .select("event_id", "user_id", "value", "n_big_orders", "max_big_price")
   }
 
+  /** Incremental changefeed READ round trip
+    * ([[graft.lake.PartitionedTable.readChanges]] — the Delta
+    * `table_changes` / Iceberg incremental-scan analogue): the events fact
+    * lands in THREE commits into an event_type-partitioned lake table
+    * (create `event_id % 3 = 0`, then two appends for the other residues)
+    * and the gate serves the changefeed BETWEEN versions 0 and 2 — so the
+    * manifest file-diff, the per-commit attribution, and the read-back all
+    * hash-check: every appended row must surface exactly once, tagged
+    * 'insert' with the commit that landed it, and no version-1 row may leak
+    * in. The layout is built once per source dir and read back from disk
+    * (parquet-backed, the bench-harness cache-clear rule). */
+  private val changesRoots = new graft.core.BoundedCache[String, String]()
+  def changesRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = changesRoots.getOrElseUpdate(dir) {
+      val r = java.nio.file.Files.createTempDirectory("graft_changes_").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        val p = Path.of(r)
+        if (Files.exists(p))
+          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+      }))
+      val lake = new graft.lake.PartitionedTable(r, Seq("event_type"))
+      val e = Tables.events(spark, dir)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+      lake.create(e.filter(col("event_id") % 3 === 0), "events_cdc")
+      lake.append(e.filter(col("event_id") % 3 === 1), "events_cdc")
+      lake.append(e.filter(col("event_id") % 3 === 2), "events_cdc")
+      r
+    }
+    new graft.lake.PartitionedTable(root, Seq("event_type"))
+      .readChanges(spark, "events_cdc", 0, 2)
+      .select("event_id", "user_id", "event_type", "ts", "value",
+        "_change_type", "_commit_version")
+  }
+
   /** Z-ordered rewrite of the events fact on (user_id, value) — see
     * [[graft.lake.ZOrder]]. Written once per source dir to a temp layout and
     * then read BACK, so the gate hash-checks the full write->read round trip:
@@ -631,6 +668,7 @@ object Events {
     "events_keyrange_join" -> (keyRangeJoin _),
     "events_skipping_triad" -> (skippingTriad _),
     "events_autoskip_read" -> (autoSkipRead _),
+    "events_changes_read"  -> (changesRead _),
     "events_topk_per_user" -> (topKPerUser _),
     "events_cube_rollup"   -> (cubeRollup _),
     "events_pivot_daily"   -> (pivotDaily _),
@@ -752,6 +790,12 @@ object Events {
          |  AND value >= 50.0 AND value <= 400.0 AND user_id IN ($users)
          |GROUP BY 1, 2""".stripMargin
     },
+    "events_changes_read" ->
+      s"""WITH e AS ($eCte)
+         |SELECT event_id, user_id, event_type, ts, value,
+         |  'insert' AS "_change_type",
+         |  CASE WHEN event_id % 3 = 1 THEN 1 ELSE 2 END AS "_commit_version"
+         |FROM e WHERE event_id % 3 <> 0""".stripMargin,
     "events_salted_join" ->
       """SELECT e.event_id, e.user_id, e.value, c.c_mktsegment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Tables
 import graft.functions.Portable
-import graft.operators.{Clustering, Dedup, Graph, Multimodal, Similarity, TextOps, UrlOps}
+import graft.operators.{Clustering, Dedup, Graph, Multimodal, Retrieval, Similarity, TextOps, UrlOps}
 
 /** Training-data pipeline queries over `documents` / `embeddings`, with DuckDB
   * oracles generated from the SAME [[Portable]] builders as the Spark plans —
@@ -278,7 +278,29 @@ object Training {
     "ann_ivf_index_topk"     -> ((s, d) => Similarity.queryIvfIndex(
                                    s, indexLake(s, d), Tables.embeddings(s, d), "ivf", NQueries, TopK)),
     "ann_lsh_index_topk"     -> ((s, d) => Similarity.queryLshIndex(
-                                   s, indexLake(s, d), Tables.embeddings(s, d), "lsh", NQueries, TopK)))
+                                   s, indexLake(s, d), Tables.embeddings(s, d), "lsh", NQueries, TopK)),
+    // metadata-scoped exact vector search: the allow-set composes an
+    // in-table predicate (label <> 3) with a cross-table one (the joined
+    // document is English) — both arrive as one id list, pre-filter semantics
+    "ann_filtered_topk"      -> ((s, d) => Similarity.filteredTopK(
+                                   Tables.embeddings(s, d), enAllowSet(s, d), NQueries, TopK)),
+    // the same allow-set served through the PERSISTED IVF index: the filter
+    // semi-joins probed-cell candidates only (candidate-volume cost)
+    "ann_ivf_filtered_topk"  -> ((s, d) => Similarity.queryIvfIndex(
+                                   s, indexLake(s, d), Tables.embeddings(s, d), "ivf",
+                                   NQueries, TopK, allowed = Some(enAllowSet(s, d)))),
+    "retrieval_hybrid_rrf"   -> ((s, d) => Retrieval.hybridRrf(
+                                   Tables.documents(s, d), Tables.embeddings(s, d), Bm25Terms)))
+
+  /** The filtered-search gates' shared allow-set: embeddings whose label
+    * survives AND whose document is English — one in-table predicate, one
+    * cross-table, both pushed to their own table's scan. */
+  private def enAllowSet(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Tables.embeddings(s, d).filter(col("label") =!= 3).select("vec_id")
+      .join(Tables.documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id")), "vec_id")
+  }
 
   /** One persisted ANN index set (PQ + IVF + LSH) per source dir (built on first
     * use, then SERVED): the gates' query paths read the index tables back
@@ -1595,6 +1617,64 @@ object Training {
        |  FROM s)
        |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= $TopK""".stripMargin
 
+  /** [[annBruteSql]] with the gate's pre-filter allow-set (label <> 3 AND the
+    * joined document is English) applied to the NEIGHBOR side before ranking
+    * — the filtered-vector-search contract stated in SQL. */
+  private val annFilteredSql =
+    s"""WITH allowed AS (SELECT e.vec_id FROM embeddings e
+       |  JOIN documents d ON d.doc_id = e.vec_id
+       |  WHERE d.lang = 'en' AND e.label <> 3),
+       |e AS MATERIALIZED (SELECT vec_id, embedding,
+       |  ${Portable.normDuck("embedding")} AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS emb_q, nrm AS norm_q FROM e WHERE vec_id < $NQueries),
+       |s AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+       |    (${Portable.dotDuck("emb_q", "v.embedding")}) / (norm_q * v.nrm) AS cosine
+       |  FROM e v JOIN allowed a ON a.vec_id = v.vec_id
+       |  CROSS JOIN q WHERE v.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |  FROM s)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= $TopK""".stripMargin
+
+  /** Replica of [[graft.operators.Retrieval.hybridRrf]]: the tfidf leg is
+    * [[tfidfSql]]'s scored chain ranked 1..50, the semantic leg is the
+    * brute-force cosine ranking for query vector 0, and the fusion is the
+    * literal RRF arithmetic — CAST(1 AS DOUBLE) divisions (a bare 1.0 parses
+    * as DECIMAL here) added in the written order, so the fused doubles
+    * hash-check. */
+  private val hybridRrfSql = {
+    val tfCols = Bm25Terms.map(t =>
+      s"CAST(COUNT(*) FILTER (WHERE t = '$t') AS BIGINT) AS tf_$t").mkString(", ")
+    val dfCols = Bm25Terms.map(t =>
+      s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(", ")
+    val score = Bm25Terms.map(t =>
+      s"(CASE WHEN df_$t > 0 THEN tf_$t * length(printf('%b', n // df_$t)) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+       |perdoc AS (SELECT doc_id, $tfCols FROM tok GROUP BY doc_id),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, $dfCols FROM perdoc),
+       |scored AS (SELECT doc_id, CAST($score AS BIGINT) AS score FROM perdoc, stats),
+       |lexall AS (SELECT doc_id, score FROM scored WHERE score > 0
+       |  ORDER BY score DESC, doc_id LIMIT 50),
+       |lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rnk FROM lexall),
+       |e AS MATERIALIZED (SELECT vec_id, embedding,
+       |  ${Portable.normDuck("embedding")} AS nrm FROM embeddings),
+       |qv AS (SELECT vec_id AS query_id, embedding AS emb_q, nrm AS norm_q FROM e WHERE vec_id < 1),
+       |ss AS (SELECT v.vec_id AS doc_id,
+       |    (${Portable.dotDuck("emb_q", "v.embedding")}) / (norm_q * v.nrm) AS cosine
+       |  FROM e v CROSS JOIN qv WHERE v.vec_id <> qv.query_id),
+       |sem AS (SELECT doc_id, sem_rnk FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS sem_rnk FROM ss)
+       |  WHERE sem_rnk <= 50),
+       |fused AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex.lex_rnk, sem.sem_rnk,
+       |    COALESCE(CAST(1 AS DOUBLE) / (60 + lex.lex_rnk), CAST(0 AS DOUBLE))
+       |      + COALESCE(CAST(1 AS DOUBLE) / (60 + sem.sem_rnk), CAST(0 AS DOUBLE)) AS rrf
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT doc_id, lex_rnk, sem_rnk, rrf,
+       |  ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** Exact replica of [[Similarity.lshAnnTopK]] (16 tables × 4 bits): bucket
     * generation, candidate equi-join, and exact cosine re-rank — every stage
     * bitwise-portable, so the "approximate" index is still hash-checkable. */
@@ -1614,9 +1694,11 @@ object Training {
 
   /** Exact replica of [[Similarity.ivfFlatTopK]] (16 cells, 4 probes):
     * stride-sampled centroids, squared-L2 assignment via composed dot chains,
-    * probe, and exact cosine re-rank. */
-  private val annIvfSql =
-    s"""WITH st AS (SELECT GREATEST(COUNT(*) // 16, 1) AS stride FROM embeddings),
+    * probe, and exact cosine re-rank. `allowedCte`/`candJoin` optionally
+    * scope the CANDIDATES to an allow-set — the filtered-serve twin
+    * ([[Similarity.queryIvfIndex]] with `allowed`). */
+  private def ivfSql(allowedCte: String, candJoin: String) =
+    s"""WITH ${allowedCte}st AS (SELECT GREATEST(COUNT(*) // 16, 1) AS stride FROM embeddings),
        |c AS (SELECT vec_id // stride AS cell, embedding AS emb_c FROM embeddings, st
        |  WHERE vec_id % stride = 0 AND vec_id // stride < 16),
        |v AS (SELECT vec_id, embedding AS emb_v FROM embeddings),
@@ -1629,7 +1711,7 @@ object Training {
        |asg AS (SELECT vec_id, cell FROM rk WHERE rn = 1),
        |qc AS (SELECT vec_id AS query_id, cell FROM rk WHERE vec_id < $NQueries AND rn <= 4),
        |cand AS (SELECT DISTINCT qc.query_id, asg.vec_id AS neighbor_id
-       |  FROM asg JOIN qc USING (cell) WHERE asg.vec_id <> qc.query_id),
+       |  FROM asg JOIN qc USING (cell)$candJoin WHERE asg.vec_id <> qc.query_id),
        |e AS MATERIALIZED (SELECT vec_id, embedding, ${Portable.normDuck("embedding")} AS nrm FROM embeddings),
        |s AS (SELECT cand.query_id, cand.neighbor_id,
        |    (${Portable.dotDuck("q.embedding", "nv.embedding")}) / (q.nrm * nv.nrm) AS cosine
@@ -1638,6 +1720,17 @@ object Training {
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
        |  FROM s)
        |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= $TopK""".stripMargin
+
+  private val annIvfSql = ivfSql("", "")
+
+  /** The filtered-serve gate's twin: the same IVF replay with the allow-set
+    * (shared with [[annFilteredSql]]) scoping the candidates. */
+  private val annIvfFilteredSql = ivfSql(
+    """allowed AS (SELECT e.vec_id FROM embeddings e
+      |  JOIN documents d ON d.doc_id = e.vec_id
+      |  WHERE d.lang = 'en' AND e.label <> 3),
+      |""".stripMargin,
+    " JOIN allowed al ON al.vec_id = asg.vec_id")
 
   /** Exact replica of [[Similarity.pqAnnTopK]] (8 subspaces x 16 stride
     * centroids): per-subspace argmin codes (ties to the lowest centroid id),
@@ -1849,5 +1942,8 @@ object Training {
     "text_temperature_sample" -> temperatureSampleSql,
     "text_dsir_sample"       -> dsirSql,
     "ann_recall_eval"        -> annRecallSql,
-    "ann_brute_force_topk"   -> annBruteSql)
+    "ann_brute_force_topk"   -> annBruteSql,
+    "ann_filtered_topk"      -> annFilteredSql,
+    "ann_ivf_filtered_topk"  -> annIvfFilteredSql,
+    "retrieval_hybrid_rrf"   -> hybridRrfSql)
 }

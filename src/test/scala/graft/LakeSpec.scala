@@ -557,6 +557,55 @@ class LakeSpec extends AnyFunSuite {
       4L -> "changed", 5L -> "added"))
   }
 
+  test("readChanges: per-commit attribution, rewrite = delete+insert, untouched partitions silent") {
+    import spark.implicits._
+    val t = pfmt("p")
+    t.create(Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "z")).toDF("id", "p", "v"), "cf")
+    t.append(Seq((4L, "b", "w")).toDF("id", "p", "v"), "cf")
+    t.upsert(Seq((2L, "a", "Y2")).toDF("id", "p", "v"), "cf", Seq("id"))
+    def rows(from: Int, to: Int) = t.readChanges(spark, "cf", from, to).collect()
+      .map(r => (r.getLong(0), r.getString(2),
+        r.getString(3), r.getInt(4))).toSet // (id, v, _change_type, _commit_version)
+    // v0 -> v1 is a pure append: one insert, attributed to commit 1
+    assert(rows(0, 1) == Set((4L, "w", "insert", 1)))
+    // v2 -> v3 rewrote ONLY partition a: its old rows report delete, the
+    // merged rows insert (unchanged row 1 reports as delete+insert — file
+    // granularity); partition b never enters the diff
+    assert(rows(1, 2) == Set(
+      (1L, "x", "delete", 2), (2L, "y", "delete", 2),
+      (1L, "x", "insert", 2), (2L, "Y2", "insert", 2)))
+    // the two-hop feed is the union of the single hops; same-version is empty
+    assert(rows(0, 2) == rows(0, 1) ++ rows(1, 2))
+    assert(t.readChanges(spark, "cf", 1, 1).count() == 0)
+    // folding the feed over the base reproduces the current table: base
+    // minus deletes plus inserts == read (the incremental-consumer contract)
+    val base = t.readVersion(spark, "cf", 0).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    val feed = rows(0, 2)
+    val folded = base --
+      feed.collect { case (id, v, "delete", _) => (id, v) } ++
+      feed.collect { case (id, v, "insert", _) => (id, v) }
+    val cur = t.read(spark, "cf").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(folded == cur)
+  }
+
+  test("partitioned time travel: readVersion pins snapshots, versions enumerate") {
+    import spark.implicits._
+    val t = pfmt("p")
+    t.create(Seq((1L, "a", "x")).toDF("id", "p", "v"), "tt2")
+    t.append(Seq((2L, "b", "y")).toDF("id", "p", "v"), "tt2")
+    t.upsert(Seq((1L, "a", "X2")).toDF("id", "p", "v"), "tt2", Seq("id"))
+    assert(t.versions("tt2") == Seq(0, 1, 2))
+    def snap(v: Int) = t.readVersion(spark, "tt2", v).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(snap(0) == Map(1L -> "x"))
+    assert(snap(1) == Map(1L -> "x", 2L -> "y"))
+    assert(snap(2) == Map(1L -> "X2", 2L -> "y"))
+    assert(intercept[IllegalArgumentException](
+      t.readVersion(spark, "tt2", 9)).getMessage.contains("version 9"))
+  }
+
   test("manifest layout holds the Iceberg Hadoop version-file invariants") {
     // Interop pin for the CAS commit protocol: it deliberately mirrors
     // Iceberg's documented HadoopTableOperations scheme (Iceberg spec,

@@ -289,4 +289,61 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"SQ8+refine recall@10 = $recall%.2f")
     assert(recall >= 0.9, s"SQ8 refined recall was $recall")
   }
+
+  test("filteredTopK: every neighbor is allowed, and an all-allowing set equals brute force") {
+    import org.apache.spark.sql.functions._
+    val allowed = emb.filter(col("label") =!= 3).select("vec_id")
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    val res = Similarity.filteredTopK(emb, allowed, nQueries = 5, k = 10).collect()
+    assert(res.nonEmpty)
+    res.foreach(r => assert(allowedIds.contains(r.getLong(1)),
+      s"neighbor ${r.getLong(1)} escaped the allow-set"))
+    // pre-filter semantics: k full rows per query even though ~10% of the
+    // corpus is filtered out (post-filtering a brute top-k could not promise this)
+    res.groupBy(_.getLong(0)).values.foreach(g => assert(g.length == 10))
+    val everything = Similarity.filteredTopK(emb, emb.select("vec_id"), 5, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Similarity.bruteForceTopK(emb, 5, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(everything == brute)
+  }
+
+  test("filteredTopK: a tight filter re-ranks — results are the filtered subset's own top-k") {
+    import org.apache.spark.sql.functions._
+    val allowed = emb.filter(col("vec_id") % 5 === 0).select("vec_id")
+    val res = Similarity.filteredTopK(emb, allowed, nQueries = 3, k = 5).collect()
+    res.foreach(r => assert(r.getLong(1) % 5 == 0))
+    // expected: brute-force cosine over ONLY the allowed vectors
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def cos(a: Long, b: Long) =
+      dot(vecs(a), vecs(b)) / (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+    val expected = (0L until 3L).flatMap { q =>
+      vecs.keys.filter(v => v % 5 == 0 && v != q).toSeq
+        .sortBy(v => (-cos(q, v), v)).take(5).map(v => (q, v))
+    }.toSet
+    assert(res.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+  }
+
+  test("filtered IVF serve: only allowed neighbors; an all-allowing set equals the unfiltered serve") {
+    import org.apache.spark.sql.functions._
+    val lake = new graft.lake.ParquetDirFormat(
+      java.nio.file.Files.createTempDirectory("graft_ivf_filter_").toString)
+    Similarity.buildIvfIndex(emb, lake)
+    val allowed = emb.filter(col("label") =!= 3).select("vec_id")
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    val filtered = Similarity.queryIvfIndex(spark, lake, emb, "ivf", 5, 10,
+        allowed = Some(allowed)).collect()
+    assert(filtered.nonEmpty)
+    filtered.foreach(r => assert(allowedIds.contains(r.getLong(1))))
+    val everything = Similarity.queryIvfIndex(spark, lake, emb, "ivf", 5, 10,
+        allowed = Some(emb.select("vec_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val unfiltered = Similarity.queryIvfIndex(spark, lake, emb, "ivf", 5, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(everything == unfiltered)
+  }
 }
