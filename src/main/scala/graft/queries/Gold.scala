@@ -90,9 +90,14 @@ object Gold {
     * pn, prev) rows from any batch split, in any mix of merge states — into
     * the final report. Shared by the gate (in-plan batch partials) and
     * `GoldIvmSpec` (partials re-read from real lake appends). */
-  def foldDailySummary(partials: DataFrame): DataFrame = {
-    val summary = partials.groupBy("order_date", "o_custkey")
+  def foldDailySummary(partials: DataFrame,
+                       retractions: Boolean = false): DataFrame = {
+    val merged = partials.groupBy("order_date", "o_custkey")
       .agg(sum(col("pn")).as("n"), sum(col("prev")).as("rev"))
+    // under retractions a fully-cancelled (day, customer) pair must VANISH —
+    // it would otherwise still count toward n_customers and could hold a
+    // customer's first-day minimum with zero live orders
+    val summary = (if (retractions) merged.filter(col("n") > 0) else merged)
       .localCheckpoint(false) // two consumers below — compute the merge once
     val newCust = summary.groupBy(col("o_custkey"))
       .agg(min(col("order_date")).as("order_date"))
@@ -106,6 +111,74 @@ object Gold {
         (sum(col("rev")).cast("double") / sum(col("n"))).as("avg_order_value"))
       .join(broadcast(newCust), Seq("order_date"), "left")
       .withColumn("new_customers", coalesce(col("new_customers"), lit(0L)))
+  }
+
+  /** Unsigned daily-sales partials of a full snapshot — the changefeed
+    * consumer's BASE state ([[dailySalesCdc]]). */
+  def dailyPartialsOf(snapshot: DataFrame): DataFrame =
+    snapshot.withColumn("order_date", to_date(col("o_orderdate")))
+      .groupBy("order_date", "o_custkey")
+      .agg(count(lit(1)).as("pn"), dpartSum(col("o_totalprice")).as("prev"))
+
+  /** SIGNED daily-sales partials from a lake changefeed
+    * ([[graft.lake.PartitionedTable.readChanges]] rows over an orders
+    * table): inserts contribute (+1, +price), deletes (-1, -price) — the
+    * retraction algebra of the summary-delta view. Count and DECIMAL sum are
+    * both exactly associative, so a row deleted and re-inserted by a
+    * partition rewrite cancels bitwise, whatever batch boundaries the feed
+    * arrives in. */
+  def changefeedDailyPartials(feed: DataFrame): DataFrame =
+    feed.withColumn("order_date", to_date(col("o_orderdate")))
+      .withColumn("sgn",
+        when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)))
+      .groupBy("order_date", "o_custkey")
+      .agg(sum(col("sgn")).as("pn"),
+        dpartSum(col("o_totalprice") * col("sgn")).as("prev"))
+
+  /** CDC-MAINTAINED daily sales — the gold view kept current by consuming
+    * the lake changefeed instead of rescanning the fact table: maintained =
+    * fold(base-snapshot partials ∪ signed feed partials), with fully
+    * retracted (day, customer) pairs dropped. The gate's lake history makes
+    * the claim sharp: version 0 lands with every `o_orderkey % 4 = 2`
+    * price DOUBLED (deliberately wrong), a later append adds the missing
+    * residue-3 rows, and an upsert then corrects the doubled rows — so the
+    * maintained view is only right if the feed's delete leg cancels the
+    * wrong decimals EXACTLY and the rewrite's delete+insert pairs for
+    * untouched co-partition rows net to zero. Oracle = the from-scratch
+    * [[dailySales]] recompute over the true orders table, bitwise.
+    *
+    * Scale shape: the consumer reads ONLY the changefeed (changed files) and
+    * folds summary-sized state — a nightly gold rebuild becomes
+    * feed-volume + |distinct (day, customer)| work, never a fact rescan. */
+  private val cdcGoldRoots = new graft.core.BoundedCache[String, String]()
+  def dailySalesCdc(spark: SparkSession, dir: String): DataFrame = {
+    val root = cdcGoldRoots.getOrElseUpdate(dir) {
+      val r = java.nio.file.Files.createTempDirectory("graft_goldcdc_").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        val p = Path.of(r)
+        if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+      }))
+      val lake = new graft.lake.PartitionedTable(r, Seq("om"))
+      val o = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .withColumn("om", date_format(to_date(col("o_orderdate")), "yyyy-MM"))
+      lake.create(o.filter(col("o_orderkey") % 4 =!= 3)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 4 === 2, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice"))), "orders_cdc")
+      lake.append(o.filter(col("o_orderkey") % 4 === 3), "orders_cdc")
+      lake.upsert(o.filter(col("o_orderkey") % 4 === 2), "orders_cdc",
+        Seq("o_orderkey"))
+      r
+    }
+    val lake = new graft.lake.PartitionedTable(root, Seq("om"))
+    val base = dailyPartialsOf(lake.readVersion(spark, "orders_cdc", 0))
+    val feed = changefeedDailyPartials(
+      lake.readChanges(spark, "orders_cdc", 0, 2))
+    foldDailySummary(base.unionByName(feed), retractions = true)
   }
 
   /** Per-customer lifetime metrics + churn flag (reference DEMO.md:73-77).
@@ -307,6 +380,7 @@ object Gold {
     "gold_q1_pricing_summary"    -> (q1Agg _),
     "gold_daily_sales"           -> (dailySales _),
     "gold_daily_sales_ivm"       -> (dailySalesIncremental _),
+    "gold_daily_sales_cdc"       -> (dailySalesCdc _),
     "gold_customer_metrics"      -> (customerMetrics _),
     "gold_product_performance"   -> (productPerformance _),
     "gold_regional_revenue"      -> (regionalRevenue _),
@@ -406,6 +480,21 @@ object Gold {
     // the IVM gate's oracle is the FULL RECOMPUTE — the maintained view must
     // equal the from-scratch rebuild bitwise, which is the IVM contract
     "gold_daily_sales_ivm" ->
+      """WITH o AS (SELECT *, CAST(o_orderdate AS DATE) AS order_date FROM orders),
+        |nc AS (SELECT first_date AS order_date, COUNT(*) AS new_customers FROM
+        |  (SELECT o_custkey, MIN(order_date) AS first_date FROM o GROUP BY 1) GROUP BY 1),
+        |d AS (SELECT order_date, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_order_value
+        |  FROM o GROUP BY 1)
+        |SELECT d.order_date, d.n_orders, d.revenue, d.n_customers, d.avg_order_value,
+        |  COALESCE(nc.new_customers, 0) AS new_customers
+        |FROM d LEFT JOIN nc USING (order_date)""".stripMargin,
+    // the CDC-maintained view's oracle is ALSO the full recompute: the lake
+    // history ends at exactly the true orders table, so maintained-via-
+    // retractions must equal the from-scratch rebuild bitwise
+    "gold_daily_sales_cdc" ->
       """WITH o AS (SELECT *, CAST(o_orderdate AS DATE) AS order_date FROM orders),
         |nc AS (SELECT first_date AS order_date, COUNT(*) AS new_customers FROM
         |  (SELECT o_custkey, MIN(order_date) AS first_date FROM o GROUP BY 1) GROUP BY 1),

@@ -60,4 +60,35 @@ class GoldIvmSpec extends AnyFunSuite {
   test("gate query equals the plain dailySales report bitwise") {
     assert(rows(Gold.dailySalesIncremental(spark, dir)) == rows(Gold.dailySales(spark, dir)))
   }
+
+  test("retraction fold: a fully-cancelled (day, customer) vanishes; an empty day disappears") {
+    import spark.implicits._
+    // base: two customers on d1, one on d2; feed retracts ALL of customer
+    // 20's d1 orders and BOTH of customer 30's d2 orders
+    val base = Seq(
+      ("2024-01-01", 10L, 2L, BigDecimal("100.00")),
+      ("2024-01-01", 20L, 1L, BigDecimal("50.00")),
+      ("2024-01-02", 30L, 2L, BigDecimal("80.00")))
+      .toDF("order_date", "o_custkey", "pn", "prev")
+      .withColumn("order_date", col("order_date").cast("date"))
+      .withColumn("prev", col("prev").cast("decimal(18,2)"))
+    val feed = Seq(
+      ("2024-01-01", 20L, -1L, BigDecimal("-50.00")),
+      ("2024-01-02", 30L, -2L, BigDecimal("-80.00")))
+      .toDF("order_date", "o_custkey", "pn", "prev")
+      .withColumn("order_date", col("order_date").cast("date"))
+      .withColumn("prev", col("prev").cast("decimal(18,2)"))
+    val got = Gold.foldDailySummary(base.unionByName(feed), retractions = true)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(5))).toSet
+    // d1 keeps only customer 10 (2 orders, 100.00, 1 customer, 1 new);
+    // d2 has no surviving rows at all — no report row, and customer 30
+    // contributes no first-day minimum anywhere
+    assert(got == Set(("2024-01-01", 2L, 100.0, 1L, 1L)))
+    // without the filter the cancelled pairs would still count customers —
+    // the fully-empty day even divides by zero under ANSI (n_orders = 0),
+    // which is exactly why the retraction fold must drop dead pairs
+    intercept[ArithmeticException](
+      Gold.foldDailySummary(base.unionByName(feed)).collect())
+  }
 }
