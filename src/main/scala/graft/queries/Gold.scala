@@ -161,10 +161,14 @@ object Gold {
           Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
             .forEach(f => Files.deleteIfExists(f))
       }))
-      val lake = new graft.lake.PartitionedTable(r, Seq("om"))
+      // partitioned by order YEAR: coarse enough that the serve reads a
+      // handful of dirs per leg (a month grain made the steady-state serve
+      // ~2.7 s of tiny-file opens at sf0.1), fine enough that the upsert
+      // still exercises partition rewrites in every partition
+      val lake = new graft.lake.PartitionedTable(r, Seq("oy"))
       val o = Tables.orders(spark, dir)
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-        .withColumn("om", date_format(to_date(col("o_orderdate")), "yyyy-MM"))
+        .withColumn("oy", date_format(to_date(col("o_orderdate")), "yyyy"))
       lake.create(o.filter(col("o_orderkey") % 4 =!= 3)
         .withColumn("o_totalprice",
           when(col("o_orderkey") % 4 === 2, col("o_totalprice") * 2)
@@ -174,7 +178,7 @@ object Gold {
         Seq("o_orderkey"))
       r
     }
-    val lake = new graft.lake.PartitionedTable(root, Seq("om"))
+    val lake = new graft.lake.PartitionedTable(root, Seq("oy"))
     val base = dailyPartialsOf(lake.readVersion(spark, "orders_cdc", 0))
     val feed = changefeedDailyPartials(
       lake.readChanges(spark, "orders_cdc", 0, 2))
