@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+import graft.functions.Portable
+
+/** Trainable text-quality classification — the fastText-style linear
+  * classifier every production curation stack distills its heuristics into
+  * (CCNet trains wiki-vs-crawl, GPT-3 WebText-vs-crawl; Joulin et al.,
+  * "Bag of Tricks for Efficient Text Classification", arXiv 1607.01759 —
+  * public method): hashed bag-of-words features into a fixed bucket space,
+  * a linear model trained by iterative updates, margins as quality scores.
+  *
+  * The trainer is the INTEGER batch perceptron rather than logistic SGD,
+  * deliberately: every update is y·count arithmetic on BIGINTs (no
+  * learning-rate float, no sigmoid — `exp` is not bitwise-portable), so
+  * training is exactly reproducible run-to-run, cluster-to-cluster, and
+  * ENGINE-to-engine — the whole training trajectory (per-epoch weight
+  * vectors) hash-checks against an unrolled SQL replay of the same epochs.
+  */
+object Classifier {
+
+  /** Batch-perceptron training over hashed bag-of-words features.
+    *
+    * Input `labeled`: (doc_id, text, y) with y ∈ {+1, −1} (BIGINT). Features
+    * x_{d,b} = count of document d's tokens hashing into bucket b
+    * (portable polynomial hash mod `buckets`). Per epoch, over the WHOLE
+    * batch (classic batch perceptron): margin m_d = Σ_b x_{d,b}·w_b; every
+    * doc with y·m ≤ 0 is misclassified (w = 0 start ⇒ epoch 1 updates on
+    * every doc); w += Σ_misclassified y·x. Fixed `epochs`, no convergence
+    * test — determinism over asymptotics.
+    *
+    * Output: one row per bucket with the weight AFTER each epoch
+    * (bucket, w1 … wE) — the full training trajectory, report-sized.
+    *
+    * Scale shape: the feature table is built once (one corpus scan + one
+    * map-side-combined aggregate, ≤ docs×buckets rows) and persisted; each
+    * epoch is one broadcast join against the `buckets`-row weight table +
+    * two aggregates, with only the `buckets` weight deltas ever reaching the
+    * driver (the BPE-argmax bounded-probe pattern). Docs whose tokens hash
+    * nowhere (empty text) carry no features: they update nothing and are
+    * consistently absent from both engines' margin tables. */
+  def trainPerceptron(labeled: DataFrame, buckets: Int = 64,
+                      epochs: Int = 3): DataFrame = {
+    require(buckets > 0 && buckets <= 65536, "buckets must be in [1, 65536]")
+    require(epochs > 0 && epochs <= 16, "epochs must be in [1, 16]")
+    val spark = labeled.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    val fx = features(labeled, buckets).persist(StorageLevel.MEMORY_AND_DISK)
+    val w = Array.fill(buckets)(0L)
+    val history = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    (1 to epochs).foreach { _ =>
+      val wDf = w.zipWithIndex.map { case (v, b) => (b.toLong, v) }
+        .toSeq.toDF("b", "w")
+      val margins = fx.join(broadcast(wDf), Seq("b"), "left")
+        .groupBy("doc_id", "y")
+        .agg(sum(col("x") * coalesce(col("w"), lit(0L))).as("m"))
+      val mis = margins.filter(col("y") * col("m") <= 0).select("doc_id")
+      fx.join(mis, "doc_id")
+        .groupBy("b").agg(sum(col("y") * col("x")).as("dw"))
+        .collect().foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+      history += w.clone()
+    }
+    fx.unpersist()
+    val schema = StructType(StructField("bucket", LongType, nullable = false) +:
+      (1 to epochs).map(e => StructField(s"w$e", LongType, nullable = false)))
+    val rows = (0 until buckets).map(b =>
+      Row.fromSeq(b.toLong +: history.map(_(b)).toSeq))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Score documents with a trained weight table (bucket, w): per-doc margin
+    * and keep/drop prediction — the serve side, one corpus scan + one
+    * broadcast join. Docs with no features score margin 0 (pred = false). */
+  def scorePerceptron(docs: DataFrame, weights: DataFrame,
+                      buckets: Int = 64): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val fx = features(docs.withColumn("y", lit(1L)), buckets)
+    val margins = fx
+      .join(broadcast(weights.select(col("bucket").as("b"), col("w"))), Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("x") * coalesce(col("w"), lit(0L))).as("margin"))
+    docs.select("doc_id").join(margins, Seq("doc_id"), "left")
+      .withColumn("margin", coalesce(col("margin"), lit(0L)))
+      .withColumn("pred", col("margin") > 0)
+  }
+
+  /** The quality-classifier wrapper ([[trainPerceptron]] with labels
+    * DISTILLED from the portable heuristic): y = +1 iff
+    * [[TextOps.qualityScore]] ≥ `thr` — the standard bootstrap when no human
+    * labels exist (train on a trusted signal, serve the cheap linear model).
+    * Both the label chain and the training are bitwise-portable, so the
+    * full trajectory is oracle-checked. */
+  def qualityPerceptron(docs: DataFrame, buckets: Int = 64, epochs: Int = 3,
+                        thr: Double = 2.0): DataFrame = {
+    val y = TextOps.qualityScore(docs)
+      .select(col("doc_id"),
+        when(col("quality_score") >= thr, lit(1L)).otherwise(lit(-1L)).as("y"))
+    trainPerceptron(docs.select("doc_id", "text").join(y, "doc_id"),
+      buckets, epochs)
+  }
+
+  /** Hashed bag-of-words: (doc_id, y, bucket, count). The polynomial hash is
+    * non-negative, so plain `%` agrees across engines. */
+  private def features(labeled: DataFrame, buckets: Int): DataFrame =
+    Scale.fanOutScan(labeled)
+      .select(col("doc_id"), col("y"), explode(expr("graft_tokens(text)")).as("tok"))
+      .select(col("doc_id"), col("y"),
+        expr(s"(${Portable.phashSpark("tok")}) % $buckets").as("b"))
+      .groupBy("doc_id", "y", "b")
+      .agg(count(lit(1)).cast("bigint").as("x"))
+}

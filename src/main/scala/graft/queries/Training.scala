@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Tables
 import graft.functions.Portable
-import graft.operators.{Clustering, Dedup, Graph, Multimodal, Retrieval, Similarity, TextOps, UrlOps}
+import graft.operators.{Classifier, Clustering, Dedup, Graph, Multimodal, Retrieval, Similarity, TextOps, UrlOps}
 
 /** Training-data pipeline queries over `documents` / `embeddings`, with DuckDB
   * oracles generated from the SAME [[Portable]] builders as the Spark plans —
@@ -290,7 +290,12 @@ object Training {
                                    s, indexLake(s, d), Tables.embeddings(s, d), "ivf",
                                    NQueries, TopK, allowed = Some(enAllowSet(s, d)))),
     "retrieval_hybrid_rrf"   -> ((s, d) => Retrieval.hybridRrf(
-                                   Tables.documents(s, d), Tables.embeddings(s, d), Bm25Terms)))
+                                   Tables.documents(s, d), Tables.embeddings(s, d), Bm25Terms)),
+    // the full 3-epoch training TRAJECTORY hash-checks: integer batch
+    // perceptron over hashed bag-of-words, labels distilled from the
+    // portable quality heuristic
+    "text_quality_classifier" -> ((s, d) => Classifier.qualityPerceptron(
+                                   Tables.documents(s, d))))
 
   /** The filtered-search gates' shared allow-set: embeddings whose label
     * survives AND whose document is English — one in-table predicate, one
@@ -931,6 +936,58 @@ object Training {
        |  (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) +
        |  (CASE WHEN stop_ratio > 0 THEN 1.0 ELSE 0.0 END) + diversity + alpha_ratio AS quality_score
        |FROM m""".stripMargin
+
+  /** Unrolled replica of [[Classifier.qualityPerceptron]] (64 buckets,
+    * 3 epochs): the label chain is [[qualityScoreSql]]'s arithmetic, the
+    * feature table is the portable token hash mod 64, and each epoch is one
+    * margin CTE + one delta CTE + one weight CTE — all BIGINT, so the whole
+    * training trajectory hash-checks. `fx` feeds every epoch (and each
+    * weight table feeds the next) — AS MATERIALIZED per the CLAUDE.md
+    * multi-referenced-CTE rule. Epoch 1 starts from w = 0: every featured
+    * doc has margin 0 and updates. */
+  private val qualityClassifierSql = {
+    val B = 64
+    def margins(wt: String) =
+      s"SELECT doc_id, y, SUM(x * COALESCE($wt.w, 0)) AS m " +
+        s"FROM fx LEFT JOIN $wt USING (b) GROUP BY doc_id, y"
+    def deltas(mt: String) =
+      s"SELECT b, CAST(SUM(y * x) AS BIGINT) AS dw FROM fx " +
+        s"WHERE doc_id IN (SELECT doc_id FROM $mt WHERE y * m <= 0) GROUP BY b"
+    s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+       |c AS (SELECT doc_id, text, toks,
+       |  len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopEn)} AS stop_ratio,
+       |  length(regexp_replace(text, '[^a-z ]', '', 'g')) AS alpha_chars
+       |FROM t),
+       |q AS (SELECT doc_id, toks,
+       |  (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) +
+       |  (CASE WHEN stop_ratio > 0 THEN 1.0 ELSE 0.0 END) +
+       |  CASE WHEN n_tokens > 0 THEN n_distinct::DOUBLE / n_tokens ELSE 0::DOUBLE END +
+       |  CASE WHEN length(text) > 0 THEN alpha_chars::DOUBLE / length(text) ELSE 0::DOUBLE END AS qs
+       |FROM c),
+       |lab AS (SELECT doc_id, toks, CASE WHEN qs >= 2.0 THEN 1 ELSE -1 END AS y FROM q),
+       |fx AS MATERIALIZED (SELECT doc_id, y,
+       |    (${Portable.phashDuck("tok")}) % $B AS b, CAST(COUNT(*) AS BIGINT) AS x
+       |  FROM (SELECT doc_id, y, unnest(toks) AS tok FROM lab) GROUP BY 1, 2, 3),
+       |ep1 AS MATERIALIZED (SELECT b, CAST(SUM(y * x) AS BIGINT) AS w FROM fx GROUP BY b),
+       |m2 AS (${margins("ep1")}),
+       |d2 AS (${deltas("m2")}),
+       |ep2 AS MATERIALIZED (SELECT ep1.b, CAST(ep1.w + COALESCE(d2.dw, 0) AS BIGINT) AS w
+       |  FROM ep1 LEFT JOIN d2 USING (b)),
+       |m3 AS (${margins("ep2")}),
+       |d3 AS (${deltas("m3")}),
+       |ep3 AS (SELECT ep2.b, CAST(ep2.w + COALESCE(d3.dw, 0) AS BIGINT) AS w
+       |  FROM ep2 LEFT JOIN d3 USING (b)),
+       |spine AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(0, $B))
+       |SELECT spine.bucket,
+       |  CAST(COALESCE(ep1.w, 0) AS BIGINT) AS w1,
+       |  CAST(COALESCE(ep2.w, 0) AS BIGINT) AS w2,
+       |  CAST(COALESCE(ep3.w, 0) AS BIGINT) AS w3
+       |FROM spine
+       |LEFT JOIN ep1 ON ep1.b = spine.bucket
+       |LEFT JOIN ep2 ON ep2.b = spine.bucket
+       |LEFT JOIN ep3 ON ep3.b = spine.bucket""".stripMargin
+  }
 
   private val corpusStatsSql =
     s"""WITH t AS (SELECT doc_id, source, text, $toks AS toks FROM documents),
@@ -1945,5 +2002,6 @@ object Training {
     "ann_brute_force_topk"   -> annBruteSql,
     "ann_filtered_topk"      -> annFilteredSql,
     "ann_ivf_filtered_topk"  -> annIvfFilteredSql,
-    "retrieval_hybrid_rrf"   -> hybridRrfSql)
+    "retrieval_hybrid_rrf"   -> hybridRrfSql,
+    "text_quality_classifier" -> qualityClassifierSql)
 }
