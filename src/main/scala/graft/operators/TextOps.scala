@@ -904,9 +904,14 @@ object TextOps {
       .filter(col("keep")).select("doc_id")
     // n_tokens rides the checkpoint as ONE long per row (NOT the token
     // arrays — the measured CLAUDE.md negative), so the budget and packing
-    // stages' withNTokens passthrough skips two more corpus tokenizations
+    // stages' withNTokens passthrough skips two more corpus tokenizations.
+    // The checkpoint is NARROW — text is dropped before the write: no
+    // downstream consumer (budget, packing, shuffle shards, the final
+    // joins) ever reads text again, so checkpointing it would write the
+    // whole surviving corpus once more for nothing.
     val d4 = d3.join(keep, "doc_id")
       .withColumn("n_tokens", size(expr("graft_tokens(text)")).cast("bigint"))
+      .select("doc_id", "source", "lang", "n_tokens")
       .localCheckpoint(false)
     // 5. per-source token-budget sampling. tb has THREE consumers (both d5
     //    scans + the final cum_tokens join) and d5 has TWO (packing,
@@ -916,8 +921,7 @@ object TextOps {
     //    (doc_id, source, lang, n_tokens), so the checkpoint writes narrow
     //    rows, not the selected corpus — cheap even at 100 TB.
     val tb = tokenBudgetSample(d4, budgetPerSource).localCheckpoint(false)
-    val d5 = d4.select("doc_id", "source", "lang", "n_tokens")
-      .join(tb.select("doc_id"), "doc_id")
+    val d5 = d4.join(tb.select("doc_id"), "doc_id")
       .localCheckpoint(false)
     // 6. sequence packing + 7. deterministic shuffle shards, both over the
     //    final surviving set

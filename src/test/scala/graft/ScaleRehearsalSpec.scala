@@ -223,6 +223,42 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(t10 / t1 < 20.0, f"superlinear blowup: $t1%.1f s -> $t10%.1f s")
   }
 
+  test("filtered exact search scales linearly on 10x embeddings at the same filter fraction",
+      SlowRehearsal) {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // the label predicate keeps the allow fraction identical across scales,
+    // so candidate volume scales exactly with the corpus; the semi-join and
+    // the k-bounded fold must both stay linear
+    def allowed(e: DataFrame) = e.filter(col("label") =!= 3).select("vec_id")
+    val (t1, n1) = timed("filtered 1x") {
+      runRows(graft.operators.Similarity.filteredTopK(emb, allowed(emb), 20, 10))
+    }
+    val big = copies(emb, 10, Seq("vec_id"))
+    val (t10, n10) = timed("filtered 10x") {
+      runRows(graft.operators.Similarity.filteredTopK(big, allowed(big), 20, 10))
+    }
+    assert(n1 == 200 && n10 == 200, "top-k per query is scale-invariant")
+    assert(t10 / t1 < 20.0, f"superlinear blowup: $t1%.1f s -> $t10%.1f s")
+  }
+
+  test("perceptron training scales linearly on a 10x corpus; state stays bucket-sized",
+      SlowRehearsal) {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // each epoch is one broadcast join + two aggregates over the feature
+    // table; only 64 weight deltas ever reach the driver, so a 10x corpus
+    // must cost ~10x per epoch — a corpus-sized collect or an unkeyed
+    // window would blow the band
+    val (t1, n1) = timed("perceptron 1x") {
+      runRows(graft.operators.Classifier.qualityPerceptron(docs))
+    }
+    val big = copies(docs, 10, Seq("doc_id"))
+    val (t10, n10) = timed("perceptron 10x") {
+      runRows(graft.operators.Classifier.qualityPerceptron(big))
+    }
+    assert(n1 == 64 && n10 == 64, "weight table is corpus-size-independent")
+    assert(t10 / t1 < 20.0, f"superlinear blowup: $t1%.1f s -> $t10%.1f s")
+  }
+
   test("k-means scales linearly on 10x key-shifted embeddings", SlowRehearsal) {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     // each Lloyd round is one broadcast-join scan + a (cell, dim)-keyed
