@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
-import graft.functions.Portable
 
 /** Trainable text-quality classification — the fastText-style linear
   * classifier every production curation stack distills its heuristics into
@@ -78,6 +77,13 @@ object Classifier {
   def scorePerceptron(docs: DataFrame, weights: DataFrame,
                       buckets: Int = 64): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
+    // a weight table trained in a different bucket space would silently
+    // score against the wrong buckets — fail loudly instead (the table is
+    // weights-sized, so the count is a report-sized probe)
+    val nw = weights.count()
+    require(nw == buckets,
+      s"weight table has $nw rows but scorePerceptron was given buckets=$buckets " +
+        "— score with the bucket count the model was trained with")
     val fx = features(docs.withColumn("y", lit(1L)), buckets)
     val margins = fx
       .join(broadcast(weights.select(col("bucket").as("b"), col("w"))), Seq("b"), "left")
@@ -103,13 +109,17 @@ object Classifier {
       buckets, epochs)
   }
 
-  /** Hashed bag-of-words: (doc_id, y, bucket, count). The polynomial hash is
-    * non-negative, so plain `%` agrees across engines. */
+  /** Hashed bag-of-words: (doc_id, y, bucket, count). The hash is the NATIVE
+    * codegen'd `graft_phash` (bitwise-pinned to [[Portable.phashSpark]] by
+    * `PortableParitySpec`) — this projection runs once per corpus TOKEN, the
+    * hot path where the CLAUDE.md rule bans the interpreted HOF chain; same
+    * formulation as the DSIR bucket hash. Non-negative, so plain `%` agrees
+    * across engines. */
   private def features(labeled: DataFrame, buckets: Int): DataFrame =
     Scale.fanOutScan(labeled)
       .select(col("doc_id"), col("y"), explode(expr("graft_tokens(text)")).as("tok"))
       .select(col("doc_id"), col("y"),
-        expr(s"(${Portable.phashSpark("tok")}) % $buckets").as("b"))
+        pmod(expr("graft_phash(tok)"), lit(buckets.toLong)).as("b"))
       .groupBy("doc_id", "y", "b")
       .agg(count(lit(1)).cast("bigint").as("x"))
 }

@@ -350,25 +350,14 @@ object Events {
     * 'insert' with the commit that landed it, and no version-1 row may leak
     * in. The layout is built once per source dir and read back from disk
     * (parquet-backed, the bench-harness cache-clear rule). */
-  private val changesRoots = new graft.core.BoundedCache[String, String]()
   def changesRead(spark: SparkSession, dir: String): DataFrame = {
-    val root = changesRoots.getOrElseUpdate(dir) {
-      val r = java.nio.file.Files.createTempDirectory("graft_changes_").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        val p = Path.of(r)
-        if (Files.exists(p))
-          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-            .forEach(f => Files.deleteIfExists(f))
-      }))
+    val root = graft.core.TempLayouts.rootFor("graft_changes_", dir) { r =>
       val lake = new graft.lake.PartitionedTable(r, Seq("event_type"))
       val e = Tables.events(spark, dir)
         .select("event_id", "user_id", "event_type", "ts", "value")
       lake.create(e.filter(col("event_id") % 3 === 0), "events_cdc")
       lake.append(e.filter(col("event_id") % 3 === 1), "events_cdc")
       lake.append(e.filter(col("event_id") % 3 === 2), "events_cdc")
-      r
     }
     new graft.lake.PartitionedTable(root, Seq("event_type"))
       .readChanges(spark, "events_cdc", 0, 2)
@@ -381,24 +370,14 @@ object Events {
     * then read BACK, so the gate hash-checks the full write->read round trip:
     * the clustered rewrite must lose/duplicate no rows and the portable
     * z-value must match the oracle's bucket+interleave arithmetic bitwise. */
-  private val zorderRoots = new graft.core.BoundedCache[String, String]()
   def zorderCluster(spark: SparkSession, dir: String): DataFrame = {
-    val path = zorderRoots.getOrElseUpdate(dir) {
-      val root = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        val p = Path.of(root)
-        if (Files.exists(p))
-          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-            .forEach(f => Files.deleteIfExists(f))
-      }))
+    val root = graft.core.TempLayouts.rootFor("graft_zorder_", dir) { r =>
       val src = Tables.events(spark, dir).select("event_id", "user_id", "value")
-      graft.lake.ZOrder.writeZOrdered(src, s"$root/events_z",
+      graft.lake.ZOrder.writeZOrdered(src, s"$r/events_z",
         Seq("user_id", "value"), nFiles = 32)
-      s"$root/events_z"
     }
-    spark.read.parquet(path).select("event_id", "user_id", "value", "zv")
+    spark.read.parquet(s"$root/events_z")
+      .select("event_id", "user_id", "value", "zv")
   }
 
   /** Zone-map file-skipping ROUND TRIP ([[graft.lake.ZoneMapIndex]]): the
@@ -413,21 +392,11 @@ object Events {
     * events table — the physical layout, the sidecar and the pruning must
     * be invisible in the verified output (no lost files, no double reads,
     * no boundary-value slips at the stripe edges). */
-  private val zonemapRoots = new graft.core.BoundedCache[String, String]()
   /** Shared per-dir layout build for the two zone-map gates (value-clustered
     * for the range gate, user_id-clustered for the key-bounds join gate) —
     * whichever gate runs first builds both. */
   private def zonemapRoot(spark: SparkSession, dir: String): String =
-    zonemapRoots.getOrElseUpdate(dir) {
-      val r = java.nio.file.Files.createTempDirectory("graft_zonemap_").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        val p = Path.of(r)
-        if (Files.exists(p))
-          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-            .forEach(f => Files.deleteIfExists(f))
-      }))
+    graft.core.TempLayouts.rootFor("graft_zonemap_", dir) { r =>
       val src = Tables.events(spark, dir)
         .select("event_id", "user_id", "event_type", "value")
       src.repartitionByRange(32, col("value")).write.parquet(s"$r/events_v")
@@ -439,7 +408,6 @@ object Events {
       src.repartitionByRange(32, col("user_id")).write.parquet(s"$r/events_u")
       graft.lake.ZoneMapIndex.build(spark.read.parquet(s"$r/events_u"), Seq("user_id"))
         .repartition(1).write.parquet(s"$r/events_u__zonemap")
-      r
     }
   def zonemapRange(spark: SparkSession, dir: String): DataFrame = {
     val root = zonemapRoot(spark, dir)
@@ -499,17 +467,8 @@ object Events {
     * sprays sliver files across partition dirs). The oracle aggregates the
     * same three predicates straight off the events table — pruning must be
     * invisible: no lost stripe-edge rows, no double-counted files. */
-  private val triadRoots = new graft.core.BoundedCache[String, String]()
   private def triadRoot(spark: SparkSession, dir: String): String =
-    triadRoots.getOrElseUpdate(dir) {
-      val r = java.nio.file.Files.createTempDirectory("graft_triad_").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path}
-        val p = Path.of(r)
-        if (Files.exists(p))
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(f => Files.deleteIfExists(f))
-      }))
+    graft.core.TempLayouts.rootFor("graft_triad_", dir) { r =>
       val src = Tables.events(spark, dir)
         .select("event_id", "user_id", "event_type", "value")
       val table = new graft.lake.PartitionedTable(r, Seq("event_type"))
@@ -522,7 +481,6 @@ object Events {
       // table-attached sidecars for the PLANNER-integrated path
       // ([[autoSkipRead]]) — same layout, engine-transparent pruning
       graft.lake.AutoSkip.index(spark, r, "events_t", Seq("value"), Seq("user_id"))
-      r
     }
   def skippingTriad(spark: SparkSession, dir: String): DataFrame = {
     val root = triadRoot(spark, dir)

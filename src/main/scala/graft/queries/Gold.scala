@@ -150,17 +150,8 @@ object Gold {
     * Scale shape: the consumer reads ONLY the changefeed (changed files) and
     * folds summary-sized state — a nightly gold rebuild becomes
     * feed-volume + |distinct (day, customer)| work, never a fact rescan. */
-  private val cdcGoldRoots = new graft.core.BoundedCache[String, String]()
   def dailySalesCdc(spark: SparkSession, dir: String): DataFrame = {
-    val root = cdcGoldRoots.getOrElseUpdate(dir) {
-      val r = java.nio.file.Files.createTempDirectory("graft_goldcdc_").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path}
-        val p = Path.of(r)
-        if (Files.exists(p))
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(f => Files.deleteIfExists(f))
-      }))
+    val root = graft.core.TempLayouts.rootFor("graft_goldcdc_", dir) { r =>
       // partitioned by order YEAR: coarse enough that the serve reads a
       // handful of dirs per leg (a month grain made the steady-state serve
       // ~2.7 s of tiny-file opens at sf0.1), fine enough that the upsert
@@ -176,7 +167,6 @@ object Gold {
       lake.append(o.filter(col("o_orderkey") % 4 === 3), "orders_cdc")
       lake.upsert(o.filter(col("o_orderkey") % 4 === 2), "orders_cdc",
         Seq("o_orderkey"))
-      r
     }
     val lake = new graft.lake.PartitionedTable(root, Seq("oy"))
     val base = dailyPartialsOf(lake.readVersion(spark, "orders_cdc", 0))
@@ -350,17 +340,8 @@ object Gold {
     * [[graft.lake.SnapshotDiff.diff]] reads both immutable versions back and
     * must reproduce the oracle's full-outer added/removed/changed ledger —
     * the write→time-travel→diff round trip, not just the join. */
-  private val diffRoots = new graft.core.BoundedCache[String, String]()
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val root = diffRoots.getOrElseUpdate(dir) {
-      val r = java.nio.file.Files.createTempDirectory("graft_snapdiff_").toString
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path}
-        val p = Path.of(r)
-        if (Files.exists(p))
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(f => Files.deleteIfExists(f))
-      }))
+    val root = graft.core.TempLayouts.rootFor("graft_snapdiff_", dir) { r =>
       val lake = new graft.lake.ParquetDirFormat(r)
       val o = Tables.orders(spark, dir)
       lake.create(o.filter(col("o_orderkey") % 4 =!= 0), "orders_snap")
@@ -368,7 +349,6 @@ object Gold {
         .withColumn("o_orderpriority",
           when(col("o_orderkey") % 3 === 0, lit("CHANGED"))
             .otherwise(col("o_orderpriority"))), "orders_snap")
-      r
     }
     val lake = new graft.lake.ParquetDirFormat(root)
     val vs = lake.versions("orders_snap")
@@ -389,6 +369,23 @@ object Gold {
     "gold_product_performance"   -> (productPerformance _),
     "gold_regional_revenue"      -> (regionalRevenue _),
     "gold_top_parts_by_revenue"  -> (topPartsByRevenue _))
+
+  /** The daily-sales FULL-RECOMPUTE oracle, shared verbatim by the direct
+    * gate and BOTH maintained views (summary-delta IVM and the CDC
+    * retraction fold): a maintained view's contract is bitwise equality
+    * with the from-scratch rebuild, so all three keys pin one string. */
+  private val dailySalesRecomputeSql =
+    """WITH o AS (SELECT *, CAST(o_orderdate AS DATE) AS order_date FROM orders),
+        |nc AS (SELECT first_date AS order_date, COUNT(*) AS new_customers FROM
+        |  (SELECT o_custkey, MIN(order_date) AS first_date FROM o GROUP BY 1) GROUP BY 1),
+        |d AS (SELECT order_date, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_order_value
+        |  FROM o GROUP BY 1)
+        |SELECT d.order_date, d.n_orders, d.revenue, d.n_customers, d.avg_order_value,
+        |  COALESCE(nc.new_customers, 0) AS new_customers
+        |FROM d LEFT JOIN nc USING (order_date)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "gold_snapshot_diff" -> {
@@ -469,47 +466,14 @@ object Gold {
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= DATE '1999-06-30'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
-    "gold_daily_sales" ->
-      """WITH o AS (SELECT *, CAST(o_orderdate AS DATE) AS order_date FROM orders),
-        |nc AS (SELECT first_date AS order_date, COUNT(*) AS new_customers FROM
-        |  (SELECT o_custkey, MIN(order_date) AS first_date FROM o GROUP BY 1) GROUP BY 1),
-        |d AS (SELECT order_date, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-        |  COUNT(DISTINCT o_custkey) AS n_customers,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_order_value
-        |  FROM o GROUP BY 1)
-        |SELECT d.order_date, d.n_orders, d.revenue, d.n_customers, d.avg_order_value,
-        |  COALESCE(nc.new_customers, 0) AS new_customers
-        |FROM d LEFT JOIN nc USING (order_date)""".stripMargin,
+    "gold_daily_sales" -> dailySalesRecomputeSql,
     // the IVM gate's oracle is the FULL RECOMPUTE — the maintained view must
     // equal the from-scratch rebuild bitwise, which is the IVM contract
-    "gold_daily_sales_ivm" ->
-      """WITH o AS (SELECT *, CAST(o_orderdate AS DATE) AS order_date FROM orders),
-        |nc AS (SELECT first_date AS order_date, COUNT(*) AS new_customers FROM
-        |  (SELECT o_custkey, MIN(order_date) AS first_date FROM o GROUP BY 1) GROUP BY 1),
-        |d AS (SELECT order_date, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-        |  COUNT(DISTINCT o_custkey) AS n_customers,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_order_value
-        |  FROM o GROUP BY 1)
-        |SELECT d.order_date, d.n_orders, d.revenue, d.n_customers, d.avg_order_value,
-        |  COALESCE(nc.new_customers, 0) AS new_customers
-        |FROM d LEFT JOIN nc USING (order_date)""".stripMargin,
+    "gold_daily_sales_ivm" -> dailySalesRecomputeSql,
     // the CDC-maintained view's oracle is ALSO the full recompute: the lake
     // history ends at exactly the true orders table, so maintained-via-
     // retractions must equal the from-scratch rebuild bitwise
-    "gold_daily_sales_cdc" ->
-      """WITH o AS (SELECT *, CAST(o_orderdate AS DATE) AS order_date FROM orders),
-        |nc AS (SELECT first_date AS order_date, COUNT(*) AS new_customers FROM
-        |  (SELECT o_custkey, MIN(order_date) AS first_date FROM o GROUP BY 1) GROUP BY 1),
-        |d AS (SELECT order_date, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-        |  COUNT(DISTINCT o_custkey) AS n_customers,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_order_value
-        |  FROM o GROUP BY 1)
-        |SELECT d.order_date, d.n_orders, d.revenue, d.n_customers, d.avg_order_value,
-        |  COALESCE(nc.new_customers, 0) AS new_customers
-        |FROM d LEFT JOIN nc USING (order_date)""".stripMargin,
+    "gold_daily_sales_cdc" -> dailySalesRecomputeSql,
     "gold_customer_metrics" ->
       """WITH item_stats AS (
         |  SELECT o_custkey, COUNT(*) AS n_items,

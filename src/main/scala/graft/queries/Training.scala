@@ -319,41 +319,26 @@ object Training {
     * sampling gate: the clustering is the reusable persisted artifact,
     * sampling is the served query (an in-memory checkpoint would not survive
     * the bench harness's between-query cache clear). */
-  private val clusterRoots = new graft.core.BoundedCache[String, String]()
   private def clusteredFull(s: SparkSession, d: String): DataFrame = {
-    val path = clusterRoots.getOrElseUpdate(d) {
-      val p = java.nio.file.Files.createTempDirectory("graft_kmcluster_").toString
+    val path = graft.core.TempLayouts.rootFor("graft_kmcluster_", d) { p =>
       Clustering.kmeans(Tables.embeddings(s, d), KmeansK, KmeansIters)
         .selectExpr("vec_id AS doc_id", "cluster", "dist", "cluster_size")
         .write.mode("overwrite").parquet(p)
-      p
     }
     s.read.parquet(path)
   }
   private def clusteredIds(s: SparkSession, d: String): DataFrame =
     clusteredFull(s, d).select("doc_id", "cluster")
 
-  private val indexRoots = new graft.core.BoundedCache[String, graft.lake.ParquetDirFormat]()
   private def indexLake(s: SparkSession, d: String): graft.lake.ParquetDirFormat =
-    indexRoots.getOrElseUpdate(d) {
-      val root = java.nio.file.Files.createTempDirectory("graft_ann_index_").toString
-      // index-sized tree per JVM run: delete on exit or every Verify/Bench
-      // invocation leaks one under /tmp
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        val p = Path.of(root)
-        if (Files.exists(p))
-          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-            .forEach(f => Files.deleteIfExists(f))
-      }))
-      val lake = new graft.lake.ParquetDirFormat(root)
-      Similarity.buildPqIndex(Tables.embeddings(s, d), lake)
-      Similarity.buildIvfIndex(Tables.embeddings(s, d), lake)
-      Similarity.buildLshIndex(Tables.embeddings(s, d), lake)
-      Dedup.buildDedupIndex(corpusSplit(s, d), lake)
-      lake
-    }
+    new graft.lake.ParquetDirFormat(
+      graft.core.TempLayouts.rootFor("graft_ann_index_", d) { root =>
+        val lake = new graft.lake.ParquetDirFormat(root)
+        Similarity.buildPqIndex(Tables.embeddings(s, d), lake)
+        Similarity.buildIvfIndex(Tables.embeddings(s, d), lake)
+        Similarity.buildLshIndex(Tables.embeddings(s, d), lake)
+        Dedup.buildDedupIndex(corpusSplit(s, d), lake)
+      })
 
   /** Corpus/batch split for the incremental-dedup gate: every 10th document
     * is "today's batch", the rest the accumulated corpus the index is built
@@ -1096,7 +1081,12 @@ object Training {
   /** Mirror of [[TextOps.tfidfSearch]]: same wide conditional counts, same
     * integer bit-width idf (printf('%b', x) length == conv-base-2 length),
     * same BIGINT score — the retrieval ranking itself hash-checks. */
-  private val tfidfSql = {
+  /** The shared tfidf-chain CTE prefix (tok → perdoc → stats → scored) —
+    * ONE source of truth for the integer-idf formula, referenced by both
+    * [[tfidfSql]] and [[hybridRrfSql]]. `perdoc` feeds stats AND scored, so
+    * it is AS MATERIALIZED (the CLAUDE.md multi-referenced-CTE rule —
+    * un-materialized, DuckDB re-tokenizes the corpus per reference). */
+  private val tfidfScoredCtes = {
     val tfCols = Bm25Terms.map(t =>
       s"CAST(COUNT(*) FILTER (WHERE t = '$t') AS BIGINT) AS tf_$t").mkString(", ")
     val dfCols = Bm25Terms.map(t =>
@@ -1105,13 +1095,16 @@ object Training {
       s"(CASE WHEN df_$t > 0 THEN tf_$t * length(printf('%b', n // df_$t)) ELSE 0 END)")
       .mkString(" + ")
     val out = Bm25Terms.map(t => s"tf_$t").mkString(", ")
-    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
-       |perdoc AS (SELECT doc_id, $tfCols FROM tok GROUP BY doc_id),
+    s"""tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+       |perdoc AS MATERIALIZED (SELECT doc_id, $tfCols FROM tok GROUP BY doc_id),
        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, $dfCols FROM perdoc),
-       |scored AS (SELECT doc_id, $out, CAST($score AS BIGINT) AS score FROM perdoc, stats)
+       |scored AS (SELECT doc_id, $out, CAST($score AS BIGINT) AS score FROM perdoc, stats)""".stripMargin
+  }
+
+  private val tfidfSql =
+    s"""WITH $tfidfScoredCtes
        |SELECT * FROM scored WHERE score > 0
        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
-  }
 
   /** Oracle twin of extractMeta(syntheticMedia(documents)): Spark built a
     * REAL container header (PNG/WAV/JPEG — [[Multimodal.syntheticMedia]])
@@ -1700,17 +1693,7 @@ object Training {
     * as DECIMAL here) added in the written order, so the fused doubles
     * hash-check. */
   private val hybridRrfSql = {
-    val tfCols = Bm25Terms.map(t =>
-      s"CAST(COUNT(*) FILTER (WHERE t = '$t') AS BIGINT) AS tf_$t").mkString(", ")
-    val dfCols = Bm25Terms.map(t =>
-      s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(", ")
-    val score = Bm25Terms.map(t =>
-      s"(CASE WHEN df_$t > 0 THEN tf_$t * length(printf('%b', n // df_$t)) ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
-       |perdoc AS (SELECT doc_id, $tfCols FROM tok GROUP BY doc_id),
-       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, $dfCols FROM perdoc),
-       |scored AS (SELECT doc_id, CAST($score AS BIGINT) AS score FROM perdoc, stats),
+    s"""WITH $tfidfScoredCtes,
        |lexall AS (SELECT doc_id, score FROM scored WHERE score > 0
        |  ORDER BY score DESC, doc_id LIMIT 50),
        |lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rnk FROM lexall),

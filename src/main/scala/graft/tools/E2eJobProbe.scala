@@ -61,6 +61,9 @@ object E2eJobProbe {
     run("cold")
     val n = sys.env.getOrElse("E2E_REPS", "6").toInt
     val walls = (1 to n).map { i =>
+      // clear straggler entries too: an AQE-abandoned side job started in
+      // the previous rep would otherwise log a negative offset this rep
+      starts.clear()
       log = Nil; stages = Nil
       epoch = System.nanoTime()
       val t0 = System.nanoTime()

@@ -41,9 +41,14 @@ class ClassifierSpec extends AnyFunSuite {
   test("scorePerceptron: featureless docs score margin 0 and pred false") {
     import spark.implicits._
     val docs = Seq((1L, "goodmark"), (2L, "")).toDF("doc_id", "text")
-    val w = Seq((0L, 5L)).toDF("bucket", "w") // arbitrary non-matching weight
+    // trainer-shaped table: one row per bucket (scorePerceptron fails loudly
+    // on any other shape — the wrong-bucket-space guard)
+    val w = (0 until 64).map(b => (b.toLong, if (b == 0) 5L else 0L))
+      .toDF("bucket", "w")
     val got = Classifier.scorePerceptron(docs, w, 64).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     assert(got(2L) == (0L, false))
+    intercept[IllegalArgumentException](
+      Classifier.scorePerceptron(docs, w.limit(3), 64).collect())
   }
 }

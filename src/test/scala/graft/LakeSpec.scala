@@ -568,7 +568,7 @@ class LakeSpec extends AnyFunSuite {
         r.getString(3), r.getInt(4))).toSet // (id, v, _change_type, _commit_version)
     // v0 -> v1 is a pure append: one insert, attributed to commit 1
     assert(rows(0, 1) == Set((4L, "w", "insert", 1)))
-    // v2 -> v3 rewrote ONLY partition a: its old rows report delete, the
+    // v1 -> v2 (the upsert) rewrote ONLY partition a: its old rows report delete, the
     // merged rows insert (unchanged row 1 reports as delete+insert — file
     // granularity); partition b never enters the diff
     assert(rows(1, 2) == Set(
