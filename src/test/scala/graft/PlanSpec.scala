@@ -53,6 +53,47 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Broadcast"), "query set must broadcast")
   }
 
+  test("filtered search: allow-set is a semi-join BELOW the distance math; both gates fold, no window") {
+    // pre-filter semantics live or die on WHERE the allow-set lands: after
+    // scoring it would be a post-filter (short results) and the distance
+    // pass would run on vectors the filter drops
+    for (g <- Seq("ann_filtered_topk", "ann_ivf_filtered_topk")) {
+      val p = plan(g)
+      assert(p.contains("LeftSemi"), s"$g must semi-join the allow-set:\n${p.take(400)}")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$g must fold top-k via graft_top_k:\n${p.take(400)}")
+      assert(!p.contains("Window"), s"$g must not rank via a window:\n${p.take(400)}")
+      assert(!p.contains("CartesianProduct"), s"$g must not go cartesian")
+    }
+  }
+
+  test("hybrid RRF: both legs and the fusion fold through bounded aggregates, no window") {
+    val p = plan("retrieval_hybrid_rrf")
+    assert(p.contains("ObjectHashAggregate"),
+      s"rank assignment must ride graft_top_k:\n${p.take(400)}")
+    assert(!p.contains("Window"), "no window rank anywhere in the fusion")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the tfidf leg's top-k must stay per-partition heaps")
+  }
+
+  test("perceptron: features are ONE map-side-combined aggregate; weights broadcast to margins") {
+    // the per-epoch margin join must broadcast the 64-row weight table —
+    // a shuffled join would exchange the corpus-token-sized feature table
+    // once per epoch
+    val p = plan("text_quality_classifier")
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+      "gate output is the driver-built trajectory table")
+    val scored = graft.operators.Classifier.scorePerceptron(
+      graft.core.Tables.documents(spark, TestSpark.sfDir),
+      SparkEntry.queries("text_quality_classifier")(spark, TestSpark.sfDir)
+        .selectExpr("bucket", "w3 AS w"))
+      .queryExecution.executedPlan.toString
+    // the doc-keyed outer join (docs x margins) may legitimately sort-merge
+    // at scale — only the 64-row WEIGHT join must broadcast
+    assert(scored.contains("BroadcastHashJoin"),
+      s"weight table must broadcast into the serve scan:\n${scored.take(600)}")
+  }
+
   test("ANN ranking stages fold top-k through the bounded aggregate, not a window") {
     // row_number().over(partitionBy(query_id)) lands every scored corpus row
     // in ONE reducer per query and fully sorts it there — the shape the
