@@ -54,4 +54,54 @@ object Retrieval {
         Seq(("rrf", true), ("doc_id", false)), kOut, Seq("lex_rnk", "sem_rnk"))
       .select("doc_id", "lex_rnk", "sem_rnk", "rrf", "rnk")
   }
+
+  /** Maximal-marginal-relevance diversification of a vector search result
+    * (Carbonell & Goldstein, "The Use of MMR, Diversity-Based Reranking...",
+    * SIGIR'98 — the public method): greedily pick
+    * argmax_c λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), so each pick is
+    * relevant to the query AND far from what is already selected — the
+    * standard dedup-aware retrieval / diverse-few-shot-selection step.
+    *
+    * Scale shape: this is the SHORTLIST stage of a retrieval stack, by
+    * construction — candidates come from the proven corpus-scale search
+    * path ([[Similarity.bruteForceTopK]] here; any indexed sibling slots
+    * in), and the greedy fold runs on the k-bounded candidate list
+    * (`kCand` rows of id+vector — a report-sized driver fold, the same
+    * bounded-probe class as the ANN probe-cell collects; MMR is inherently
+    * sequential, so distributing it would serialize anyway). Ties break by
+    * lowest doc id; cosine and the λ-blend are fixed-order double
+    * arithmetic, so the ranking is deterministic run-to-run. */
+  def mmrDiversify(emb: DataFrame, kCand: Int = 50, kOut: Int = 10,
+                   lambda: Double = 0.7): DataFrame = {
+    require(kOut <= kCand, "kOut must not exceed the candidate pool")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cand = Similarity.bruteForceTopK(emb, nQueries = 1, k = kCand)
+      .select(col("neighbor_id").as("doc_id"), col("cosine").as("rel"))
+    // candidate vectors, unit-normalized once: kCand rows to the driver
+    val vecs = Similarity.l2Normalize(emb)
+      .join(cand.select(col("doc_id").as("vec_id")), "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val rels = cand.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ rels.keys
+    while (selected.length < kOut && remaining.nonEmpty) {
+      val scoredStep = remaining.toSeq.map { c =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => dot(vecs(c), vecs(s._1))).max
+        (c, rels(c), lambda * rels(c) - (1 - lambda) * maxSim)
+      }
+      val best = scoredStep.minBy { case (id, _, m) => (-m, id) }
+      selected += best
+      remaining -= best._1
+    }
+    selected.zipWithIndex
+      .map { case ((id, rel, mmr), i) => (id, rel, mmr, i + 1) }
+      .toSeq.toDF("doc_id", "rel", "mmr_score", "rank")
+  }
 }

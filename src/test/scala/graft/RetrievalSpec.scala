@@ -51,4 +51,38 @@ class RetrievalSpec extends AnyFunSuite {
     for (b <- both; s <- single)
       assert(b.getDouble(3) > s.getDouble(3) && b.getInt(4) < s.getInt(4))
   }
+
+  test("mmrDiversify: lambda=1 is pure relevance order; diversification demotes the near-clone") {
+    import spark.implicits._
+    // toy space: query is vec 0; vecs 1 and 2 are near-identical clones
+    // closest to the query; vec 3 is relevant but orthogonal to the clones
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.11f, 0f, 0f)),
+      (3L, Array(0.6f, 0f, 0.8f, 0f)),
+      (4L, Array(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val pure = Retrieval.mmrDiversify(e, kCand = 4, kOut = 3, lambda = 1.0)
+      .collect().sortBy(_.getInt(3)).map(_.getLong(0)).toSeq
+    assert(pure == Seq(1L, 2L, 3L), s"lambda=1 must be relevance order, got $pure")
+    val div = Retrieval.mmrDiversify(e, kCand = 4, kOut = 3, lambda = 0.5)
+      .collect().sortBy(_.getInt(3)).map(_.getLong(0)).toSeq
+    // the second clone pays a ~full similarity penalty and drops behind the
+    // orthogonal-but-relevant vec 3
+    assert(div.take(2) == Seq(1L, 3L), s"diversification must demote the clone, got $div")
+    // deterministic
+    assert(div == Retrieval.mmrDiversify(e, kCand = 4, kOut = 3, lambda = 0.5)
+      .collect().sortBy(_.getInt(3)).map(_.getLong(0)).toSeq)
+  }
+
+  test("mmrDiversify on the corpus: kOut rows, rank-contiguous, first pick is the top relevance") {
+    val out = Retrieval.mmrDiversify(emb).collect().sortBy(_.getInt(3))
+    assert(out.length == 10)
+    assert(out.map(_.getInt(3)).toSeq == (1 to 10))
+    val top = Similarity.bruteForceTopK(emb, 1, 1).collect().head.getLong(1)
+    assert(out.head.getLong(0) == top, "rank 1 must be the pure-relevance top hit")
+    // blend bound: mmr = λ·rel − (1−λ)·maxSim with maxSim ∈ [−1, 1]
+    out.tail.foreach(r =>
+      assert(math.abs(r.getDouble(2) - 0.7 * r.getDouble(1)) <= 0.3 + 1e-12))
+  }
 }
