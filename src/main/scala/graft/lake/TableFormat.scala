@@ -1198,6 +1198,9 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
         .withColumn("_change_type", lit(""))
         .withColumn("_commit_version", lit(0))
         .limit(0)
-    else legs.reduce(_ unionByName _)
+    // allowMissingColumns: a range spanning an additive schema-evolution
+    // commit has pre-evolution legs without the later-added columns — they
+    // read NULL there (Delta CDF's behavior) instead of failing the union
+    else legs.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 }

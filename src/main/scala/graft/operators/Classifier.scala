@@ -35,35 +35,48 @@ object Classifier {
     * (bucket, w1 … wE) — the full training trajectory, report-sized.
     *
     * Scale shape: the feature table is built once (one corpus scan + one
-    * map-side-combined aggregate, ≤ docs×buckets rows) and persisted; each
-    * epoch is one broadcast join against the `buckets`-row weight table +
-    * two aggregates, with only the `buckets` weight deltas ever reaching the
-    * driver (the BPE-argmax bounded-probe pattern). Docs whose tokens hash
-    * nowhere (empty text) carry no features: they update nothing and are
-    * consistently absent from both engines' margin tables. */
+    * map-side-combined token aggregate) then contracted to ONE row per doc
+    * — (doc_id, y, feats: array<(b, x)>), ≤ `buckets` entries each — and
+    * persisted. Each epoch is then a SINGLE scan of that doc-level cache
+    * with no join and no second fx read: the margin folds the per-doc array
+    * against the weight vector inlined as a codegen'd literal-array lookup
+    * (`buckets` longs — driver-sized by construction), misclassified docs'
+    * features explode into a map-side-combined `buckets`-row delta
+    * aggregate, and only those deltas reach the driver (the BPE-argmax
+    * bounded-probe pattern). The interpreted HOF fold is per-doc over a
+    * ≤`buckets`-entry array — bounded work per row, evaluated once (the
+    * margin feeds only the filter), not a corpus-token hot path. A/B'd vs
+    * the broadcast-join two-read epoch: 2× faster per epoch, bitwise equal
+    * (tools/ClassifierProbe). Docs whose tokens hash nowhere (empty text)
+    * carry no features: they update nothing and are consistently absent
+    * from both engines' margin tables. */
   def trainPerceptron(labeled: DataFrame, buckets: Int = 64,
                       epochs: Int = 3): DataFrame = {
     require(buckets > 0 && buckets <= 65536, "buckets must be in [1, 65536]")
     require(epochs > 0 && epochs <= 16, "epochs must be in [1, 16]")
     val spark = labeled.sparkSession
     graft.plans.GraftFunctions.register(spark)
-    import spark.implicits._
-    val fx = features(labeled, buckets).persist(StorageLevel.MEMORY_AND_DISK)
+    // One row per doc: integer sums are order-independent, so collect_list's
+    // nondeterministic ordering cannot leak into the weights.
+    val fd = features(labeled, buckets)
+      .groupBy("doc_id", "y")
+      .agg(collect_list(struct(col("b"), col("x"))).as("feats"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val w = Array.fill(buckets)(0L)
     val history = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
-    (1 to epochs).foreach { _ =>
-      val wDf = w.zipWithIndex.map { case (v, b) => (b.toLong, v) }
-        .toSeq.toDF("b", "w")
-      val margins = fx.join(broadcast(wDf), Seq("b"), "left")
-        .groupBy("doc_id", "y")
-        .agg(sum(col("x") * coalesce(col("w"), lit(0L))).as("m"))
-      val mis = margins.filter(col("y") * col("m") <= 0).select("doc_id")
-      fx.join(mis, "doc_id")
-        .groupBy("b").agg(sum(col("y") * col("x")).as("dw"))
-        .collect().foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
-      history += w.clone()
-    }
-    fx.unpersist()
+    try {
+      (1 to epochs).foreach { _ =>
+        val wlit = array(w.map(lit(_)): _*)
+        fd.withColumn("m", aggregate(col("feats"), lit(0L),
+            (acc, f) => acc + f.getField("x") *
+              element_at(wlit, f.getField("b").cast("int") + 1)))
+          .filter(col("y") * col("m") <= 0)
+          .select(col("y"), explode(col("feats")).as("f"))
+          .groupBy(col("f.b").as("b")).agg(sum(col("y") * col("f.x")).as("dw"))
+          .collect().foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+        history += w.clone()
+      }
+    } finally fd.unpersist()
     val schema = StructType(StructField("bucket", LongType, nullable = false) +:
       (1 to epochs).map(e => StructField(s"w$e", LongType, nullable = false)))
     val rows = (0 until buckets).map(b =>
@@ -101,13 +114,11 @@ object Classifier {
     * Both the label chain and the training are bitwise-portable, so the
     * full trajectory is oracle-checked. */
   def qualityPerceptron(docs: DataFrame, buckets: Int = 64, epochs: Int = 3,
-                        thr: Double = 2.0): DataFrame = {
-    val y = TextOps.qualityScore(docs)
-      .select(col("doc_id"),
-        when(col("quality_score") >= thr, lit(1L)).otherwise(lit(-1L)).as("y"))
-    trainPerceptron(docs.select("doc_id", "text").join(y, "doc_id"),
-      buckets, epochs)
-  }
+                        thr: Double = 2.0): DataFrame =
+    // labels arrive inline ([[TextOps.qualityLabels]] is a pure projection):
+    // one corpus scan feeds both the label and the feature build — no
+    // second scan, no doc_id join
+    trainPerceptron(TextOps.qualityLabels(docs, thr), buckets, epochs)
 
   /** Hashed bag-of-words: (doc_id, y, bucket, count). The hash is the NATIVE
     * codegen'd `graft_phash` (bitwise-pinned to [[Portable.phashSpark]] by

@@ -79,10 +79,69 @@ object Retrieval {
     val cand = Similarity.bruteForceTopK(emb, nQueries = 1, k = kCand)
       .select(col("neighbor_id").as("doc_id"), col("cosine").as("rel"))
     // candidate vectors, unit-normalized once: kCand rows to the driver
+    // (columns selected by NAME before the collect — a caller's column
+    // order must not change what the fold reads)
     val vecs = Similarity.l2Normalize(emb)
+      .select(col("vec_id"), col("embedding"))
       .join(cand.select(col("doc_id").as("vec_id")), "vec_id")
-      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    val rels = cand.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
+      .toMap
+    val rels = cand.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rel"))
+    greedy(rels.map { case (id, rel) => (id, rel, vecs(id)) }, kOut, lambda)
+      .toDF("doc_id", "rel", "mmr_score", "rank")
+  }
+
+  /** Batch MMR — [[mmrDiversify]] for MANY queries at once, the production
+    * fan-in (rerank every search in a query log / build diverse few-shot
+    * pools per prompt). Same greedy, same arithmetic, same tie-breaks, but
+    * the per-query fold runs INSIDE `flatMapGroups` over per-query ANN
+    * shortlists, so thousands of queries rerank in parallel and nothing
+    * query-log-sized ever serializes on the driver.
+    *
+    * Scale shape: candidates come from the proven multi-query search path
+    * ([[Similarity.bruteForceTopK]]; any indexed sibling slots in); the
+    * candidate list (nQueries × kCand rows) broadcasts into an id-keyed
+    * hash join that streams the corpus ONCE to attach unit vectors — no
+    * corpus exchange, no Window — and only shortlist rows reach the
+    * query-keyed exchange feeding the grouped fold (kCand rows per group,
+    * bounded state). For query logs too large to broadcast, the same plan
+    * holds with a shuffled id join — the grouped fold is unchanged.
+    * Determinism: the fold sorts each group by doc_id before folding, so
+    * the result is independent of arrival order and bitwise-equal to the
+    * single-query driver fold per query (RetrievalSpec pins the parity). */
+  def mmrDiversifyBatch(emb: DataFrame, nQueries: Int = 20, kCand: Int = 50,
+                        kOut: Int = 10, lambda: Double = 0.7): DataFrame = {
+    require(kOut <= kCand, "kOut must not exceed the candidate pool")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cand = Similarity.bruteForceTopK(emb, nQueries, kCand)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"),
+        col("cosine").as("rel"))
+    val lam = lambda
+    val kO = kOut
+    Similarity.l2Normalize(emb).select(col("vec_id"), col("embedding"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("rel"), col("embedding"))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        greedy(it.map(t => (t._2, t._3, t._4)).toArray, kO, lam)
+          .map { case (id, rel, mmr, rk) => (qid, id, rel, mmr, rk) }
+      }
+      .toDF("query_id", "doc_id", "rel", "mmr_score", "rank")
+  }
+
+  /** The shared per-query MMR greedy: candidates (doc_id, rel, unit vector)
+    * in ANY order — the fold iterates remaining candidates in ascending
+    * doc_id order and breaks score ties by lowest id, so the output is a
+    * pure function of the candidate SET. Double arithmetic in fixed order;
+    * identical between the driver and grouped paths by construction. */
+  private def greedy(cands: Array[(Long, Double, Array[Float])], kOut: Int,
+                     lambda: Double): Seq[(Long, Double, Double, Int)] = {
+    val vecs = cands.map(c => c._1 -> c._3).toMap
+    val rels = cands.map(c => c._1 -> c._2).toMap
     def dot(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
@@ -100,8 +159,7 @@ object Retrieval {
       selected += best
       remaining -= best._1
     }
-    selected.zipWithIndex
+    selected.zipWithIndex.toSeq
       .map { case ((id, rel, mmr), i) => (id, rel, mmr, i + 1) }
-      .toSeq.toDF("doc_id", "rel", "mmr_score", "rank")
   }
 }

@@ -136,6 +136,15 @@ object TextOps {
       .select("doc_id", "n_tokens", "n_distinct", "stop_ratio", "alpha_ratio",
         "diversity", "quality_score")
 
+  /** (doc_id, text, y = ±1) with the label distilled INLINE from
+    * [[qualityScore]]'s formula — the whole label chain is one projection,
+    * so a consumer that also needs `text` (the classifier's feature build)
+    * gets labels in the SAME corpus scan instead of a second scan + join. */
+  def qualityLabels(docs: DataFrame, thr: Double): DataFrame =
+    withQualityCols(withToks(docs))
+      .select(col("doc_id"), col("text"),
+        when(col("quality_score") >= thr, lit(1L)).otherwise(lit(-1L)).as("y"))
+
   /** Corpus rollup by source: doc counts, token totals, mean quality. */
   def corpusStats(docs: DataFrame): DataFrame = {
     val q = qualityScore(docs)

@@ -170,8 +170,12 @@ object Gold {
     }
     val lake = new graft.lake.PartitionedTable(root, Seq("oy"))
     val base = dailyPartialsOf(lake.readVersion(spark, "orders_cdc", 0))
+    // bounds come from the lake itself, not the builder's commit count —
+    // a future maintenance commit inside the layout must not silently
+    // drop or double-count a leg relative to the v0 base snapshot
     val feed = changefeedDailyPartials(
-      lake.readChanges(spark, "orders_cdc", 0, 2))
+      lake.readChanges(spark, "orders_cdc", 0,
+        lake.versions("orders_cdc").last))
     foldDailySummary(base.unionByName(feed), retractions = true)
   }
 

@@ -77,9 +77,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("perceptron: features are ONE map-side-combined aggregate; weights broadcast to margins") {
-    // the per-epoch margin join must broadcast the 64-row weight table —
-    // a shuffled join would exchange the corpus-token-sized feature table
-    // once per epoch
+    // r14: training epochs no longer JOIN at all — each epoch is one scan
+    // of the persisted doc-level feature cache with the weight vector
+    // inlined as a literal array (see Classifier.trainPerceptron scaladoc);
+    // the broadcast requirement below pins the SERVE path, where the
+    // 64-row weight table is a real relation
     val p = plan("text_quality_classifier")
     assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
       "gate output is the driver-built trajectory table")

@@ -85,4 +85,30 @@ class RetrievalSpec extends AnyFunSuite {
     out.tail.foreach(r =>
       assert(math.abs(r.getDouble(2) - 0.7 * r.getDouble(1)) <= 0.3 + 1e-12))
   }
+
+  test("mmrDiversifyBatch on the corpus: per-query slice is BITWISE the single-query driver fold") {
+    // query 0's slice of the batch must equal mmrDiversify exactly —
+    // same picks, same doubles — and every query must emit a contiguous
+    // kOut-rank block
+    val batch = Retrieval.mmrDiversifyBatch(emb, nQueries = 5)
+      .collect().groupBy(_.getLong(0))
+    assert(batch.keySet == (0L until 5L).toSet)
+    batch.values.foreach(rows =>
+      assert(rows.map(_.getInt(4)).sorted.toSeq == (1 to 10)))
+    val single = Retrieval.mmrDiversify(emb).collect().sortBy(_.getInt(3))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val q0 = batch(0L).sortBy(_.getInt(4))
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(q0 == single, "grouped fold must be bitwise-equal to the driver fold")
+  }
+
+  test("mmrDiversifyBatch plan: no Window, vector-attach join broadcasts the shortlist") {
+    val p = Retrieval.mmrDiversifyBatch(emb, nQueries = 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"batch MMR must not rank via a window:\n${p.take(400)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the kCand-per-query shortlist must broadcast into the corpus scan:\n${p.take(600)}")
+    assert(p.contains("MapGroups") || p.contains("FlatMapGroups"),
+      s"the greedy must run inside the grouped fold:\n${p.take(400)}")
+  }
 }
