@@ -43,9 +43,39 @@ object Retrieval {
     // semantic leg: exact cosine top-k for the single query vector 0
     val sem = Similarity.bruteForceTopK(emb, nQueries = 1, k = kEach)
       .select(col("neighbor_id").as("doc_id"), col("rnk").as("sem_rnk"))
-    // RRF: coalesce each leg's reciprocal term to 0 for list-absent docs;
-    // both divisions and the addition are written in the same order the
-    // oracle states them, so the doubles are bitwise
+    rrfFuse(lex, sem, rrfK, kOut)
+  }
+
+  /** [[hybridRrf]] SERVED from the production-side legs: BM25 (the
+    * full-scoring lexical ranker) fused with cosine ranks read back from
+    * the PERSISTED IVF index — the deployment topology, where the vector
+    * leg is an index lookup (probed-cell volume), not a corpus scan. The
+    * fusion is [[rrfFuse]], shared verbatim with the scan-side variant:
+    * RRF is leg-agnostic by construction, and this gate proves it where it
+    * matters (swapping both legs changes nothing downstream of the k-row
+    * lists). */
+  def hybridRrfIndexed(spark: org.apache.spark.sql.SparkSession,
+                       lake: graft.lake.ParquetDirFormat,
+                       docs: DataFrame, emb: DataFrame, terms: Seq[String],
+                       kEach: Int = 50, rrfK: Int = 60, kOut: Int = 20): DataFrame = {
+    val lex = Scale.topKPerKey(
+        TextOps.bm25Search(docs, terms, topK = kEach).select("doc_id", "score"),
+        Seq.empty, Seq(("score", true), ("doc_id", false)), kEach, Seq.empty)
+      .select(col("doc_id"), col("rnk").as("lex_rnk"))
+    val sem = Similarity.queryIvfIndex(spark, lake, emb, "ivf",
+        nQueries = 1, k = kEach)
+      .select(col("neighbor_id").as("doc_id"), col("rnk").as("sem_rnk"))
+    rrfFuse(lex, sem, rrfK, kOut)
+  }
+
+  /** The leg-agnostic RRF fusion: two k-row rank lists in (doc_id +
+    * lex_rnk / sem_rnk), fused top-kOut out — a k-sized full-outer join and
+    * a k-bounded global [[Scale.topKPerKey]] fold. Coalesce each leg's
+    * reciprocal term to 0 for list-absent docs; both divisions and the
+    * addition are written in the same order the oracles state them, so the
+    * fused doubles are bitwise. */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame, rrfK: Int,
+                      kOut: Int): DataFrame = {
     val fused = lex.join(sem, Seq("doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(rrfK) + col("lex_rnk")), lit(0.0)) +

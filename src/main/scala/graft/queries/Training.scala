@@ -291,6 +291,11 @@ object Training {
                                    NQueries, TopK, allowed = Some(enAllowSet(s, d)))),
     "retrieval_hybrid_rrf"   -> ((s, d) => Retrieval.hybridRrf(
                                    Tables.documents(s, d), Tables.embeddings(s, d), Bm25Terms)),
+    // the serve-path fusion: BM25 leg + persisted-IVF-index leg through the
+    // same rrfFuse — the deployment topology's gate
+    "retrieval_hybrid_rrf_index" -> ((s, d) => Retrieval.hybridRrfIndexed(
+                                   s, indexLake(s, d), Tables.documents(s, d),
+                                   Tables.embeddings(s, d), Bm25Terms)),
     // the full 3-epoch training TRAJECTORY hash-checks: integer batch
     // perceptron over hashed bag-of-words, labels distilled from the
     // portable quality heuristic
@@ -1060,9 +1065,11 @@ object Training {
        |  (tok_offset + n_tokens - 1) // 2048 AS last_pack
        |FROM o""".stripMargin
 
-  /** Mirror of [[TextOps.bm25Search]]: same per-doc tf aggregate, same
-    * one-row stats, same rational-idf score arithmetic, same top-k order. */
-  private val bm25Sql = {
+  /** The shared BM25-chain CTE prefix (btok → bperdoc → bstats → bscored) —
+    * ONE source of truth for the rational-idf BM25 arithmetic, referenced by
+    * both [[bm25Sql]] and [[hybridRrfIndexSql]]. `bperdoc` feeds bstats AND
+    * bscored, so it is AS MATERIALIZED (the multi-referenced-CTE rule). */
+  private val bm25ScoredCtes = {
     val tfCols = Bm25Terms.map(t =>
       s"COUNT(*) FILTER (WHERE t = '$t')::DOUBLE AS tf_$t").mkString(", ")
     val dfCols = Bm25Terms.map(t =>
@@ -1070,11 +1077,19 @@ object Training {
     val score = Bm25Terms.map(t => Portable.bm25Term(s"tf_$t", s"df_$t", 1.5, 0.75))
       .mkString(" + ")
     val out = Bm25Terms.map(t => s"tf_$t").mkString(", ")
-    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
-       |perdoc AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl, $tfCols FROM tok GROUP BY doc_id),
-       |stats AS (SELECT COUNT(*)::DOUBLE AS n, SUM(dl) / COUNT(*) AS avgdl, $dfCols FROM perdoc)
-       |SELECT doc_id, dl, $out, $score AS score
-       |FROM perdoc, stats
+    s"""btok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+       |bperdoc AS MATERIALIZED (SELECT doc_id, COUNT(*)::DOUBLE AS dl, $tfCols FROM btok GROUP BY doc_id),
+       |bstats AS (SELECT COUNT(*)::DOUBLE AS n, SUM(dl) / COUNT(*) AS avgdl, $dfCols FROM bperdoc),
+       |bscored AS (SELECT doc_id, dl, $out, $score AS score FROM bperdoc, bstats)""".stripMargin
+  }
+
+  /** Mirror of [[TextOps.bm25Search]]: same per-doc tf aggregate, same
+    * one-row stats, same rational-idf score arithmetic, same top-k order. */
+  private val bm25Sql = {
+    val out = Bm25Terms.map(t => s"tf_$t").mkString(", ")
+    s"""WITH $bm25ScoredCtes
+       |SELECT doc_id, dl, $out, score
+       |FROM bscored
        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
   }
 
@@ -1715,6 +1730,27 @@ object Training {
        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Replica of [[graft.operators.Retrieval.hybridRrfIndexed]]: the lexical
+    * leg is the BM25 chain ranked 1..50, the semantic leg the IVF replay
+    * (nq = 1, 4 probes — the serve path reads the persisted index, which is
+    * bitwise the from-scratch replay, exactly as `ann_ivf_index_topk`
+    * already pins), and the fusion is the SAME literal RRF arithmetic as
+    * [[hybridRrfSql]] — proving the fusion leg-agnostic on a full replica
+    * oracle. */
+  private val hybridRrfIndexSql =
+    s"""WITH $bm25ScoredCtes,
+       |lexall AS (SELECT doc_id, score FROM bscored ORDER BY score DESC, doc_id LIMIT 50),
+       |lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rnk FROM lexall),
+       |${ivfCtes("", "", 1)},
+       |sem AS (SELECT neighbor_id AS doc_id, rnk AS sem_rnk FROM r WHERE rnk <= 50),
+       |fused AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex.lex_rnk, sem.sem_rnk,
+       |    COALESCE(CAST(1 AS DOUBLE) / (60 + lex.lex_rnk), CAST(0 AS DOUBLE))
+       |      + COALESCE(CAST(1 AS DOUBLE) / (60 + sem.sem_rnk), CAST(0 AS DOUBLE)) AS rrf
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT doc_id, lex_rnk, sem_rnk, rrf,
+       |  ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   /** Exact replica of [[Similarity.lshAnnTopK]] (16 tables × 4 bits): bucket
     * generation, candidate equi-join, and exact cosine re-rank — every stage
     * bitwise-portable, so the "approximate" index is still hash-checkable. */
@@ -1738,7 +1774,14 @@ object Training {
     * scope the CANDIDATES to an allow-set — the filtered-serve twin
     * ([[Similarity.queryIvfIndex]] with `allowed`). */
   private def ivfSql(allowedCte: String, candJoin: String) =
-    s"""WITH ${allowedCte}st AS (SELECT GREATEST(COUNT(*) // 16, 1) AS stride FROM embeddings),
+    s"""WITH ${ivfCtes(allowedCte, candJoin, NQueries)}
+       |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= $TopK""".stripMargin
+
+  /** The IVF replay's CTE chain up to the ranked `r` CTE — shared by
+    * [[ivfSql]] (nq = NQueries) and [[hybridRrfIndexSql]] (nq = 1), which
+    * consume different k cuts of the same ranking. */
+  private def ivfCtes(allowedCte: String, candJoin: String, nq: Int) =
+    s"""${allowedCte}st AS (SELECT GREATEST(COUNT(*) // 16, 1) AS stride FROM embeddings),
        |c AS (SELECT vec_id // stride AS cell, embedding AS emb_c FROM embeddings, st
        |  WHERE vec_id % stride = 0 AND vec_id // stride < 16),
        |v AS (SELECT vec_id, embedding AS emb_v FROM embeddings),
@@ -1749,7 +1792,7 @@ object Training {
        |rk AS MATERIALIZED (SELECT vec_id, cell,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn FROM d),
        |asg AS (SELECT vec_id, cell FROM rk WHERE rn = 1),
-       |qc AS (SELECT vec_id AS query_id, cell FROM rk WHERE vec_id < $NQueries AND rn <= 4),
+       |qc AS (SELECT vec_id AS query_id, cell FROM rk WHERE vec_id < $nq AND rn <= 4),
        |cand AS (SELECT DISTINCT qc.query_id, asg.vec_id AS neighbor_id
        |  FROM asg JOIN qc USING (cell)$candJoin WHERE asg.vec_id <> qc.query_id),
        |e AS MATERIALIZED (SELECT vec_id, embedding, ${Portable.normDuck("embedding")} AS nrm FROM embeddings),
@@ -1758,8 +1801,7 @@ object Training {
        |  FROM cand JOIN e q ON q.vec_id = cand.query_id JOIN e nv ON nv.vec_id = cand.neighbor_id),
        |r AS (SELECT query_id, neighbor_id, cosine,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
-       |  FROM s)
-       |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= $TopK""".stripMargin
+       |  FROM s)""".stripMargin
 
   private val annIvfSql = ivfSql("", "")
 
@@ -1986,5 +2028,6 @@ object Training {
     "ann_filtered_topk"      -> annFilteredSql,
     "ann_ivf_filtered_topk"  -> annIvfFilteredSql,
     "retrieval_hybrid_rrf"   -> hybridRrfSql,
+    "retrieval_hybrid_rrf_index" -> hybridRrfIndexSql,
     "text_quality_classifier" -> qualityClassifierSql)
 }

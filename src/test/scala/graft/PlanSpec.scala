@@ -68,12 +68,16 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("hybrid RRF: both legs and the fusion fold through bounded aggregates, no window") {
-    val p = plan("retrieval_hybrid_rrf")
-    assert(p.contains("ObjectHashAggregate"),
-      s"rank assignment must ride graft_top_k:\n${p.take(400)}")
-    assert(!p.contains("Window"), "no window rank anywhere in the fusion")
-    assert(p.contains("TakeOrderedAndProject"),
-      "the tfidf leg's top-k must stay per-partition heaps")
+    // both fusion variants — the scan-side legs and the serve-side
+    // (BM25 + persisted IVF index) legs — must plan the same bounded shapes
+    for (g <- Seq("retrieval_hybrid_rrf", "retrieval_hybrid_rrf_index")) {
+      val p = plan(g)
+      assert(p.contains("ObjectHashAggregate"),
+        s"$g: rank assignment must ride graft_top_k:\n${p.take(400)}")
+      assert(!p.contains("Window"), s"$g: no window rank anywhere in the fusion")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$g: the lexical leg's top-k must stay per-partition heaps")
+    }
   }
 
   test("perceptron: features are ONE map-side-combined aggregate; weights broadcast to margins") {
