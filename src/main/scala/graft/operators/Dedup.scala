@@ -419,6 +419,69 @@ object Dedup {
     verifyJaccard(docs, cand, n, tau)
   }
 
+  /** FUZZY train/test contamination — near-duplicate leakage ACROSS the
+    * split boundary: (test doc, train doc) pairs with true n-gram Jaccard
+    * >= `tau`. The exact word-8-gram check ([[TextOps.contamination]])
+    * catches verbatim leakage; real eval-set contamination is
+    * paraphrase-shaped (docs rephrased, truncated, or lightly edited
+    * between a benchmark and a crawl), which shares FEW long n-grams but
+    * keeps high shingle-level similarity — this is the decontamination
+    * step every public training pipeline documents (e.g. Brown et al.,
+    * GPT-3 appendix C's fuzzy 13-gram overlap; Lee et al. dedup).
+    *
+    * Same machinery as [[minhashLshPairs]] — one signature projection (the
+    * split label rides the same scan, derived from the deterministic
+    * [[graft.functions.Portable.splitBucketSpark]] bucket, so no split
+    * materialization), band buckets folded through the k-bounded
+    * [[graft.plans.TopKAgg]] with the hot-bucket dfCap guard and its
+    * logged-trim accumulator — except candidates pair ONLY across the
+    * boundary: each surviving bucket explodes test-side x train-side (df²
+    * bounded by the cap), so same-split near-dups (the dedup job's
+    * territory) never reach verification. Exact Jaccard verify on true
+    * string shingles, as everywhere. Recall contract is
+    * [[minhashLshPairs]]'s, unchanged by the split restriction. */
+  def minhashContamination(docs: DataFrame, n: Int = 3, pctTrain: Int = 90,
+                           bands: Int = 42, rowsPerBand: Int = 3,
+                           tau: Double = 0.5, dfCap: Int = 1000): DataFrame = {
+    require(dfCap < Int.MaxValue, "dfCap + 1 must stay an Int")
+    val k = bands * rowsPerBand
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val sig = Scale.fanOutScan(docs)
+      .withColumn("split",
+        when(expr(Portable.splitBucketSpark("doc_id")) < pctTrain, lit("train"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("split"),
+        expr(s"graft_minhash(graft_shingle_hashes(text, $n), $k)").as("sig"))
+      .filter(size(col("sig")) > 0 && expr("sig[0]") =!= Long.MaxValue)
+    val bandsDf0 = sig.select(col("doc_id"), col("split"),
+      posexplode(array(bandKeyCols(bands, rowsPerBand): _*)).as(Seq("band", "bh")))
+    val cand0 =
+      if (dfCap <= 0) {
+        val b = bandsDf0.persist(StorageLevel.MEMORY_AND_DISK)
+        b.as("x").filter(col("x.split") === "test")
+          .join(b.as("y").filter(col("y.split") === "train"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      } else {
+        val grouped = observeTrim(
+          bandsDf0.groupBy("band", "bh")
+            .agg(expr(s"graft_top_k(struct(doc_id, split), ${dfCap + 1}, 'AA')").as("ids"))
+            .filter(size(col("ids")) >= 2),
+          "minhashContamination", dfCap, noun = "band bucket",
+          hotCond = size(col("ids")) === dfCap + 1)
+        grouped.filter(size(col("ids")) <= dfCap)
+          .select(col("ids"), explode(col("ids")).as("ra"))
+          .filter(col("ra.split") === "test")
+          .select(col("ra.doc_id").as("doc_a"), explode(col("ids")).as("rb"))
+          .filter(col("rb.split") === "train")
+          .select(col("doc_a"), col("rb.doc_id").as("doc_b"))
+      }
+    val cand = cand0.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    verifyJaccard(docs, cand, n, tau)
+      .select(col("doc_a").as("test_doc"), col("doc_b").as("train_doc"),
+        col("jaccard"))
+  }
+
   /** Builds the PERSISTED dedup index for incremental (batch-vs-corpus)
     * deduplication: `<prefix>_keys` = distinct md5 text keys (exact dups),
     * `<prefix>_bands` = the MinHash band-key table (near dups). Build cost is

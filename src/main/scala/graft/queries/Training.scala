@@ -100,6 +100,10 @@ object Training {
     "text_train_split_by"    -> ((s, d) => TextOps.trainTestSplitBy(Tables.documents(s, d))),
     "text_quality_filter"    -> ((s, d) => TextOps.qualityFilter(Tables.documents(s, d))),
     "text_contamination"     -> ((s, d) => TextOps.contamination(Tables.documents(s, d))),
+    // paraphrase-shaped (near-dup) cross-split leakage: MinHash bands
+    // across the boundary, exact Jaccard verify
+    "text_contamination_fuzzy" -> ((s, d) => Dedup.minhashContamination(
+                                   Tables.documents(s, d), 3, tau = JaccardTau)),
     "text_bm25_search"       -> ((s, d) => TextOps.bm25Search(Tables.documents(s, d), Bm25Terms)),
     "text_tfidf_search"      -> ((s, d) => TextOps.tfidfSearch(Tables.documents(s, d), Bm25Terms)),
     "text_pack_sequences"    -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
@@ -1050,6 +1054,27 @@ object Training {
        |FROM sh a JOIN sh b ON a.s = b.s AND a.split = 'test' AND b.split = 'train'
        |GROUP BY 1, 2""".stripMargin
 
+  /** Mirror of [[graft.operators.Dedup.minhashContamination]]: the banded
+    * candidates' verified output equals the exact cross-split trigram
+    * Jaccard (the [[jaccardSql]] contract restricted to pairs straddling
+    * the split boundary), so the oracle is the exact join — same split
+    * arithmetic as [[contaminationSql]], same set algebra as the dedup
+    * family's replica. */
+  private val contaminationFuzzySql =
+    s"""WITH t AS (SELECT doc_id, $toks AS toks,
+       |  CASE WHEN ${Portable.splitBucketDuck("doc_id")} < 90 THEN 'train' ELSE 'test' END AS split
+       |FROM documents),
+       |sets AS (SELECT doc_id, split, list_distinct(${Portable.shinglesDuck("toks", 3)}) AS sh FROM t),
+       |sets2 AS MATERIALIZED (SELECT doc_id, split, sh, len(sh) AS n FROM sets WHERE len(sh) > 0),
+       |shr AS (SELECT doc_id, split, unnest(sh) AS s FROM sets2),
+       |pr AS (SELECT a.doc_id AS test_doc, b.doc_id AS train_doc, COUNT(*) AS inter
+       |  FROM shr a JOIN shr b ON a.s = b.s AND a.split = 'test' AND b.split = 'train'
+       |  GROUP BY 1, 2)
+       |SELECT test_doc, train_doc, jaccard FROM (
+       |  SELECT test_doc, train_doc, inter::DOUBLE / (x.n + y.n - inter) AS jaccard
+       |  FROM pr JOIN sets2 x ON test_doc = x.doc_id JOIN sets2 y ON train_doc = y.doc_id)
+       |WHERE jaccard >= $JaccardTau""".stripMargin
+
   /** Mirror of [[TextOps.packSequences]] (budget 2048, 16 shards): the
     * SUM window is cast back to BIGINT (DuckDB window SUM promotes to
     * HUGEINT, which the driver's Arrow fetch renders differently). */
@@ -1982,6 +2007,7 @@ object Training {
     "text_train_split_by"    -> trainSplitBySql,
     "text_quality_filter"    -> qualityFilterSql,
     "text_contamination"     -> contaminationSql,
+    "text_contamination_fuzzy" -> contaminationFuzzySql,
     "text_bm25_search"       -> bm25Sql,
     "text_tfidf_search"      -> tfidfSql,
     "text_pack_sequences"    -> packSequencesSql,

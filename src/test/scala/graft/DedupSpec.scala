@@ -18,6 +18,34 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "corpus should contain near-dup pairs")
   }
 
+  test("minhashContamination == exact cross-split slice of the jaccard pairs; never same-split") {
+    import graft.functions.Portable
+    // the exact reference: all-pairs jaccard restricted to pairs straddling
+    // the deterministic split boundary (same bucket arithmetic the operator
+    // derives inline)
+    val splitOf = docs.select(col("doc_id"),
+        expr(Portable.splitBucketSpark("doc_id")).as("b")).collect()
+      .map(r => r.getLong(0) -> (if (r.getLong(1) < 90) "train" else "test")).toMap
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5).collect()
+      .flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        // ngramJaccardPairs emits doc_a < doc_b; orient to (test, train)
+        (splitOf(a), splitOf(b)) match {
+          case ("test", "train") => Some((a, b))
+          case ("train", "test") => Some((b, a))
+          case _                 => None
+        }
+      }.toSet
+    val got = Dedup.minhashContamination(docs, 3, tau = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact)
+    assert(got.nonEmpty, "corpus should contain cross-split near-dup pairs")
+    got.foreach { case (t, tr) =>
+      assert(splitOf(t) == "test" && splitOf(tr) == "train",
+        s"pair ($t, $tr) does not straddle the split boundary")
+    }
+  }
+
   test("connected components match a local union-find over the same pairs") {
     val pairsDf = Dedup.ngramJaccardPairs(docs, 3, 0.5)
     val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1)))
