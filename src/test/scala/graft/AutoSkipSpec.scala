@@ -202,6 +202,19 @@ class AutoSkipSpec extends AnyFunSuite {
     val p2 = AutoSkip.read(spark, root, "t").filter(col("id") === "id_mx_2")
     assert(p2.count() == 1L)
     assert(keptOf(p2).size < total)
+    // a MIGRATING rewrite (upsert touching an old-spec partition) replaces
+    // old-spec files with new-spec files; the commit-hook refresh must cover
+    // the migrated files so pruned reads stay exact with no index() call
+    table.upsert(Seq(("a", 9100L, "id_mig_1")).toDF("cat", "v", "id"),
+      "t", Seq("cat", "id"))
+    val plainM = table.read(spark, "t")
+    val totalM = plainM.inputFiles.length
+    val predM = (d: DataFrame) => d.filter(col("v") === 9100L)
+    val prunedM = predM(AutoSkip.read(spark, root, "t"))
+    assertSameRows(prunedM, predM(plainM))
+    assert(prunedM.count() == 1L)
+    assert(keptOf(prunedM).size < totalM,
+      s"migrated files must be sidecar-covered: kept ${keptOf(prunedM).size} of $totalM")
   }
 
   test("null-safe: IsNull finds the default-partition rows, IsNotNull prunes them") {

@@ -590,6 +590,42 @@ class LakeSpec extends AnyFunSuite {
     assert(folded == cur)
   }
 
+  test("readChanges across a spec evolution + migrating rewrite: exactly-once attribution") {
+    import spark.implicits._
+    val t = pfmt("day")
+    // v0 under spec (day); evolve to (day, et); v1 appends under the NEW
+    // spec; v2's upsert touches old-spec partition d1 and MIGRATES it
+    t.create(Seq((1L, "d1", "web", "a"), (2L, "d1", "api", "b"),
+      (3L, "d2", "web", "c")).toDF("id", "day", "et", "v"), "cfev")
+    t.evolvePartitionSpec("cfev", Seq("day", "et"))
+    t.append(Seq((4L, "d2", "api", "d")).toDF("id", "day", "et", "v"), "cfev")
+    t.upsert(Seq((1L, "d1", "web", "A2")).toDF("id", "day", "et", "v"),
+      "cfev", Seq("id", "day", "et"))
+    // the migrated partition now carries new-spec ids (precondition of the case)
+    assert(t.entries("cfev").exists(_._1 == "__p_day=d1/__p_et=web"),
+      t.entries("cfev").map(_._1).toString)
+    val raw = t.readChanges(spark, "cfev", 0, 2).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getString(4), r.getInt(5)))
+    // exactly-once: no duplicated (row, change, version) attribution even
+    // though the rewrite spans two partition specs
+    assert(raw.length == raw.toSet.size, s"duplicated feed rows: ${raw.toSeq}")
+    assert(raw.toSet == Set(
+      (4L, "d", "insert", 1),                               // new-spec append
+      (1L, "a", "delete", 2), (2L, "b", "delete", 2),       // old-spec d1 files out
+      (1L, "A2", "insert", 2), (2L, "b", "insert", 2)),     // new-spec d1 files in
+      raw.toSeq.toString)                                   // d2 legs silent
+    // fold contract survives the spec boundary: base v0 - deletes + inserts
+    // == current read
+    val base = t.readVersion(spark, "cfev", 0).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSet
+    val folded = base --
+      raw.collect { case (id, v, "delete", _) => (id, v) } ++
+      raw.collect { case (id, v, "insert", _) => (id, v) }
+    val cur = t.read(spark, "cfev").collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(folded == cur)
+  }
+
   test("partitioned time travel: readVersion pins snapshots, versions enumerate") {
     import spark.implicits._
     val t = pfmt("p")
