@@ -9,21 +9,36 @@ package graft.core
   * disk until its shutdown hook runs (disk is the bounded-by-/tmp resource a
   * re-request can also rebuild), and a re-requested key simply rebuilds.
   *
-  * `getOrElseUpdate` holds the lock across the build, deliberately: the
-  * builders behind it write multi-file layouts, and two racing builders for
-  * one key would interleave writes into one directory tree. Callers are the
-  * sequential Verify/Bench mains; a concurrent session serializes builds and
-  * that is the safe behavior. */
+  * The map lock is held only for lookup/insert; the BUILD runs outside it
+  * behind a per-key latch. Two racing callers of one key still build exactly
+  * once (the builders write multi-file layouts — racing writers into one
+  * directory tree would interleave), but unrelated keys build CONCURRENTLY:
+  * one slow lake build no longer serializes every other gate's build in a
+  * shared-JVM session, and a nested build of a DIFFERENT key from inside a
+  * builder's lambda cannot deadlock. A failed build clears its latch, so a
+  * later call retries instead of caching the failure. */
 final class BoundedCache[K, V](maxEntries: Int = 64) {
   require(maxEntries >= 1, "cache needs at least one slot")
   private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
       size() > maxEntries
   }
-  def getOrElseUpdate(k: K)(mk: => V): V = synchronized {
-    val cur = m.get(k)
-    if (cur != null) cur
-    else { val v = mk; m.put(k, v); v }
+  private val inflight =
+    new java.util.concurrent.ConcurrentHashMap[K, java.util.concurrent.FutureTask[V]]()
+
+  def getOrElseUpdate(k: K)(mk: => V): V = {
+    val cached = synchronized(m.get(k))
+    if (cached != null) return cached
+    val task = inflight.computeIfAbsent(k,
+      _ => new java.util.concurrent.FutureTask[V](() => mk))
+    task.run() // idempotent: only the latch-winning caller executes the builder
+    try {
+      val v = task.get()
+      synchronized(m.put(k, v))
+      v
+    } catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally inflight.remove(k, task)
   }
   def size: Int = synchronized(m.size())
 }

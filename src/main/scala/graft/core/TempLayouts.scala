@@ -6,9 +6,10 @@ package graft.core
   * hook. Centralizing it keeps the recursive-delete hook in one place (it
   * was hand-retyped at each gate before) and gives every gate the same
   * [[BoundedCache]] semantics: Verify's dump and Bench's warm+timed repeats
-  * serve from one build, an evicted memo entry just rebuilds, and builds
-  * serialize under the cache lock (the builders write multi-file layouts —
-  * racing writers into one tree would interleave). */
+  * serve from one build, an evicted memo entry just rebuilds, and racing
+  * builders of ONE root build exactly once behind a per-key latch (the
+  * builders write multi-file layouts — racing writers into one tree would
+  * interleave) while different roots build concurrently. */
 object TempLayouts {
   private val roots = new BoundedCache[String, String]()
 
