@@ -23,7 +23,9 @@ object Classifier {
 
   /** Batch-perceptron training over hashed bag-of-words features.
     *
-    * Input `labeled`: (doc_id, text, y) with y ∈ {+1, −1} (BIGINT). Features
+    * Input `labeled`: (doc_id, text, y) with y ∈ {+1, −1} (BIGINT) — or
+    * (doc_id, toks, y) with the tokens precomputed (see [[features]]).
+    * Features
     * x_{d,b} = count of document d's tokens hashing into bucket b
     * (portable polynomial hash mod `buckets`). Per epoch, over the WHOLE
     * batch (classic batch perceptron): margin m_d = Σ_b x_{d,b}·w_b; every
@@ -125,12 +127,18 @@ object Classifier {
     * `PortableParitySpec`) — this projection runs once per corpus TOKEN, the
     * hot path where the CLAUDE.md rule bans the interpreted HOF chain; same
     * formulation as the DSIR bucket hash. Non-negative, so plain `%` agrees
-    * across engines. */
-  private def features(labeled: DataFrame, buckets: Int): DataFrame =
+    * across engines. A `toks` column (the tokenizer's output, e.g. from
+    * [[TextOps.qualityLabels]]'s label projection) passes through instead of
+    * re-tokenizing `text` — same-scan projection sharing. */
+  private def features(labeled: DataFrame, buckets: Int): DataFrame = {
+    val toksCol =
+      if (labeled.columns.contains("toks")) col("toks")
+      else expr("graft_tokens(text)")
     Scale.fanOutScan(labeled)
-      .select(col("doc_id"), col("y"), explode(expr("graft_tokens(text)")).as("tok"))
+      .select(col("doc_id"), col("y"), explode(toksCol).as("tok"))
       .select(col("doc_id"), col("y"),
         pmod(expr("graft_phash(tok)"), lit(buckets.toLong)).as("b"))
       .groupBy("doc_id", "y", "b")
       .agg(count(lit(1)).cast("bigint").as("x"))
+  }
 }

@@ -136,13 +136,16 @@ object TextOps {
       .select("doc_id", "n_tokens", "n_distinct", "stop_ratio", "alpha_ratio",
         "diversity", "quality_score")
 
-  /** (doc_id, text, y = ±1) with the label distilled INLINE from
+  /** (doc_id, toks, y = ±1) with the label distilled INLINE from
     * [[qualityScore]]'s formula — the whole label chain is one projection,
-    * so a consumer that also needs `text` (the classifier's feature build)
-    * gets labels in the SAME corpus scan instead of a second scan + join. */
+    * so a consumer that also needs the tokens (the classifier's feature
+    * build) gets labels AND the already-computed token array in the SAME
+    * corpus scan: no second scan, no doc_id join, no re-tokenization.
+    * (Reusing toks here is same-scan projection sharing, NOT the measured
+    * negative of carrying token arrays through a checkpoint.) */
   def qualityLabels(docs: DataFrame, thr: Double): DataFrame =
     withQualityCols(withToks(docs))
-      .select(col("doc_id"), col("text"),
+      .select(col("doc_id"), col("toks"),
         when(col("quality_score") >= thr, lit(1L)).otherwise(lit(-1L)).as("y"))
 
   /** Corpus rollup by source: doc counts, token totals, mean quality. */
