@@ -259,6 +259,50 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(t10 / t1 < 20.0, f"superlinear blowup: $t1%.1f s -> $t10%.1f s")
   }
 
+  test("fuzzy contamination scales linearly on a 10x amplified-cluster corpus",
+      SlowRehearsal) {
+    // same amplified near-dup cluster shape as the survivors rehearsal: each
+    // original becomes 10 suffix-perturbed clones whose shifted ids scatter
+    // across the deterministic split buckets, so every cluster contributes
+    // test-side x train-side cross-split pairs and TRUE pairs scale with the
+    // data ratio; a band-bucket blowup or an all-pairs regression lands in
+    // wall clock
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val root = Files.createTempDirectory("graft-rehearsal-contam")
+    writeTbl(copies(docs.filter(col("doc_id") % 10 === 0), 10, Seq("doc_id"),
+      perturbText = true), root, "small")
+    writeTbl(copies(docs, 10, Seq("doc_id"), perturbText = true), root, "big")
+    val (tS, nS) = timed("contamination 1x") {
+      runRows(Dedup.minhashContamination(
+        spark.read.parquet(s"$root/small.parquet"), 3, tau = 0.5))
+    }
+    val (tB, nB) = timed("contamination 10x") {
+      runRows(Dedup.minhashContamination(
+        spark.read.parquet(s"$root/big.parquet"), 3, tau = 0.5))
+    }
+    assert(nS > 0, "amplified clusters must straddle the split boundary")
+    assert(nB > nS, "10x originals must yield more cross-split pairs")
+    assert(tB / tS < 20.0, f"superlinear blowup: $tS%.1f s -> $tB%.1f s")
+  }
+
+  test("batch MMR: 10x queries cost ~10x, never a driver serialization",
+      SlowRehearsal) {
+    // the grouped fold's scale axis is QUERY COUNT: scoring is corpus x
+    // queries (broadcast query side), the shortlist join streams the corpus
+    // once, and each group's greedy is kCand-bounded inside flatMapGroups —
+    // so 10x queries must stay in the linear band; a driver-side per-query
+    // fold (the single-query API's shape) would pay 10x sequential collects
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (t5, n5) = timed("batch MMR 5 queries") {
+      runRows(graft.operators.Retrieval.mmrDiversifyBatch(emb, nQueries = 5))
+    }
+    val (t50, n50) = timed("batch MMR 50 queries") {
+      runRows(graft.operators.Retrieval.mmrDiversifyBatch(emb, nQueries = 50))
+    }
+    assert(n5 == 50 && n50 == 500, "kOut rows per query")
+    assert(t50 / t5 < 20.0, f"superlinear blowup: $t5%.1f s -> $t50%.1f s")
+  }
+
   test("k-means scales linearly on 10x key-shifted embeddings", SlowRehearsal) {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     // each Lloyd round is one broadcast-join scan + a (cell, dim)-keyed
