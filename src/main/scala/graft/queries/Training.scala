@@ -304,7 +304,26 @@ object Training {
     // perceptron over hashed bag-of-words, labels distilled from the
     // portable quality heuristic
     "text_quality_classifier" -> ((s, d) => Classifier.qualityPerceptron(
-                                   Tables.documents(s, d))))
+                                   Tables.documents(s, d))),
+    // the SERVE path: weights trained ONCE per source dir into a persisted
+    // parquet artifact (the ANN build/serve split), read back and scored —
+    // production scores from a trained artifact, not a per-query retrain
+    "text_quality_classifier_serve" -> ((s, d) => Classifier.scorePerceptron(
+                                   Tables.documents(s, d), classifierWeights(s, d))))
+
+  /** One trained weight table per source dir, landed to a temp parquet
+    * layout and READ BACK by the serve gate: training is the reusable
+    * persisted artifact, scoring is the served query (Verify hash-checks
+    * the full train→persist→read-back→score round trip; Bench times what
+    * production times). */
+  private def classifierWeights(s: SparkSession, d: String): DataFrame = {
+    val root = graft.core.TempLayouts.rootFor("graft_clsw_", d) { r =>
+      Classifier.qualityPerceptron(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(s"$r/weights")
+    }
+    import org.apache.spark.sql.functions.col
+    s.read.parquet(s"$root/weights").select(col("bucket"), col("w3").as("w"))
+  }
 
   /** The filtered-search gates' shared allow-set: embeddings whose label
     * survives AND whose document is English — one in-table predicate, one
@@ -939,7 +958,12 @@ object Training {
     * weight table feeds the next) — AS MATERIALIZED per the CLAUDE.md
     * multi-referenced-CTE rule. Epoch 1 starts from w = 0: every featured
     * doc has margin 0 and updates. */
-  private val qualityClassifierSql = {
+  /** The training-replay CTE chain (labels → features → ep1..ep3), shared by
+    * the trajectory gate and the serve gate. `fx` feeds every epoch AND the
+    * serve gate's margin scan — AS MATERIALIZED per the CLAUDE.md
+    * multi-referenced-CTE rule. Epoch 1 starts from w = 0: every featured
+    * doc has margin 0 and updates. */
+  private val qualityClassifierCtes = {
     val B = 64
     def margins(wt: String) =
       s"SELECT doc_id, y, SUM(x * COALESCE($wt.w, 0)) AS m " +
@@ -947,7 +971,7 @@ object Training {
     def deltas(mt: String) =
       s"SELECT b, CAST(SUM(y * x) AS BIGINT) AS dw FROM fx " +
         s"WHERE doc_id IN (SELECT doc_id FROM $mt WHERE y * m <= 0) GROUP BY b"
-    s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+    s"""t AS (SELECT doc_id, text, $toks AS toks FROM documents),
        |c AS (SELECT doc_id, text, toks,
        |  len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
        |  ${Portable.stopRatioDuck("toks", Portable.StopEn)} AS stop_ratio,
@@ -970,9 +994,18 @@ object Training {
        |  FROM ep1 LEFT JOIN d2 USING (b)),
        |m3 AS (${margins("ep2")}),
        |d3 AS (${deltas("m3")}),
-       |ep3 AS (SELECT ep2.b, CAST(ep2.w + COALESCE(d3.dw, 0) AS BIGINT) AS w
-       |  FROM ep2 LEFT JOIN d3 USING (b)),
-       |spine AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(0, $B))
+       |ep3 AS MATERIALIZED (SELECT ep2.b, CAST(ep2.w + COALESCE(d3.dw, 0) AS BIGINT) AS w
+       |  FROM ep2 LEFT JOIN d3 USING (b))""".stripMargin
+  }
+
+  /** Unrolled replica of [[Classifier.qualityPerceptron]] (64 buckets,
+    * 3 epochs): the label chain is [[qualityScoreSql]]'s arithmetic, the
+    * feature table is the portable token hash mod 64, and each epoch is one
+    * margin CTE + one delta CTE + one weight CTE — all BIGINT, so the whole
+    * training trajectory hash-checks. */
+  private val qualityClassifierSql =
+    s"""WITH $qualityClassifierCtes,
+       |spine AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(0, 64))
        |SELECT spine.bucket,
        |  CAST(COALESCE(ep1.w, 0) AS BIGINT) AS w1,
        |  CAST(COALESCE(ep2.w, 0) AS BIGINT) AS w2,
@@ -981,7 +1014,20 @@ object Training {
        |LEFT JOIN ep1 ON ep1.b = spine.bucket
        |LEFT JOIN ep2 ON ep2.b = spine.bucket
        |LEFT JOIN ep3 ON ep3.b = spine.bucket""".stripMargin
-  }
+
+  /** Replica of [[Classifier.scorePerceptron]] against the epoch-3 weights:
+    * the same training replay, then one margin scan over the feature table
+    * (fx is per-(doc, label, bucket), and the label is functionally
+    * determined by the doc, so it doubles as the serve-side feature table).
+    * Docs with no features (empty text) score margin 0, pred false — the
+    * LEFT JOIN from `documents` restores them, as the Spark side does. */
+  private val qualityClassifierServeSql =
+    s"""WITH $qualityClassifierCtes,
+       |sm AS (SELECT doc_id, CAST(SUM(x * COALESCE(ep3.w, 0)) AS BIGINT) AS margin
+       |  FROM fx LEFT JOIN ep3 ON ep3.b = fx.b GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(sm.margin, 0) AS BIGINT) AS margin,
+       |  COALESCE(sm.margin, 0) > 0 AS pred
+       |FROM documents d LEFT JOIN sm USING (doc_id)""".stripMargin
 
   private val corpusStatsSql =
     s"""WITH t AS (SELECT doc_id, source, text, $toks AS toks FROM documents),
@@ -2055,5 +2101,6 @@ object Training {
     "ann_ivf_filtered_topk"  -> annIvfFilteredSql,
     "retrieval_hybrid_rrf"   -> hybridRrfSql,
     "retrieval_hybrid_rrf_index" -> hybridRrfIndexSql,
-    "text_quality_classifier" -> qualityClassifierSql)
+    "text_quality_classifier" -> qualityClassifierSql,
+    "text_quality_classifier_serve" -> qualityClassifierServeSql)
 }
