@@ -23,22 +23,34 @@ final class BoundedCache[K, V](maxEntries: Int = 64) {
     override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
       size() > maxEntries
   }
+  /** In-flight build latch: the FutureTask plus the thread running it, so a
+    * builder that transitively re-requests its OWN key fails loudly instead
+    * of parking forever on its own latch. */
+  private final class Build(mk: () => V) {
+    @volatile var owner: Thread = _
+    val task = new java.util.concurrent.FutureTask[V](() => {
+      owner = Thread.currentThread(); mk()
+    })
+  }
   private val inflight =
-    new java.util.concurrent.ConcurrentHashMap[K, java.util.concurrent.FutureTask[V]]()
+    new java.util.concurrent.ConcurrentHashMap[K, Build]()
 
   def getOrElseUpdate(k: K)(mk: => V): V = {
     val cached = synchronized(m.get(k))
     if (cached != null) return cached
-    val task = inflight.computeIfAbsent(k,
-      _ => new java.util.concurrent.FutureTask[V](() => mk))
-    task.run() // idempotent: only the latch-winning caller executes the builder
+    val b = inflight.computeIfAbsent(k, _ => new Build(() => mk))
+    if (b.owner eq Thread.currentThread())
+      throw new IllegalStateException(
+        s"BoundedCache builder for key $k re-requested its own key — " +
+          "self-referential build")
+    b.task.run() // idempotent: only the latch-winning caller executes the builder
     try {
-      val v = task.get()
+      val v = b.task.get()
       synchronized(m.put(k, v))
       v
     } catch {
       case e: java.util.concurrent.ExecutionException => throw e.getCause
-    } finally inflight.remove(k, task)
+    } finally inflight.remove(k, b)
   }
   def size: Int = synchronized(m.size())
 }

@@ -1200,7 +1200,19 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
         .limit(0)
     // allowMissingColumns: a range spanning an additive schema-evolution
     // commit has pre-evolution legs without the later-added columns — they
-    // read NULL there (Delta CDF's behavior) instead of failing the union
-    else legs.reduce(_.unionByName(_, allowMissingColumns = true))
+    // read NULL there (Delta CDF's behavior) instead of failing the union.
+    // Then CANONICALIZE the column order (current-schema order for the data
+    // columns, change columns last): unionByName appends a first-leg-missing
+    // column at the END, so without this the evolved column's position —
+    // and with it the change columns' ordinals a positional consumer reads —
+    // would depend on which commit the range happens to start at.
+    else {
+      val u = legs.reduce(_.unionByName(_, allowMissingColumns = true))
+      val current = emptyFrame(spark, t).columns
+      val data = current.filter(u.columns.contains) ++
+        u.columns.filterNot(c => current.contains(c) ||
+          c == "_change_type" || c == "_commit_version")
+      u.select((data :+ "_change_type" :+ "_commit_version").map(col): _*)
+    }
   }
 }

@@ -68,7 +68,11 @@ object Classifier {
     val history = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
     try {
       (1 to epochs).foreach { _ =>
-        val wlit = array(w.map(lit(_)): _*)
+        // ONE array literal, not a CreateArray with `buckets` children: at
+        // the upper bucket bounds a 65536-child expression tree would blow
+        // codegen's method-size limit and stall the analyzer; a single
+        // typed literal is a constant reference at any bucket count
+        val wlit = typedlit(w.toSeq)
         fd.withColumn("m", aggregate(col("feats"), lit(0L),
             (acc, f) => acc + f.getField("x") *
               element_at(wlit, f.getField("b").cast("int") + 1)))
@@ -131,10 +135,15 @@ object Classifier {
     * [[TextOps.qualityLabels]]'s label projection) passes through instead of
     * re-tokenizing `text` — same-scan projection sharing. */
   private def features(labeled: DataFrame, buckets: Int): DataFrame = {
-    val toksCol =
-      if (labeled.columns.contains("toks")) col("toks")
-      else expr("graft_tokens(text)")
-    Scale.fanOutScan(labeled)
+    // a toks passthrough means the frame already went through the label
+    // projection's fanOutScan — fanning out AGAIN would re-shuffle the
+    // materialized token arrays corpus-wide for nothing (fanOutScan only
+    // inspects the file-scan leaf width, so it cannot see the upstream
+    // repartition)
+    val (src, toksCol) =
+      if (labeled.columns.contains("toks")) (labeled, col("toks"))
+      else (Scale.fanOutScan(labeled), expr("graft_tokens(text)"))
+    src
       .select(col("doc_id"), col("y"), explode(toksCol).as("tok"))
       .select(col("doc_id"), col("y"),
         pmod(expr("graft_phash(tok)"), lit(buckets.toLong)).as("b"))

@@ -950,14 +950,6 @@ object Training {
        |  (CASE WHEN stop_ratio > 0 THEN 1.0 ELSE 0.0 END) + diversity + alpha_ratio AS quality_score
        |FROM m""".stripMargin
 
-  /** Unrolled replica of [[Classifier.qualityPerceptron]] (64 buckets,
-    * 3 epochs): the label chain is [[qualityScoreSql]]'s arithmetic, the
-    * feature table is the portable token hash mod 64, and each epoch is one
-    * margin CTE + one delta CTE + one weight CTE — all BIGINT, so the whole
-    * training trajectory hash-checks. `fx` feeds every epoch (and each
-    * weight table feeds the next) — AS MATERIALIZED per the CLAUDE.md
-    * multi-referenced-CTE rule. Epoch 1 starts from w = 0: every featured
-    * doc has margin 0 and updates. */
   /** The training-replay CTE chain (labels → features → ep1..ep3), shared by
     * the trajectory gate and the serve gate. `fx` feeds every epoch AND the
     * serve gate's margin scan — AS MATERIALIZED per the CLAUDE.md

@@ -67,6 +67,15 @@ class BoundedCacheSpec extends AnyFunSuite {
     } finally pool.shutdownNow()
   }
 
+  test("a self-referential build fails loudly instead of deadlocking on its own latch") {
+    val c = new BoundedCache[String, Int](4)
+    val e = intercept[IllegalStateException](
+      c.getOrElseUpdate("k") { c.getOrElseUpdate("k")(1) + 1 })
+    assert(e.getMessage.contains("re-requested its own key"))
+    // and the latch cleared: a sane later build succeeds
+    assert(c.getOrElseUpdate("k")(7) == 7)
+  }
+
   test("a failed build clears its latch: the next call retries") {
     val c = new BoundedCache[String, Int](4)
     var attempts = 0
