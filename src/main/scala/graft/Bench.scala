@@ -6,6 +6,41 @@ import org.apache.spark.sql.SparkSession
   * a plain count() would let Catalyst prune away the computed columns and
   * time only the row cardinality path. */
 object Bench {
+
+  /** Which file this run's JSON line should land in, given the standing
+    * bench_last.json content (None when absent). The durable record only
+    * advances when the run can improve it:
+    *  - a different scale factor than the record → `bench_smoke.json` (a
+    *    sf0.001 smoke must not clobber the sf0.1 chain);
+    *  - a STRICTLY WORSE rerun of the SAME gate set (higher steal AND higher
+    *    total) → `bench_candidate.json` — it adds nothing over the record
+    *    (the r14 4x-only threshold let 2-3x-dirtier, slower reruns clobber
+    *    the record twice; promote a candidate by hand if you disagree);
+    *  - a contended window over a 4x-quieter record → `bench_contended.json`;
+    *  - otherwise → `bench_last.json`. A changed gate set always overwrites:
+    *    the record must track the CURRENT gate set, so a total comparison
+    *    against the old set is meaningless. */
+  def recordTarget(prev: Option[String], sfDir: String, total: Double,
+                   stealTotal: Long, contended: Boolean,
+                   gateNames: Set[String]): String = {
+    val prevSteal = prev.flatMap(
+      "\"steal_jiffies\":(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toLong))
+    val prevSf = prev.flatMap(
+      "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(_).map(_.group(1)))
+    val prevTotal = prev.flatMap(
+      "\"value\":([0-9.Ee+-]+)".r.findFirstMatchIn(_).map(_.group(1).toDouble))
+    val prevQueryKeys = prev.flatMap(
+      "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(_).map(m =>
+        "\"([^\"]+)\":".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSet))
+    val sameGates = prevQueryKeys.forall(_ == gateNames)
+    if (prevSf.exists(_ != sfDir)) "bench_smoke.json"
+    else if (sameGates && prevSteal.exists(_ < stealTotal) &&
+        prevTotal.exists(_ < total)) "bench_candidate.json"
+    else if (contended && prevSteal.exists(p => p < stealTotal / 4))
+      "bench_contended.json"
+    else "bench_last.json"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -212,23 +247,12 @@ object Bench {
         if (java.nio.file.Files.exists(path))
           Some(new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
         else None
-      val prevSteal = prev.flatMap(
-        "\"steal_jiffies\":(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toLong))
-      val prevSf = prev.flatMap(
-        "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(_).map(_.group(1)))
-      // two ways a run is NOT the durable record: a different scale factor
-      // than the standing record (a sf0.001 smoke must not clobber the sf0.1
-      // chain), or a contended window over a materially quieter record
-      val target =
-        if (prevSf.exists(_ != sfDir)) {
-          System.err.println(s"[bench] bench_last.json is for ${prevSf.get}, " +
-            s"this run is $sfDir; writing bench_smoke.json")
-          java.nio.file.Paths.get("bench_smoke.json")
-        } else if (contended && prevSteal.exists(p => p < stealTotal / 4)) {
-          System.err.println(s"[bench] refusing to overwrite bench_last.json " +
-            s"(prev steal ${prevSteal.get} << current $stealTotal); writing bench_contended.json")
-          java.nio.file.Paths.get("bench_contended.json")
-        } else path
+      val targetName = recordTarget(prev, sfDir, total, stealTotal, contended,
+        results.map(_._1).toSet)
+      if (targetName != "bench_last.json")
+        System.err.println(s"[bench] not overwriting bench_last.json " +
+          s"(see Bench.recordTarget); writing $targetName")
+      val target = java.nio.file.Paths.get(targetName)
       try java.nio.file.Files.write(target, (line + "\n").getBytes("UTF-8"))
       catch { case e: Exception => System.err.println(s"[bench] ${target.getFileName} write failed: $e") }
     }
