@@ -1194,23 +1194,31 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
       out
     }
     if (legs.isEmpty)
-      emptyFrame(spark, t)
+      // read().limit(0), not emptyFrame(): same current-schema source as the
+      // non-empty branch, so an empty range's frame matches shape too
+      read(spark, t).limit(0)
         .withColumn("_change_type", lit(""))
         .withColumn("_commit_version", lit(0))
-        .limit(0)
     // allowMissingColumns: a range spanning an additive schema-evolution
     // commit has pre-evolution legs without the later-added columns — they
     // read NULL there (Delta CDF's behavior) instead of failing the union.
-    // Then CANONICALIZE the column order (current-schema order for the data
-    // columns, change columns last): unionByName appends a first-leg-missing
-    // column at the END, so without this the evolved column's position —
-    // and with it the change columns' ordinals a positional consumer reads —
-    // would depend on which commit the range happens to start at.
+    // Then read with the CURRENT table schema regardless of range (the Delta
+    // CDF contract): a range ending entirely BEFORE an evolution still
+    // carries every later-added column, as typed nulls, and the column order
+    // is canonical (current-schema order for the data columns, change
+    // columns last) — without this, both the changefeed's width and the
+    // change columns' ordinals a positional consumer reads would depend on
+    // which commits the range happens to span.
     else {
-      val u = legs.reduce(_.unionByName(_, allowMissingColumns = true))
-      val current = emptyFrame(spark, t).columns
-      val data = current.filter(u.columns.contains) ++
-        u.columns.filterNot(c => current.contains(c) ||
+      val u0 = legs.reduce(_.unionByName(_, allowMissingColumns = true))
+      // read(), not emptyFrame(): the SCHEMA file is only rewritten by
+      // create/overwrite, so after an ADDITIVE append evolution the current
+      // schema lives in the merged parquet footers of the current version
+      val current = read(spark, t).schema
+      val u = current.fields.filterNot(f => u0.columns.contains(f.name))
+        .foldLeft(u0)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+      val data = current.fieldNames.filter(u.columns.contains) ++
+        u.columns.filterNot(c => current.fieldNames.contains(c) ||
           c == "_change_type" || c == "_commit_version")
       u.select((data :+ "_change_type" :+ "_commit_version").map(col): _*)
     }

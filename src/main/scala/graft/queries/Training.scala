@@ -318,12 +318,19 @@ object Training {
     * production times). */
   private def classifierWeights(s: SparkSession, d: String): DataFrame = {
     val root = graft.core.TempLayouts.rootFor("graft_clsw_", d) { r =>
-      Classifier.qualityPerceptron(Tables.documents(s, d))
+      Classifier.qualityPerceptron(Tables.documents(s, d), epochs = ServeEpochs)
         .write.mode("overwrite").parquet(s"$r/weights")
     }
     import org.apache.spark.sql.functions.col
-    s.read.parquet(s"$root/weights").select(col("bucket"), col("w3").as("w"))
+    s.read.parquet(s"$root/weights")
+      .select(col("bucket"), col(s"w$ServeEpochs").as("w"))
   }
+
+  /** Epochs the serve artifact is trained for — the served weight column is
+    * the LAST epoch's (`w$ServeEpochs`), so the trainer call and the
+    * read-back column stay coupled through this one constant instead of a
+    * hardcoded "w3" silently tracking qualityPerceptron's default. */
+  private val ServeEpochs = 3
 
   /** The filtered-search gates' shared allow-set: embeddings whose label
     * survives AND whose document is English — one in-table predicate, one

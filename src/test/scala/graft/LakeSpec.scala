@@ -626,6 +626,32 @@ class LakeSpec extends AnyFunSuite {
     assert(folded == cur)
   }
 
+  test("readChanges always reads with the CURRENT schema, whatever the range") {
+    import spark.implicits._
+    val t = pfmt("p")
+    // v0/v1 under (id, p, v); v2 adds `score` (additive evolution)
+    t.create(Seq((1L, "a", "x")).toDF("id", "p", "v"), "cfsch")
+    t.append(Seq((2L, "a", "b")).toDF("id", "p", "v"), "cfsch")
+    t.append(Seq((3L, "b", "c", 3.5)).toDF("id", "p", "v", "score"), "cfsch")
+    // a non-empty range entirely BEFORE the evolution still carries the
+    // later-added column — as a typed null — in current-schema order (the
+    // Delta CDF contract: the feed's schema never varies by range)
+    val pre = t.readChanges(spark, "cfsch", 0, 1)
+    val span = t.readChanges(spark, "cfsch", 0, 2)
+    assert(pre.schema == span.schema,
+      s"pre-evolution range schema drifted: ${pre.schema} vs ${span.schema}")
+    assert(pre.columns.toSeq ==
+      Seq("id", "p", "v", "score", "_change_type", "_commit_version"))
+    val preRow = pre.collect()
+    assert(preRow.map(r => (r.getLong(0), r.getString(2))).toSet == Set((2L, "b")))
+    assert(preRow.forall(_.isNullAt(3)), "later-added column must read as null")
+    assert(pre.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // the empty-range frame agrees too
+    assert(t.readChanges(spark, "cfsch", 1, 1).columns.toSeq ==
+      pre.columns.toSeq)
+  }
+
   test("partitioned time travel: readVersion pins snapshots, versions enumerate") {
     import spark.implicits._
     val t = pfmt("p")
