@@ -36,10 +36,12 @@ object Classifier {
     * Output: one row per bucket with the weight AFTER each epoch
     * (bucket, w1 … wE) — the full training trajectory, report-sized.
     *
-    * Scale shape: the feature table is built once (one corpus scan + one
-    * map-side-combined token aggregate) then contracted to ONE row per doc
-    * — (doc_id, y, feats: array<(b, x)>), ≤ `buckets` entries each — and
-    * persisted. Each epoch is then a SINGLE scan of that doc-level cache
+    * Scale shape: the doc-level feature table — (doc_id, y,
+    * feats: array<(b, x)>), ≤ `buckets` entries each — is ONE corpus
+    * projection scan (the native [[graft.plans.BucketCounts]] histogram —
+    * ZERO shuffles; the pre-r15 build paid an explode → corpus-token hash
+    * aggregate plus a corpus-sized collect_list exchange for the same rows)
+    * and persisted. Each epoch is then a SINGLE scan of that doc-level cache
     * with no join and no second fx read: the margin folds the per-doc array
     * against the weight vector inlined as a codegen'd literal-array lookup
     * (`buckets` longs — driver-sized by construction), misclassified docs'
@@ -58,11 +60,23 @@ object Classifier {
     require(epochs > 0 && epochs <= 16, "epochs must be in [1, 16]")
     val spark = labeled.sparkSession
     graft.plans.GraftFunctions.register(spark)
-    // One row per doc: integer sums are order-independent, so collect_list's
-    // nondeterministic ordering cannot leak into the weights.
-    val fd = features(labeled, buckets)
-      .groupBy("doc_id", "y")
-      .agg(collect_list(struct(col("b"), col("x"))).as("feats"))
+    // One row per doc as a PURE PROJECTION: the per-doc bucket histogram is
+    // per-row data (graft_bucket_counts — the graft_rep_stats precedent), so
+    // the doc-level feature cache costs zero shuffles. The pre-r15 build ran
+    // an explode → corpus-token hash aggregate → corpus-sized
+    // collect_list exchange for the same rows. Feature-less docs (empty
+    // text) update nothing in any epoch, so they are dropped here — same
+    // absence the aggregate formulation produced.
+    val fd0 = withFeats(labeled, buckets)
+      .select("doc_id", "y", "feats")
+      .filter(size(col("feats")) > 0)
+    // right-size the cache the epoch loop re-scans `epochs` times: a tiny
+    // corpus otherwise persists defaultParallelism sliver partitions and
+    // every epoch pays their task floor (Scale.rightSizeForChain's rationale;
+    // the repartition moves ≤ buckets-entry rows, and at real corpus sizes
+    // rightSizeWidth is None so nothing is shuffled at all)
+    val fd = graft.operators.Scale.rightSizeWidth(labeled)
+      .map(fd0.repartition(_)).getOrElse(fd0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val w = Array.fill(buckets)(0L)
     val history = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
@@ -91,26 +105,40 @@ object Classifier {
   }
 
   /** Score documents with a trained weight table (bucket, w): per-doc margin
-    * and keep/drop prediction — the serve side, one corpus scan + one
-    * broadcast join. Docs with no features score margin 0 (pred = false). */
+    * and keep/drop prediction — the serve side, ONE corpus projection scan,
+    * zero shuffles and zero joins: the weight table is `buckets` rows
+    * (driver-sized by the same construction the trainer relies on), so it
+    * folds into the plan as a codegen'd literal-array lookup exactly like
+    * the trainer's epoch margins; the per-doc feature histogram is the
+    * [[graft.plans.BucketCounts]] projection. Docs with no features score
+    * margin 0 (pred = false). */
   def scorePerceptron(docs: DataFrame, weights: DataFrame,
                       buckets: Int = 64): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     // a weight table trained in a different bucket space would silently
     // score against the wrong buckets — fail loudly instead (the table is
-    // weights-sized, so the count is a report-sized probe)
-    val nw = weights.count()
-    require(nw == buckets,
-      s"weight table has $nw rows but scorePerceptron was given buckets=$buckets " +
-        "— score with the bucket count the model was trained with")
-    val fx = features(docs.withColumn("y", lit(1L)), buckets)
-    val margins = fx
-      .join(broadcast(weights.select(col("bucket").as("b"), col("w"))), Seq("b"), "left")
-      .groupBy("doc_id")
-      .agg(sum(col("x") * coalesce(col("w"), lit(0L))).as("margin"))
-    docs.select("doc_id").join(margins, Seq("doc_id"), "left")
-      .withColumn("margin", coalesce(col("margin"), lit(0L)))
+    // weights-sized, so the collect is a report-sized probe)
+    val wrows = weights.select(col("bucket"), col("w")).collect()
+    require(wrows.length == buckets,
+      s"weight table has ${wrows.length} rows but scorePerceptron was given " +
+        s"buckets=$buckets — score with the bucket count the model was trained with")
+    val w = new Array[Long](buckets)
+    wrows.foreach { r =>
+      require(!r.isNullAt(0), "weight table has a null bucket id")
+      val b = r.getLong(0).toInt
+      require(b >= 0 && b < buckets,
+        s"weight table bucket $b outside [0, $buckets)")
+      w(b) = if (r.isNullAt(1)) 0L else r.getLong(1)
+    }
+    val wlit = typedlit(w.toSeq)
+    withFeats(docs, buckets)
+      .withColumn("margin", coalesce(
+        aggregate(col("feats"), lit(0L),
+          (acc, f) => acc + f.getField("x") *
+            element_at(wlit, f.getField("b").cast("int") + 1)),
+        lit(0L)))
       .withColumn("pred", col("margin") > 0)
+      .select("doc_id", "margin", "pred")
   }
 
   /** The quality-classifier wrapper ([[trainPerceptron]] with labels
@@ -126,28 +154,23 @@ object Classifier {
     // second scan, no doc_id join
     trainPerceptron(TextOps.qualityLabels(docs, thr), buckets, epochs)
 
-  /** Hashed bag-of-words: (doc_id, y, bucket, count). The hash is the NATIVE
-    * codegen'd `graft_phash` (bitwise-pinned to [[Portable.phashSpark]] by
-    * `PortableParitySpec`) — this projection runs once per corpus TOKEN, the
-    * hot path where the CLAUDE.md rule bans the interpreted HOF chain; same
-    * formulation as the DSIR bucket hash. Non-negative, so plain `%` agrees
-    * across engines. A `toks` column (the tokenizer's output, e.g. from
+  /** Appends the hashed bag-of-words histogram `feats`
+    * (array<struct<b, x>>, ≤ `buckets` entries) as a pure projection — the
+    * native [[graft.plans.BucketCounts]], whose bucket hash is pinned
+    * bitwise to the portable explode → pmod(graft_phash) → count chain the
+    * DuckDB oracle replays (`PortableParitySpec`); same formulation as the
+    * DSIR bucket hash. A `toks` column (the tokenizer's output, e.g. from
     * [[TextOps.qualityLabels]]'s label projection) passes through instead of
     * re-tokenizing `text` — same-scan projection sharing. */
-  private def features(labeled: DataFrame, buckets: Int): DataFrame = {
+  private def withFeats(src0: DataFrame, buckets: Int): DataFrame = {
     // a toks passthrough means the frame already went through the label
     // projection's fanOutScan — fanning out AGAIN would re-shuffle the
     // materialized token arrays corpus-wide for nothing (fanOutScan only
     // inspects the file-scan leaf width, so it cannot see the upstream
     // repartition)
-    val (src, toksCol) =
-      if (labeled.columns.contains("toks")) (labeled, col("toks"))
-      else (Scale.fanOutScan(labeled), expr("graft_tokens(text)"))
-    src
-      .select(col("doc_id"), col("y"), explode(toksCol).as("tok"))
-      .select(col("doc_id"), col("y"),
-        pmod(expr("graft_phash(tok)"), lit(buckets.toLong)).as("b"))
-      .groupBy("doc_id", "y", "b")
-      .agg(count(lit(1)).cast("bigint").as("x"))
+    val src =
+      if (src0.columns.contains("toks")) src0
+      else Scale.fanOutScan(src0).withColumn("toks", expr("graft_tokens(text)"))
+    src.withColumn("feats", expr(s"graft_bucket_counts(toks, $buckets)"))
   }
 }

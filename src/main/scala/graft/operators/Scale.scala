@@ -210,13 +210,22 @@ object Scale {
     * why the eager narrow checkpoint (one tiny job) is safe to pay. Footer
     * counts come from [[Similarity.parquetMetaCount]] (zero Spark jobs);
     * frames that are not bare parquet scans pass through untouched. */
-  def rightSizeForChain(df: DataFrame, minRowsPerTask: Long = 1024L): DataFrame = {
+  def rightSizeForChain(df: DataFrame, minRowsPerTask: Long = 1024L): DataFrame =
+    rightSizeWidth(df, minRowsPerTask)
+      .map(w => df.repartition(w).localCheckpoint(true)).getOrElse(df)
+
+  /** [[rightSizeForChain]]'s width decision alone — Some(width) when the
+    * parquet footers under `df`'s scan leaf say the corpus is small enough
+    * that task floor dominates, None (leave untouched) otherwise. For
+    * callers that re-materialize the narrow frame themselves (e.g. a
+    * persisted per-doc cache an iterative loop re-scans) and so don't want
+    * rightSizeForChain's eager checkpoint paid on top. */
+  def rightSizeWidth(df: DataFrame, minRowsPerTask: Long = 1024L): Option[Int] = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     Similarity.parquetMetaCount(df) match {
       case Some(rows) if rows < minRowsPerTask * target =>
-        val width = math.min(target.toLong, rows / minRowsPerTask + 1).toInt
-        df.repartition(width).localCheckpoint(true)
-      case _ => df
+        Some(math.min(target.toLong, rows / minRowsPerTask + 1).toInt)
+      case _ => None
     }
   }
 

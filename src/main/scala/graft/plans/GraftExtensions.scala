@@ -388,6 +388,103 @@ case class RepetitionStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Native expression: per-document hashed bag-of-words histogram in ONE pass
+  * over the token array — `array<struct<b: bigint, x: bigint>>` (bucket id,
+  * token count), ascending bucket order, zero-count buckets absent. Bucket id
+  * is `graft_phash(tok) % buckets` (phash is non-negative, so `%` ≡ pmod and
+  * agrees across engines) — value-identical AS A SET to the aggregate
+  * formulation the DuckDB oracle replays (explode toks → pmod(phash) bucket →
+  * per-(doc, bucket) count). The histogram is per-document by definition, so
+  * computing it as an explode + hash aggregate ships every corpus token
+  * through a shuffle (plus a second corpus-sized collect_list exchange to get
+  * back to doc-level rows) to produce ≤ `buckets` entries per doc; this is a
+  * projection — zero shuffles, the [[RepetitionStats]] precedent. Downstream
+  * consumers (perceptron margins, weight deltas) are order-independent
+  * integer sums, so the ascending order is a determinism convenience, not a
+  * contract. Null tokens are skipped (graft_tokens never emits them). */
+case class BucketCounts(child: Expression, buckets: Int)
+  extends UnaryExpression with codegen.CodegenFallback {
+  import graft.functions.Portable
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("b", LongType, nullable = false),
+    StructField("x", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_bucket_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) if buckets >= 1 && buckets <= 65536 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bucket_counts expects (array<string>, buckets in [1, 65536]), " +
+        s"got $other / buckets=$buckets")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    // a flat long array is the fast path at the practical bucket counts; a
+    // sorted map avoids a 512 KB per-row allocation at the 65536 upper bound
+    if (buckets <= 8192) {
+      val counts = new Array[Long](buckets)
+      var nz = 0
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val b = (phash(arr.getUTF8String(i).toString) % buckets).toInt
+          if (counts(b) == 0L) nz += 1
+          counts(b) += 1L
+        }
+        i += 1
+      }
+      val out = new Array[AnyRef](nz)
+      var b = 0
+      var k = 0
+      while (b < buckets) {
+        if (counts(b) > 0L) {
+          out(k) = org.apache.spark.sql.catalyst.InternalRow(b.toLong, counts(b))
+          k += 1
+        }
+        b += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      val m = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val b = phash(arr.getUTF8String(i).toString) % buckets
+          m.merge(b, 1L, (a, c) => a + c)
+        }
+        i += 1
+      }
+      val out = new Array[AnyRef](m.size)
+      val it = m.entrySet().iterator()
+      var k = 0
+      while (it.hasNext) {
+        val e = it.next()
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(
+          e.getKey.longValue(), e.getValue.longValue())
+        k += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  private def phash(s: String): Long = {
+    var acc = Portable.Seed
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * Portable.Mult + cp) % Portable.P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native expression: `graft_span_filter(toks, spans)` keeps the tokens whose
   * 0-based index is NOT covered by any `[s, e)` span — the excision step of
   * exact-substring dedup ([[graft.operators.Dedup.exactSubstrExcise]]).
@@ -1209,6 +1306,13 @@ object GraftFunctions {
       s"graft_rep_stats takes exactly 1 argument, got ${other.size}")
   }
 
+  val bucketCountsInfo = new ExpressionInfo(classOf[BucketCounts].getName, "graft_bucket_counts")
+  val bucketCountsBuilder: Seq[Expression] => Expression = {
+    case Seq(a, Literal(b: Int, IntegerType)) => BucketCounts(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_bucket_counts takes (col, int literal), got $other")
+  }
+
   val spanFilterInfo = new ExpressionInfo(classOf[SpanFilterTokens].getName, "graft_span_filter")
   val spanFilterBuilder: Seq[Expression] => Expression = {
     case Seq(a, b) => SpanFilterTokens(a, b)
@@ -1309,6 +1413,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_top_k", topKBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_rep_stats", repStatsBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_span_filter", spanFilterBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_bucket_counts", bucketCountsBuilder, "built-in")
   }
 }
 
@@ -1333,5 +1438,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_top_k"), GraftFunctions.topKInfo, GraftFunctions.topKBuilder))
     ext.injectFunction((FunctionIdentifier("graft_rep_stats"), GraftFunctions.repStatsInfo, GraftFunctions.repStatsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_span_filter"), GraftFunctions.spanFilterInfo, GraftFunctions.spanFilterBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_bucket_counts"), GraftFunctions.bucketCountsInfo, GraftFunctions.bucketCountsBuilder))
   }
 }

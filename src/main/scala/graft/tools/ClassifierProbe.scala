@@ -87,8 +87,37 @@ object ClassifierProbe {
             .collect().foreach(r => wC(r.getLong(0).toInt) += r.getLong(1))
         }
       }
-      println("CPROBE parity A==B " + wA.sameElements(wB) + " A==C " + wA.sameElements(wC))
-      fx.unpersist(); fd.unpersist()
+      // D: r15 shape — zero-shuffle feature build (native graft_bucket_counts
+      // projection, no explode aggregate, no collect_list exchange), same
+      // one-scan epochs as C
+      val fdD = t("D-featproj") {
+        val d = graft.operators.Scale.fanOutScan(labeled)
+          .withColumn("toks", expr("graft_tokens(text)"))
+          .withColumn("feats", expr("graft_bucket_counts(toks, 64)"))
+          .select("doc_id", "y", "feats")
+          .filter(size(col("feats")) > 0)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        d.count(); d
+      }
+      val wD = Array.fill(64)(0L)
+      (1 to 3).foreach { e =>
+        t(s"D-epoch$e") {
+          val wlit = array(wD.map(lit(_)): _*)
+          fdD.withColumn("m", aggregate(col("feats"), lit(0L),
+              (acc, f) => acc + f.getField("x") * element_at(wlit, f.getField("b").cast("int") + 1)))
+            .filter(col("y") * col("m") <= 0)
+            .select(col("y"), explode(col("feats")).as("f"))
+            .groupBy(col("f.b").as("b")).agg(sum(col("y") * col("f.x")).as("dw"))
+            .collect().foreach(r => wD(r.getLong(0).toInt) += r.getLong(1))
+        }
+      }
+      // the shipped operator end to end (labels distilled inline)
+      t("full-gate") {
+        graft.operators.Classifier.qualityPerceptron(docs).collect()
+      }
+      println("CPROBE parity A==B " + wA.sameElements(wB) + " A==C " + wA.sameElements(wC)
+        + " A==D " + wA.sameElements(wD))
+      fx.unpersist(); fd.unpersist(); fdD.unpersist()
     }
     spark.stop()
   }

@@ -80,12 +80,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("perceptron: features are ONE map-side-combined aggregate; weights broadcast to margins") {
-    // r14: training epochs no longer JOIN at all — each epoch is one scan
-    // of the persisted doc-level feature cache with the weight vector
-    // inlined as a literal array (see Classifier.trainPerceptron scaladoc);
-    // the broadcast requirement below pins the SERVE path, where the
-    // 64-row weight table is a real relation
+  test("perceptron: feature build is a pure projection; serve plans ZERO exchanges") {
+    // r15: the doc-level feature histogram is the native graft_bucket_counts
+    // projection (no explode aggregate, no collect_list exchange), and the
+    // serve path folds the 64-row weight table in as a codegen'd literal
+    // array — so scoring the whole corpus is ONE projection scan: no
+    // shuffle, no join of any kind (see Classifier.scorePerceptron scaladoc)
     val p = plan("text_quality_classifier")
     assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
       "gate output is the driver-built trajectory table")
@@ -94,10 +94,15 @@ class PlanSpec extends AnyFunSuite {
       SparkEntry.queries("text_quality_classifier")(spark, TestSpark.sfDir)
         .selectExpr("bucket", "w3 AS w"))
       .queryExecution.executedPlan.toString
-    // the doc-keyed outer join (docs x margins) may legitimately sort-merge
-    // at scale — only the 64-row WEIGHT join must broadcast
-    assert(scored.contains("BroadcastHashJoin"),
-      s"weight table must broadcast into the serve scan:\n${scored.take(600)}")
+    // fanOutScan's RoundRobin repartition (tiny-scan widening, no-op at real
+    // scale) is the ONLY exchange allowed — no key-based shuffle anywhere
+    assert(!scored.contains("hashpartitioning") &&
+        !scored.contains("rangepartitioning"),
+      s"serve must be one projection scan, zero key shuffles:\n${scored.take(600)}")
+    assert(!scored.contains("Join"),
+      s"weights fold in as a literal array, not a join:\n${scored.take(600)}")
+    assert(scored.contains("graft_bucket_counts"),
+      s"features must ride the native projection:\n${scored.take(600)}")
   }
 
   test("ANN ranking stages fold top-k through the bounded aggregate, not a window") {

@@ -280,5 +280,39 @@ class PortableParitySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_bucket_counts == explode + pmod(graft_phash) + count formulation, exactly") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // edge shapes: empty text (empty histogram), single token, colliding
+    // buckets at a tiny bucket count, unicode, repeats
+    val docs = Seq(
+      (1L, ""),
+      (2L, "solo"),
+      (3L, "a b c d e f g h i j k l m n o p"),
+      (4L, "to be or not to be to be"),
+      (5L, "héllo wörld héllo wörld 部分")
+    ).toDF("doc_id", "text")
+    for (buckets <- Seq(2, 64)) {
+      val toks = docs.select(col("doc_id"), expr("graft_tokens(text)").as("toks"))
+      val native = toks
+        .select(col("doc_id"), explode(expr(s"graft_bucket_counts(toks, $buckets)")).as("f"))
+        .select(col("doc_id"), col("f.b"), col("f.x"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val portable = toks
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .select(col("doc_id"),
+          pmod(expr("graft_phash(tok)"), lit(buckets.toLong)).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).cast("bigint").as("x"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(native == portable, s"bucket histogram mismatch at buckets=$buckets")
+      // ascending-b order within each doc (the determinism convenience)
+      val perDoc = toks.select(col("doc_id"),
+          expr(s"graft_bucket_counts(toks, $buckets)").as("fs")).collect()
+      perDoc.foreach { r =>
+        val bs = r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))
+        assert(bs == bs.sorted, s"buckets not ascending for doc ${r.getLong(0)}")
+      }
+    }
+  }
 
 }
