@@ -837,7 +837,18 @@ object Dedup {
     * shorter-band scheme like 63x2 (miss at J = 0.45: ~7e-7, vs ~2e-2 under
     * 42x3 — a per-pair coin flip no bitwise gate can ride on). */
   def dedupFamilies(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
-                    bands: Int = 42, rowsPerBand: Int = 3): DataFrame = {
+                    bands: Int = 42, rowsPerBand: Int = 3): DataFrame =
+    dedupFamiliesFromPairs(docs, minhashLshPairs(docs, n, bands, rowsPerBand, tau))
+
+  /** [[dedupFamilies]] with the verified near-dup pair table supplied by the
+    * CALLER — for pipelines whose decision stage consumes the same pairs a
+    * second way (e.g. [[graft.operators.TextOps.curationDecisionsFamilies]]'s
+    * cross-split decontamination) and should pay the banded candidate
+    * generation + exact verification once, persisting the pair table between
+    * the two reads. `nearPairs` must be a verified (doc_a, doc_b, ...) pair
+    * table over these docs (a [[minhashLshPairs]] output); family semantics
+    * are byte-identical to [[dedupFamilies]] by construction. */
+  def dedupFamiliesFromPairs(docs: DataFrame, nearPairs: DataFrame): DataFrame = {
     val keyed = docs.select(md5(col("text")).as("k"), col("doc_id"))
     // a NULL text yields a NULL key, which an inner equi-join would DROP —
     // and with it the doc's row in every consumer (survivors, curation
@@ -852,8 +863,7 @@ object Dedup {
         coalesce(col("kc"), lit(1L)).as("kc"))
     val exactEdges = ek.filter(col("doc_id") =!= col("g"))
       .select(col("doc_id").as("doc_a"), col("g").as("doc_b"))
-    val nearEdges = minhashLshPairs(docs, n, bands, rowsPerBand, tau)
-      .select("doc_a", "doc_b")
+    val nearEdges = nearPairs.select("doc_a", "doc_b")
     val comp = connectedComponents(exactEdges.union(nearEdges))
     ek.select("doc_id", "kc")
       .join(comp, Seq("doc_id"), "left")

@@ -568,9 +568,15 @@ object TextOps {
     * connected components; keeper = highest quality_score, tie lowest
     * doc_id) decide who survives deduplication, and every non-keeper family
     * member gets a first-failing-filter reason: 'exact_dup' when it has a
-    * byte-identical twin, 'near_dup' otherwise. Keepers then run the
-    * lang > quality > repetition chain exactly as before — a family keeper
-    * is the kept COPY, not a kept document.
+    * byte-identical twin, 'near_dup' otherwise. With `decontamPctTrain` <
+    * 100, eval-set decontamination joins the chain at priority
+    * exact_dup > contaminated > near_dup > lang > quality > repetition:
+    * any TRAIN-split doc (deterministic split-bucket holdout) with a
+    * verified cross-split near-dup drops as 'contaminated' — keeper or not
+    * (its whole family is leaked, so surviving copies must not reach the
+    * budget stage). Keepers then run the lang > quality > repetition chain
+    * exactly as before — a family keeper is the kept COPY, not a kept
+    * document.
     *
     * Scale shape: everything rides proven paths — the decision frame is one
     * corpus projection scan (lang + quality fused), families come from the
@@ -580,29 +586,66 @@ object TextOps {
                                 targetLangs: Seq[String] = Seq("en"),
                                 minQuality: Double = 2.0,
                                 n: Int = 3, tau: Double = 0.5,
-                                bands: Int = 42, rowsPerBand: Int = 3): DataFrame = {
+                                bands: Int = 42, rowsPerBand: Int = 3,
+                                decontamPctTrain: Int = 100): DataFrame = {
+    require(decontamPctTrain >= 1 && decontamPctTrain <= 100,
+      "decontamPctTrain must be in [1, 100] (100 = decontamination off)")
     val perDoc = withRepetitive(withQualityCols(withLangScores(withToks(docs))))
       .select("doc_id", "lang_pred", "quality_score", "is_repetitive")
+    // the verified near-dup pair table is computed ONCE; with decontamination
+    // on it has TWO consumers (the family closure's edges and the cross-split
+    // contamination scan), so it is persisted — candidate generation + exact
+    // Jaccard verification never run twice
+    val nearPairs0 = Dedup.minhashLshPairs(docs, n, bands, rowsPerBand, tau)
+    val decontam = decontamPctTrain < 100
+    val nearPairs =
+      if (decontam)
+        nearPairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else nearPairs0
     // referenced by the keeper fold AND the decision join: materialize once.
-    // The family graph itself is the SHARED Dedup.dedupFamilies — this
-    // operator and dedupSurvivorsBy are both oracle-gated on byte-equivalent
-    // family semantics, so the graph is defined exactly once. is_repetitive
-    // rides the same projection scan (one boolean per row in the
-    // checkpoint), replacing the pre-r13 separate repetition scan +
-    // corpus-keyed left join downstream of it.
+    // The family graph itself is the SHARED Dedup.dedupFamiliesFromPairs —
+    // this operator and dedupSurvivorsBy are both oracle-gated on
+    // byte-equivalent family semantics, so the graph is defined exactly
+    // once. is_repetitive rides the same projection scan (one boolean per
+    // row in the checkpoint), replacing the pre-r13 separate repetition scan
+    // + corpus-keyed left join downstream of it.
     // A/B'd r13: dropping this checkpoint (letting both consumers recompute
     // the post-CC remainder) was a wash at gate scale (7.1 vs 7.4 s probe,
     // +3 AQE stages) and pays a SECOND full corpus projection + md5-agg at
     // 100 TB — the checkpoint stays.
     val fam = perDoc
-      .join(Dedup.dedupFamilies(docs, n, tau, bands, rowsPerBand), "doc_id")
+      .join(Dedup.dedupFamiliesFromPairs(docs, nearPairs), "doc_id")
       .localCheckpoint(false)
     val keepers = fam.groupBy("family")
       .agg(max_by(col("doc_id"),
         struct(col("quality_score"), (-col("doc_id")))).as("keep_doc_id"))
-    fam.join(keepers, "family")
+    // Decontamination (the GPT-3 appendix-C step, run IN-chain): with a
+    // deterministic holdout at `decontamPctTrain` (the split-bucket hash —
+    // the repo's eval-set stand-in, [[trainTestSplit]]'s convention), every
+    // TRAIN doc with a verified cross-split near-dup pair is dropped as
+    // 'contaminated'. The pair population is exactly the family edges' —
+    // same tau, same banding — so the stage re-reads the persisted pair
+    // table and adds zero corpus work: one pair-table projection + a
+    // candidate-bounded semi-join into the decision.
+    val base = fam.join(keepers, "family")
+    val withContam =
+      if (!decontam) base.withColumn("is_contam", lit(false))
+      else {
+        val contamIds = nearPairs
+          .select(col("doc_a"), col("doc_b"),
+            (expr(Portable.splitBucketSpark("doc_a")) < decontamPctTrain).as("at"),
+            (expr(Portable.splitBucketSpark("doc_b")) < decontamPctTrain).as("bt"))
+          .filter(col("at") =!= col("bt"))
+          .select(when(col("at"), col("doc_a")).otherwise(col("doc_b")).as("doc_id"))
+          .distinct()
+          .withColumn("is_contam", lit(true))
+        base.join(contamIds, Seq("doc_id"), "left")
+          .withColumn("is_contam", coalesce(col("is_contam"), lit(false)))
+      }
+    withContam
       .withColumn("reason",
         when(col("doc_id") =!= col("keep_doc_id") && col("kc") > 1, lit("exact_dup"))
+          .when(col("is_contam"), lit("contaminated"))
           .when(col("doc_id") =!= col("keep_doc_id"), lit("near_dup"))
           .when(!col("lang_pred").isin(targetLangs: _*), lit("lang"))
           .when(col("quality_score") < minQuality, lit("quality"))
@@ -846,8 +889,12 @@ object TextOps {
     * build actually runs (the reference's own lifecycle is a strict ordered
     * chain, tools/cleaning.py:3-14): line-level boilerplate dedup, then exact
     * substring excision, then DSIR importance selection, then the
-    * first-failing-filter curation decision, then per-source token-budget
-    * sampling, then sequence packing, then deterministic shuffle sharding.
+    * first-failing-filter curation decision (family dedup + in-chain
+    * eval-set decontamination — `decontamPctTrain` holds out a deterministic
+    * split-bucket slice and drops train docs with verified cross-split
+    * near-dups as 'contaminated'; 100 disables), then per-source
+    * token-budget sampling, then sequence packing, then deterministic
+    * shuffle sharding.
     * Each stage re-reads the PREVIOUS stage's cleaned text, so column-contract
     * drift between stages (the classic composition bug the standalone gates
     * cannot see) breaks this gate immediately.
@@ -872,7 +919,8 @@ object TextOps {
                        packBudget: Int = 2048, packShards: Int = 16,
                        nShards: Int = 16,
                        nearN: Int = 3, nearTau: Double = 0.5,
-                       nearBands: Int = 42, nearRowsPerBand: Int = 3): DataFrame = {
+                       nearBands: Int = 42, nearRowsPerBand: Int = 3,
+                       decontamPctTrain: Int = 90): DataFrame = {
     // 0. right-size a tiny corpus so the chain's ~70 stages schedule a few
     //    full tasks instead of defaultParallelism slivers each; at real
     //    corpus sizes this is a no-op (see Scale.rightSizeForChain)
@@ -910,9 +958,14 @@ object TextOps {
     // 4. first-failing-filter curation decision, at the FAMILY level: the
     //    dedupSurvivorsBy quality-keeper families fold near-duplicates into
     //    the attribution, so a near-copy that slipped past exact dedup drops
-    //    here as 'near_dup' instead of surviving to the budget stage
+    //    here as 'near_dup' instead of surviving to the budget stage — and
+    //    (r15) eval-set DECONTAMINATION runs inside the same stage: train
+    //    docs with a verified near-dup across the deterministic holdout
+    //    boundary drop as 'contaminated' (the GPT-3 appendix-C step every
+    //    public pipeline runs in-chain), re-reading the family stage's own
+    //    persisted pair table so the chain pays no second band/verify pass
     val keep = curationDecisionsFamilies(d3, targetLangs, minQuality, nearN, nearTau,
-        nearBands, nearRowsPerBand)
+        nearBands, nearRowsPerBand, decontamPctTrain)
       .filter(col("keep")).select("doc_id")
     // n_tokens rides the checkpoint as ONE long per row (NOT the token
     // arrays — the measured CLAUDE.md negative), so the budget and packing

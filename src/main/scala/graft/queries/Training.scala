@@ -61,6 +61,12 @@ object Training {
     * companion pairs land at J ≈ 0.45-0.51 — so the chain runs the
     * aggressive-dedup setting instead of the standalone gates' 0.5. */
   val E2eNearTau = 0.4
+  /** In-chain decontamination holdout for the e2e chain: the deterministic
+    * split-bucket slice at 90/10 (the contamination gates' convention) —
+    * train docs with a verified cross-split near-dup drop as
+    * 'contaminated'. The constructed companion pairs' buckets straddle the
+    * boundary for ~1 in 5 pairs, so the arm fires at every sf. */
+  val E2eDecontamPct = 90
   /** Integer-grid k-means gate: 8 cells, 2 Lloyd iterations (the oracle
     * unrolls the identical iterations as CTEs). */
   val KmeansK = 8
@@ -175,8 +181,9 @@ object Training {
     // (every 8th token -> a doc-unique marker, so no 8-token window is
     // shared — the only similarity shape that can SURVIVE the excision
     // stage — while trigram overlap stays at J ~ 0.45-0.51): line dedup ->
-    // substring excision -> DSIR -> family-level curation decisions ->
-    // token budget -> pack -> shuffle shards, one gate
+    // substring excision -> DSIR -> family-level curation decisions WITH
+    // in-chain eval-set decontamination (cross-split near-dups drop as
+    // 'contaminated') -> token budget -> pack -> shuffle shards, one gate
     // 63x2 banding (not the default 42x3): the chain's tau is 0.4 and the
     // companion pairs sit at J ~ 0.45-0.51, where the 42x3 scheme misses a
     // true pair with p ~ 2e-2 per pair — a coin flip no bitwise gate can
@@ -187,7 +194,8 @@ object Training {
                                    DsirBuckets, DsirKeepPct,
                                    budgetPerSource = E2eBudget,
                                    nearTau = E2eNearTau,
-                                   nearBands = 63, nearRowsPerBand = 2)),
+                                   nearBands = 63, nearRowsPerBand = 2,
+                                   decontamPctTrain = E2eDecontamPct)),
     "text_shuffle_shards"    -> ((s, d) => TextOps.shuffleShards(Tables.documents(s, d))),
     // the corpus has no newlines, so the gate CONSTRUCTS a 4-line document:
     // two content lines (split of the original text), one per-source
@@ -749,7 +757,10 @@ object Training {
     * hash even when every standalone gate stays green. Stage 4 is the
     * FAMILY-level decision ([[curationFamiliesSql]]'s machinery re-rooted on
     * d3: recursive-CTE closure of exact stars + all-pairs near-dup edges,
-    * quality keepers, exact_dup/near_dup attribution). Every output column is
+    * quality keepers, exact_dup/near_dup attribution) plus the in-chain
+    * DECONTAMINATION leg (njac cross-split pairs at the same tau → the
+    * train side drops as 'contaminated', priority right after exact_dup).
+    * Every output column is
     * BIGINT/INT/VARCHAR (no floats cross the comparator). lazy: composes
     * [[langCase]], declared further down.
     *
@@ -836,10 +847,17 @@ object Training {
        |nshr AS (SELECT doc_id, unnest(sh) AS s FROM nsets2),
        |npr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
        |  FROM nshr a JOIN nshr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-       |npairs AS (SELECT doc_a, doc_b FROM (
-       |    SELECT doc_a, doc_b, inter::DOUBLE / (x.n + y.n - inter) AS jaccard
-       |    FROM npr JOIN nsets2 x ON doc_a = x.doc_id JOIN nsets2 y ON doc_b = y.doc_id)
-       |  WHERE jaccard >= $E2eNearTau),
+       |njac AS MATERIALIZED (SELECT doc_a, doc_b,
+       |    inter::DOUBLE / (x.n + y.n - inter) AS jaccard
+       |  FROM npr JOIN nsets2 x ON doc_a = x.doc_id JOIN nsets2 y ON doc_b = y.doc_id),
+       |npairs AS (SELECT doc_a, doc_b FROM njac WHERE jaccard >= $E2eNearTau),
+       |nspl AS (SELECT doc_id,
+       |  ${Portable.splitBucketDuck("doc_id")} < $E2eDecontamPct AS is_train FROM d3),
+       |ncont AS MATERIALIZED (SELECT DISTINCT
+       |    CASE WHEN sa.is_train THEN j.doc_a ELSE j.doc_b END AS doc_id
+       |  FROM njac j JOIN nspl sa ON j.doc_a = sa.doc_id
+       |  JOIN nspl sb ON j.doc_b = sb.doc_id
+       |  WHERE j.jaccard >= $E2eNearTau AND sa.is_train <> sb.is_train),
        |nall AS (SELECT doc_a, doc_b FROM npairs UNION SELECT doc_a, doc_b FROM nxe),
        |nedges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM nall
        |  UNION SELECT doc_b, doc_a FROM nall),
@@ -887,6 +905,7 @@ object Training {
        |  FROM cua LEFT JOIN cba ON cua.doc_id = cba.doc_id),
        |cr AS (SELECT nfam.doc_id,
        |  CASE WHEN nfam.doc_id <> nkp.keep_doc_id AND nfam.kc > 1 THEN 'exact_dup'
+       |       WHEN nct.doc_id IS NOT NULL THEN 'contaminated'
        |       WHEN nfam.doc_id <> nkp.keep_doc_id THEN 'near_dup'
        |       WHEN clp.lang_pred NOT IN ('en') THEN 'lang'
        |       WHEN cq.quality_score < 2.0 THEN 'quality'
@@ -894,7 +913,8 @@ object Training {
        |       ELSE 'keep' END AS reason
        |FROM nfam JOIN nkp USING (family)
        |JOIN clp ON nfam.doc_id = clp.doc_id JOIN cq ON nfam.doc_id = cq.doc_id
-       |LEFT JOIN crep ON nfam.doc_id = crep.doc_id),
+       |LEFT JOIN crep ON nfam.doc_id = crep.doc_id
+       |LEFT JOIN ncont nct ON nfam.doc_id = nct.doc_id),
        |d4 AS MATERIALIZED (SELECT d3.* FROM d3 JOIN cr USING (doc_id) WHERE cr.reason = 'keep'),
        |bt AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens,
        |  ${Portable.sampleBucketDuck("doc_id")} AS bkt FROM d4),

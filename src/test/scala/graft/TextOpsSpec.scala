@@ -262,6 +262,51 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r(5L) == (false, "repetition"))
   }
 
+  test("family curation: in-chain decontamination fires, priority exact_dup > contaminated > near_dup") {
+    import spark.implicits._
+    // ids picked by the INDEPENDENT split arithmetic: trains land under
+    // bucket 90, tests at or above — so the expectations below do not reuse
+    // the Spark expression under test
+    val ids = (1L to 400L)
+    val trains = ids.filter(split(_, 90) == "train")
+    val tests = ids.filter(split(_, 90) == "test")
+    val (tr1, tr4) = (trains(0), trains(1))
+    val (te1, te2) = (tests(0), tests(1))
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val trio = "one two three four five six seven eight nine ten"
+    // byte-identical trio straddling the split (kc = 3): the keeper is the
+    // MIN id, so pick both train copies ABOVE te2 — the keeper is then a
+    // TEST doc and both train copies are exact_dup non-keepers AND
+    // contaminated -> exact_dup must win the attribution
+    val trioTrainA = trains.find(_ > te2).get
+    val trioTrainB = trains.find(_ > trioTrainA).get
+    val docs2 = Seq(
+      // near-dup pair ACROSS the split (J = 8/9 over trigrams, not
+      // identical): the train side is eval-leaked -> 'contaminated'
+      // (outranks near_dup)
+      (tr1, base), (te1, base + " lambda"),
+      (te2, trio), (trioTrainA, trio), (trioTrainB, trio),
+      // isolated train doc: no cross-split pair -> never contaminated
+      (tr4, "solo isolated document with some plain words inside it")
+    ).toDF("doc_id", "text")
+    val r = TextOps.curationDecisionsFamilies(docs2, decontamPctTrain = 90)
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r(tr1) == "contaminated", s"train near-dup must drop contaminated: $r")
+    assert(r(te1) != "contaminated", s"test-side docs are never contaminated: $r")
+    // priority pin: exact-dup NON-keepers stay 'exact_dup' even though both
+    // are contaminated train copies of a test doc
+    assert(r(trioTrainA) == "exact_dup" && r(trioTrainB) == "exact_dup",
+      s"exact_dup outranks contaminated: $r")
+    assert(r(te2) != "contaminated" && r(te2) != "exact_dup",
+      s"the test-side keeper runs the normal chain: $r")
+    assert(r(tr4) != "contaminated", s"isolated train doc untouched: $r")
+    // decontamination off (the default): same corpus, no 'contaminated' at all
+    val off = TextOps.curationDecisionsFamilies(docs2)
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(!off.values.exists(_ == "contaminated"), s"default must be off: $off")
+    assert(off(trioTrainA) == "exact_dup" && off(tr1) != "contaminated")
+  }
+
   test("dsirScores: target-like docs outscore off-distribution docs, selection deterministic") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
