@@ -296,6 +296,114 @@ object TextOps {
         "first_pack", "last_pack")
   }
 
+  /** Best-fit-decreasing sequence packing — the padding-minimizing layout
+    * production loaders use when documents must NOT be split across
+    * sequences (contrast [[packSequences]]' concat-and-chunk, which splits):
+    * within each (lang, doc_id % `shards`) stream, documents are taken in
+    * (n_tokens DESC, doc_id) order and each is placed into the open bin with
+    * the SMALLEST remaining capacity that still fits (tie: lowest bin id);
+    * no fit opens a new bin. The open-bin pool is BOUNDED at `maxOpen`:
+    * opening a bin beyond that closes the pool's smallest-remainder bin (the
+    * least useful one — classic bounded-space best-fit), so per-stream state
+    * is O(maxOpen) regardless of corpus size. Documents longer than `budget`
+    * get a dedicated bin each (`oversize` = true) and never enter the pool —
+    * the loader chunks those separately.
+    *
+    * Fully deterministic (total order per stream, unique tie-breaks), so the
+    * DuckDB oracle replays the identical fit per shard as a recursive CTE
+    * and the gate is bitwise.
+    *
+    * Scale shape: one corpus projection for token counts, one exchange to
+    * co-locate each stream, Spark's spillable sort within partitions, then a
+    * streaming single pass with O(maxOpen) state per stream — the same
+    * bounded-sequential-unit shape as [[packSequences]]' windows, with
+    * `shards` scaling to the cluster. */
+  def bestFitPack(docs: DataFrame, budget: Int = 2048, shards: Int = 16,
+                  maxOpen: Int = 8): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(shards > 0, "shards must be positive")
+    require(maxOpen > 0, "maxOpen must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = withNTokens(docs)
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % shards).as("shard"), col("n_tokens"))
+    // co-locate each (lang, shard) stream, then sort so groups are
+    // contiguous and each group arrives in best-fit-DECREASING order
+    val parted = base
+      .repartition(col("lang"), col("shard"))
+      .sortWithinPartitions(col("lang"), col("shard"),
+        col("n_tokens").desc, col("doc_id"))
+      .as[(Long, String, Long, Long)]
+    parted.mapPartitions { it =>
+      var curLang: String = null
+      var curShard = Long.MinValue
+      var nextId = 0L
+      val pool = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (rem, id)
+      def minIdx(p: scala.collection.mutable.ArrayBuffer[(Long, Long)],
+                 fitAtLeast: Long): Int = {
+        var best = -1
+        var i = 0
+        while (i < p.length) {
+          if (p(i)._1 >= fitAtLeast &&
+              (best < 0 || p(i)._1 < p(best)._1 ||
+                (p(i)._1 == p(best)._1 && p(i)._2 < p(best)._2))) best = i
+          i += 1
+        }
+        best
+      }
+      it.map { case (docId, lang, shard, n) =>
+        if (lang != curLang || shard != curShard) {
+          curLang = lang; curShard = shard; nextId = 0L; pool.clear()
+        }
+        val oversize = n > budget
+        val bin: Long =
+          if (oversize) { val b = nextId; nextId += 1L; b }
+          else {
+            val bi = minIdx(pool, n)
+            if (bi >= 0) {
+              val (rem, id) = pool(bi)
+              if (rem == n) pool.remove(bi) else pool(bi) = (rem - n, id)
+              id
+            } else {
+              val id = nextId; nextId += 1L
+              val rem = budget.toLong - n
+              if (rem > 0L) {
+                pool += ((rem, id))
+                // bounded pool: past maxOpen, close the least-useful bin
+                // (smallest remainder, tie lowest id — possibly this one)
+                if (pool.length > maxOpen) pool.remove(minIdx(pool, 0L))
+              }
+              id
+            }
+          }
+        (docId, lang, shard, n, bin, oversize)
+      }
+    }.toDF("doc_id", "lang", "shard", "n_tokens", "bin", "oversize")
+  }
+
+  /** Per-stream padding-waste report over a [[bestFitPack]] output — the
+    * padding-efficiency metric training teams track: docs, bins, token
+    * totals, oversize count, and `padded_tokens` (capacity minus fill over
+    * the regular bins; oversize bins carry their doc verbatim and pad
+    * nothing). All-BIGINT so the gate hash-compares. Two chained hash
+    * aggregates (per-bin, then per-stream) — no multi-COUNT(DISTINCT)
+    * Expand, report-sized output. */
+  def packingWasteReport(packed: DataFrame, budget: Int = 2048): DataFrame = {
+    val perBin = packed.groupBy("lang", "shard", "bin", "oversize")
+      .agg(count(lit(1)).cast("bigint").as("docs"),
+        sum(col("n_tokens")).cast("bigint").as("toks"))
+    perBin.groupBy("lang", "shard")
+      .agg(
+        sum(col("docs")).cast("bigint").as("n_docs"),
+        count(lit(1)).cast("bigint").as("n_bins"),
+        sum(col("toks")).cast("bigint").as("total_tokens"),
+        sum(when(col("oversize"), 1L).otherwise(0L)).cast("bigint").as("n_oversize"),
+        sum(when(col("oversize"), 0L).otherwise(lit(budget.toLong) - col("toks")))
+          .cast("bigint").as("padded_tokens"))
+  }
+
   /** BM25 keyword scoring over the corpus — the retrieval primitive data
     * curation uses to find topical documents at scale. One explode + one
     * per-doc hash aggregate (term frequencies and doc length in a single

@@ -67,6 +67,15 @@ object Training {
     * 'contaminated'. The constructed companion pairs' buckets straddle the
     * boundary for ~1 in 5 pairs, so the arm fires at every sf. */
   val E2eDecontamPct = 90
+  /** Best-fit packing gate: a 128-token budget over ~54-token docs makes
+    * every bin hold 1-3 docs (fit decisions at every step), maxOpen 4 keeps
+    * the eviction arm firing, and every 13th doc gets 100 pad tokens
+    * appended so the oversize arm fires too. 8 shards → long enough
+    * per-stream sequences that the recursive-CTE oracle replays a
+    * non-trivial fit. */
+  val BfBudget = 128
+  val BfShards = 8
+  val BfMaxOpen = 4
   /** Integer-grid k-means gate: 8 cells, 2 Lloyd iterations (the oracle
     * unrolls the identical iterations as CTEs). */
   val KmeansK = 8
@@ -113,6 +122,14 @@ object Training {
     "text_bm25_search"       -> ((s, d) => TextOps.bm25Search(Tables.documents(s, d), Bm25Terms)),
     "text_tfidf_search"      -> ((s, d) => TextOps.tfidfSearch(Tables.documents(s, d), Bm25Terms)),
     "text_pack_sequences"    -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
+    // best-fit-decreasing packing over a corpus with constructed oversize
+    // docs (every 13th doc padded past the budget) — the fit itself is
+    // deterministic per shard, so the oracle replays it as a recursive CTE
+    "text_bestfit_pack"      -> ((s, d) => TextOps.bestFitPack(
+                                   bfInput(s, d), BfBudget, BfShards, BfMaxOpen)),
+    "text_bestfit_waste"     -> ((s, d) => TextOps.packingWasteReport(
+                                   TextOps.bestFitPack(bfInput(s, d), BfBudget,
+                                     BfShards, BfMaxOpen), BfBudget)),
     "text_heavy_hitters"     -> ((s, d) => TextOps.heavyHitterTerms(Tables.documents(s, d))),
     "text_mixture_sample"    -> ((s, d) => TextOps.mixtureSample(Tables.documents(s, d), MixRates, MixDefault)),
     "text_token_budget"      -> ((s, d) => TextOps.tokenBudgetSample(Tables.documents(s, d), 200L)),
@@ -420,6 +437,14 @@ object Training {
       .withColumn("doc_id", col("doc_id") + lit(c * 10000000L))
     base.unionByName(companion(1)).unionByName(companion(2))
   }
+
+  /** Best-fit packing gates' input: every 13th doc padded 100 tokens past
+    * the budget so the oversize arm fires at every sf. */
+  private def bfInput(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("text",
+      org.apache.spark.sql.functions.expr(
+        "CASE WHEN doc_id % 13 = 0 THEN concat(text, repeat(' padtok', 100)) " +
+          "ELSE text END"))
 
   private val toks = Portable.tokensDuck("text")
 
@@ -1154,6 +1179,75 @@ object Training {
        |  tok_offset // 2048 AS first_pack,
        |  (tok_offset + n_tokens - 1) // 2048 AS last_pack
        |FROM o""".stripMargin
+
+  /** Shared CTE body of the best-fit packing oracles: EXACT replay of
+    * [[graft.operators.TextOps.bestFitPack]]'s bounded-space
+    * best-fit-decreasing loop as a recursive CTE — every stream advances one
+    * ranked doc per iteration carrying its open-bin pool (a
+    * list<struct(rem, id)>, ≤ maxOpen entries) and bin counter as recursive
+    * state. `list_sort` over struct(rem, id) is DuckDB's lexicographic
+    * struct order = the operator's (smallest remainder, tie lowest id) rule
+    * for BOTH the fit choice and the bounded-pool eviction, so the replayed
+    * fit is bit-identical. The fit is deterministic per (lang, shard)
+    * stream, which is what makes a full-replica oracle possible at all. */
+  private lazy val bestFitCtes = {
+    val B = BfBudget; val S = BfShards; val M = BfMaxOpen
+    s"""bfd AS (SELECT doc_id, lang,
+       |    CASE WHEN doc_id % 13 = 0 THEN text || repeat(' padtok', 100)
+       |         ELSE text END AS text
+       |  FROM documents),
+       |bfb AS (SELECT doc_id, lang, doc_id % $S AS shard, n
+       |  FROM (SELECT doc_id, lang, len($toks)::BIGINT AS n FROM bfd)
+       |  WHERE n > 0),
+       |bfr AS MATERIALIZED (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY lang, shard ORDER BY n DESC, doc_id) AS r FROM bfb),
+       |bfs AS (SELECT DISTINCT lang, shard FROM bfr),
+       |bfst(lang, shard, r, doc_id, n, bin, oversize, bins, nxt) AS (
+       |  SELECT lang, shard, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+       |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+       |    CAST([] AS STRUCT(rem BIGINT, id BIGINT)[]), CAST(0 AS BIGINT)
+       |  FROM bfs
+       |  UNION ALL
+       |  SELECT lang, shard, r, doc_id, n,
+       |    CASE WHEN n > $B THEN pn
+       |         WHEN len(fit) > 0 THEN fit[1].id ELSE pn END,
+       |    n > $B,
+       |    CASE WHEN n > $B THEN pb
+       |         WHEN len(fit) > 0 THEN
+       |           CASE WHEN fit[1].rem = n
+       |                THEN list_filter(pb, x -> x.id <> fit[1].id)
+       |                ELSE list_append(list_filter(pb, x -> x.id <> fit[1].id),
+       |                       struct_pack(rem := fit[1].rem - n, id := fit[1].id)) END
+       |         WHEN n = $B THEN pb
+       |         WHEN len(pb) >= $M
+       |           THEN list_filter(ap, x -> x.id <> list_sort(ap)[1].id)
+       |         ELSE ap END,
+       |    CASE WHEN n > $B OR len(fit) = 0 THEN pn + 1 ELSE pn END
+       |  FROM (SELECT k.lang, k.shard, k.r, k.doc_id, k.n,
+       |          s.bins AS pb, s.nxt AS pn,
+       |          list_sort(list_filter(s.bins, x -> x.rem >= k.n)) AS fit,
+       |          list_append(s.bins,
+       |            struct_pack(rem := $B - k.n, id := s.nxt)) AS ap
+       |        FROM bfst s JOIN bfr k
+       |          ON k.lang = s.lang AND k.shard = s.shard AND k.r = s.r + 1))""".stripMargin
+  }
+
+  private lazy val bestFitPackSql =
+    s"""WITH RECURSIVE $bestFitCtes
+       |SELECT doc_id, lang, shard, n AS n_tokens, bin, oversize
+       |FROM bfst WHERE r > 0""".stripMargin
+
+  private lazy val bestFitWasteSql =
+    s"""WITH RECURSIVE $bestFitCtes,
+       |bfp AS (SELECT lang, shard, bin, oversize,
+       |    COUNT(*)::BIGINT AS docs, CAST(SUM(n) AS BIGINT) AS toks
+       |  FROM bfst WHERE r > 0 GROUP BY 1, 2, 3, 4)
+       |SELECT lang, shard, CAST(SUM(docs) AS BIGINT) AS n_docs,
+       |  COUNT(*)::BIGINT AS n_bins, CAST(SUM(toks) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CASE WHEN oversize THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+       |  CAST(SUM(CASE WHEN oversize THEN 0 ELSE $BfBudget - toks END) AS BIGINT)
+       |    AS padded_tokens
+       |FROM bfp GROUP BY 1, 2""".stripMargin
 
   /** The shared BM25-chain CTE prefix (btok → bperdoc → bstats → bscored) —
     * ONE source of truth for the rational-idf BM25 arithmetic, referenced by
@@ -2076,6 +2170,8 @@ object Training {
     "text_bm25_search"       -> bm25Sql,
     "text_tfidf_search"      -> tfidfSql,
     "text_pack_sequences"    -> packSequencesSql,
+    "text_bestfit_pack"      -> bestFitPackSql,
+    "text_bestfit_waste"     -> bestFitWasteSql,
     "text_heavy_hitters"     -> heavyHittersSql,
     "text_mixture_sample"    -> mixtureSampleSql,
     "text_repetition"        -> repetitionSql,

@@ -303,6 +303,30 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(t50 / t5 < 20.0, f"superlinear blowup: $t5%.1f s -> $t50%.1f s")
   }
 
+  test("best-fit packing scales linearly on 10x corpus at 10x shards", SlowRehearsal) {
+    // the scale unit is the (lang, shard) stream: 10x data at 10x shards
+    // keeps per-stream length constant, so cost must track data volume —
+    // a design where per-stream state grew with the corpus (unbounded open
+    // bins) or where streams serialized through one task would blow the
+    // band. maxOpen bounds the pool, so memory per stream is O(1).
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (t1, n1) = timed("bestfit 1x/16 shards") {
+      runRows(TextOps.bestFitPack(docs, budget = 128, shards = 16))
+    }
+    val big = copies(docs, 10, Seq("doc_id"))
+    val (t10, n10) = timed("bestfit 10x/160 shards") {
+      runRows(TextOps.bestFitPack(big, budget = 128, shards = 160))
+    }
+    assert(n10 == n1 * 10, "every non-empty doc keeps exactly one assignment")
+    assert(t10 / t1 < 20.0, f"superlinear blowup: $t1%.1f s -> $t10%.1f s")
+    // per-bin capacity invariant holds everywhere (the fit never overflows)
+    val over = TextOps.bestFitPack(docs, budget = 128, shards = 16)
+      .filter(!col("oversize"))
+      .groupBy("lang", "shard", "bin").agg(sum("n_tokens").as("fill"))
+      .filter(col("fill") > 128).count()
+    assert(over == 0L, "a regular bin overflowed its budget")
+  }
+
   test("k-means scales linearly on 10x key-shifted embeddings", SlowRehearsal) {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     // each Lloyd round is one broadcast-join scan + a (cell, dim)-keyed

@@ -307,6 +307,41 @@ class TextOpsSpec extends AnyFunSuite {
     assert(off(trioTrainA) == "exact_dup" && off(tr1) != "contaminated")
   }
 
+  test("bestFitPack: hand-computed fit, bin close, oversize, bounded-pool eviction") {
+    import spark.implicits._
+    def txt(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // budget 10, one shard, maxOpen 2. Decreasing order: d6(12, oversize),
+    // d1(7), d2(6), d3(4), d4(3), d5(3).
+    // d6 -> bin 0 (oversize). d1 -> new bin 1 (rem 3). d2 -> no fit, new
+    // bin 2 (rem 4). d3 -> best fit is bin 2 (rem 4 >= 4), closes it.
+    // d4 -> bin 1 (rem 3), closes it. d5 -> pool empty, new bin 3.
+    val docs = Seq(
+      (1L, "en", txt(7)), (2L, "en", txt(6)), (3L, "en", txt(4)),
+      (4L, "en", txt(3)), (5L, "en", txt(3)), (6L, "en", txt(12))
+    ).toDF("doc_id", "lang", "text")
+    val r = TextOps.bestFitPack(docs, budget = 10, shards = 1, maxOpen = 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(4), x.getBoolean(5))).toMap
+    assert(r == Map(6L -> (0L, true), 1L -> (1L, false), 2L -> (2L, false),
+      3L -> (2L, false), 4L -> (1L, false), 5L -> (3L, false)), r.toString)
+
+    // bounded pool: maxOpen 1 closes the least-useful bin on overflow —
+    // a(9) -> bin 0 (rem 1); b(8) -> new bin 1 (rem 2), pool over cap,
+    // bin 0 (smallest rem) evicted; c(2) still fits bin 1.
+    val docs2 = Seq((1L, "en", txt(9)), (2L, "en", txt(8)), (3L, "en", txt(2)))
+      .toDF("doc_id", "lang", "text")
+    val r2 = TextOps.bestFitPack(docs2, budget = 10, shards = 1, maxOpen = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(4)).toMap
+    assert(r2 == Map(1L -> 0L, 2L -> 1L, 3L -> 1L), r2.toString)
+
+    // waste report: streams (en, 0): bins 0(9)/1(10 full) -> padded 1;
+    // oversize-free, 3 docs, 19 tokens
+    val w = TextOps.packingWasteReport(
+      TextOps.bestFitPack(docs2, budget = 10, shards = 1, maxOpen = 1), 10)
+      .collect().map(x => (x.getString(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6))).toMap
+    assert(w == Map(("en", 0L) -> (3L, 2L, 19L, 0L, 1L)), w.toString)
+  }
+
   test("dsirScores: target-like docs outscore off-distribution docs, selection deterministic") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
