@@ -12,10 +12,12 @@ object Bench {
     * advances when the run can improve it:
     *  - a different scale factor than the record → `bench_smoke.json` (a
     *    sf0.001 smoke must not clobber the sf0.1 chain);
-    *  - a STRICTLY WORSE rerun of the SAME gate set (higher steal AND higher
-    *    total) → `bench_candidate.json` — it adds nothing over the record
-    *    (the r14 4x-only threshold let 2-3x-dirtier, slower reruns clobber
-    *    the record twice; promote a candidate by hand if you disagree);
+    *  - a STRICTLY WORSE rerun of the SAME gate set (materially higher steal
+    *    — beyond a 200-jiffy noise floor, so an honest quiet-window rerun of
+    *    a genuine regression still advances the record — AND higher total) →
+    *    `bench_candidate.json`: it adds nothing over the record (the r14
+    *    4x-only threshold let 2-3x-dirtier, slower reruns clobber the record
+    *    twice; promote a candidate by hand if you disagree);
     *  - a contended window over a 4x-quieter record → `bench_contended.json`;
     *  - otherwise → `bench_last.json`. A changed gate set always overwrites:
     *    the record must track the CURRENT gate set, so a total comparison
@@ -34,7 +36,7 @@ object Bench {
         "\"([^\"]+)\":".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSet))
     val sameGates = prevQueryKeys.forall(_ == gateNames)
     if (prevSf.exists(_ != sfDir)) "bench_smoke.json"
-    else if (sameGates && prevSteal.exists(_ < stealTotal) &&
+    else if (sameGates && prevSteal.exists(_ + 200L < stealTotal) &&
         prevTotal.exists(_ < total)) "bench_candidate.json"
     else if (contended && prevSteal.exists(p => p < stealTotal / 4))
       "bench_contended.json"

@@ -42,6 +42,21 @@ object Portable {
   def tokensDuck(c: String): String  = s"list_filter(string_split($c, ' '), x -> x <> '')"
 
   // ---- polynomial rolling hash over codepoints -----------------------------
+  /** The JVM-side evaluation of the same hash — THE single definition every
+    * native expression calls (StringPolyHash, ShingleHashes, SimHash,
+    * BucketCounts). The hash is the bitwise contract all oracle gates ride
+    * on; one shared loop makes divergence between expressions impossible. */
+  def phashJvm(s: String): Long = {
+    var acc = Seed
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * Mult + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
   /** NOTE the empty-string guard: Spark's `sequence(1, 0)` is DESCENDING
     * ([1, 0]), not empty, so the unguarded fold would hash two phantom chars. */
   def phashSpark(s: String): String =

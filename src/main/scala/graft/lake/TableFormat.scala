@@ -890,6 +890,19 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     val aligned = Align.to(df, target.schema.map(f => f.name -> f.dataType).toMap)
     val staged = stage(aligned, t, "append")
     commitRebase(t, df.sparkSession)(cur => mergeEntries(cur, staged))
+    // additive evolution must reach the SCHEMA file too, or every
+    // schema-from-SCHEMA consumer (emptyFrame, readChanges' canonical order)
+    // reads the pre-evolution shape whenever the current version happens to
+    // be empty. Written only AFTER the commit landed (the overwrite rule: an
+    // aborted commit must not leave SCHEMA describing data that never became
+    // current). Racing appenders adding DIFFERENT columns are last-writer-
+    // wins here — data reads are unaffected (mergeSchema) and the next
+    // evolving append heals the file, the sidecar-style degradation.
+    val added = aligned.schema.fields
+      .filterNot(f => target.schema.fieldNames.contains(f.name))
+    if (added.nonEmpty)
+      io.writeString(schemaFile(t),
+        org.apache.spark.sql.types.StructType(target.schema.fields ++ added).json)
   }
 
   override def overwrite(df: DataFrame, t: String): Unit = {
@@ -1194,11 +1207,10 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
       out
     }
     if (legs.isEmpty)
-      // read().limit(0), not emptyFrame(): same current-schema source as the
-      // non-empty branch, so an empty range's frame matches shape too
-      read(spark, t).limit(0)
+      emptyFrame(spark, t)
         .withColumn("_change_type", lit(""))
         .withColumn("_commit_version", lit(0))
+        .limit(0)
     // allowMissingColumns: a range spanning an additive schema-evolution
     // commit has pre-evolution legs without the later-added columns — they
     // read NULL there (Delta CDF's behavior) instead of failing the union.
@@ -1211,10 +1223,11 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     // which commits the range happens to span.
     else {
       val u0 = legs.reduce(_.unionByName(_, allowMissingColumns = true))
-      // read(), not emptyFrame(): the SCHEMA file is only rewritten by
-      // create/overwrite, so after an ADDITIVE append evolution the current
-      // schema lives in the merged parquet footers of the current version
-      val current = read(spark, t).schema
+      // emptyFrame's SCHEMA file IS the current schema — create, overwrite,
+      // AND evolving appends all rewrite it — so learning the column list
+      // costs one small JSON read, never a footer scan of the snapshot (the
+      // changefeed's cost contract: proportional to changed files only)
+      val current = emptyFrame(spark, t).schema
       val u = current.fields.filterNot(f => u0.columns.contains(f.name))
         .foldLeft(u0)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
       val data = current.fieldNames.filter(u.columns.contains) ++

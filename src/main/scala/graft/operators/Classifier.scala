@@ -118,16 +118,22 @@ object Classifier {
     // a weight table trained in a different bucket space would silently
     // score against the wrong buckets — fail loudly instead (the table is
     // weights-sized, so the collect is a report-sized probe)
-    val wrows = weights.select(col("bucket"), col("w")).collect()
+    // cast keeps the old join-based path's tolerance for int-typed columns
+    // (join keys coerced; Row.getLong alone would ClassCastException)
+    val wrows = weights
+      .select(col("bucket").cast("long"), col("w").cast("long")).collect()
     require(wrows.length == buckets,
       s"weight table has ${wrows.length} rows but scorePerceptron was given " +
         s"buckets=$buckets — score with the bucket count the model was trained with")
     val w = new Array[Long](buckets)
+    val seen = new Array[Boolean](buckets)
     wrows.foreach { r =>
       require(!r.isNullAt(0), "weight table has a null bucket id")
       val b = r.getLong(0).toInt
       require(b >= 0 && b < buckets,
         s"weight table bucket $b outside [0, $buckets)")
+      require(!seen(b), s"weight table has duplicate rows for bucket $b")
+      seen(b) = true
       w(b) = if (r.isNullAt(1)) 0L else r.getLong(1)
     }
     val wlit = typedlit(w.toSeq)

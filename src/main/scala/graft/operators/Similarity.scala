@@ -65,10 +65,14 @@ object Similarity {
     * from it down to nothing. */
   private[operators] def parquetMetaCount(df: DataFrame): Option[Long] =
     scala.util.Try {
-      import org.apache.spark.sql.catalyst.plans.logical.{Project, SubqueryAlias}
+      import org.apache.spark.sql.catalyst.plans.logical.{Project, RepartitionOperation, SubqueryAlias}
       val plan = df.queryExecution.optimizedPlan
       val bareScan = plan.collect { case n => n }.forall {
         case _: Project | _: SubqueryAlias => true
+        // repartition/coalesce are row-preserving, so the footer count stays
+        // exact — without this a fanOutScan upstream (every operator entry)
+        // hides the scan and the size-based policies silently never fire
+        case _: RepartitionOperation => true
         case leaf if leaf.children.isEmpty => true
         case _ => false // Filter, Join, Aggregate, Union, ... — count unusable
       } && plan.collectLeaves().size == 1

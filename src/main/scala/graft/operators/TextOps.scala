@@ -702,13 +702,15 @@ object TextOps {
       .select("doc_id", "lang_pred", "quality_score", "is_repetitive")
     // the verified near-dup pair table is computed ONCE; with decontamination
     // on it has TWO consumers (the family closure's edges and the cross-split
-    // contamination scan), so it is persisted — candidate generation + exact
-    // Jaccard verification never run twice
+    // contamination scan), so it is lazily localCheckpointed — candidate
+    // generation + exact Jaccard verification never run twice. NOT a bare
+    // persist: that would pin one CacheManager entry per call in a long
+    // session (the r7 ADVICE class banned at the shingle/hot checkpoints
+    // above); checkpointed blocks drop when the frame goes unreachable
     val nearPairs0 = Dedup.minhashLshPairs(docs, n, bands, rowsPerBand, tau)
     val decontam = decontamPctTrain < 100
     val nearPairs =
-      if (decontam)
-        nearPairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (decontam) nearPairs0.localCheckpoint(false)
       else nearPairs0
     // referenced by the keeper fold AND the decision join: materialize once.
     // The family graph itself is the SHARED Dedup.dedupFamiliesFromPairs —

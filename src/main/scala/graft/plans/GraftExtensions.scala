@@ -135,17 +135,8 @@ case class StringPolyHash(child: Expression) extends UnaryExpression {
       s"graft_phash expects a string argument, got $other")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.toString
-    var acc = Portable.Seed
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      acc = (acc * Portable.Mult + cp) % Portable.P
-      i += Character.charCount(cp)
-    }
-    acc
-  }
+  override def nullSafeEval(input: Any): Any =
+    Portable.phashJvm(input.toString)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
@@ -194,16 +185,7 @@ case class ShingleHashes(child: Expression, n: Int)
       s"graft_shingle_hashes expects (string, n>=1), got $other / n=$n")
   }
 
-  private def phash(s: String): Long = {
-    var acc = Portable.Seed
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      acc = (acc * Portable.Mult + cp) % Portable.P
-      i += Character.charCount(cp)
-    }
-    acc
-  }
+  private def phash(s: String): Long = Portable.phashJvm(s)
 
   override def nullSafeEval(input: Any): Any = {
     val toks = input.toString.split(' ').filter(_.nonEmpty)
@@ -470,16 +452,7 @@ case class BucketCounts(child: Expression, buckets: Int)
     }
   }
 
-  private def phash(s: String): Long = {
-    var acc = Portable.Seed
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      acc = (acc * Portable.Mult + cp) % Portable.P
-      i += Character.charCount(cp)
-    }
-    acc
-  }
+  private def phash(s: String): Long = Portable.phashJvm(s)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -639,16 +612,7 @@ case class SimHashFingerprint(child: Expression)
       s"graft_simhash expects a string argument, got $other")
   }
 
-  private def phash(s: String): Long = {
-    var acc = Portable.Seed
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      acc = (acc * Portable.Mult + cp) % Portable.P
-      i += Character.charCount(cp)
-    }
-    acc
-  }
+  private def phash(s: String): Long = Portable.phashJvm(s)
 
   override def nullSafeEval(input: Any): Any = {
     val toks = input.toString.split(' ').filter(_.nonEmpty)

@@ -20,10 +20,11 @@ class BenchGuardSpec extends AnyFunSuite {
   test("strictly worse rerun (higher steal AND total) -> candidate") {
     assert(Bench.recordTarget(Some(record), sf, total = 97.16,
       stealTotal = 4430, contended = true, gates) === "bench_candidate.json")
-    // even a MILDLY dirtier+slower rerun is refused — the r14 failure mode
-    // was exactly the 2-3x-dirtier window the 4x threshold waved through
+    // even a MILDLY dirtier+slower rerun is refused once past the 200-jiffy
+    // noise floor — the r14 failure mode was exactly the 1.1-3x-dirtier
+    // window the 4x threshold waved through
     assert(Bench.recordTarget(Some(record), sf, total = 89.0,
-      stealTotal = 4000, contended = true, gates) === "bench_candidate.json")
+      stealTotal = 4200, contended = true, gates) === "bench_candidate.json")
   }
 
   test("better on either axis overwrites the record") {
@@ -35,6 +36,11 @@ class BenchGuardSpec extends AnyFunSuite {
     // (code may genuinely have gotten slower) also advances it
     assert(Bench.recordTarget(Some(record), sf, total = 92.0,
       stealTotal = 1500, contended = true, gates) === "bench_last.json")
+    // higher total at NOISE-FLOOR-higher steal (within 200 jiffies): a
+    // genuine regression measured in an equally-quiet window must advance
+    // the record, not hide in a candidate file forever
+    assert(Bench.recordTarget(Some(record), sf, total = 92.0,
+      stealTotal = 3990, contended = true, gates) === "bench_last.json")
   }
 
   test("changed gate set always overwrites, even when slower and dirtier") {

@@ -650,6 +650,14 @@ class LakeSpec extends AnyFunSuite {
     // the empty-range frame agrees too
     assert(t.readChanges(spark, "cfsch", 1, 1).columns.toSeq ==
       pre.columns.toSeq)
+    // the evolving APPEND rewrote the SCHEMA file, so the contract survives
+    // even when the current version holds no data at all (emptyFrame is the
+    // schema source then — a footer-derived schema would vanish here)
+    t.deleteWhere(spark, "cfsch", org.apache.spark.sql.functions.lit(true))
+    assert(t.read(spark, "cfsch").count() == 0)
+    assert(t.readChanges(spark, "cfsch", 0, 1).columns.toSeq ==
+      pre.columns.toSeq,
+      "pre-evolution range must keep the current schema after a delete-to-empty")
   }
 
   test("partitioned time travel: readVersion pins snapshots, versions enumerate") {
