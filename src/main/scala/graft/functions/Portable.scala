@@ -78,6 +78,51 @@ object Portable {
   def dotSpark(a: String, b: String): String =
     (1 to Dim).map(i => s"cast(element_at($a, $i) as double) * cast(element_at($b, $i) as double)")
       .mkString(" + ")
+
+  // ---- Johnson-Lindenstrauss random projection (dense ±1 sign matrix) ------
+  /** Deterministic ±1 sign matrix for the JL projection: `outDim` output
+    * components, each a signed sum over the `Dim` input components
+    * (Achlioptas, "Database-friendly random projections", JCSS 2003 — the
+    * ±1 variant satisfies the JL lemma with the same distortion bound as
+    * Gaussian matrices). scala.util.Random's LCG sequence is specified, so
+    * the signs embedded into both dialects are identical across builds.
+    * The conventional 1/sqrt(outDim) scale factor is DROPPED: cosine is
+    * scale-invariant, so the factor cancels in every consumer and omitting
+    * it keeps each component an exact signed float sum. */
+  def rpSigns(outDim: Int): IndexedSeq[IndexedSeq[Int]] = {
+    val rng = new scala.util.Random(4242)
+    IndexedSeq.fill(outDim, Dim)(if (rng.nextBoolean()) 1 else -1)
+  }
+
+  /** One projected component: a left-associated `+/-` chain over the input
+    * components in ascending order (identical fp rounding both engines),
+    * cast back to FLOAT so projected vectors live in the same array<float>
+    * world as raw embeddings (graft_dot, norms, the top-k folds all apply
+    * verbatim). IEEE double->float rounding is deterministic in both
+    * engines. */
+  private def rpComponent(signs: IndexedSeq[Int], term: Int => String): String = {
+    // leading negative is a unary minus (same text, same parse, same bits in
+    // both dialects — a `0.0 - x` seed would parse as DECIMAL in DuckDB)
+    val chain = (1 until Dim).foldLeft(
+      (if (signs(0) < 0) "- " else "") + term(1)) { (acc, i) =>
+      acc + (if (signs(i) < 0) " - " else " + ") + term(i + 1)
+    }
+    s"CAST(($chain) AS FLOAT)"
+  }
+  def rpProjectSpark(emb: String, outDim: Int): String =
+    rpSigns(outDim).map(row =>
+        rpComponent(row, i => s"cast(element_at($emb, $i) as double)"))
+      .mkString("array(", ", ", ")")
+  def rpProjectDuck(emb: String, outDim: Int): String =
+    rpSigns(outDim).map(row =>
+        rpComponent(row, i => s"CAST($emb[$i] AS DOUBLE)"))
+      .mkString("[", ", ", "]")
+
+  /** [[dotDuck]] generalized to the first `n` components — the oracle-side
+    * cosine for PROJECTED (n < Dim) vectors. Same left-assoc chain. */
+  def dotDuckN(a: String, b: String, n: Int): String =
+    (1 to n).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+  def normDuckN(a: String, n: Int): String = s"sqrt(${dotDuckN(a, a, n)})"
   def dotDuck(a: String, b: String): String =
     (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
   def normSpark(a: String): String = s"sqrt(${dotSpark(a, a)})"

@@ -208,6 +208,51 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Johnson-Lindenstrauss random projection of the embedding column:
+    * Dim -> `outDim` via the deterministic dense ±1 sign matrix
+    * ([[graft.functions.Portable.rpSigns]]; Achlioptas 2003's
+    * database-friendly JL variant), each output component a fixed-order
+    * signed sum cast back to FLOAT. The result frame has the SAME shape as
+    * the raw table (vec_id, embedding, label), so every downstream consumer
+    * — [[bruteForceTopK]], the LSH/IVF index builds, recall evaluation —
+    * applies verbatim to the compressed space.
+    *
+    * This is the embedding-compression step a 100 TB pipeline runs before
+    * indexing: a pure per-row projection (no shuffle, one codegen'd
+    * expression over the scan), after which every distance computation,
+    * shuffle, and index byte downstream costs Dim/outDim less. The JL lemma
+    * bounds the pairwise-distance distortion, and [[rpRecall]] MEASURES the
+    * retrieval cost on a query sample before a corpus commits to a ratio —
+    * the same measure-then-commit discipline as [[recallAtK]]. */
+  def randomProject(emb: DataFrame, outDim: Int = 16): DataFrame = {
+    require(outDim >= 1 && outDim <= Portable.Dim,
+      s"outDim must be in [1, ${Portable.Dim}]")
+    Scale.fanOutScan(emb).select(col("vec_id"),
+      expr(Portable.rpProjectSpark("embedding", outDim)).as("embedding"),
+      col("label"))
+  }
+
+  /** Recall@k of exact top-k search IN THE PROJECTED SPACE against exact
+    * top-k in the original space — the evaluation that prices a JL
+    * compression ratio in retrieval terms (per query: hits = |projected
+    * top-k ∩ full-space top-k|, recall = hits/k). Both legs are the
+    * oracle-pinned [[bruteForceTopK]]; evaluation cost is O(corpus x
+    * sample) per leg, never corpus². */
+  def rpRecall(emb: DataFrame, outDim: Int = 16, nQueries: Int = 20,
+               k: Int = 10): DataFrame = {
+    val truth = bruteForceTopK(emb, nQueries, k).select("query_id", "neighbor_id")
+    val approx = bruteForceTopK(randomProject(emb, outDim), nQueries, k)
+      .select("query_id", "neighbor_id")
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("h"))
+    truth.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("h"))
+      .select(col("query_id"), col("h").cast("bigint").as("hits"),
+        (col("h").cast("double") / k).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** LSH signatures: (vec_id, embedding, table, bucket) — one row per hash
     * table. Bucket ids come from the native [[graft.plans.LshBucketIds]]
     * expression (`graft_lsh_buckets`): one pass over the columnar ArrayData,

@@ -30,6 +30,9 @@ object Training {
   val MaxHamming  = 3
   val NQueries    = 20
   val TopK        = 10
+  /** Johnson-Lindenstrauss projection output dimension (64 -> 16, the 4x
+    * compression the rp gates price in recall terms). */
+  val RpDim       = 16
   /** Fixed PageRank rounds for the domain-authority gate: enough for the
     * ranking to separate on a 20-node domain graph, small enough that the
     * oracle's unrolled-CTE replay stays readable. */
@@ -282,6 +285,17 @@ object Training {
     "multimodal_audio_near_dup" -> ((s, d) => Multimodal.audioNearDups(
                                    Multimodal.syntheticPixelMedia(Tables.documents(s, d)), MaxHamming)),
     "embed_kmeans"           -> ((s, d) => Clustering.kmeans(Tables.embeddings(s, d), KmeansK, KmeansIters)),
+    // Johnson-Lindenstrauss ±1 projection (64 -> 16), exact top-k in the
+    // COMPRESSED space: the oracle replays the literal sign-matrix chains,
+    // so one wrong sign or one reordered addition cannot hash-match
+    "embed_rp_topk"          -> ((s, d) => Similarity.bruteForceTopK(
+                                   Similarity.randomProject(Tables.embeddings(s, d), RpDim),
+                                   NQueries, TopK)),
+    // the retrieval price of that 4x compression: projected-space exact
+    // top-k vs full-space exact top-k, recall@k per query — both legs the
+    // oracle-pinned brute-force path
+    "embed_rp_recall"        -> ((s, d) => Similarity.rpRecall(
+                                   Tables.embeddings(s, d), RpDim, NQueries, TopK)),
     // cluster-balanced corpus selection (the diversity-sampling recipe:
     // cluster the embedding space, then sqrt-temperature quotas ACROSS
     // clusters — head clusters down-weighted, tail clusters kept): a pure
@@ -1854,6 +1868,64 @@ object Training {
        |FROM qs LEFT JOIN h ON h.query_id = qs.query_id
        |ORDER BY qs.query_id""".stripMargin
 
+  /** The JL-projected table, shared by both rp oracles: the ±1 sign-matrix
+    * chains are EMBEDDED as literals from the same [[Portable.rpSigns]]
+    * source the Spark projection uses — one Scala definition, two dialects,
+    * zero drift. */
+  private val rpProjCte =
+    s"""pe AS MATERIALIZED (SELECT vec_id,
+       |  ${Portable.rpProjectDuck("embedding", RpDim)} AS embedding
+       |FROM embeddings)""".stripMargin
+
+  /** Mirror of [[Similarity.bruteForceTopK]] over [[Similarity.randomProject]]:
+    * exact cosine top-k in the 16-dim projected space. */
+  private val rpTopkSql =
+    s"""WITH $rpProjCte,
+       |e AS MATERIALIZED (SELECT vec_id, embedding,
+       |  ${Portable.normDuckN("embedding", RpDim)} AS nrm FROM pe),
+       |q AS (SELECT vec_id AS query_id, embedding AS emb_q, nrm AS norm_q FROM e WHERE vec_id < $NQueries),
+       |s AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+       |    (${Portable.dotDuckN("emb_q", "v.embedding", RpDim)}) / (norm_q * v.nrm) AS cosine
+       |  FROM e v CROSS JOIN q WHERE v.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |  FROM s)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= $TopK""".stripMargin
+
+  /** Mirror of [[Similarity.rpRecall]]: full-space exact top-k (truth leg)
+    * vs projected-space exact top-k (approx leg), recall@k per query —
+    * the [[annRecallSql]] shape with the LSH leg swapped for the projected
+    * brute-force leg. */
+  private val rpRecallSql =
+    s"""WITH $rpProjCte,
+       |ef AS MATERIALIZED (SELECT vec_id, embedding, ${Portable.normDuck("embedding")} AS nrm FROM embeddings),
+       |qf AS (SELECT vec_id AS query_id, embedding AS emb_q, nrm AS norm_q FROM ef WHERE vec_id < $NQueries),
+       |fs AS (SELECT qf.query_id, v.vec_id AS neighbor_id,
+       |    (${Portable.dotDuck("emb_q", "v.embedding")}) / (norm_q * v.nrm) AS cosine
+       |  FROM ef v CROSS JOIN qf WHERE v.vec_id <> qf.query_id),
+       |bt AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |    FROM fs) WHERE rnk <= $TopK),
+       |ep AS MATERIALIZED (SELECT vec_id, embedding,
+       |  ${Portable.normDuckN("embedding", RpDim)} AS nrm FROM pe),
+       |qp AS (SELECT vec_id AS query_id, embedding AS emb_q, nrm AS norm_q FROM ep WHERE vec_id < $NQueries),
+       |ps AS (SELECT qp.query_id, v.vec_id AS neighbor_id,
+       |    (${Portable.dotDuckN("emb_q", "v.embedding", RpDim)}) / (norm_q * v.nrm) AS cosine
+       |  FROM ep v CROSS JOIN qp WHERE v.vec_id <> qp.query_id),
+       |pt AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |    FROM ps) WHERE rnk <= $TopK),
+       |h AS (SELECT bt.query_id, CAST(COUNT(*) AS BIGINT) AS h
+       |  FROM bt JOIN pt ON pt.query_id = bt.query_id AND pt.neighbor_id = bt.neighbor_id
+       |  GROUP BY bt.query_id),
+       |qs AS (SELECT DISTINCT query_id FROM bt)
+       |SELECT qs.query_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+       |  CAST(COALESCE(h.h, 0) AS DOUBLE) / $TopK AS recall
+       |FROM qs LEFT JOIN h ON h.query_id = qs.query_id
+       |ORDER BY qs.query_id""".stripMargin
+
   private val annBruteSql =
     s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding,
        |  ${Portable.normDuck("embedding")} AS nrm FROM embeddings),
@@ -2212,6 +2284,8 @@ object Training {
     "text_dsir_sample"       -> dsirSql,
     "ann_recall_eval"        -> annRecallSql,
     "ann_brute_force_topk"   -> annBruteSql,
+    "embed_rp_topk"          -> rpTopkSql,
+    "embed_rp_recall"        -> rpRecallSql,
     "ann_filtered_topk"      -> annFilteredSql,
     "ann_ivf_filtered_topk"  -> annIvfFilteredSql,
     "retrieval_hybrid_rrf"   -> hybridRrfSql,
