@@ -419,6 +419,45 @@ object Dedup {
     verifyJaccard(docs, cand, n, tau)
   }
 
+  /** EDIT-DISTANCE near-duplicates: [[minhashLshPairs]]' shingle-verified
+    * candidates re-verified by exact character Levenshtein — pairs similar
+    * under BOTH the set view (n-gram Jaccard >= `tauJ`) and the sequence
+    * view (edit similarity `1 - lev/max(len)` >= `tauE`). The two metrics
+    * disagree exactly where it matters for curation: a shuffled-paragraph
+    * copy keeps high Jaccard but low edit similarity, a character-noised
+    * copy (OCR, mojibake) keeps high edit similarity while shedding
+    * shingles — the sequence check is the classic near-dup verifier
+    * (Gusfield 1997 ch.11; RETSim and the OCR-dedup literature use exactly
+    * this two-stage shape: cheap set filter, exact edit verify).
+    *
+    * Scale shape: Levenshtein's O(len_a x len_b) DP runs ONLY on pairs that
+    * survived banding + Jaccard verification — candidate-bounded, never
+    * corpus² — and text is joined in for exactly those pairs (two id-keyed
+    * semi-ish joins, broadcast when the pair set is small). A 100 TB corpus
+    * caps document length upstream (the curation chain's quality stage
+    * drops degenerate giants), which bounds the per-pair DP.
+    *
+    * Parity trap, pinned here: DuckDB `levenshtein` counts BYTES while
+    * Spark's counts CODEPOINTS — identical only on ASCII text, which this
+    * corpus is (both SFs verified); `strlen(text) = length(text)` is the
+    * oracle-side guard a non-ASCII deployment would need before trusting
+    * the replica. */
+  def editDistancePairs(docs: DataFrame, n: Int = 3, tauJ: Double = 0.5,
+                        tauE: Double = 0.6, bands: Int = 42,
+                        rowsPerBand: Int = 3, dfCap: Int = 1000): DataFrame = {
+    val near = minhashLshPairs(docs, n, bands, rowsPerBand, tauJ, dfCap)
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    near.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("edit_dist",
+        levenshtein(col("text_a"), col("text_b")).cast("bigint"))
+      .withColumn("edit_sim",
+        lit(1.0) - col("edit_dist").cast("double") /
+          greatest(length(col("text_a")), length(col("text_b"))))
+      .filter(col("edit_sim") >= tauE)
+      .select("doc_a", "doc_b", "jaccard", "edit_dist", "edit_sim")
+  }
+
   /** FUZZY train/test contamination — near-duplicate leakage ACROSS the
     * split boundary: (test doc, train doc) pairs with true n-gram Jaccard
     * >= `tau`. The exact word-8-gram check ([[TextOps.contamination]])

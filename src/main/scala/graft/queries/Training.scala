@@ -33,6 +33,8 @@ object Training {
   /** Johnson-Lindenstrauss projection output dimension (64 -> 16, the 4x
     * compression the rp gates price in recall terms). */
   val RpDim       = 16
+  /** Edit-similarity floor for the sequence-view near-dup verifier. */
+  val EditSimTau  = 0.6
   /** Fixed PageRank rounds for the domain-authority gate: enough for the
     * ranking to separate on a 20-node domain graph, small enough that the
     * oracle's unrolled-CTE replay stays readable. */
@@ -165,6 +167,10 @@ object Training {
                                    Tables.documents(s, d), "n_chars", 3, JaccardTau)),
     "dedup_embedding_lsh"    -> ((s, d) => Dedup.embeddingNearDupLsh(Tables.embeddings(s, d), CosineTau)),
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), 3, 42, 3, JaccardTau)),
+    // sequence-view re-verification: banded+Jaccard-verified candidates
+    // filtered by exact character Levenshtein similarity
+    "dedup_edit_distance"    -> ((s, d) => Dedup.editDistancePairs(
+                                   Tables.documents(s, d), 3, JaccardTau, EditSimTau)),
     "dedup_simhash"          -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d), MaxHamming)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), CosineTau)),
     "dedup_semantic"         -> ((s, d) => Dedup.semanticDedupKeep(Tables.embeddings(s, d), CosineTau)),
@@ -1789,6 +1795,24 @@ object Training {
     * exact result; miss probability ~2e-8 per qualifying pair). */
   private val jaccardSql = s"WITH $jaccardCtes\n$jaccardSelect"
 
+  /** Mirror of [[Dedup.editDistancePairs]]: the exact-Jaccard pair set
+    * (= the verified banded candidates) re-verified by `levenshtein`.
+    * DuckDB's levenshtein counts BYTES, Spark's CODEPOINTS — equal on this
+    * ASCII corpus (both SFs verified: strlen(text) = length(text) on every
+    * row); the operator scaladoc pins the trap. */
+  private val editDistanceSql =
+    s"""WITH $jaccardCtes,
+       |jp AS ($jaccardSelect),
+       |ed AS (SELECT jp.doc_a, jp.doc_b, jp.jaccard,
+       |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       |    greatest(length(a.text), length(b.text)) AS ml
+       |  FROM jp JOIN documents a ON a.doc_id = jp.doc_a
+       |          JOIN documents b ON b.doc_id = jp.doc_b)
+       |SELECT doc_a, doc_b, jaccard, edit_dist,
+       |  CAST(1 AS DOUBLE) - CAST(edit_dist AS DOUBLE) / ml AS edit_sim
+       |FROM ed
+       |WHERE CAST(1 AS DOUBLE) - CAST(edit_dist AS DOUBLE) / ml >= $EditSimTau""".stripMargin
+
   /** Connected components of the near-dup graph: transitive closure by
     * recursive CTE (UNION dedups paths, so it terminates), component id =
     * min reachable doc id — the declarative twin of the label-propagation
@@ -2263,6 +2287,7 @@ object Training {
     "dedup_survivors_quality" -> survivorsQualitySql,
     "dedup_embedding_lsh"    -> embLshSql,
     "dedup_minhash_lsh"      -> jaccardSql,
+    "dedup_edit_distance"    -> editDistanceSql,
     "dedup_simhash"          -> simhashSql,
     "dedup_embedding_cosine" -> embCosineSql,
     "dedup_semantic"         -> semanticDedupSql,

@@ -397,4 +397,31 @@ class DedupSpec extends AnyFunSuite {
     assert(fams.toSeq == Seq((0L, 2L, 3L), (3L, 3L, 1L)),
       s"got ${fams.toSeq}: family 0 = {0,1,2} keeps quality-99 doc 2; 3 alone")
   }
+
+  test("editDistancePairs separates the set view from the sequence view") {
+    import spark.implicits._
+    // blocks of trigram-preserving text; the shuffled copy keeps (most)
+    // trigrams — high Jaccard — but a block permutation costs edit distance
+    // proportional to the document, so edit_sim collapses
+    val blocks = Seq(
+      "alpha beta gamma delta epsilon zeta", "eta theta iota kappa lambda mu",
+      "nu xi omicron pi rho sigma", "tau upsilon phi chi psi omega")
+    val base     = blocks.mkString(" ")
+    val shuffled = blocks.reverse.mkString(" ")
+    val edited   = base.replace("delta", "delra") // one char: both views high
+    val corpus = Seq((0L, base), (1L, shuffled), (2L, edited))
+      .toDF("doc_id", "text")
+    val jacc = Dedup.ngramJaccardPairs(corpus, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((0L, 1L), (0L, 2L)).subsetOf(jacc),
+      s"set view should accept the shuffled AND the edited copy, got $jacc")
+    val ed = Dedup.editDistancePairs(corpus, 3, 0.5, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ed == Set((0L, 2L)),
+      s"sequence view should keep only the character-edited copy, got $ed")
+    // and the kept pair's numbers are the exact DP: one substitution
+    val row = Dedup.editDistancePairs(corpus, 3, 0.5, 0.6)
+      .filter(col("doc_a") === 0L && col("doc_b") === 2L).head()
+    assert(row.getAs[Long]("edit_dist") == 1L)
+  }
 }
