@@ -1382,6 +1382,91 @@ object TextOps {
     * WITHIN a bucket (1/10000th of a domain per window partition). The
     * resulting rank equals row_number over (bucket, key, doc_id) — exactly
     * the order the oracle states in one window. */
+  /** Multiplicative-weights domain-mixture learning — the reweighting step a
+    * DoReMi-style pipeline runs between proxy evaluation and sampling (Xie
+    * et al. 2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining", arXiv:2305.10429 §3, with the update rule in its public
+    * textbook form: Arora, Hazan, Kale, "The Multiplicative Weights Update
+    * Method", Theory of Computing 2012). Domains with ABOVE-average proxy
+    * loss get upweighted each round, below-average domains shrink, so the
+    * learned mixture shifts sampling toward the domains the reference model
+    * finds hardest — the published heuristic for mixture search without
+    * grid-training one model per candidate mixture.
+    *
+    * The proxy loss here is the engine-exact integer surprisal of
+    * [[unigramSurprisal]] aggregated per domain: `loss_fp = sum_bits *
+    * scale div n_tokens` (mean bits per token, fixed-point; DoReMi's
+    * trained proxy-model loss plugs into the same slot when one exists —
+    * the update is loss-source-agnostic). All arithmetic is BIGINT: round t
+    * computes the weighted mean loss `lbar = Σ w·loss div Σ w`, each
+    * domain's multiplier `(W·etaDen + (loss - lbar)·etaNum) div etaDen`
+    * (floored at 1 BEFORE the division ever sees a negative numerator —
+    * Spark `div` truncates toward zero while DuckDB `//` floors, so the
+    * negative-operand case must never be evaluated), then renormalizes to
+    * a constant total mass. Every round is therefore bitwise-replayable as
+    * an unrolled SQL CTE, the classifier-trajectory precedent.
+    *
+    * Scale shape: ONE corpus pass builds the per-domain loss table
+    * (vocabulary-broadcast surprisal join, map-side-combined per-domain
+    * aggregate); every round after that runs on the |domains|-sized weight
+    * frame — two one-row broadcast aggregates and a projection per round,
+    * no corpus access, no per-round driver action (the pageRank regime).
+    * Returns the FULL trajectory (round 0 = uniform): (round, source,
+    * weight, share), ordered by the caller's gate. Overflow headroom:
+    * `sum_bits * scale` must stay under 2^63 — at 10^13 corpus tokens drop
+    * `scale` a decade; every later product is bounded by the renormalized
+    * total mass (~nDomains·W·loss_fp ≈ 2^54 here). */
+  def domainMixtureWeights(docs: DataFrame, iters: Int = 5,
+                           etaNum: Long = 8L, etaDen: Long = 1L,
+                           by: String = "source"): DataFrame = {
+    require(iters >= 0 && iters <= 50, s"iters must be in [0, 50], got $iters")
+    require(etaNum >= 0 && etaDen > 0, "need etaNum >= 0, etaDen > 0")
+    val S = 1000000L // fixed-point units per surprisal bit
+    val W = 1000000L // weight mass per domain at round 0
+    val tok = withToks(docs)
+      .select(col(by).as("source"), explode(col("toks")).as("t"))
+    val tf = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum(col("cnt")).as("total"))
+    val loss = tok.join(broadcast(tf), "t")
+      .crossJoin(broadcast(total))
+      .withColumn("bits",
+        (length(conv(expr("CAST(total div cnt AS STRING)"), 10, 2)) - 1).cast("bigint"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+        sum(col("bits")).cast("bigint").as("sum_bits"))
+      .select(col("source"), expr(s"sum_bits * ${S}L div n_tokens").as("loss_fp"))
+      .localCheckpoint(false) // referenced every round + the domain count
+    val nDom = loss.count()
+    require(nDom > 0, "domainMixtureWeights needs a non-empty corpus")
+    val mass = nDom * W // conserved total weight, and the share denominator
+    def withShare(df: DataFrame, round: Int): DataFrame =
+      df.select(lit(round).as("round"), col("source"), col("weight"),
+        (col("weight").cast("double") / mass.toDouble).as("share"))
+    var w = loss.select(col("source"), lit(W).as("weight")).localCheckpoint(false)
+    val traj = scala.collection.mutable.ArrayBuffer(withShare(w, 0))
+    var i = 1
+    while (i <= iters) {
+      val wl = w.join(loss, "source")
+        .agg(sum(expr("weight * loss_fp")).cast("bigint").as("swl"),
+          sum(col("weight")).cast("bigint").as("sw"))
+      val up = w.join(loss, "source")
+        .crossJoin(broadcast(wl))
+        .withColumn("lbar", expr("swl div sw"))
+        .withColumn("mn",
+          expr(s"${W}L * ${etaDen}L + (loss_fp - lbar) * ${etaNum}L"))
+        .withColumn("mult",
+          when(col("mn") <= 0, lit(1L)).otherwise(expr(s"mn div ${etaDen}L")))
+        .withColumn("w1", expr(s"weight * mult div ${W}L"))
+      val s1 = up.agg(sum(col("w1")).cast("bigint").as("s1"))
+      w = up.crossJoin(broadcast(s1))
+        .select(col("source"), expr(s"w1 * ${mass}L div s1").as("weight"))
+        .localCheckpoint(false) // two consumers next round (agg + join)
+      traj += withShare(w, i)
+      i += 1
+    }
+    traj.reduce(_ unionByName _)
+  }
+
   def temperatureSample(docs: DataFrame, targetDocs: Long,
                         by: String = "source"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

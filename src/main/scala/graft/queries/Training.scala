@@ -35,6 +35,10 @@ object Training {
   val RpDim       = 16
   /** Edit-similarity floor for the sequence-view near-dup verifier. */
   val EditSimTau  = 0.6
+  /** Multiplicative-weights mixture rounds (trajectory gate, like the
+    * classifier's epochs and the pagerank rounds: enough to separate, small
+    * enough that the unrolled-CTE replay stays readable). */
+  val MixtureIters = 5
   /** Fixed PageRank rounds for the domain-authority gate: enough for the
     * ranking to separate on a 20-node domain graph, small enough that the
     * oracle's unrolled-CTE replay stays readable. */
@@ -137,6 +141,10 @@ object Training {
                                      BfShards, BfMaxOpen), BfBudget)),
     "text_heavy_hitters"     -> ((s, d) => TextOps.heavyHitterTerms(Tables.documents(s, d))),
     "text_mixture_sample"    -> ((s, d) => TextOps.mixtureSample(Tables.documents(s, d), MixRates, MixDefault)),
+    // DoReMi-style multiplicative-weights mixture learning: full 5-round
+    // weight trajectory, integer-exact, replayed by an unrolled CTE chain
+    "text_domain_mixture"    -> ((s, d) => TextOps.domainMixtureWeights(
+                                   Tables.documents(s, d), MixtureIters)),
     "text_token_budget"      -> ((s, d) => TextOps.tokenBudgetSample(Tables.documents(s, d), 200L)),
     // every 7th doc gets a 30-token spam run appended, so the repetition
     // thresholds trip on constructed dirt while clean docs stay under them
@@ -1184,6 +1192,48 @@ object Training {
        |  SELECT test_doc, train_doc, inter::DOUBLE / (x.n + y.n - inter) AS jaccard
        |  FROM pr JOIN sets2 x ON test_doc = x.doc_id JOIN sets2 y ON train_doc = y.doc_id)
        |WHERE jaccard >= $JaccardTau""".stripMargin
+
+  /** Unrolled-CTE replica of [[TextOps.domainMixtureWeights]]: the
+    * per-domain fixed-point surprisal loss, then one (lbar, update,
+    * renormalize) CTE triple per round — same BIGINT arithmetic, with the
+    * CASE guard keeping every `//` on non-negative operands (DuckDB floors,
+    * Spark truncates; they agree only above zero). Multi-referenced CTEs
+    * are MATERIALIZED (the chain-root rule). */
+  private val domainMixtureSql = {
+    val S = 1000000L; val W = 1000000L; val etaNum = 8L; val etaDen = 1L
+    val rounds = (1 to MixtureIters).map { i =>
+      val pw = s"w${i - 1}"
+      s"""a$i AS (SELECT CAST(SUM(weight * loss_fp) AS BIGINT) // CAST(SUM(weight) AS BIGINT) AS lbar
+         |  FROM $pw JOIN l USING (source)),
+         |u$i AS MATERIALIZED (SELECT source,
+         |    weight * (CASE WHEN mn <= 0 THEN 1 ELSE mn // $etaDen END) // $W AS w1
+         |  FROM (SELECT w.source, w.weight,
+         |      $W * $etaDen + (l.loss_fp - a$i.lbar) * $etaNum AS mn
+         |    FROM $pw w JOIN l USING (source) CROSS JOIN a$i)),
+         |s$i AS (SELECT CAST(SUM(w1) AS BIGINT) AS s1 FROM u$i),
+         |w$i AS MATERIALIZED (SELECT source, w1 * mass // s1 AS weight
+         |  FROM u$i CROSS JOIN m CROSS JOIN s$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to MixtureIters).map { i =>
+      s"""SELECT CAST($i AS INTEGER) AS round, source, weight,
+         |  CAST(weight AS DOUBLE) / CAST(mass AS DOUBLE) AS share
+         |FROM w$i CROSS JOIN m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH docs AS (SELECT source, $toks AS toks FROM documents),
+       |tok AS (SELECT source, unnest(toks) AS t FROM docs),
+       |tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY t),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tf),
+       |l AS MATERIALIZED (SELECT source, sum_bits * $S // n_tokens AS loss_fp FROM (
+       |  SELECT source, CAST(SUM(bits) AS BIGINT) AS sum_bits,
+       |    CAST(COUNT(*) AS BIGINT) AS n_tokens
+       |  FROM (SELECT source, CAST(length(printf('%b', total // cnt)) - 1 AS BIGINT) AS bits
+       |    FROM tok JOIN tf USING (t) CROSS JOIN tot)
+       |  GROUP BY source)),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) * $W AS mass FROM l),
+       |w0 AS MATERIALIZED (SELECT source, CAST($W AS BIGINT) AS weight FROM l),
+       |$rounds
+       |$union""".stripMargin
+  }
 
   /** Mirror of [[TextOps.packSequences]] (budget 2048, 16 shards): the
     * SUM window is cast back to BIGINT (DuckDB window SUM promotes to
@@ -2288,6 +2338,7 @@ object Training {
     "dedup_embedding_lsh"    -> embLshSql,
     "dedup_minhash_lsh"      -> jaccardSql,
     "dedup_edit_distance"    -> editDistanceSql,
+    "text_domain_mixture"    -> domainMixtureSql,
     "dedup_simhash"          -> simhashSql,
     "dedup_embedding_cosine" -> embCosineSql,
     "dedup_semantic"         -> semanticDedupSql,

@@ -501,4 +501,37 @@ class TextOpsSpec extends AnyFunSuite {
       assert(row.getLong(i) == want, s"isqrt($c): got ${row.getLong(i)}, want $want")
     }
   }
+
+  test("domainMixtureWeights upweights the high-surprisal domain, conserves mass") {
+    import spark.implicits._
+    // 'hard' docs are all-unique tokens (max surprisal); 'easy' docs repeat
+    // one corpus-dominating token (min surprisal)
+    val hard = (0 until 10).map(i =>
+      (i.toLong, "hard", (0 until 20).map(j => s"rare_${i}_$j").mkString(" ")))
+    val easy = (10 until 20).map(i =>
+      (i.toLong, "easy", Seq.fill(20)("common").mkString(" ")))
+    val corpus = (hard ++ easy).toDF("doc_id", "source", "text")
+    val traj = TextOps.domainMixtureWeights(corpus, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val byRound = traj.groupBy(_._1)
+    assert(byRound.keySet == Set(0, 1, 2, 3))
+    // round 0 is uniform
+    byRound(0).foreach { case (_, _, w) => assert(w == 1000000L) }
+    // mass conserved up to the renormalization floor (one unit per domain)
+    val mass = 2L * 1000000L
+    byRound.values.foreach { rows =>
+      val s = rows.map(_._3).sum
+      assert(s <= mass && s >= mass - rows.length, s"mass $s drifted from $mass")
+    }
+    // hard strictly gains weight round over round, easy strictly loses
+    def w(r: Int, d: String) = byRound(r).find(_._2 == d).get._3
+    // monotone per round until the floor/saturation fixpoint (easy can pin
+    // at 0, at which point renormalization caps hard at the full mass)
+    (1 to 3).foreach { r =>
+      assert(w(r, "hard") >= w(r - 1, "hard"), s"round $r: hard shrank")
+      assert(w(r, "easy") <= w(r - 1, "easy"), s"round $r: easy grew")
+    }
+    assert(w(3, "easy") < 1000000L && w(3, "hard") > 1000000L,
+      s"no separation: easy ${w(3, "easy")}, hard ${w(3, "hard")}")
+  }
 }
