@@ -192,4 +192,58 @@ object Retrieval {
     selected.zipWithIndex.toSeq
       .map { case ((id, rel, mmr), i) => (id, rel, mmr, i + 1) }
   }
+
+  /** HARD-NEGATIVE MINING for contrastive embedding training: for each
+    * anchor (vec_id < `nQueries`), the top-`k` highest-cosine corpus vectors
+    * whose DOCUMENTS are NOT duplicates of the anchor's document — the
+    * negatives that teach a bi-encoder the most (high similarity, genuinely
+    * different content), with the known failure mode filtered out: a near-
+    * or exact-duplicate ranked as a "negative" is a FALSE negative that
+    * actively corrupts the contrastive objective (the dedup-before-mining
+    * step the public dense-retrieval recipes document — e.g. Gao & Chen,
+    * SimCSE, arXiv:2104.08821; Wang et al., E5, arXiv:2212.03533 §3).
+    *
+    * Exclusion is PAIRWISE: an md5-identical twin or a verified n-gram
+    * Jaccard >= `tauJ` near-dup of the anchor (the [[Dedup.minhashLshPairs]]
+    * contract — banded candidates, exact verify, equal to the all-pairs
+    * result). Embeddings and documents share the id space (vec_id = doc_id,
+    * the same join the filtered-ANN gate rides).
+    *
+    * Scale shape: the exclusion table is filtered to ANCHOR pairs before
+    * any join (nQueries-bounded, broadcast both ways); the md5-twin
+    * self-join keys on the anchors' md5 set only, so a 100 TB dup cohort
+    * costs anchor-rows, never cohort²; ranking is the k-bounded
+    * [[Scale.topKPerKey]] fold over one corpus scan — never a Window. */
+  def hardNegatives(docs: DataFrame, emb: DataFrame, nQueries: Int = 20,
+                    k: Int = 10, tauJ: Double = 0.5): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val anchor = col("query_id") < nQueries
+    // near-dup legs of the exclusion, oriented both ways, anchors only
+    val near = Dedup.minhashLshPairs(docs, 3, 42, 3, tauJ)
+      .select(col("doc_a"), col("doc_b"))
+    val nearEx = near.select(col("doc_a").as("query_id"), col("doc_b").as("neighbor_id"))
+      .union(near.select(col("doc_b").as("query_id"), col("doc_a").as("neighbor_id")))
+      .filter(anchor)
+    // exact-twin leg: md5 keys of the ANCHOR docs only, joined back against
+    // the corpus keys (anchor-bounded — never a full dup-cohort self-join)
+    val keys = docs.select(col("doc_id"), md5(col("text")).as("kk"))
+    val exactEx = keys.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("kk"))
+      .join(keys.select(col("doc_id").as("neighbor_id"), col("kk")), "kk")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val excluded = nearEx.union(exactEx).distinct()
+    def nrm = sqrt(expr("graft_dot(embedding, embedding)"))
+    val q = Scale.fanOutScan(emb).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"), nrm.as("norm_q"))
+    val v = Scale.fanOutScan(emb)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_v"), nrm.as("norm_v"))
+    val scored = v.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .join(excluded, Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("cosine",
+        expr("graft_dot(emb_q, emb_v)") / (col("norm_q") * col("norm_v")))
+    Scale.topKPerKey(scored.select("query_id", "neighbor_id", "cosine"),
+        Seq("query_id"), Seq(("cosine", true), ("neighbor_id", false)), k, Seq.empty)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+  }
 }

@@ -353,6 +353,11 @@ object Training {
     "retrieval_hybrid_rrf_index" -> ((s, d) => Retrieval.hybridRrfIndexed(
                                    s, indexLake(s, d), Tables.documents(s, d),
                                    Tables.embeddings(s, d), Bm25Terms)),
+    // contrastive-training hard negatives: top-k cosine with the anchor's
+    // exact/near-dup documents excluded (false-negative filtering)
+    "retrieval_hard_negatives" -> ((s, d) => Retrieval.hardNegatives(
+                                   Tables.documents(s, d), Tables.embeddings(s, d),
+                                   NQueries, TopK, JaccardTau)),
     // the full 3-epoch training TRAJECTORY hash-checks: integer batch
     // perceptron over hashed bag-of-words, labels distilled from the
     // portable quality heuristic
@@ -1192,6 +1197,35 @@ object Training {
        |  SELECT test_doc, train_doc, inter::DOUBLE / (x.n + y.n - inter) AS jaccard
        |  FROM pr JOIN sets2 x ON test_doc = x.doc_id JOIN sets2 y ON train_doc = y.doc_id)
        |WHERE jaccard >= $JaccardTau""".stripMargin
+
+  /** Mirror of [[graft.operators.Retrieval.hardNegatives]]: brute-force
+    * cosine ranking with the anchor's exact-twin (md5) and verified
+    * near-dup (exact all-pairs Jaccard >= tau) partners anti-joined out
+    * before the rank — the banded operator equals the all-pairs replica by
+    * the minhash recall contract. */
+  private lazy val hardNegativesSql =
+    s"""WITH $jaccardCtes,
+       |jp AS ($jaccardSelect),
+       |nx AS (SELECT doc_a AS query_id, doc_b AS neighbor_id FROM jp WHERE doc_a < $NQueries
+       |  UNION SELECT doc_b, doc_a FROM jp WHERE doc_b < $NQueries),
+       |kk AS (SELECT doc_id, md5(text) AS kk FROM documents),
+       |xx AS (SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id
+       |  FROM kk a JOIN kk b ON a.kk = b.kk AND a.doc_id <> b.doc_id
+       |  WHERE a.doc_id < $NQueries),
+       |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM nx
+       |  UNION SELECT query_id, neighbor_id FROM xx),
+       |e AS MATERIALIZED (SELECT vec_id, embedding, ${Portable.normDuck("embedding")} AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS emb_q, nrm AS norm_q FROM e WHERE vec_id < $NQueries),
+       |s AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+       |    (${Portable.dotDuck("emb_q", "v.embedding")}) / (norm_q * v.nrm) AS cosine
+       |  FROM e v CROSS JOIN q
+       |  WHERE v.vec_id <> q.query_id
+       |    AND NOT EXISTS (SELECT 1 FROM ex
+       |      WHERE ex.query_id = q.query_id AND ex.neighbor_id = v.vec_id)),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+       |  FROM s)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= $TopK""".stripMargin
 
   /** Unrolled-CTE replica of [[TextOps.domainMixtureWeights]]: the
     * per-domain fixed-point surprisal loss, then one (lbar, update,
@@ -2339,6 +2373,7 @@ object Training {
     "dedup_minhash_lsh"      -> jaccardSql,
     "dedup_edit_distance"    -> editDistanceSql,
     "text_domain_mixture"    -> domainMixtureSql,
+    "retrieval_hard_negatives" -> hardNegativesSql,
     "dedup_simhash"          -> simhashSql,
     "dedup_embedding_cosine" -> embCosineSql,
     "dedup_semantic"         -> semanticDedupSql,

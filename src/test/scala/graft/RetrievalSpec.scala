@@ -111,4 +111,42 @@ class RetrievalSpec extends AnyFunSuite {
     assert(p.contains("MapGroups") || p.contains("FlatMapGroups"),
       s"the greedy must run inside the grouped fold:\n${p.take(400)}")
   }
+
+  test("hardNegatives filters false negatives: near-dup and exact twin excluded, rest ranked as brute force") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // doc 1 = near-dup of anchor 0 (one token changed), doc 2 = exact twin;
+    // docs 3.. are genuinely different content
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val tdocs = Seq(
+      (0L, base), (1L, base.replace("today", "tonight")), (2L, base),
+      (3L, "completely different content about spark shuffles and joins"),
+      (4L, "another unrelated document mentioning parquet footers and scans"),
+      (5L, "a third distinct document on bloom filters and zone maps"))
+      .toDF("doc_id", "text")
+    // vectors: 1 and 2 are the anchor's closest by construction
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 31 + i).toFloat))
+    val a = vec(7)
+    val nearA = a.clone(); nearA(0) = a(0) + 0.01f
+    val tvecs = Seq(
+      (0L, a, 0), (1L, nearA, 0), (2L, a, 0),
+      (3L, vec(11), 0), (4L, vec(13), 0), (5L, vec(17), 0))
+      .toDF("vec_id", "embedding", "label")
+    // precondition: the dedup machinery sees (0,1), (0,2), (1,2) as dups
+    val dupPairs = Dedup.minhashLshPairs(tdocs, 3, 42, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupPairs.contains((0L, 1L)), s"setup: expected (0,1) near-dup, got $dupPairs")
+    val hn = Retrieval.hardNegatives(tdocs, tvecs, nQueries = 1, k = 3, tauJ = 0.5)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    // the two duplicate partners never appear; the three real documents do,
+    // in brute-force cosine order
+    assert(!hn.map(_._1).toSet.exists(Set(1L, 2L)),
+      s"false negatives leaked into the hard-negative list: ${hn.toSeq}")
+    val brute = Similarity.bruteForceTopK(tvecs, nQueries = 1, k = 5)
+      .collect().filter(r => r.getLong(1) >= 3L)
+      .sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+    assert(hn.sortBy(_._2).map(_._1).toSeq == brute,
+      s"surviving negatives must keep brute-force order: ${hn.toSeq} vs $brute")
+  }
 }
