@@ -521,6 +521,60 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Persists the EVAL-set decontamination index: the benchmark suite's
+    * MinHash band table (`<prefix>_bands`), signature-sized (k longs per
+    * eval doc). Eval sets are FROZEN artifacts — built once, served against
+    * every incoming crawl batch — so this is the natural build/serve split
+    * of the contamination family, the same shape as [[buildDedupIndex]].
+    * Band hashes are content-determined (no trained component), so an
+    * appended or rebuilt index is byte-equivalent over the same eval set. */
+  def buildContamIndex(evalDocs: DataFrame, lake: graft.lake.ParquetDirFormat,
+                       n: Int = 3, bands: Int = 42, rowsPerBand: Int = 3,
+                       prefix: String = "contam"): Unit = {
+    val t = s"${prefix}_bands"
+    val bt = minhashBandTable(evalDocs, n, bands, rowsPerBand)
+    if (lake.exists(t)) lake.overwrite(bt, t) else lake.create(bt, t)
+  }
+
+  /** Serves a TRAIN batch against a persisted [[buildContamIndex]]: verified
+    * (test_doc, train_doc, jaccard) leakage pairs, same output contract as
+    * [[minhashContamination]] — but the eval side never rescans. Candidates
+    * come from the batch's band table equi-joined against the persisted
+    * eval bands; exact Jaccard verification shingles ONLY candidate docs on
+    * both sides (`evalText` is the fetch-by-id eval corpus store). Serve
+    * cost is O(batch + candidates) regardless of eval-set size, and the
+    * batch never sees eval text except for its own candidates — the shape a
+    * pipeline runs on every incoming crawl shard. Recall contract is
+    * [[minhashLshPairs]]'s (banded candidates, p(miss at J=0.7) ≈ 2e-8). */
+  def contaminationServe(lake: graft.lake.ParquetDirFormat,
+                         evalText: DataFrame, batch: DataFrame,
+                         n: Int = 3, tau: Double = 0.5, bands: Int = 42,
+                         rowsPerBand: Int = 3,
+                         prefix: String = "contam"): DataFrame = {
+    val spark = batch.sparkSession
+    val eBands = lake.read(spark, s"${prefix}_bands")
+      .select(col("doc_id").as("test_doc"), col("band"), col("bh"))
+    val bBands = minhashBandTable(batch, n, bands, rowsPerBand)
+      .select(col("doc_id").as("train_doc"), col("band"), col("bh"))
+    // localCheckpoint, not persist: the streaming shape calls this per
+    // micro-batch in a long session (the incrementalDedup lesson)
+    val cand = bBands.join(eBands, Seq("band", "bh"))
+      .select("test_doc", "train_doc").distinct()
+      .localCheckpoint(true)
+    val tSets = shingleSets(
+        batch.join(cand.select(col("train_doc").as("doc_id")).distinct(), "doc_id"), n)
+      .select(col("doc_id").as("train_doc"), col("shingles").as("sa"), col("n_shingles").as("na"))
+    val eSets = shingleSets(
+        evalText.join(cand.select(col("test_doc").as("doc_id")).distinct(), "doc_id"), n)
+      .select(col("doc_id").as("test_doc"), col("shingles").as("sb"), col("n_shingles").as("nb"))
+    cand.join(tSets, "train_doc").join(eSets, "test_doc")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select("test_doc", "train_doc", "jaccard")
+  }
+
   /** Builds the PERSISTED dedup index for incremental (batch-vs-corpus)
     * deduplication: `<prefix>_keys` = distinct md5 text keys (exact dups),
     * `<prefix>_bands` = the MinHash band-key table (near dups). Build cost is

@@ -128,6 +128,12 @@ object Training {
     // across the boundary, exact Jaccard verify
     "text_contamination_fuzzy" -> ((s, d) => Dedup.minhashContamination(
                                    Tables.documents(s, d), 3, tau = JaccardTau)),
+    // the SERVE path: eval-set band index persisted once (frozen benchmark
+    // artifact), each train batch checked against it — must equal the
+    // full-scan contamination, so the oracle is the same replica
+    "text_contamination_serve" -> ((s, d) => Dedup.contaminationServe(
+                                   contamLake(s, d), evalSlice(s, d), trainSlice(s, d),
+                                   3, JaccardTau)),
     "text_bm25_search"       -> ((s, d) => TextOps.bm25Search(Tables.documents(s, d), Bm25Terms)),
     "text_tfidf_search"      -> ((s, d) => TextOps.tfidfSearch(Tables.documents(s, d), Bm25Terms)),
     "text_pack_sequences"    -> ((s, d) => TextOps.packSequences(Tables.documents(s, d))),
@@ -441,6 +447,24 @@ object Training {
     Tables.documents(s, d).filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0)
   private def batchSplit(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+
+  /** Deterministic train/eval slices for the contamination-serve gate —
+    * the SAME split-bucket arithmetic [[Dedup.minhashContamination]]
+    * derives inline, so serve-vs-scan equality is meaningful. */
+  private def trainSlice(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(
+      org.apache.spark.sql.functions.expr(Portable.splitBucketSpark("doc_id")) < 90)
+  private def evalSlice(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(
+      org.apache.spark.sql.functions.expr(Portable.splitBucketSpark("doc_id")) >= 90)
+
+  /** Per-source-dir PERSISTED eval-set contamination index (frozen eval
+    * artifact, built once, served against every batch). */
+  private def contamLake(s: SparkSession, d: String): graft.lake.ParquetDirFormat =
+    new graft.lake.ParquetDirFormat(
+      graft.core.TempLayouts.rootFor("graft_contam_index_", d) { root =>
+        Dedup.buildContamIndex(evalSlice(s, d), new graft.lake.ParquetDirFormat(root))
+      })
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -2347,6 +2371,7 @@ object Training {
     "text_quality_filter"    -> qualityFilterSql,
     "text_contamination"     -> contaminationSql,
     "text_contamination_fuzzy" -> contaminationFuzzySql,
+    "text_contamination_serve" -> contaminationFuzzySql,
     "text_bm25_search"       -> bm25Sql,
     "text_tfidf_search"      -> tfidfSql,
     "text_pack_sequences"    -> packSequencesSql,

@@ -398,6 +398,23 @@ class DedupSpec extends AnyFunSuite {
       s"got ${fams.toSeq}: family 0 = {0,1,2} keeps quality-99 doc 2; 3 alone")
   }
 
+  test("contaminationServe from the persisted eval index == full-scan minhashContamination") {
+    import graft.functions.Portable
+    graft.plans.GraftFunctions.register(spark)
+    val lake = new graft.lake.ParquetDirFormat(
+      java.nio.file.Files.createTempDirectory("graft_contam_serve_").toString)
+    val evalD  = docs.filter(expr(Portable.splitBucketSpark("doc_id")) >= 90)
+    val trainD = docs.filter(expr(Portable.splitBucketSpark("doc_id")) < 90)
+    Dedup.buildContamIndex(evalD, lake)
+    assert(lake.exists("contam_bands"), "index table must be persisted")
+    val served = Dedup.contaminationServe(lake, evalD, trainD, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val scanned = Dedup.minhashContamination(docs, 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served == scanned, s"serve drifted from scan: ${served.diff(scanned)} / ${scanned.diff(served)}")
+    assert(served.nonEmpty, "corpus should contain cross-split leakage pairs")
+  }
+
   test("editDistancePairs separates the set view from the sequence view") {
     import spark.implicits._
     // blocks of trigram-preserving text; the shuffled copy keeps (most)
