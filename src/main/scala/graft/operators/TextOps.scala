@@ -800,6 +800,38 @@ object TextOps {
         max(col("quality_score")).as("max_quality_kept"))
   }
 
+  /** PER-DOMAIN quantile-normalized quality filtering: each domain keeps its
+    * own top (1 − pct) by quality score, against its OWN `pct` quantile —
+    * not the corpus-global cutoff of [[qualityFilter]]. The global cutoff
+    * systematically starves domains whose score distribution sits
+    * structurally lower (code, tables, non-prose), which is why per-source
+    * curation pipelines threshold within the source (the per-subset
+    * filtering discipline the public corpus reports document — e.g. Penedo
+    * et al., FineWeb, arXiv:2406.17557; Soldaini et al., Dolma,
+    * arXiv:2402.00159 — and the data-selection survey's quantile
+    * normalization, Albalak et al., arXiv:2402.16827 §4).
+    *
+    * Output: one row per domain with its threshold and kept-range stats.
+    * Scale: thresholds are exact interpolated percentiles (bitwise ==
+    * DuckDB `quantile_cont`) — per-group agg state holds the group's
+    * scores, the [[qualityFilter]] caveat; at 100 TB swap for
+    * `approx_percentile` per group. The threshold table is |domains|-sized
+    * and broadcasts back over one scan. */
+  def qualityFilterByDomain(docs: DataFrame, pct: Double = 0.25,
+                            by: String = "source"): DataFrame = {
+    val q = qualityScore(docs).join(docs.select(col("doc_id"), col(by)), "doc_id")
+    val thr = q.groupBy(by)
+      .agg(expr(s"percentile(quality_score, $pct)").as("thr"))
+    q.join(broadcast(thr), by)
+      .filter(col("quality_score") >= col("thr"))
+      .groupBy(by)
+      .agg(
+        min(col("thr")).as("domain_threshold"),
+        count(lit(1)).as("n_docs_kept"),
+        min(col("quality_score")).as("min_quality_kept"),
+        max(col("quality_score")).as("max_quality_kept"))
+  }
+
   /** Line-level exact dedup (the CCNet/C4 boilerplate-removal pass — Wenzek et
     * al. 2020 §3.1, Raffel et al. 2020 §2.2, both public methods): split each
     * document into newline-delimited lines, count each distinct line's document

@@ -123,6 +123,9 @@ object Training {
     "text_train_split"       -> ((s, d) => TextOps.trainTestSplit(Tables.documents(s, d))),
     "text_train_split_by"    -> ((s, d) => TextOps.trainTestSplitBy(Tables.documents(s, d))),
     "text_quality_filter"    -> ((s, d) => TextOps.qualityFilter(Tables.documents(s, d))),
+    // per-domain quantile normalization: each source thresholds at ITS own
+    // 25th percentile (a global cutoff starves lower-scoring domains)
+    "text_quality_filter_domain" -> ((s, d) => TextOps.qualityFilterByDomain(Tables.documents(s, d))),
     "text_contamination"     -> ((s, d) => TextOps.contamination(Tables.documents(s, d))),
     // paraphrase-shaped (near-dup) cross-split leakage: MinHash bands
     // across the boundary, exact Jaccard verify
@@ -1188,6 +1191,30 @@ object Training {
        |  MIN(quality_score) AS min_quality_kept,
        |  MAX(quality_score) AS max_quality_kept
        |FROM m, thr WHERE quality_score >= thr GROUP BY source""".stripMargin
+
+  /** Mirror of [[TextOps.qualityFilterByDomain]]: the same quality chain
+    * with the quantile computed PER SOURCE. */
+  private val qualityFilterDomainSql =
+    s"""WITH t AS (SELECT doc_id, source, text, $toks AS toks FROM documents),
+       |c AS (SELECT doc_id, source, text, toks,
+       |  len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+       |  ${Portable.stopRatioDuck("toks", Portable.StopEn)} AS stop_ratio,
+       |  length(regexp_replace(text, '[^a-z ]', '', 'g')) AS alpha_chars
+       |FROM t),
+       |m AS (SELECT doc_id, source,
+       |  (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END) +
+       |  (CASE WHEN stop_ratio > 0 THEN 1.0 ELSE 0.0 END) +
+       |  CASE WHEN n_tokens > 0 THEN n_distinct::DOUBLE / n_tokens ELSE 0::DOUBLE END +
+       |  CASE WHEN length(text) > 0 THEN alpha_chars::DOUBLE / length(text) ELSE 0::DOUBLE END AS quality_score
+       |FROM c),
+       |thr AS (SELECT source, quantile_cont(quality_score, 0.25) AS thr
+       |  FROM m GROUP BY source)
+       |SELECT m.source, MIN(thr.thr) AS domain_threshold,
+       |  COUNT(*) AS n_docs_kept,
+       |  MIN(quality_score) AS min_quality_kept,
+       |  MAX(quality_score) AS max_quality_kept
+       |FROM m JOIN thr ON m.source = thr.source
+       |WHERE quality_score >= thr.thr GROUP BY m.source""".stripMargin
 
   /** Mirror of [[TextOps.contamination]]: same split arithmetic, same
     * distinct word-8-gram sets, equi-join on the shingle string. */
@@ -2369,6 +2396,7 @@ object Training {
     "text_train_split"       -> trainSplitSql,
     "text_train_split_by"    -> trainSplitBySql,
     "text_quality_filter"    -> qualityFilterSql,
+    "text_quality_filter_domain" -> qualityFilterDomainSql,
     "text_contamination"     -> contaminationSql,
     "text_contamination_fuzzy" -> contaminationFuzzySql,
     "text_contamination_serve" -> contaminationFuzzySql,

@@ -502,6 +502,28 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityFilterByDomain thresholds within each source, not globally") {
+    val docs = graft.core.Tables.documents(spark, TestSpark.sfDir)
+    val rows = TextOps.qualityFilterByDomain(docs, 0.25).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.map(r => r.getString(0) ->
+      (r.getDouble(1), r.getLong(2))).toMap
+    // every source keeps roughly the top 75% of ITS OWN docs — a global
+    // threshold would skew kept-counts across sources with lower score
+    // distributions; here each source's keep-rate is pinned by construction
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, (thr, kept)) =>
+      val n = counts(src)
+      assert(kept <= n && kept >= (3 * n) / 4 - 1,
+        s"$src kept $kept of $n — per-domain quantile should keep ~75%")
+      assert(!thr.isNaN)
+    }
+    // and the thresholds genuinely differ across sources (they are local)
+    assert(bySource.values.map(_._1).toSet.size > 1,
+      "all domain thresholds identical — looks like a global cutoff")
+  }
+
   test("domainMixtureWeights upweights the high-surprisal domain, conserves mass") {
     import spark.implicits._
     // 'hard' docs are all-unique tokens (max surprisal); 'easy' docs repeat
