@@ -890,19 +890,26 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
     val aligned = Align.to(df, target.schema.map(f => f.name -> f.dataType).toMap)
     val staged = stage(aligned, t, "append")
     commitRebase(t, df.sparkSession)(cur => mergeEntries(cur, staged))
-    // additive evolution must reach the SCHEMA file too, or every
-    // schema-from-SCHEMA consumer (emptyFrame, readChanges' canonical order)
-    // reads the pre-evolution shape whenever the current version happens to
-    // be empty. Written only AFTER the commit landed (the overwrite rule: an
-    // aborted commit must not leave SCHEMA describing data that never became
-    // current). Racing appenders adding DIFFERENT columns are last-writer-
-    // wins here — data reads are unaffected (mergeSchema) and the next
-    // evolving append heals the file, the sidecar-style degradation.
-    val added = aligned.schema.fields
-      .filterNot(f => target.schema.fieldNames.contains(f.name))
+    healSchemaFile(t, target.schema, aligned.schema)
+  }
+
+  /** Additive evolution must reach the SCHEMA file too, or every
+    * schema-from-SCHEMA consumer (emptyFrame, readChanges' canonical order)
+    * reads the pre-evolution shape whenever the current version happens to
+    * be empty. Called by EVERY evolving write verb (append, upsert,
+    * applyCdc — Align passes new columns through on all of them), only
+    * AFTER the commit landed (the overwrite rule: an aborted commit must
+    * not leave SCHEMA describing data that never became current). Racing
+    * writers adding DIFFERENT columns are last-writer-wins here — data
+    * reads are unaffected (mergeSchema) and the next evolving write heals
+    * the file, the sidecar-style degradation. */
+  private def healSchemaFile(t: String,
+                             target: org.apache.spark.sql.types.StructType,
+                             aligned: org.apache.spark.sql.types.StructType): Unit = {
+    val added = aligned.fields.filterNot(f => target.fieldNames.contains(f.name))
     if (added.nonEmpty)
       io.writeString(schemaFile(t),
-        org.apache.spark.sql.types.StructType(target.schema.fields ++ added).json)
+        org.apache.spark.sql.types.StructType(target.fields ++ added).json)
   }
 
   override def overwrite(df: DataFrame, t: String): Unit = {
@@ -981,6 +988,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
       }
     val untouched = existing.filterNot(e => rewriteIds.contains(e._1))
     commitExpect(t, spark, Some(baseV), mergeEntries(untouched, stagedNew ++ stagedKept))
+    healSchemaFile(t, target.schema, aligned.schema)
   }
 
   /** Partition-scoped SINGLE-COMMIT CDC apply: the delete half and the
@@ -1034,6 +1042,7 @@ class PartitionedTable(root: String, partitionCols: Seq[String]) extends TableFo
       }
     val untouched = existing.filterNot(e => rewriteIds.contains(e._1))
     commitExpect(t, spark, Some(baseV), mergeEntries(untouched, stagedNew ++ stagedKept))
+    healSchemaFile(t, target.schema, aligned.schema)
   }
 
   /** Partition-scoped key-targeted DELETE: a key-columns-only probe (the

@@ -227,7 +227,12 @@ object Similarity {
   def randomProject(emb: DataFrame, outDim: Int = 16): DataFrame = {
     require(outDim >= 1 && outDim <= Portable.Dim,
       s"outDim must be in [1, ${Portable.Dim}]")
-    Scale.fanOutScan(emb).select(col("vec_id"),
+    // deliberately NO fanOutScan here: every consumer (withNorm, the index
+    // builds) fans its own scan out, and fanOutScan cannot see an upstream
+    // repartition through the projection — stacking them would round-robin
+    // the projected corpus a second time for nothing (the Classifier
+    // withFeats double-fanOut lesson)
+    emb.select(col("vec_id"),
       expr(Portable.rpProjectSpark("embedding", outDim)).as("embedding"),
       col("label"))
   }

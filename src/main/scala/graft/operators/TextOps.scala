@@ -1431,10 +1431,11 @@ object TextOps {
     * trained proxy-model loss plugs into the same slot when one exists —
     * the update is loss-source-agnostic). All arithmetic is BIGINT: round t
     * computes the weighted mean loss `lbar = Σ w·loss div Σ w`, each
-    * domain's multiplier `(W·etaDen + (loss - lbar)·etaNum) div etaDen`
-    * (floored at 1 BEFORE the division ever sees a negative numerator —
-    * Spark `div` truncates toward zero while DuckDB `//` floors, so the
-    * negative-operand case must never be evaluated), then renormalizes to
+    * domain's multiplier `max(1, (W·etaDen + (loss - lbar)·etaNum) div
+    * etaDen)` (the negative-numerator arm short-circuits to 1 BEFORE any
+    * division — Spark `div` truncates toward zero while DuckDB `//` floors,
+    * so a negative operand must never be evaluated — and the positive arm
+    * floors at 1 too, covering 0 < numerator < etaDen), then renormalizes to
     * a constant total mass. Every round is therefore bitwise-replayable as
     * an unrolled SQL CTE, the classifier-trajectory precedent.
     *
@@ -1487,7 +1488,8 @@ object TextOps {
         .withColumn("mn",
           expr(s"${W}L * ${etaDen}L + (loss_fp - lbar) * ${etaNum}L"))
         .withColumn("mult",
-          when(col("mn") <= 0, lit(1L)).otherwise(expr(s"mn div ${etaDen}L")))
+          when(col("mn") <= 0, lit(1L))
+            .otherwise(greatest(lit(1L), expr(s"mn div ${etaDen}L"))))
         .withColumn("w1", expr(s"weight * mult div ${W}L"))
       val s1 = up.agg(sum(col("w1")).cast("bigint").as("s1"))
       w = up.crossJoin(broadcast(s1))

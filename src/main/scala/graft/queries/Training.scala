@@ -1256,10 +1256,10 @@ object Training {
     * the minhash recall contract. */
   private lazy val hardNegativesSql =
     s"""WITH $jaccardCtes,
-       |jp AS ($jaccardSelect),
+       |jp AS MATERIALIZED ($jaccardSelect),
        |nx AS (SELECT doc_a AS query_id, doc_b AS neighbor_id FROM jp WHERE doc_a < $NQueries
        |  UNION SELECT doc_b, doc_a FROM jp WHERE doc_b < $NQueries),
-       |kk AS (SELECT doc_id, md5(text) AS kk FROM documents),
+       |kk AS MATERIALIZED (SELECT doc_id, md5(text) AS kk FROM documents),
        |xx AS (SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id
        |  FROM kk a JOIN kk b ON a.kk = b.kk AND a.doc_id <> b.doc_id
        |  WHERE a.doc_id < $NQueries),
@@ -1291,7 +1291,7 @@ object Training {
       s"""a$i AS (SELECT CAST(SUM(weight * loss_fp) AS BIGINT) // CAST(SUM(weight) AS BIGINT) AS lbar
          |  FROM $pw JOIN l USING (source)),
          |u$i AS MATERIALIZED (SELECT source,
-         |    weight * (CASE WHEN mn <= 0 THEN 1 ELSE mn // $etaDen END) // $W AS w1
+         |    weight * (CASE WHEN mn <= 0 THEN 1 ELSE greatest(1, mn // $etaDen) END) // $W AS w1
          |  FROM (SELECT w.source, w.weight,
          |      $W * $etaDen + (l.loss_fp - a$i.lbar) * $etaNum AS mn
          |    FROM $pw w JOIN l USING (source) CROSS JOIN a$i)),
@@ -1384,7 +1384,8 @@ object Training {
        |          list_append(s.bins,
        |            struct_pack(rem := $B - k.n, id := s.nxt)) AS ap
        |        FROM bfst s JOIN bfr k
-       |          ON k.lang = s.lang AND k.shard = s.shard AND k.r = s.r + 1))""".stripMargin
+       |          ON k.lang IS NOT DISTINCT FROM s.lang
+       |          AND k.shard = s.shard AND k.r = s.r + 1))""".stripMargin
   }
 
   private lazy val bestFitPackSql =

@@ -660,6 +660,34 @@ class LakeSpec extends AnyFunSuite {
       "pre-evolution range must keep the current schema after a delete-to-empty")
   }
 
+  test("UPSERT- and CDC-driven schema evolution heal the SCHEMA file too") {
+    import spark.implicits._
+    val t = pfmt("p")
+    t.create(Seq((1L, "a", "x")).toDF("id", "p", "v"), "cfup")
+    // evolving upsert: `note` arrives through Align's passthrough
+    t.upsert(Seq((2L, "a", "b", "n2")).toDF("id", "p", "v", "note"),
+      "cfup", Seq("id"))
+    val pre = t.readChanges(spark, "cfup", 0, 0)
+    assert(pre.columns.contains("note"),
+      s"pre-evolution range must carry the upsert-added column: ${pre.columns.toSeq}")
+    // and after a delete-to-empty, SCHEMA (not footers) is the only source
+    t.deleteWhere(spark, "cfup", org.apache.spark.sql.functions.lit(true))
+    assert(t.read(spark, "cfup").columns.contains("note"),
+      "emptied table must keep the upsert-evolved schema")
+    // evolving CDC apply (both halves non-empty so it takes the CDC path)
+    val t2 = pfmt("p")
+    t2.create(Seq((1L, "a", "x", 0L), (2L, "a", "y", 0L))
+      .toDF("id", "p", "v", "seq"), "cfcdc")
+    val changes = Seq(
+      ("delete", 1L, "a", "x", null.asInstanceOf[String], 1L),
+      ("update", 2L, "a", "y2", "n", 2L))
+      .toDF("op", "id", "p", "v", "note", "seq")
+    t2.applyCdc(changes, "cfcdc", Seq("id"), "op", "seq")
+    t2.deleteWhere(spark, "cfcdc", org.apache.spark.sql.functions.lit(true))
+    assert(t2.read(spark, "cfcdc").columns.contains("note"),
+      "emptied table must keep the CDC-evolved schema")
+  }
+
   test("partitioned time travel: readVersion pins snapshots, versions enumerate") {
     import spark.implicits._
     val t = pfmt("p")
