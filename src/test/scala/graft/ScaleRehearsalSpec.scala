@@ -285,6 +285,56 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     assert(tB / tS < 20.0, f"superlinear blowup: $tS%.1f s -> $tB%.1f s")
   }
 
+  test("contamination serve: batch checks never pay an eval-set rescan",
+      SlowRehearsal) {
+    // eval sets are frozen artifacts; the serve path's cost axis is the
+    // BATCH (plus its candidates), not the eval size: a 10x eval set must
+    // move serve cost only through the extra verified candidates (measured
+    // +1.4% here against 10x the pairs), never through an eval rescan —
+    // an implementation that re-signatured the eval side would track eval
+    // volume and blow the band.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val eval1  = copies(docs, 1, Seq("doc_id"), perturbText = true)
+    val eval10 = copies(docs, 10, Seq("doc_id"), perturbText = true)
+    // the batch: far-shifted ids, near-dup text of every eval cluster
+    val batch = docs.withColumn("doc_id", col("doc_id") + lit(100 * Shift))
+      .withColumn("text", concat(col("text"), lit(" batchtok")))
+    val root = Files.createTempDirectory("graft-rehearsal-contamserve")
+    val lake1  = new graft.lake.ParquetDirFormat(s"$root/idx1")
+    val lake10 = new graft.lake.ParquetDirFormat(s"$root/idx10")
+    Dedup.buildContamIndex(eval1, lake1)
+    Dedup.buildContamIndex(eval10, lake10)
+    val (tS1, nS1) = timed("contam serve vs 1x eval") {
+      runRows(Dedup.contaminationServe(lake1, eval1, batch, 3, 0.5))
+    }
+    val (tS10, nS10) = timed("contam serve vs 10x eval") {
+      runRows(Dedup.contaminationServe(lake10, eval10, batch, 3, 0.5))
+    }
+    assert(nS1 > 0, "batch must near-dup the eval clusters")
+    assert(nS10 > nS1, "10x eval clones must yield more verified pairs")
+    // same batch, 10x eval, 10x verified pairs: well inside the linear band
+    // (an eval rescan would land near 10x; measured ~1.0x)
+    assert(tS10 / tS1 < 5.0, f"serve cost tracks eval size: $tS1%.1f s -> $tS10%.1f s")
+  }
+
+  test("JL projection scales linearly on 10x key-shifted embeddings", SlowRehearsal) {
+    // the projection is a pure per-row codegen'd expression and the
+    // downstream top-k is the k-bounded fold — 10x vectors must stay in the
+    // linear band, and the result stays nQueries x k regardless of corpus
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (t1, n1) = timed("rp topk 1x") {
+      runRows(graft.operators.Similarity.bruteForceTopK(
+        graft.operators.Similarity.randomProject(emb, 16), 20, 10))
+    }
+    val big = copies(emb, 10, Seq("vec_id"))
+    val (t10, n10) = timed("rp topk 10x") {
+      runRows(graft.operators.Similarity.bruteForceTopK(
+        graft.operators.Similarity.randomProject(big, 16), 20, 10))
+    }
+    assert(n1 == 200 && n10 == 200, "top-k volume is query-bound, not corpus-bound")
+    assert(t10 / t1 < 20.0, f"superlinear blowup: $t1%.1f s -> $t10%.1f s")
+  }
+
   test("batch MMR: 10x queries cost ~10x, never a driver serialization",
       SlowRehearsal) {
     // the grouped fold's scale axis is QUERY COUNT: scoring is corpus x
