@@ -1501,6 +1501,28 @@ object TextOps {
     traj.reduce(_ unionByName _)
   }
 
+  /** Applies a LEARNED mixture — the read side of
+    * [[domainMixtureWeights]]: per-domain keep rates derived IN-PLAN from a
+    * (source, weight) frame (max-normalized: the heaviest domain keeps
+    * everything, the rest keep weight/max), resolved to integer 1/10000
+    * bucket thresholds with BIGINT arithmetic so both engines compare the
+    * same integers (the [[mixtureSample]] rule, without the driver-side
+    * literal map — the weights stay data). Composition contract: feeding
+    * [[domainMixtureWeights]]' final round through this is the full
+    * learn-then-apply loop of a DoReMi-style pipeline, all inside one plan.
+    *
+    * Scale shape: the weight/threshold table is |domains|-sized (broadcast);
+    * the corpus pays one scan + one integer comparison per row. */
+  def mixtureSampleByWeights(docs: DataFrame, weights: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val mx = weights.agg(max(col("weight")).cast("bigint").as("wmax"))
+    val thr = weights.crossJoin(broadcast(mx))
+      .select(col("source"), expr("weight * 10000L div wmax").as("__thr"))
+    docs.join(broadcast(thr), Seq("source"))
+      .filter(expr(Portable.sampleBucketSpark("doc_id")) < col("__thr"))
+      .select("doc_id", "source")
+  }
+
   def temperatureSample(docs: DataFrame, targetDocs: Long,
                         by: String = "source"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -154,6 +154,13 @@ object Training {
     // weight trajectory, integer-exact, replayed by an unrolled CTE chain
     "text_domain_mixture"    -> ((s, d) => TextOps.domainMixtureWeights(
                                    Tables.documents(s, d), MixtureIters)),
+    // the learn-then-apply composition: the final learned round's weights
+    // drive the sampler IN-PLAN (no driver literal between the two halves)
+    "text_mixture_learned"   -> ((s, d) => TextOps.mixtureSampleByWeights(
+                                   Tables.documents(s, d),
+                                   TextOps.domainMixtureWeights(Tables.documents(s, d), MixtureIters)
+                                     .filter(org.apache.spark.sql.functions.col("round") === MixtureIters)
+                                     .select("source", "weight"))),
     "text_token_budget"      -> ((s, d) => TextOps.tokenBudgetSample(Tables.documents(s, d), 200L)),
     // every 7th doc gets a 30-token spam run appended, so the repetition
     // thresholds trip on constructed dirt while clean docs stay under them
@@ -1284,7 +1291,10 @@ object Training {
     * CASE guard keeping every `//` on non-negative operands (DuckDB floors,
     * Spark truncates; they agree only above zero). Multi-referenced CTEs
     * are MATERIALIZED (the chain-root rule). */
-  private val domainMixtureSql = {
+  /** The shared CTE body (loss table + every MW round through
+    * w`MixtureIters`) — reused by the trajectory oracle and the
+    * learned-mixture application oracle. */
+  private val domainMixtureCtes: String = {
     val S = 1000000L; val W = 1000000L; val etaNum = 8L; val etaDen = 1L
     val rounds = (1 to MixtureIters).map { i =>
       val pw = s"w${i - 1}"
@@ -1299,12 +1309,7 @@ object Training {
          |w$i AS MATERIALIZED (SELECT source, w1 * mass // s1 AS weight
          |  FROM u$i CROSS JOIN m CROSS JOIN s$i)""".stripMargin
     }.mkString(",\n")
-    val union = (0 to MixtureIters).map { i =>
-      s"""SELECT CAST($i AS INTEGER) AS round, source, weight,
-         |  CAST(weight AS DOUBLE) / CAST(mass AS DOUBLE) AS share
-         |FROM w$i CROSS JOIN m""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH docs AS (SELECT source, $toks AS toks FROM documents),
+    s"""docs AS (SELECT source, $toks AS toks FROM documents),
        |tok AS (SELECT source, unnest(toks) AS t FROM docs),
        |tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY t),
        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM tf),
@@ -1316,9 +1321,28 @@ object Training {
        |  GROUP BY source)),
        |m AS (SELECT CAST(COUNT(*) AS BIGINT) * $W AS mass FROM l),
        |w0 AS MATERIALIZED (SELECT source, CAST($W AS BIGINT) AS weight FROM l),
-       |$rounds
-       |$union""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private val domainMixtureSql = {
+    val union = (0 to MixtureIters).map { i =>
+      s"""SELECT CAST($i AS INTEGER) AS round, source, weight,
+         |  CAST(weight AS DOUBLE) / CAST(mass AS DOUBLE) AS share
+         |FROM w$i CROSS JOIN m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $domainMixtureCtes\n$union"
+  }
+
+  /** Mirror of [[TextOps.mixtureSampleByWeights]] over the learned final
+    * round: max-normalized integer 1/10000 thresholds, same BIGINT
+    * arithmetic, same deterministic sample bucket. */
+  private val mixtureLearnedSql =
+    s"""WITH $domainMixtureCtes,
+       |mw AS (SELECT CAST(MAX(weight) AS BIGINT) AS wmax FROM w$MixtureIters),
+       |thr AS (SELECT source, weight * 10000 // wmax AS thr
+       |  FROM w$MixtureIters CROSS JOIN mw)
+       |SELECT d.doc_id, d.source FROM documents d JOIN thr ON d.source = thr.source
+       |WHERE ${Portable.sampleBucketDuck("d.doc_id")} < thr.thr""".stripMargin
 
   /** Mirror of [[TextOps.packSequences]] (budget 2048, 16 shards): the
     * SUM window is cast back to BIGINT (DuckDB window SUM promotes to
@@ -2427,6 +2451,7 @@ object Training {
     "dedup_minhash_lsh"      -> jaccardSql,
     "dedup_edit_distance"    -> editDistanceSql,
     "text_domain_mixture"    -> domainMixtureSql,
+    "text_mixture_learned"   -> mixtureLearnedSql,
     "retrieval_hard_negatives" -> hardNegativesSql,
     "dedup_simhash"          -> simhashSql,
     "dedup_embedding_cosine" -> embCosineSql,

@@ -555,5 +555,14 @@ class TextOpsSpec extends AnyFunSuite {
     }
     assert(w(3, "easy") < 1000000L && w(3, "hard") > 1000000L,
       s"no separation: easy ${w(3, "easy")}, hard ${w(3, "hard")}")
+    // learn-then-apply: the max-normalized sampler keeps every doc of the
+    // heaviest domain and (here, with easy floored at 0) none of the other
+    val weights = TextOps.domainMixtureWeights(corpus, iters = 3)
+      .filter(org.apache.spark.sql.functions.col("round") === 3)
+      .select("source", "weight")
+    val kept = TextOps.mixtureSampleByWeights(corpus, weights)
+      .collect().map(_.getString(1))
+    assert(kept.count(_ == "hard") == 10, "heaviest domain keeps all docs")
+    assert(!kept.contains("easy"), "zero-weight domain keeps nothing")
   }
 }
