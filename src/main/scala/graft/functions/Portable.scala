@@ -123,6 +123,46 @@ object Portable {
   def dotDuckN(a: String, b: String, n: Int): String =
     (1 to n).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
   def normDuckN(a: String, n: Int): String = s"sqrt(${dotDuckN(a, a, n)})"
+
+  // ---- WordPiece greedy longest-match-first segmentation -------------------
+  /** Maximal-munch fold state for one word against a LITERAL vocabulary,
+    * packed into ONE BIGINT (`unk * 10^9 + pos * 10^4 + n_pieces`) because
+    * DuckDB's `list_reduce` requires accumulator and element types to match
+    * (the [[phashDuck]] seed-prepend trick, integer state instead of a
+    * struct). Per position: if not finished, take the LONGEST vocab piece
+    * matching at `pos` (list_max over a filtered literal list — NULL when
+    * nothing matches → the whole word is one [UNK], BERT's behavior).
+    * Both dialects run the same integer arithmetic; pieces and positions
+    * stay < 10^4 so the packing never collides. Words longer than 9999
+    * chars are out of contract (no tokenizer emits them). */
+  private def wordpieceEsc(p: String) = p.replace("'", "''")
+  def wordpieceStateSpark(word: String, vocab: Seq[String]): String = {
+    val arr = vocab.map(p => s"'${wordpieceEsc(p)}'").mkString("array(", ", ", ")")
+    // sequence(1, 0) is DESCENDING, so the empty word guards to the seed
+    s"CASE WHEN length($word) = 0 THEN 10000L ELSE aggregate(sequence(1, length($word)), 10000L, " +
+      s"(acc, x) -> CASE WHEN acc div 1000000000L = 1 OR (acc div 10000L) % 100000L > length($word) THEN acc " +
+      s"ELSE coalesce(((acc div 10000L) % 100000L + array_max(transform(filter($arr, " +
+      s"p -> substring($word, cast((acc div 10000L) % 100000L as int), length(p)) = p), " +
+      s"p -> cast(length(p) as bigint)))) * 10000L + (acc % 10000L) + 1L, 1000000000L) END) END"
+  }
+  def wordpieceStateDuck(word: String, vocab: Seq[String]): String = {
+    val arr = vocab.map(p => s"'${wordpieceEsc(p)}'").mkString("[", ", ", "]")
+    s"list_reduce(list_prepend(10000::BIGINT, [CAST(i AS BIGINT) for i in range(1, length($word) + 1)]), " +
+      s"(acc, x) -> CASE WHEN acc // 1000000000 = 1 OR (acc // 10000) % 100000 > length($word) THEN acc " +
+      s"ELSE coalesce(((acc // 10000) % 100000 + list_max([length(p) for p in $arr " +
+      s"if substr($word, CAST((acc // 10000) % 100000 AS INT), length(p)) = p])) * 10000 " +
+      s"+ (acc % 10000) + 1, 1000000000) END)"
+  }
+  /** Decode of the packed state: piece count (an [UNK] word is ONE piece)
+    * and the unk flag. `st` must be a BIGINT column/expression. */
+  def wordpiecePiecesSpark(st: String): String =
+    s"CASE WHEN $st div 1000000000L = 1 THEN 1L ELSE $st % 10000L END"
+  def wordpiecePiecesDuck(st: String): String =
+    s"CASE WHEN $st // 1000000000 = 1 THEN 1 ELSE $st % 10000 END"
+  def wordpieceUnkSpark(st: String): String =
+    s"CASE WHEN $st div 1000000000L = 1 THEN 1L ELSE 0L END"
+  def wordpieceUnkDuck(st: String): String =
+    s"CASE WHEN $st // 1000000000 = 1 THEN 1 ELSE 0 END"
   def dotDuck(a: String, b: String): String =
     (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
   def normSpark(a: String): String = s"sqrt(${dotSpark(a, a)})"

@@ -1282,6 +1282,44 @@ object TextOps {
         col("n_subwords").cast("double") / col("n_tokens"))
   }
 
+  /** WordPiece greedy longest-match-first segmentation stats against a
+    * FROZEN vocabulary — the other major subword inference algorithm next
+    * to [[bpeSegmentMerges]]' merge replay (Devlin et al., BERT,
+    * arXiv:1810.04805 §4.3's tokenizer; the greedy maximal-munch algorithm
+    * as published in Song et al., "Fast WordPiece Tokenization",
+    * arXiv:2012.15524 §2). Per word, repeatedly take the LONGEST vocab
+    * piece matching at the cursor; a word with an unmatchable position
+    * becomes one [UNK] (BERT's whole-word fallback). Distinct from BPE by
+    * construction: BPE replays merge RANKS, munch takes longest pieces —
+    * the two disagree whenever a long piece spans a low-rank merge
+    * boundary.
+    *
+    * Engine-exactness: the munch is a single integer-packed fold
+    * ([[Portable.wordpieceStateSpark]]/-Duck — same arithmetic, two
+    * dialects), so the gate hash-checks. Scale shape: the fold runs on the
+    * DISTINCT-WORD table only (vocabulary-sized — the [[bpeTrain]] rule for
+    * interpreted HOFs), then broadcast-joins back to the exploded token
+    * stream; the corpus pays one scan + one map-side-combined per-doc
+    * aggregate. */
+  def wordpieceSegment(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty && vocab.forall(_.nonEmpty), "vocab pieces must be non-empty")
+    val tok = withToks(docs).select(col("doc_id"), explode(col("toks")).as("word"))
+    val segWords = tok.select("word").distinct()
+      .withColumn("__st", expr(Portable.wordpieceStateSpark("word", vocab)))
+      .select(col("word"),
+        expr(Portable.wordpiecePiecesSpark("__st")).as("n_pieces"),
+        expr(Portable.wordpieceUnkSpark("__st")).as("is_unk"))
+    tok.join(broadcast(segWords), Seq("word"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_tokens"),
+        sum(col("n_pieces")).cast("bigint").as("n_pieces"),
+        sum(col("is_unk")).cast("bigint").as("n_unk_tokens"),
+        max(col("n_pieces")).cast("bigint").as("max_pieces_per_token"))
+      .withColumn("pieces_per_token",
+        col("n_pieces").cast("double") / col("n_tokens"))
+  }
+
   /** Bigram-LM conditional surprisal per document (the CCNet/KenLM-style
     * perplexity filter one model order up from [[unigramSurprisal]]: Wenzek et
     * al., "CCNet", arXiv 1911.00359 uses LM perplexity as its quality axis —

@@ -114,8 +114,18 @@ object Training {
     ("r", "o"), ("ro", "w"), ("s", "c"), ("a", "n"), ("sc", "an"),
     ("v", "a"), ("a", "t"))
 
+  /** Frozen WordPiece vocabulary for the munch gate: the BPE gate's merged
+    * units plus single lowercase letters and digits — tokens carrying any
+    * other character fall to [UNK], the arm the oracle must also hit. */
+  val WordpieceVocab: Seq[String] =
+    BpeMerges.map { case (a, b) => a + b }.distinct ++
+      ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
+
   val queries: Map[String, Q] = Map(
     "text_bpe_segment"       -> ((s, d) => TextOps.bpeSegmentMerges(Tables.documents(s, d), BpeMerges)),
+    // the OTHER subword inference algorithm: greedy longest-match-first
+    // against a frozen vocab (BERT's tokenizer), integer-packed fold
+    "text_wordpiece"         -> ((s, d) => TextOps.wordpieceSegment(Tables.documents(s, d), WordpieceVocab)),
     "text_token_stats"       -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "text_language_id"       -> ((s, d) => TextOps.languageId(Tables.documents(s, d))),
     "text_quality_score"     -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
@@ -1198,6 +1208,24 @@ object Training {
        |  MIN(quality_score) AS min_quality_kept,
        |  MAX(quality_score) AS max_quality_kept
        |FROM m, thr WHERE quality_score >= thr GROUP BY source""".stripMargin
+
+  /** Mirror of [[TextOps.wordpieceSegment]]: the same integer-packed munch
+    * fold ([[Portable.wordpieceStateDuck]]) over the distinct-word table,
+    * joined back and aggregated per document. */
+  private lazy val wordpieceSql =
+    s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS word FROM d),
+       |dw AS (SELECT DISTINCT word FROM tok),
+       |st AS (SELECT word, ${Portable.wordpieceStateDuck("word", WordpieceVocab)} AS st FROM dw),
+       |seg AS MATERIALIZED (SELECT word,
+       |  ${Portable.wordpiecePiecesDuck("st")} AS n_pieces,
+       |  ${Portable.wordpieceUnkDuck("st")} AS is_unk FROM st)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(is_unk) AS BIGINT) AS n_unk_tokens,
+       |  CAST(MAX(n_pieces) AS BIGINT) AS max_pieces_per_token,
+       |  CAST(SUM(n_pieces) AS BIGINT)::DOUBLE / COUNT(*) AS pieces_per_token
+       |FROM tok JOIN seg USING (word) GROUP BY doc_id""".stripMargin
 
   /** Mirror of [[TextOps.qualityFilterByDomain]]: the same quality chain
     * with the quantile computed PER SOURCE. */
@@ -2401,6 +2429,7 @@ object Training {
 
   val oracle: Map[String, String] = Map(
     "text_bpe_segment"       -> bpeSegmentSql,
+    "text_wordpiece"         -> wordpieceSql,
     "embed_kmeans"           -> kmeansSql,
     "embed_prototype_prune"  -> prototypePruneSql,
     "embed_cluster_sample"   -> clusterSampleSql,

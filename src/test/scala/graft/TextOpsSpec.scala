@@ -502,6 +502,31 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("wordpieceSegment: maximal munch, whole-word UNK, disagrees with BPE where it must") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "thescan able zzz rowable"), // the|scan, able, z|z|z, row|able
+      (1L, "x!y abc"),                  // [UNK] (no '!' piece), abc (vocab hit)
+      (2L, "abc"))                      // munch-vs-BPE disagreement probe
+      .toDF("doc_id", "text")
+    val vocab = Seq("the", "able", "scan", "row", "abc", "bc") ++
+      ('a' to 'z').map(_.toString)
+    val rows = TextOps.wordpieceSegment(corpus, vocab)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 0: 4 tokens -> 2 + 1 + 3 + 2 = 8 pieces, no unk, max 3
+    assert(rows(0L) == ((4L, 8L, 0L, 3L)), s"doc0: ${rows(0L)}")
+    // doc 1: x!y is one whole-word [UNK]; abc matches the 'abc' piece
+    assert(rows(1L) == ((2L, 2L, 1L, 1L)), s"doc1: ${rows(1L)}")
+    // disagreement with BPE on the same word: munch takes the longest piece
+    // ('abc' -> 1), BPE replays merge ranks ((b,c) -> a|bc -> 2)
+    assert(rows(2L)._2 == 1L, s"munch must take the longest piece: ${rows(2L)}")
+    val bpe = TextOps.bpeSegmentMerges(corpus.filter(org.apache.spark.sql.functions.col("doc_id") === 2L),
+        Seq(("b", "c"))).head()
+    assert(bpe.getAs[Long]("n_subwords") == 2L,
+      "BPE merge replay must split abc as a|bc — the algorithms are distinct")
+  }
+
   test("qualityFilterByDomain thresholds within each source, not globally") {
     val docs = graft.core.Tables.documents(spark, TestSpark.sfDir)
     val rows = TextOps.qualityFilterByDomain(docs, 0.25).collect()
