@@ -355,6 +355,38 @@ class PlanSpec extends AnyFunSuite {
       "recall eval must never degrade to a cartesian")
   }
 
+  test("hard negatives: anchors broadcast, exclusion is an anti-join, no window") {
+    val p = plan("retrieval_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the anchor set must broadcast into the corpus scan")
+    assert(p.contains("LeftAnti"),
+      "the dup-exclusion pairs must anti-join out before ranking")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"ranking must stay the k-bounded fold:\n${p.take(400)}")
+  }
+
+  test("learned mixture: threshold table broadcasts; corpus pays a scan, not a window") {
+    val p = plan("text_mixture_learned")
+    assert(p.contains("BroadcastHashJoin"),
+      "the domains-sized threshold table must broadcast over the corpus")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"application is one scan + one integer comparison:\n${p.take(400)}")
+  }
+
+  test("wordpiece: fold runs on the distinct-word side, broadcast back — never per corpus token") {
+    val p = plan("text_wordpiece")
+    assert(p.contains("BroadcastHashJoin"),
+      "segmented distinct words must broadcast back to the token stream")
+    // the munch fold (an interpreted HOF) must sit UNDER the distinct
+    // aggregate, not in the post-join projection where it would run per
+    // corpus token: after the broadcast join no projection re-evaluates it
+    val afterJoin = p.substring(0, p.indexOf("BroadcastHashJoin"))
+    assert(afterJoin.toLowerCase.indexOf("aggregate(") == -1
+        || !afterJoin.contains("wordpiece"),
+      "the fold must not appear above the join")
+    assert(!p.contains("Window"), s"no window anywhere:\n${p.take(400)}")
+  }
+
   test("profileAll: the tall aggregate reads the source EXACTLY once") {
     import org.apache.spark.sql.functions._
     // the whole point of the one-scan mixture: four sketch families, ONE
