@@ -135,9 +135,15 @@ object Portable {
     * Both dialects run the same integer arithmetic; pieces and positions
     * stay < 10^4 so the packing never collides. Words longer than 9999
     * chars are out of contract (no tokenizer emits them). */
-  private def wordpieceEsc(p: String) = p.replace("'", "''")
+  // per-dialect string-literal escapes: Spark's parser processes backslash
+  // escapes inside single quotes (the CLAUDE.md double-escape trap), DuckDB
+  // treats backslash literally and doubles quotes — escaping each dialect
+  // its own way keeps the EFFECTIVE vocab identical in both engines
+  private def wordpieceEscSpark(p: String) =
+    p.replace("\\", "\\\\").replace("'", "\\'")
+  private def wordpieceEscDuck(p: String) = p.replace("'", "''")
   def wordpieceStateSpark(word: String, vocab: Seq[String]): String = {
-    val arr = vocab.map(p => s"'${wordpieceEsc(p)}'").mkString("array(", ", ", ")")
+    val arr = vocab.map(p => s"'${wordpieceEscSpark(p)}'").mkString("array(", ", ", ")")
     // sequence(1, 0) is DESCENDING, so the empty word guards to the seed
     s"CASE WHEN length($word) = 0 THEN 10000L ELSE aggregate(sequence(1, length($word)), 10000L, " +
       s"(acc, x) -> CASE WHEN acc div 1000000000L = 1 OR (acc div 10000L) % 100000L > length($word) THEN acc " +
@@ -146,7 +152,7 @@ object Portable {
       s"p -> cast(length(p) as bigint)))) * 10000L + (acc % 10000L) + 1L, 1000000000L) END) END"
   }
   def wordpieceStateDuck(word: String, vocab: Seq[String]): String = {
-    val arr = vocab.map(p => s"'${wordpieceEsc(p)}'").mkString("[", ", ", "]")
+    val arr = vocab.map(p => s"'${wordpieceEscDuck(p)}'").mkString("[", ", ", "]")
     s"list_reduce(list_prepend(10000::BIGINT, [CAST(i AS BIGINT) for i in range(1, length($word) + 1)]), " +
       s"(acc, x) -> CASE WHEN acc // 1000000000 = 1 OR (acc // 10000) % 100000 > length($word) THEN acc " +
       s"ELSE coalesce(((acc // 10000) % 100000 + list_max([length(p) for p in $arr " +

@@ -377,13 +377,21 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("text_wordpiece")
     assert(p.contains("BroadcastHashJoin"),
       "segmented distinct words must broadcast back to the token stream")
-    // the munch fold (an interpreted HOF) must sit UNDER the distinct
-    // aggregate, not in the post-join projection where it would run per
-    // corpus token: after the broadcast join no projection re-evaluates it
-    val afterJoin = p.substring(0, p.indexOf("BroadcastHashJoin"))
-    assert(afterJoin.toLowerCase.indexOf("aggregate(") == -1
-        || !afterJoin.contains("wordpiece"),
-      "the fold must not appear above the join")
+    // the munch fold's unmistakable fingerprint in the plan text: the
+    // position sequence it folds over. It must exist SOMEWHERE (or this pin
+    // has rotted and needs a new marker) and must sit strictly BELOW the
+    // broadcast join in the printed tree (executedPlan prints top-down, so
+    // text before the join node is the per-corpus-token region — the fold
+    // appearing there would re-run the interpreted HOF per token, the
+    // CLAUDE.md hot-path trap)
+    // (the fold itself hides inside the HashAggregate's result projection,
+    // which toString does not print — its __st alias is the visible trace)
+    val marker = "__st"
+    assert(p.contains(marker),
+      s"plan no longer shows the munch fold's alias — re-derive the marker:\n${p.take(600)}")
+    val aboveJoin = p.substring(0, p.indexOf("BroadcastHashJoin"))
+    assert(!aboveJoin.contains(marker),
+      s"the fold must never run above the broadcast join:\n${aboveJoin.take(600)}")
     assert(!p.contains("Window"), s"no window anywhere:\n${p.take(400)}")
   }
 

@@ -581,7 +581,12 @@ class TextOpsSpec extends AnyFunSuite {
     assert(w(3, "easy") < 1000000L && w(3, "hard") > 1000000L,
       s"no separation: easy ${w(3, "easy")}, hard ${w(3, "hard")}")
     // learn-then-apply: the max-normalized sampler keeps every doc of the
-    // heaviest domain and (here, with easy floored at 0) none of the other
+    // heaviest domain and (here, with easy floored at 0) none of the other.
+    // PIN the precondition the second half depends on — if an eta/corpus
+    // tweak ever leaves easy above 0, the kept-set assertions must be
+    // rewritten against the actual keep rate, not silently drift
+    assert(w(3, "easy") == 0L,
+      s"precondition moved: easy weight ${w(3, "easy")} (expected the 0 floor)")
     val weights = TextOps.domainMixtureWeights(corpus, iters = 3)
       .filter(org.apache.spark.sql.functions.col("round") === 3)
       .select("source", "weight")
