@@ -204,26 +204,43 @@ object Retrieval {
     * SimCSE, arXiv:2104.08821; Wang et al., E5, arXiv:2212.03533 §3).
     *
     * Exclusion is PAIRWISE: an md5-identical twin or a verified n-gram
-    * Jaccard >= `tauJ` near-dup of the anchor (the [[Dedup.minhashLshPairs]]
-    * contract — banded candidates, exact verify, equal to the all-pairs
-    * result). Embeddings and documents share the id space (vec_id = doc_id,
-    * the same join the filtered-ANN gate rides).
+    * Jaccard >= `tauJ` near-dup of the anchor (the
+    * [[Dedup.minhashAnchoredPairs]] contract — banded candidates restricted
+    * to anchor-side × corpus-side BEFORE the bucket explode, exact verify,
+    * equal to a corpus-wide pair table filtered to anchors). Embeddings and
+    * documents share the id space (vec_id = doc_id, the same join the
+    * filtered-ANN gate rides).
     *
-    * Scale shape: the exclusion table is filtered to ANCHOR pairs before
-    * any join (nQueries-bounded, broadcast both ways); the md5-twin
-    * self-join keys on the anchors' md5 set only, so a 100 TB dup cohort
-    * costs anchor-rows, never cohort²; ranking is the k-bounded
-    * [[Scale.topKPerKey]] fold over one corpus scan — never a Window. */
+    * Scale shape: the exclusion table is anchor-bounded END TO END — pair
+    * GENERATION explodes only anchors × their bucket mates (candidate
+    * volume ∝ anchor bucket memberships, independent of how many non-anchor
+    * documents resemble each other; ScaleRehearsalSpec pins the slope), so
+    * a 20-anchor query set never pays a corpus-dedup candidate bill; the
+    * md5-twin self-join keys on the anchors' md5 set only, so a 100 TB dup
+    * cohort costs anchor-rows, never cohort²; ranking is the k-bounded
+    * [[Scale.topKPerKey]] fold over one corpus scan — never a Window.
+    *
+    * Production reuse: when the curation chain has ALREADY produced a
+    * verified near-dup pair table (the dedup stage's output), pass it as
+    * `pairs` — any orientation, columns (doc_a, doc_b) — and the mining run
+    * pays zero signature work (the [[Dedup.dedupFamiliesFromPairs]]
+    * injection precedent). */
   def hardNegatives(docs: DataFrame, emb: DataFrame, nQueries: Int = 20,
-                    k: Int = 10, tauJ: Double = 0.5): DataFrame = {
+                    k: Int = 10, tauJ: Double = 0.5,
+                    pairs: Option[DataFrame] = None): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     val anchor = col("query_id") < nQueries
-    // near-dup legs of the exclusion, oriented both ways, anchors only
-    val near = Dedup.minhashLshPairs(docs, 3, 42, 3, tauJ)
-      .select(col("doc_a"), col("doc_b"))
-    val nearEx = near.select(col("doc_a").as("query_id"), col("doc_b").as("neighbor_id"))
-      .union(near.select(col("doc_b").as("query_id"), col("doc_a").as("neighbor_id")))
-      .filter(anchor)
+    // near-dup leg of the exclusion: anchor-oriented by construction when
+    // generated here; injected pair tables are oriented both ways first
+    val nearEx = pairs match {
+      case Some(p) =>
+        p.select(col("doc_a").as("query_id"), col("doc_b").as("neighbor_id"))
+          .union(p.select(col("doc_b").as("query_id"), col("doc_a").as("neighbor_id")))
+          .filter(anchor)
+      case None =>
+        Dedup.minhashAnchoredPairs(docs, col("doc_id") < nQueries, 3, 42, 3, tauJ)
+          .select(col("doc_a").as("query_id"), col("doc_b").as("neighbor_id"))
+    }
     // exact-twin leg: md5 keys of the ANCHOR docs only, joined back against
     // the corpus keys (anchor-bounded — never a full dup-cohort self-join)
     val keys = docs.select(col("doc_id"), md5(col("text")).as("kk"))

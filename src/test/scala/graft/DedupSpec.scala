@@ -46,6 +46,38 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashAnchoredPairs == corpus-wide pairs oriented and filtered to anchors") {
+    import spark.implicits._
+    // anchors 0-2: 0~1 anchor-anchor near-dups, 2~5 anchor-other; docs 6-9
+    // are a non-anchor-only near-dup cohort the anchored path must never pay
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val other = "one two three four five six seven eight nine ten eleven twelve"
+    val tdocs = Seq(
+      (0L, base), (1L, base.replace("mu", "nu")), (2L, other),
+      (3L, "spark shuffles hash exchanges and sort merge joins entirely"),
+      (4L, "parquet footers row groups and dictionary encoded pages here"),
+      (5L, other.replace("twelve", "thirteen")),
+      (6L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+      (7L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed io"),
+      (8L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed ro"),
+      (9L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed zo"))
+      .toDF("doc_id", "text")
+    val wide = Dedup.minhashLshPairs(tdocs, 3, 42, 3, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = wide.flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+      .filter(_._1 < 3L).toSet
+    val got = Dedup.minhashAnchoredPairs(tdocs, col("doc_id") < 3, 3, 42, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"anchored pairs must equal the filtered corpus-wide table: $got vs $expected")
+    assert(expected.exists(p => p._1 < 3 && p._2 < 3),
+      "setup: an anchor-anchor pair must exist (both orientations covered)")
+    assert(expected.exists(p => p._2 >= 3),
+      "setup: an anchor-other pair must exist")
+    assert(wide.exists(p => p._1 >= 6 && p._2 >= 6),
+      "setup: a non-anchor-only cohort must exist in the corpus-wide table")
+  }
+
   test("connected components match a local union-find over the same pairs") {
     val pairsDf = Dedup.ngramJaccardPairs(docs, 3, 0.5)
     val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1)))

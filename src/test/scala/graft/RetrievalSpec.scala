@@ -148,5 +148,17 @@ class RetrievalSpec extends AnyFunSuite {
       .sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
     assert(hn.sortBy(_._2).map(_._1).toSeq == brute,
       s"surviving negatives must keep brute-force order: ${hn.toSeq} vs $brute")
+
+    // injection path: a precomputed verified pair table (the production
+    // dedup stage's output) must yield the identical mining result with
+    // zero signature work
+    val injected = Retrieval.hardNegatives(tdocs, tvecs, nQueries = 1, k = 3,
+        tauJ = 0.5, pairs = Some(Dedup.minhashLshPairs(tdocs, 3, 42, 3, 0.5)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val generated = Retrieval.hardNegatives(tdocs, tvecs, nQueries = 1, k = 3,
+        tauJ = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(injected.toSeq == generated.toSeq,
+      "injected-pairs mining must be bitwise-equal to the generated path")
   }
 }
