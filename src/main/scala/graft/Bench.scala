@@ -29,14 +29,18 @@ object Bench {
       "\"steal_jiffies\":(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toLong))
     val prevSf = prev.flatMap(
       "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(_).map(_.group(1)))
+    // anchored to the total line's own prefix: a bare "value": match would
+    // bind to whichever metric happens to serialize first
     val prevTotal = prev.flatMap(
-      "\"value\":([0-9.Ee+-]+)".r.findFirstMatchIn(_).map(_.group(1).toDouble))
+      "\\{\"metric\":\"total\",\"value\":([0-9.Ee+-]+)".r
+        .findFirstMatchIn(_).map(_.group(1).toDouble))
     val prevQueryKeys = prev.flatMap(
       "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(_).map(m =>
         "\"([^\"]+)\":".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSet))
     val sameGates = prevQueryKeys.forall(_ == gateNames)
     if (prevSf.exists(_ != sfDir)) "bench_smoke.json"
-    else if (sameGates && prevSteal.exists(_ + 200L < stealTotal) &&
+    else if (!sameGates) "bench_last.json" // changed gate set ALWAYS overwrites
+    else if (prevSteal.exists(_ + 200L < stealTotal) &&
         prevTotal.exists(_ < total)) "bench_candidate.json"
     else if (contended && prevSteal.exists(p => p < stealTotal / 4))
       "bench_contended.json"

@@ -133,8 +133,12 @@ object Portable {
     * matching at `pos` (list_max over a filtered literal list — NULL when
     * nothing matches → the whole word is one [UNK], BERT's behavior).
     * Both dialects run the same integer arithmetic; pieces and positions
-    * stay < 10^4 so the packing never collides. Words longer than 9999
-    * chars are out of contract (no tokenizer emits them). */
+    * stay < 10^4 so the packing never collides. Words of 10^4+ chars would
+    * overflow the pieces field (and at 10^5+, the pos field into the unk
+    * flag) — SILENTLY, identically in both engines, so no parity check
+    * would catch it — hence both dialects guard them to one explicit [UNK]
+    * up front (the r15 ADVICE finding): a pathological unbroken token is
+    * exactly what [UNK] is for, and the packed state never sees it. */
   // per-dialect string-literal escapes: Spark's parser processes backslash
   // escapes inside single quotes (the CLAUDE.md double-escape trap), DuckDB
   // treats backslash literally and doubles quotes — escaping each dialect
@@ -144,8 +148,10 @@ object Portable {
   private def wordpieceEscDuck(p: String) = p.replace("'", "''")
   def wordpieceStateSpark(word: String, vocab: Seq[String]): String = {
     val arr = vocab.map(p => s"'${wordpieceEscSpark(p)}'").mkString("array(", ", ", ")")
-    // sequence(1, 0) is DESCENDING, so the empty word guards to the seed
-    s"CASE WHEN length($word) = 0 THEN 10000L ELSE aggregate(sequence(1, length($word)), 10000L, " +
+    // sequence(1, 0) is DESCENDING, so the empty word guards to the seed;
+    // 10^4+-char words guard to [UNK] before the fold (field-width contract)
+    s"CASE WHEN length($word) = 0 THEN 10000L WHEN length($word) >= 10000 THEN 1000000000L " +
+      s"ELSE aggregate(sequence(1, length($word)), 10000L, " +
       s"(acc, x) -> CASE WHEN acc div 1000000000L = 1 OR (acc div 10000L) % 100000L > length($word) THEN acc " +
       s"ELSE coalesce(((acc div 10000L) % 100000L + array_max(transform(filter($arr, " +
       s"p -> substring($word, cast((acc div 10000L) % 100000L as int), length(p)) = p), " +
@@ -153,11 +159,12 @@ object Portable {
   }
   def wordpieceStateDuck(word: String, vocab: Seq[String]): String = {
     val arr = vocab.map(p => s"'${wordpieceEscDuck(p)}'").mkString("[", ", ", "]")
-    s"list_reduce(list_prepend(10000::BIGINT, [CAST(i AS BIGINT) for i in range(1, length($word) + 1)]), " +
+    s"CASE WHEN length($word) >= 10000 THEN 1000000000 " +
+      s"ELSE list_reduce(list_prepend(10000::BIGINT, [CAST(i AS BIGINT) for i in range(1, length($word) + 1)]), " +
       s"(acc, x) -> CASE WHEN acc // 1000000000 = 1 OR (acc // 10000) % 100000 > length($word) THEN acc " +
       s"ELSE coalesce(((acc // 10000) % 100000 + list_max([length(p) for p in $arr " +
       s"if substr($word, CAST((acc // 10000) % 100000 AS INT), length(p)) = p])) * 10000 " +
-      s"+ (acc % 10000) + 1, 1000000000) END)"
+      s"+ (acc % 10000) + 1, 1000000000) END) END"
   }
   /** Decode of the packed state: piece count (an [UNK] word is ONE piece)
     * and the unk flag. `st` must be a BIGINT column/expression. */

@@ -47,6 +47,23 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.recordTarget(Some(record), sf, total = 99.0,
       stealTotal = 5000, contended = true,
       gates + "q3_new_gate") === "bench_last.json")
+    // ... including through the 4x-contended quarantine (the r15 ADVICE
+    // combination: changed gates in a filthy window must still overwrite —
+    // the record tracks the CURRENT gate set, full stop)
+    assert(Bench.recordTarget(Some(record), sf, total = 99.0,
+      stealTotal = 18233, contended = true,
+      gates + "q3_new_gate") === "bench_last.json")
+  }
+
+  test("prevTotal anchors to the total line, not the first value key") {
+    // a record whose FIRST "value": belongs to another metric must still
+    // compare against the total — an unanchored regex would read 1.0 here
+    // and wave a strictly-worse rerun through as an "improvement"
+    val reordered =
+      """{"metric":"warmup","value":1.0,"unit":"sec"}""" + "\n" +
+        record
+    assert(Bench.recordTarget(Some(reordered), sf, total = 97.16,
+      stealTotal = 4430, contended = true, gates) === "bench_candidate.json")
   }
 
   test("sf mismatch -> smoke; 4x-dirtier contended window -> contended") {

@@ -525,6 +525,23 @@ class TextOpsSpec extends AnyFunSuite {
         Seq(("b", "c"))).head()
     assert(bpe.getAs[Long]("n_subwords") == 2L,
       "BPE merge replay must split abc as a|bc — the algorithms are distinct")
+    // out-of-contract guard (r15 ADVICE): a 10^4+-char unbroken token must
+    // become ONE explicit [UNK] — unguarded, the packed fold overflows its
+    // pieces field silently and identically in both engines
+    val longWord = "a" * 10000
+    val guarded = TextOps.wordpieceSegment(
+        Seq((0L, s"$longWord abc")).toDF("doc_id", "text"), vocab)
+      .head()
+    assert(guarded.getAs[Long]("n_tokens") == 2L &&
+        guarded.getAs[Long]("n_pieces") == 2L &&
+        guarded.getAs[Long]("n_unk_tokens") == 1L,
+      s"10^4-char word must be one [UNK], not an overflowed fold: $guarded")
+    // just inside the contract: 9999 single-char pieces, not [UNK]
+    val inside = TextOps.wordpieceSegment(
+        Seq((0L, "a" * 9999)).toDF("doc_id", "text"), vocab).head()
+    assert(inside.getAs[Long]("n_pieces") == 9999L &&
+        inside.getAs[Long]("n_unk_tokens") == 0L,
+      s"9999-char word is in contract and must still munch: $inside")
   }
 
   test("qualityFilterByDomain thresholds within each source, not globally") {
