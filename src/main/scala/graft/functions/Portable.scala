@@ -176,6 +176,75 @@ object Portable {
     s"CASE WHEN $st div 1000000000L = 1 THEN 1L ELSE 0L END"
   def wordpieceUnkDuck(st: String): String =
     s"CASE WHEN $st // 1000000000 = 1 THEN 1 ELSE 0 END"
+
+  // ---- Unigram-LM Viterbi segmentation -------------------------------------
+  /** Sentinel for an unreachable Viterbi cell / unsegmentable word. Far above
+    * any in-contract packed value (cost <= 10^6 per piece x < 10^4 pieces
+    * packs below 10^14) and far below BIGINT overflow even after the decode
+    * arithmetic. */
+  val UnigramUnreach = 100000000000000000L // 10^17
+
+  /** Viterbi best-segmentation state for one word against a LITERAL weighted
+    * vocabulary (Kudo, "Subword Regularization", arXiv:1804.10959 §3 — the
+    * unigram-LM tokenizer SentencePiece ships; inference is the classic
+    * lattice Viterbi). Each vocab piece carries an INTEGER cost (a
+    * fixed-point -log p, e.g. the [[unigramSurprisal]]-style bit width), and
+    * the DP minimizes total cost with piece count as the packed tie-break:
+    * cell[j] = min over pieces p ending at j of cell[j - |p|] + cost(p)*10^4
+    * + 1, cells packed as `cost * 10^4 + n_pieces` so one integer MIN is the
+    * lexicographic (cost, pieces) objective. Fold state is the whole cell
+    * ARRAY (seed `[0]`, one append per position — in DuckDB the fold
+    * elements are single-element lists so accumulator and element types
+    * match, the [[wordpieceStateSpark]] packing trick one level up); the
+    * returned scalar is the final cell, [[UnigramUnreach]] when no piece
+    * path covers the word (one whole-word [UNK], BERT/SentencePiece
+    * fallback) or the word breaks the <10^4-char field contract.
+    * Contract (enforced by [[graft.operators.TextOps.unigramSegment]]):
+    * pieces non-empty, costs in [0, 10^6]. Both dialects run identical
+    * integer arithmetic, so the state is engine-exact. */
+  def unigramStateSpark(word: String, vocab: Seq[(String, Long)]): String = {
+    val v = vocab.size
+    val ps = vocab.map(p => s"'${wordpieceEscSpark(p._1)}'").mkString("array(", ", ", ")")
+    val ls = vocab.map(_._1.length).mkString("array(", ", ", ")")
+    val cs = vocab.map(p => s"${p._2}L").mkString("array(", ", ", ")")
+    s"CASE WHEN length($word) = 0 THEN 0L WHEN length($word) >= 10000 THEN ${UnigramUnreach}L " +
+      s"ELSE element_at(aggregate(sequence(1, length($word)), array(0L), (acc, j) -> concat(acc, array(" +
+      s"coalesce(array_min(transform(filter(sequence(1, $v), k -> " +
+      s"j >= element_at($ls, k) " +
+      s"AND element_at(acc, j - element_at($ls, k) + 1) < ${UnigramUnreach}L " +
+      s"AND substring($word, j - element_at($ls, k) + 1, element_at($ls, k)) = element_at($ps, k)), " +
+      s"k -> element_at(acc, j - element_at($ls, k) + 1) + element_at($cs, k) * 10000L + 1L)), " +
+      s"${UnigramUnreach}L)))), length($word) + 1) END"
+  }
+  def unigramStateDuck(word: String, vocab: Seq[(String, Long)]): String = {
+    val v = vocab.size
+    val ps = vocab.map(p => s"'${wordpieceEscDuck(p._1)}'").mkString("[", ", ", "]")
+    val ls = vocab.map(_._1.length).mkString("[", ", ", "]")
+    val cs = vocab.map(_._2).mkString("[", ", ", "]")
+    s"CASE WHEN length($word) = 0 THEN 0 WHEN length($word) >= 10000 THEN $UnigramUnreach " +
+      s"ELSE list_reduce(list_prepend([0::BIGINT], [[CAST(j AS BIGINT)] for j in range(1, length($word) + 1)]), " +
+      s"(acc, x) -> list_append(acc, coalesce(list_min(" +
+      s"[acc[CAST(x[1] - ($ls)[k] + 1 AS INT)] + ($cs)[k] * 10000 + 1 for k in range(1, ${v + 1}) " +
+      s"if x[1] >= ($ls)[k] " +
+      s"and acc[CAST(x[1] - ($ls)[k] + 1 AS INT)] < $UnigramUnreach " +
+      s"and substr($word, CAST(x[1] - ($ls)[k] + 1 AS INT), ($ls)[k]) = ($ps)[k]]), " +
+      s"$UnigramUnreach)))[length($word) + 1] END"
+  }
+  /** Decode of the packed Viterbi cell: piece count (an [UNK] word is ONE
+    * piece), total integer cost (0 for [UNK] — its cost is not a path cost),
+    * and the unk flag. `st` must be a BIGINT column/expression. */
+  def unigramPiecesSpark(st: String): String =
+    s"CASE WHEN $st >= ${UnigramUnreach}L THEN 1L ELSE $st % 10000L END"
+  def unigramPiecesDuck(st: String): String =
+    s"CASE WHEN $st >= $UnigramUnreach THEN 1 ELSE $st % 10000 END"
+  def unigramCostSpark(st: String): String =
+    s"CASE WHEN $st >= ${UnigramUnreach}L THEN 0L ELSE $st div 10000L END"
+  def unigramCostDuck(st: String): String =
+    s"CASE WHEN $st >= $UnigramUnreach THEN 0 ELSE $st // 10000 END"
+  def unigramUnkSpark(st: String): String =
+    s"CASE WHEN $st >= ${UnigramUnreach}L THEN 1L ELSE 0L END"
+  def unigramUnkDuck(st: String): String =
+    s"CASE WHEN $st >= $UnigramUnreach THEN 1 ELSE 0 END"
   def dotDuck(a: String, b: String): String =
     (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
   def normSpark(a: String): String = s"sqrt(${dotSpark(a, a)})"

@@ -1320,6 +1320,176 @@ object TextOps {
         col("n_pieces").cast("double") / col("n_tokens"))
   }
 
+  /** Unigram-LM Viterbi segmentation stats against a FROZEN weighted
+    * vocabulary — the third major subword family next to [[bpeSegmentMerges]]
+    * (merge replay) and [[wordpieceSegment]] (greedy maximal munch): Kudo,
+    * "Subword Regularization" (arXiv:1804.10959 §3), the SentencePiece
+    * inference algorithm. Per word, the lattice Viterbi picks the GLOBALLY
+    * cheapest piece path under integer fixed-point piece costs (a scaled
+    * -log p, transcendental-free — the surprisal scorers' formulation), with
+    * piece count as tie-break; a word no piece path covers becomes one
+    * [UNK]. Distinct from munch by construction: greedy commits to the
+    * longest piece at each cursor and can strand the suffix (or pay a dear
+    * long piece), while Viterbi minimizes the whole word — the two disagree
+    * exactly where subword quality matters (TextOpsSpec pins a word munch
+    * UNKs but Viterbi segments).
+    *
+    * Engine-exactness: the DP is the integer-packed array fold
+    * [[Portable.unigramStateSpark]]/-Duck — same arithmetic, two dialects —
+    * so the gate hash-checks. Scale shape: identical to [[wordpieceSegment]]
+    * — the fold runs on the DISTINCT-WORD table only (vocabulary-sized, the
+    * [[bpeTrain]] rule for interpreted HOFs), broadcast-joins back to the
+    * exploded token stream, and the corpus pays one scan + one
+    * map-side-combined per-doc aggregate. */
+  def unigramSegment(docs: DataFrame, vocab: Seq[(String, Long)]): DataFrame = {
+    require(vocab.nonEmpty && vocab.forall(_._1.nonEmpty),
+      "vocab pieces must be non-empty")
+    require(vocab.forall(p => p._2 >= 0L && p._2 <= 1000000L),
+      "piece costs must be integer fixed-point in [0, 10^6] (the packing contract)")
+    val tok = withToks(docs).select(col("doc_id"), explode(col("toks")).as("word"))
+    val segWords = tok.select("word").distinct()
+      .withColumn("__st", expr(Portable.unigramStateSpark("word", vocab)))
+      .select(col("word"),
+        expr(Portable.unigramPiecesSpark("__st")).as("n_pieces"),
+        expr(Portable.unigramCostSpark("__st")).as("cost"),
+        expr(Portable.unigramUnkSpark("__st")).as("is_unk"))
+    tok.join(broadcast(segWords), Seq("word"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_tokens"),
+        sum(col("n_pieces")).cast("bigint").as("n_pieces"),
+        sum(col("is_unk")).cast("bigint").as("n_unk_tokens"),
+        sum(col("cost")).cast("bigint").as("total_cost"),
+        max(col("n_pieces")).cast("bigint").as("max_pieces_per_token"))
+      .withColumn("pieces_per_token",
+        col("n_pieces").cast("double") / col("n_tokens"))
+  }
+
+  /** The driver-side mirror of the packed Viterbi DP, with backtrace: the
+    * piece-index path of the cheapest segmentation, None when unreachable.
+    * Same packed objective (`cost * 10^4 + pieces`, integer MIN) as
+    * [[Portable.unigramStateSpark]], ties between piece paths of equal
+    * packed value resolved to the lowest piece index — deterministic, so
+    * training counts are reproducible run-to-run. */
+  private[operators] def unigramViterbiPath(word: String,
+      vocab: Array[(String, Long)]): Option[Seq[Int]] = {
+    val n = word.length
+    val UN = Long.MaxValue
+    val best = Array.fill(n + 1)(UN); best(0) = 0L
+    val back = Array.fill(n + 1)(-1)
+    var j = 1
+    while (j <= n) {
+      var k = 0
+      while (k < vocab.length) {
+        val p = vocab(k)._1; val len = p.length
+        if (len <= j && best(j - len) != UN &&
+            word.regionMatches(j - len, p, 0, len)) {
+          val cand = best(j - len) + vocab(k)._2 * 10000L + 1L
+          if (cand < best(j)) { best(j) = cand; back(j) = k }
+        }
+        k += 1
+      }
+      j += 1
+    }
+    if (best(n) == UN) None
+    else {
+      var pos = n
+      var path = List.empty[Int]
+      while (pos > 0) { path = back(pos) :: path; pos -= vocab(back(pos))._1.length }
+      Some(path)
+    }
+  }
+
+  /** Unigram-LM vocabulary TRAINING — the hard-EM (Viterbi-count) variant of
+    * Kudo's EM + pruning loop (arXiv:1804.10959 §3.2; SentencePiece's
+    * trainer seeds a large candidate set and alternates
+    * fit-then-prune-worst until the target size — hard EM replaces the
+    * forward-backward expectation with the Viterbi path's counts, the
+    * standard simplification). Returns the shipped artifact: the frozen
+    * (piece, cost) vocabulary [[unigramSegment]] applies, costs the integer
+    * bit width floor(log2(total_usage / piece_usage)) — the same
+    * transcendental-free fixed point the surprisal gates proved bitwise.
+    *
+    * Algorithm: (1) ONE corpus pass builds the frequency-weighted
+    * DISTINCT-WORD table; (2) seed = the `4 x vocabSize` highest-weight
+    * substrings up to `maxPieceLen` chars (counted on the word table,
+    * weights = word frequencies) plus every single character (coverage: no
+    * trained vocab may UNK its own training corpus); (3) each round derives
+    * integer costs from current usage, Viterbi-resegments the WORD TABLE
+    * (the per-word DP runs inside a flatMap over vocab-sized data — the
+    * [[bpeTrain]] distinct-word rule; the vocab itself is a broadcast
+    * driver literal, bounded at 10^4 entries), re-counts piece usage, and
+    * prunes to 3/4 of the previous size (never below `vocabSize`, single
+    * chars never pruned); (4) the final vocab is the top `vocabSize` pieces
+    * by (usage desc, piece asc) with single chars force-included, costs
+    * from the final counts.
+    *
+    * Iterative argmax-style training is spec-gated, not SQL-expressible —
+    * the [[bpeTrain]] class; INFERENCE against the result is the
+    * oracle-gated [[unigramSegment]]. */
+  def unigramTrain(docs: DataFrame, vocabSize: Int, rounds: Int = 3,
+                   maxPieceLen: Int = 6): Seq[(String, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(vocabSize >= 1 && vocabSize <= 10000, "vocabSize must be in [1, 10000]")
+    require(rounds >= 1 && rounds <= 50, "rounds must be in [1, 50]")
+    require(maxPieceLen >= 1 && maxPieceLen <= 32, "maxPieceLen must be in [1, 32]")
+    // the only corpus-sized pass: word frequencies
+    val words = withToks(docs)
+      .select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("bigint").as("freq"))
+      .as[(String, Long)]
+      .localCheckpoint(true)
+    val maxL = maxPieceLen
+    // seed candidates: substring weights on the word table (vocab-sized)
+    val subWeights = words.flatMap { case (w, f) =>
+      for {
+        i <- 0 until w.length
+        l <- 1 to math.min(maxL, w.length - i)
+      } yield (w.substring(i, i + l), f)
+    }.toDF("piece", "w").groupBy("piece").agg(sum(col("w")).cast("bigint").as("usage"))
+    val seedTop = subWeights.filter(length(col("piece")) > 1)
+      .orderBy(col("usage").desc, col("piece")).limit(4 * vocabSize)
+    val singles = subWeights.filter(length(col("piece")) === 1)
+    var vocab: Array[(String, Long)] = seedTop.unionByName(singles)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (p, u) => (-u, p) }
+    val singleSet = vocab.collect { case (p, _) if p.length == 1 => p }.toSet
+    def costsOf(v: Array[(String, Long)]): Array[(String, Long)] = {
+      val total = v.map(_._2).sum
+      v.map { case (p, u) =>
+        (p, (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, total / math.max(1L, u)))).toLong)
+      }
+    }
+    var target = vocab.length
+    for (_ <- 1 to rounds) {
+      val withCosts = costsOf(vocab)
+      val bc = spark.sparkContext.broadcast(withCosts)
+      // hard E-step: Viterbi piece counts over the word table
+      val usage = words.flatMap { case (w, f) =>
+        unigramViterbiPath(w, bc.value).toSeq.flatten.map(k => (k, f))
+      }.toDF("k", "f").groupBy("k").agg(sum(col("f")).cast("bigint").as("u"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      bc.destroy()
+      // M-step: prune to 3/4 (never below vocabSize); single chars stay with
+      // a usage floor of 1 so their costs remain finite
+      target = math.max(vocabSize, (target * 3) / 4)
+      val counted = withCosts.zipWithIndex.map { case ((p, _), k) =>
+        (p, usage.getOrElse(k, 0L))
+      }
+      val kept = counted.filter { case (p, u) => u > 0 || singleSet(p) }
+        .map { case (p, u) => (p, if (u == 0L && singleSet(p)) 1L else u) }
+        .sortBy { case (p, u) => (-u, p) }
+      val (forced, rest) = kept.partition { case (p, _) => singleSet(p) }
+      vocab = (forced ++ rest.take(math.max(0, target - forced.length)))
+        .sortBy { case (p, u) => (-u, p) }
+    }
+    val (forced, rest) = vocab.partition { case (p, _) => singleSet(p) }
+    val fin = (forced ++ rest.take(math.max(0, vocabSize - forced.length)))
+      .sortBy { case (p, u) => (-u, p) }
+    costsOf(fin).toSeq
+  }
+
   /** Bigram-LM conditional surprisal per document (the CCNet/KenLM-style
     * perplexity filter one model order up from [[unigramSurprisal]]: Wenzek et
     * al., "CCNet", arXiv 1911.00359 uses LM perplexity as its quality axis —

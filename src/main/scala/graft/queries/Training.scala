@@ -118,14 +118,26 @@ object Training {
     * units plus single lowercase letters and digits — tokens carrying any
     * other character fall to [UNK], the arm the oracle must also hit. */
   val WordpieceVocab: Seq[String] =
-    BpeMerges.map { case (a, b) => a + b }.distinct ++
+    BpeMerges.map { case (a, b) => a + b } .distinct ++
       ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
+
+  /** Frozen weighted vocabulary for the unigram-LM Viterbi gate: the same
+    * pieces as [[WordpieceVocab]] (so the [UNK] arm matches), with integer
+    * fixed-point costs that fall with piece length — long pieces are cheap
+    * per char, so Viterbi prefers them GLOBALLY where munch merely grabs
+    * them locally; the two gates disagree exactly on the words where the
+    * algorithms do. */
+  val UnigramVocab: Seq[(String, Long)] =
+    WordpieceVocab.map(p => (p, math.max(1L, 10L - 2L * p.length)))
 
   val queries: Map[String, Q] = Map(
     "text_bpe_segment"       -> ((s, d) => TextOps.bpeSegmentMerges(Tables.documents(s, d), BpeMerges)),
     // the OTHER subword inference algorithm: greedy longest-match-first
     // against a frozen vocab (BERT's tokenizer), integer-packed fold
     "text_wordpiece"         -> ((s, d) => TextOps.wordpieceSegment(Tables.documents(s, d), WordpieceVocab)),
+    // the THIRD subword family: unigram-LM lattice Viterbi (SentencePiece
+    // inference) against a frozen weighted vocab, integer-packed DP fold
+    "text_unigram_segment"   -> ((s, d) => TextOps.unigramSegment(Tables.documents(s, d), UnigramVocab)),
     "text_token_stats"       -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "text_language_id"       -> ((s, d) => TextOps.languageId(Tables.documents(s, d))),
     "text_quality_score"     -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
@@ -1223,6 +1235,26 @@ object Training {
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
        |  CAST(SUM(is_unk) AS BIGINT) AS n_unk_tokens,
+       |  CAST(MAX(n_pieces) AS BIGINT) AS max_pieces_per_token,
+       |  CAST(SUM(n_pieces) AS BIGINT)::DOUBLE / COUNT(*) AS pieces_per_token
+       |FROM tok JOIN seg USING (word) GROUP BY doc_id""".stripMargin
+
+  /** Mirror of [[TextOps.unigramSegment]]: the same integer-packed Viterbi
+    * array fold ([[Portable.unigramStateDuck]]) over the distinct-word
+    * table, joined back and aggregated per document. */
+  private lazy val unigramSegmentSql =
+    s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS word FROM d),
+       |dw AS (SELECT DISTINCT word FROM tok),
+       |st AS (SELECT word, ${Portable.unigramStateDuck("word", UnigramVocab)} AS st FROM dw),
+       |seg AS MATERIALIZED (SELECT word,
+       |  ${Portable.unigramPiecesDuck("st")} AS n_pieces,
+       |  ${Portable.unigramCostDuck("st")} AS cost,
+       |  ${Portable.unigramUnkDuck("st")} AS is_unk FROM st)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(is_unk) AS BIGINT) AS n_unk_tokens,
+       |  CAST(SUM(cost) AS BIGINT) AS total_cost,
        |  CAST(MAX(n_pieces) AS BIGINT) AS max_pieces_per_token,
        |  CAST(SUM(n_pieces) AS BIGINT)::DOUBLE / COUNT(*) AS pieces_per_token
        |FROM tok JOIN seg USING (word) GROUP BY doc_id""".stripMargin
@@ -2430,6 +2462,7 @@ object Training {
   val oracle: Map[String, String] = Map(
     "text_bpe_segment"       -> bpeSegmentSql,
     "text_wordpiece"         -> wordpieceSql,
+    "text_unigram_segment"   -> unigramSegmentSql,
     "embed_kmeans"           -> kmeansSql,
     "embed_prototype_prune"  -> prototypePruneSql,
     "embed_cluster_sample"   -> clusterSampleSql,

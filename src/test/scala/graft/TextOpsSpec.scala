@@ -544,6 +544,67 @@ class TextOpsSpec extends AnyFunSuite {
       s"9999-char word is in contract and must still munch: $inside")
   }
 
+  test("unigramSegment: Viterbi global optimum disagrees with greedy munch where it must") {
+    import spark.implicits._
+    // the classic greedy-stranding case: munch on 'abc' grabs 'ab' and
+    // strands 'c' (no such piece) -> whole-word [UNK]; Viterbi routes
+    // a|bc and segments it
+    val corpus = Seq((0L, "abc")).toDF("doc_id", "text")
+    val uniVocab = Seq(("ab", 1L), ("bc", 1L), ("a", 3L))
+    val uni = TextOps.unigramSegment(corpus, uniVocab).head()
+    assert(uni.getAs[Long]("n_pieces") == 2L &&
+        uni.getAs[Long]("n_unk_tokens") == 0L &&
+        uni.getAs[Long]("total_cost") == 4L,
+      s"Viterbi must find a|bc (cost 3+1): $uni")
+    val munch = TextOps.wordpieceSegment(corpus, uniVocab.map(_._1)).head()
+    assert(munch.getAs[Long]("n_unk_tokens") == 1L,
+      s"greedy munch must strand the suffix and UNK the word: $munch")
+    // cost optimality beats piece-greed: with a dear long piece, Viterbi
+    // takes more pieces at lower total cost
+    val v2 = Seq(("abcd", 9L), ("ab", 1L), ("cd", 1L))
+    val uni2 = TextOps.unigramSegment(Seq((0L, "abcd")).toDF("doc_id", "text"), v2).head()
+    assert(uni2.getAs[Long]("n_pieces") == 2L && uni2.getAs[Long]("total_cost") == 2L,
+      s"Viterbi must prefer ab|cd (cost 2) over abcd (cost 9): $uni2")
+    // unreachable word -> one [UNK], cost excluded from the total
+    val uni3 = TextOps.unigramSegment(Seq((0L, "xyz abc")).toDF("doc_id", "text"),
+        uniVocab).head()
+    assert(uni3.getAs[Long]("n_tokens") == 2L &&
+        uni3.getAs[Long]("n_unk_tokens") == 1L &&
+        uni3.getAs[Long]("n_pieces") == 3L &&
+        uni3.getAs[Long]("total_cost") == 4L,
+      s"uncoverable word is one [UNK] with no path cost: $uni3")
+    // field-width contract guard, as for wordpiece
+    val long = TextOps.unigramSegment(
+        Seq((0L, "a" * 10000)).toDF("doc_id", "text"), Seq(("a", 1L))).head()
+    assert(long.getAs[Long]("n_unk_tokens") == 1L && long.getAs[Long]("n_pieces") == 1L,
+      s"10^4-char word must guard to [UNK]: $long")
+  }
+
+  test("unigramTrain: hard-EM learns the frequent long piece, covers its corpus, prunes junk") {
+    import spark.implicits._
+    // 'sparkle' dominates the corpus; a trained unigram vocab must carry a
+    // long frequent piece covering it cheaply, and the result must never
+    // UNK the training corpus (single-char coverage guarantee)
+    val corpus = (0 until 40).map(i => (i.toLong, "sparkle sparkle sparkle zen"))
+      .toDF("doc_id", "text")
+    val vocab = TextOps.unigramTrain(corpus, vocabSize = 12, rounds = 3, maxPieceLen = 7)
+    assert(vocab.size <= 12, s"vocab must respect the size budget: ${vocab.size}")
+    val pieces = vocab.map(_._1).toSet
+    assert(vocab.forall(p => p._2 >= 0L && p._2 <= 1000000L),
+      "costs must stay in the packing contract")
+    assert(pieces.exists(_.length >= 4),
+      s"training must keep a long high-usage piece: $pieces")
+    // the learned artifact composes with the oracle-gated applier and covers
+    // the training corpus without [UNK]
+    val applied = TextOps.unigramSegment(corpus, vocab)
+      .agg(org.apache.spark.sql.functions.sum("n_unk_tokens")).head().getLong(0)
+    assert(applied == 0L, "a trained vocab must never UNK its own training corpus")
+    // the frequent word segments in few pieces (the long piece is used)
+    val perWord = TextOps.unigramSegment(Seq((0L, "sparkle")).toDF("doc_id", "text"), vocab)
+      .head().getAs[Long]("n_pieces")
+    assert(perWord <= 3L, s"'sparkle' must segment via learned long pieces, got $perWord")
+  }
+
   test("qualityFilterByDomain thresholds within each source, not globally") {
     val docs = graft.core.Tables.documents(spark, TestSpark.sfDir)
     val rows = TextOps.qualityFilterByDomain(docs, 0.25).collect()
