@@ -764,6 +764,50 @@ object TextOps {
       .select(col("doc_id"), (col("reason") === "keep").as("keep"), col("reason"))
   }
 
+  /** Per-shard provenance / composition report — the datasheet practice
+    * public training pipelines document (Gebru et al., "Datasheets for
+    * Datasets", arXiv:1803.09010; Dolma's per-source accounting,
+    * arXiv:2402.00159 §4): given the corpus, a curation DECISION table
+    * ((doc_id, reason) — [[curationDecisions]] / [[curationDecisionsFamilies]]
+    * output), and the kept set's shuffle-shard assignment
+    * ([[shuffleShards]]), emit one row per (shard, source, lang, stage):
+    * kept docs report under their real shard with stage 'kept'; dropped
+    * docs report under the pseudo-shard -1 with their first-failing-filter
+    * stage (exact_dup / contaminated / near_dup / lang / quality /
+    * repetition) — so the report answers both datasheet questions at once:
+    * what is IN each shard, and where did the rest GO. `shard_token_share`
+    * is each row's token fraction of its shard (attrition rows share the
+    * -1 pool).
+    *
+    * Scale shape: one corpus projection scan (token counts fused into the
+    * meta projection), two corpus-keyed equi-joins (decision, shard), then
+    * ONE map-side-combined hash aggregate down to the report-sized
+    * (shard × source × lang × stage) frame; the per-shard total is a second
+    * aggregate OF THE REPORT and broadcasts back. Nothing after the first
+    * aggregate is corpus-sized. */
+  def shardProvenance(docs: DataFrame, decisions: DataFrame,
+                      shards: DataFrame): DataFrame = {
+    val meta = withToks(docs).select(col("doc_id"), col("source"), col("lang"),
+      size(col("toks")).cast("bigint").as("n_toks"))
+    val lab = meta.join(decisions.select(col("doc_id"), col("reason")), "doc_id")
+      .join(shards.select(col("doc_id"), col("shard")), Seq("doc_id"), "left")
+      .select(coalesce(col("shard"), lit(-1)).cast("int").as("shard"),
+        col("source"), col("lang"),
+        when(col("reason") === "keep", lit("kept")).otherwise(col("reason")).as("stage"),
+        col("n_toks"))
+    val g = lab.groupBy("shard", "source", "lang", "stage")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("n_toks")).cast("bigint").as("n_tokens"))
+    val tot = g.groupBy("shard")
+      .agg(sum(col("n_tokens")).cast("bigint").as("shard_tokens"))
+    g.join(broadcast(tot), "shard")
+      .withColumn("shard_token_share",
+        when(col("shard_tokens") === 0L, lit(0.0))
+          .otherwise(col("n_tokens").cast("double") / col("shard_tokens")))
+      .select("shard", "source", "lang", "stage", "n_docs", "n_tokens",
+        "shard_token_share")
+  }
+
   /** Corpus vocabulary heavy hitters: the `k` most frequent terms with their
     * total and document frequencies — the vocabulary/stopword-discovery pass
     * every corpus build runs. One explode + one hash aggregate (map-side

@@ -269,6 +269,20 @@ object Training {
                                    nearBands = 63, nearRowsPerBand = 2,
                                    decontamPctTrain = E2eDecontamPct)),
     "text_shuffle_shards"    -> ((s, d) => TextOps.shuffleShards(Tables.documents(s, d))),
+    // the datasheet report: per-shard (source, lang) composition of the
+    // kept set + per-stage attrition pooled under shard -1, over the
+    // DECONTAMINATING family decision (so all six drop stages can appear)
+    "text_shard_provenance"  -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      // two consumers (kept set for sharding, the report join): materialize
+      // the family decision once — lazily, so the gate's single action
+      // triggers it (the e2e checkpoint rule)
+      val dec = TextOps.curationDecisionsFamilies(docs, tau = JaccardTau,
+        decontamPctTrain = 90).localCheckpoint(false)
+      val kept = docs.join(dec.filter(col("keep")).select("doc_id"), "doc_id")
+      TextOps.shardProvenance(docs, dec, TextOps.shuffleShards(kept))
+    }),
     // the corpus has no newlines, so the gate CONSTRUCTS a 4-line document:
     // two content lines (split of the original text), one per-source
     // disclaimer (df ~ docs/source, over the cap) and one global copyright
@@ -796,10 +810,33 @@ object Training {
     * near_dup before the lang > quality > repetition chain. Shares the
     * signal CTE text with [[curationSql]] and the closure with
     * [[survivorsQualitySql]]. */
-  private lazy val curationFamiliesSql =
-    s"""WITH RECURSIVE $jaccardCtes,
+  /** The family-decision CTE chain through `r` (doc_id, reason), shared by
+    * the `text_curation_families` oracle and the shard-provenance oracle.
+    * With `decontamPct` < 100 the in-chain decontamination leg joins in:
+    * cross-split verified near-dup pairs drop their TRAIN side as
+    * 'contaminated', priority exact_dup > contaminated > near_dup — the
+    * same fragment the e2e oracle runs, re-rooted on the raw corpus. */
+  private def familiesReasonCtes(decontamPct: Int): String = {
+    val contCtes =
+      if (decontamPct >= 100) ""
+      else
+        s"""spl AS (SELECT doc_id,
+           |  ${Portable.splitBucketDuck("doc_id")} < $decontamPct AS is_train FROM documents),
+           |cont AS MATERIALIZED (SELECT DISTINCT
+           |    CASE WHEN sa.is_train THEN p.doc_a ELSE p.doc_b END AS doc_id
+           |  FROM pairs p JOIN spl sa ON p.doc_a = sa.doc_id
+           |  JOIN spl sb ON p.doc_b = sb.doc_id
+           |  WHERE sa.is_train <> sb.is_train),
+           |""".stripMargin
+    val contBranch =
+      if (decontamPct >= 100) ""
+      else "\n       WHEN cont.doc_id IS NOT NULL THEN 'contaminated'"
+    val contJoin =
+      if (decontamPct >= 100) ""
+      else "\nLEFT JOIN cont ON fam.doc_id = cont.doc_id"
+    s"""$jaccardCtes,
        |pairs AS ($jaccardSelect),
-       |k AS (SELECT md5(text) AS k, MIN(doc_id) AS g, COUNT(*) AS kc
+       |${contCtes}k AS (SELECT md5(text) AS k, MIN(doc_id) AS g, COUNT(*) AS kc
        |  FROM documents GROUP BY 1),
        |ek AS MATERIALIZED (SELECT d.doc_id, k.g, k.kc FROM documents d
        |  JOIN k ON md5(d.text) = k.k),
@@ -853,7 +890,7 @@ object Training {
        |  (ua.top::DOUBLE / ua.n > 0.2 OR COALESCE(ba.top::DOUBLE / ba.n, 0.0) > 0.18) AS is_rep
        |  FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id),
        |r AS (SELECT fam.doc_id,
-       |  CASE WHEN fam.doc_id <> kp.keep_doc_id AND fam.kc > 1 THEN 'exact_dup'
+       |  CASE WHEN fam.doc_id <> kp.keep_doc_id AND fam.kc > 1 THEN 'exact_dup'$contBranch
        |       WHEN fam.doc_id <> kp.keep_doc_id THEN 'near_dup'
        |       WHEN lp.lang_pred NOT IN ('en') THEN 'lang'
        |       WHEN q.quality_score < 2.0 THEN 'quality'
@@ -861,8 +898,39 @@ object Training {
        |       ELSE 'keep' END AS reason
        |FROM fam JOIN kp USING (family)
        |JOIN lp ON fam.doc_id = lp.doc_id JOIN q ON fam.doc_id = q.doc_id
-       |LEFT JOIN rep ON fam.doc_id = rep.doc_id)
+       |LEFT JOIN rep ON fam.doc_id = rep.doc_id$contJoin)""".stripMargin
+  }
+
+  private lazy val curationFamiliesSql =
+    s"""WITH RECURSIVE ${familiesReasonCtes(100)}
        |SELECT doc_id, reason = 'keep' AS keep, reason FROM r""".stripMargin
+
+  /** Mirror of [[TextOps.shardProvenance]] over the decontaminating family
+    * decision: the shared `r` chain (decontamPct 90), kept docs assigned
+    * their shuffle shard, dropped docs pooled under shard -1 with their
+    * first-failing stage, two report-sized aggregates. */
+  private lazy val shardProvenanceSql =
+    s"""WITH RECURSIVE ${familiesReasonCtes(90)},
+       |mtk AS (SELECT d.doc_id, d.source, d.lang, len(t.toks) AS n_toks
+       |  FROM documents d JOIN t ON d.doc_id = t.doc_id),
+       |keptids AS (SELECT doc_id FROM r WHERE reason = 'keep'),
+       |sh AS (SELECT doc_id,
+       |  CAST(${Portable.shuffleKeyDuck("doc_id")} % 16 AS INT) AS shard FROM keptids),
+       |lab AS (SELECT COALESCE(sh.shard, -1) AS shard, m.source, m.lang,
+       |  CASE WHEN r.reason = 'keep' THEN 'kept' ELSE r.reason END AS stage,
+       |  m.n_toks
+       |  FROM r JOIN mtk m ON r.doc_id = m.doc_id
+       |  LEFT JOIN sh ON r.doc_id = sh.doc_id),
+       |g AS MATERIALIZED (SELECT shard, source, lang, stage,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |  FROM lab GROUP BY 1, 2, 3, 4),
+       |tot AS (SELECT shard, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+       |  FROM g GROUP BY shard)
+       |SELECT g.shard, g.source, g.lang, g.stage, g.n_docs, g.n_tokens,
+       |  CASE WHEN tot.shard_tokens = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE CAST(g.n_tokens AS DOUBLE) / tot.shard_tokens END AS shard_token_share
+       |FROM g JOIN tot ON g.shard = tot.shard""".stripMargin
 
   /** Oracle twin of [[TextOps.curationPipeline]] over the constructed 4-line
     * text: SEVEN stages CTE-composed in one statement, each stage's fragment
@@ -2522,6 +2590,7 @@ object Training {
     "dedup_substr_excise"    -> substrExciseSql,
     "text_curation"          -> curationSql,
     "text_curation_families" -> curationFamiliesSql,
+    "text_shard_provenance"  -> shardProvenanceSql,
     "text_curation_e2e"      -> curationE2ESql,
     "text_shuffle_shards"    -> shuffleShardsSql,
     "text_line_dedup"        -> lineDedupSql,

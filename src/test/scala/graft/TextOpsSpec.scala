@@ -627,6 +627,44 @@ class TextOpsSpec extends AnyFunSuite {
       "all domain thresholds identical — looks like a global cutoff")
   }
 
+  test("shardProvenance: kept rows under real shards, attrition pooled at -1, shares sum to 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, TestSpark.sfDir)
+    val dec = TextOps.curationDecisionsFamilies(docs, decontamPctTrain = 90)
+      .localCheckpoint(false)
+    val kept = docs.join(dec.filter(col("keep")).select("doc_id"), "doc_id")
+    val shards = TextOps.shuffleShards(kept)
+    val rep = TextOps.shardProvenance(docs, dec, shards).collect()
+    assert(rep.nonEmpty)
+    val byShard = rep.groupBy(_.getInt(0))
+    // kept rows carry real shards with stage 'kept'; everything else pools
+    // under -1 with a drop stage
+    byShard.foreach { case (sh, rows) =>
+      if (sh >= 0) assert(rows.forall(_.getString(3) == "kept"),
+        s"shard $sh carries non-kept stages: ${rows.map(_.getString(3)).toSet}")
+      else assert(rows.forall(_.getString(3) != "kept"),
+        "pseudo-shard -1 must hold only attrition rows")
+    }
+    assert(byShard.contains(-1) && byShard.keys.exists(_ >= 0))
+    // the report is an exhaustive partition of the corpus: doc counts sum up
+    val nDocs = docs.count()
+    assert(rep.map(_.getLong(4)).sum == nDocs,
+      s"report rows must partition the corpus: ${rep.map(_.getLong(4)).sum} vs $nDocs")
+    // kept doc count matches the decision table
+    val keptDocs = rep.filter(_.getInt(0) >= 0).map(_.getLong(4)).sum
+    assert(keptDocs == dec.filter(col("keep")).count())
+    // token shares sum to ~1 within every shard with tokens
+    byShard.foreach { case (sh, rows) =>
+      val share = rows.map(_.getDouble(6)).sum
+      if (rows.map(_.getLong(5)).sum > 0)
+        assert(math.abs(share - 1.0) < 1e-9, s"shard $sh shares sum to $share")
+    }
+    // the decontaminating decision exposes multiple attrition stages
+    val stages = rep.filter(_.getInt(0) == -1).map(_.getString(3)).toSet
+    assert(stages.size >= 2, s"expected several drop stages, got $stages")
+  }
+
   test("domainMixtureWeights upweights the high-surprisal domain, conserves mass") {
     import spark.implicits._
     // 'hard' docs are all-unique tokens (max surprisal); 'easy' docs repeat
