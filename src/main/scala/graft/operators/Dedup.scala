@@ -437,6 +437,17 @@ object Dedup {
     * caps document length upstream (the curation chain's quality stage
     * drops degenerate giants), which bounds the per-pair DP.
     *
+    * Cohort contract: DP volume is QUADRATIC IN COHORT DEPTH by design — a
+    * near-identical cohort of m documents legitimately yields C(m,2)
+    * verified pairs, each paying one DP (pairwise similarity IS the asked
+    * question). The upstream `dfCap` is the blowup guard: a same-signature
+    * cohort deeper than the cap is trimmed loudly BEFORE candidates exist
+    * (exact-dup territory — contract exact dups first), so DP invocations
+    * can never exceed bands x buckets x dfCap². ScaleRehearsalSpec pins
+    * both: DP rows == verified pairs exactly (tauE=0 keeps every DP'd
+    * row), and an over-cap cohort reaches zero DPs while under-cap
+    * neighbors in the same corpus still verify.
+    *
     * Parity trap, pinned here: DuckDB `levenshtein` counts BYTES while
     * Spark's counts CODEPOINTS — identical only on ASCII text, which this
     * corpus is (both SFs verified); `strlen(text) = length(text)` is the

@@ -826,6 +826,49 @@ class ScaleRehearsalSpec extends AnyFunSuite {
       f"serve grew with TOTAL files: $tS%.2f s (16 files) -> $tB%.2f s (400 files)")
   }
 
+  test("editDistancePairs: DP volume == verified pairs; dfCap bounds the hot cohort",
+      SlowRehearsal) {
+    // The O(len^2) Levenshtein DP runs per VERIFIED pair, so a same-text
+    // cohort of size m yields C(m,2) DP invocations upstream bounds must
+    // control. Three pins: (1) DP rows are EXACTLY the verified pairs
+    // (tauE=0 keeps every DP'd row — any corpus-join fanout or re-verify
+    // blowup would change the count); (2) tripling cohort DEPTH multiplies
+    // pairs (and DP work) by C(12,2)/C(4,2) = 11, the documented quadratic-
+    // in-cohort contract — while the corpus only triples; (3) an
+    // over-the-cap same-signature cohort is trimmed LOUDLY before the DP
+    // ever runs (dfCap below cohort size -> zero candidates, zero DP).
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = docs.filter(col("doc_id") >= 2000 && col("doc_id") < 2020)
+    val pad = docs.filter(col("doc_id") >= 3000 && col("doc_id") < 4000)
+      .withColumn("doc_id", col("doc_id") + lit(500 * Shift))
+    def corpus(m: Int) =
+      copies(base, m, Seq("doc_id"), perturbText = true).unionByName(pad)
+    def cnt(df: DataFrame): Long = df.count()
+    val nearSmall = cnt(Dedup.minhashLshPairs(corpus(4), 3, 42, 3, 0.5))
+    val nearBig = cnt(Dedup.minhashLshPairs(corpus(12), 3, 42, 3, 0.5))
+    val dpBig = cnt(Dedup.editDistancePairs(corpus(12), 3, tauJ = 0.5, tauE = 0.0))
+    info(s"verified pairs 4-deep=$nearSmall 12-deep=$nearBig, DP rows=$dpBig")
+    assert(dpBig == nearBig,
+      s"DP volume must equal the verified pair count: $dpBig vs $nearBig")
+    assert(nearSmall >= 20 * 6 && nearBig >= 20 * 66,
+      s"setup: cohorts must band-collide ($nearSmall, $nearBig)")
+    val ratio = nearBig.toDouble / nearSmall
+    assert(ratio > 8.0 && ratio < 14.0,
+      s"pair volume must track C(m,2), not corpus size: ratio $ratio")
+    // same-signature cohort over the cap: trimmed before candidates exist
+    val exact = (0 until 12).map(i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * Shift)))
+      .reduce(_ unionByName _).unionByName(pad)
+    // the pad corpus's NATURAL near-dups survive (their buckets are under
+    // the cap — trimming must stay surgical); the cohort's pairs must not
+    val capped = Dedup.editDistancePairs(exact, 3, tauJ = 0.5, tauE = 0.0,
+        dfCap = 8)
+      .filter(col("doc_a") % Shift >= 2000 && col("doc_a") % Shift < 2020)
+      .count()
+    assert(capped == 0,
+      s"dfCap=8 must trim the 12-deep same-signature cohort pre-DP: $capped")
+  }
+
   test("hardNegatives candidate volume tracks anchors, not corpus dup structure",
       SlowRehearsal) {
     // The r15 judge's scale-shape finding: exclusion-pair GENERATION must be
