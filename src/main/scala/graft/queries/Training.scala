@@ -834,8 +834,13 @@ object Training {
     val contJoin =
       if (decontamPct >= 100) ""
       else "\nLEFT JOIN cont ON fam.doc_id = cont.doc_id"
+    // with the decontamination leg, `pairs` gains a second reference (cont
+    // + alledges) — materialize it so DuckDB's default CTE inlining does
+    // not re-run the whole jaccard chain per reference (the CLAUDE.md
+    // multi-referenced-CTE rule)
+    val pairsKw = if (decontamPct >= 100) "" else " MATERIALIZED"
     s"""$jaccardCtes,
-       |pairs AS ($jaccardSelect),
+       |pairs AS$pairsKw ($jaccardSelect),
        |${contCtes}k AS (SELECT md5(text) AS k, MIN(doc_id) AS g, COUNT(*) AS kc
        |  FROM documents GROUP BY 1),
        |ek AS MATERIALIZED (SELECT d.doc_id, k.g, k.kc FROM documents d
