@@ -764,6 +764,105 @@ object TextOps {
       .select(col("doc_id"), (col("reason") === "keep").as("keep"), col("reason"))
   }
 
+  /** The Gopher quality-rule battery (Rae et al., "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", arXiv:2112.11446
+    * Appendix A1.1 — the public heuristic filter set most later pipelines
+    * cite): per document, each rule as its own flag plus the conjunction —
+    * word count in [minWords, maxWords], mean word length in [3, 10],
+    * symbol-to-word ratio (# and ellipsis) <= 0.1, <= 10% of lines
+    * bullet-started, <= 30% ellipsis-ended, >= 80% of words carrying an
+    * alphabetic character, and >= 2 distinct required stop words present.
+    *
+    * Engine-exactness: every ratio threshold is cross-multiplied to an
+    * INTEGER comparison (3n <= Σlen <= 10n, 10·sym <= words, 10·bullets <=
+    * lines, 10·ellipsis <= 3·lines, 5·alpha >= 4·words) — no float ever
+    * crosses the comparator, so the gate hashes bitwise. Words are the
+    * engine's whitespace tokens over newline-flattened text; lines split on
+    * newline. Scale shape: ONE projection scan, no joins, no aggregates —
+    * the cheapest possible 100 TB pass (the per-row HOFs are the
+    * qualityScore class: a single un-collapsed projection). */
+  def gopherRules(docs: DataFrame, minWords: Long = 50L,
+                  maxWords: Long = 100000L): DataFrame = {
+    val toksE = "filter(split(translate(text, '\\n', ' '), ' '), x -> x <> '')"
+    val linesE = "split(text, '\\n')"
+    Scale.fanOutScan(docs)
+      .withColumn("__w", expr(toksE))
+      .withColumn("__l", expr(linesE))
+      .withColumn("n_words", size(col("__w")).cast("bigint"))
+      .withColumn("__sumlen",
+        expr("aggregate(__w, 0L, (a, x) -> a + length(x))"))
+      .withColumn("__sym",
+        ((length(col("text")) - length(expr("replace(text, '#', '')"))) +
+          (length(col("text")) - length(expr("replace(text, '...', '')"))) / 3)
+          .cast("bigint"))
+      .withColumn("__nl", size(col("__l")).cast("bigint"))
+      .withColumn("__bul",
+        expr("size(filter(__l, l -> l like '- %' or l like '* %'))").cast("bigint"))
+      .withColumn("__ell",
+        expr("size(filter(__l, l -> l like '%...'))").cast("bigint"))
+      .withColumn("__alpha",
+        expr("size(filter(__w, t -> t rlike '[a-z]'))").cast("bigint"))
+      .withColumn("__stops",
+        GopherStops.map(s => when(array_contains(col("__w"), s), lit(1L)).otherwise(lit(0L)))
+          .reduce(_ + _))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords).as("word_count_ok"),
+        (lit(3L) * col("n_words") <= col("__sumlen") &&
+          col("__sumlen") <= lit(10L) * col("n_words")).as("mean_word_len_ok"),
+        (lit(10L) * col("__sym") <= col("n_words")).as("symbol_ratio_ok"),
+        (lit(10L) * col("__bul") <= col("__nl")).as("bullet_ok"),
+        (lit(10L) * col("__ell") <= lit(3L) * col("__nl")).as("ellipsis_ok"),
+        (lit(5L) * col("__alpha") >= lit(4L) * col("n_words")).as("alpha_ok"),
+        (col("__stops") >= 2L).as("stop_ok"))
+      .withColumn("keep",
+        col("word_count_ok") && col("mean_word_len_ok") && col("symbol_ratio_ok") &&
+          col("bullet_ok") && col("ellipsis_ok") && col("alpha_ok") && col("stop_ok"))
+  }
+
+  /** The Gopher required-stop-word set (2112.11446 A1.1: a document must
+    * contain at least two of these). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** C4-style line/page cleaning (Raffel et al., "Exploring the Limits of
+    * Transfer Learning with a Unified Text-to-Text Transformer",
+    * arXiv:1910.10683 §2.2 — the public rule set): keep only lines ending
+    * in terminal punctuation (. ! ? ") with at least three words and no
+    * 'javascript'; drop whole pages containing 'lorem ipsum' or a curly
+    * brace, or whose cleaned text carries fewer than `minSentences`
+    * sentence-terminal marks. Returns per page the cleaned text, kept /
+    * dropped line counts, the sentence count, the page verdict, and the
+    * first-failing page reason.
+    *
+    * Engine-exactness: line membership is LIKE/pattern logic, counts are
+    * integers, the sentence count is length-difference arithmetic after a
+    * global regexp strip — no floats. Scale shape: one projection scan
+    * (the [[gopherRules]] class); the line fold is per-row bounded work. */
+  def c4Clean(docs: DataFrame, minSentences: Long = 5L): DataFrame = {
+    val keptE =
+      "filter(split(text, '\\n'), l -> " +
+        "(l like '%.' or l like '%!' or l like '%?' or l like '%\"') " +
+        "and size(filter(split(l, ' '), w -> w <> '')) >= 3 " +
+        "and not l like '%javascript%')"
+    Scale.fanOutScan(docs)
+      .withColumn("__k", expr(keptE))
+      .withColumn("__nl", expr("size(split(text, '\\n'))").cast("bigint"))
+      .withColumn("clean_text", array_join(col("__k"), "\n"))
+      .withColumn("n_lines_kept", size(col("__k")).cast("bigint"))
+      .withColumn("n_lines_dropped", col("__nl") - col("n_lines_kept"))
+      .withColumn("n_sentences",
+        (length(col("clean_text")) -
+          length(regexp_replace(col("clean_text"), "[.!?]", ""))).cast("bigint"))
+      .withColumn("page_reason",
+        when(col("text").contains("lorem ipsum"), lit("lorem_ipsum"))
+          .when(col("text").contains("{"), lit("brace"))
+          .when(col("n_sentences") < minSentences, lit("few_sentences"))
+          .otherwise(lit("keep")))
+      .select(col("doc_id"), col("clean_text"), col("n_lines_kept"),
+        col("n_lines_dropped"), col("n_sentences"),
+        (col("page_reason") === "keep").as("page_keep"), col("page_reason"))
+  }
+
   /** Per-shard provenance / composition report — the datasheet practice
     * public training pipelines document (Gebru et al., "Datasheets for
     * Datasets", arXiv:1803.09010; Dolma's per-source accounting,

@@ -121,6 +121,53 @@ object Training {
     BpeMerges.map { case (a, b) => a + b } .distinct ++
       ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
 
+  /** Constructed multi-line input for the Gopher-rule gate (Spark dialect;
+    * [[gopherInputDuck]] is the byte-equivalent DuckDB form): four lines
+    * with bullet (doc_id % 7), double-ellipsis (% 9), and symbol-spam
+    * (% 17) arms on disjoint residues, plus an all-numeric short page
+    * (% 23) that trips the alpha, stop-word, mean-word-length, and
+    * word-count rules at once. */
+  private val GopherInputExpr =
+    "CASE WHEN doc_id % 23 = 0 THEN '00 11 22 33 44 55 66 77 88 99' " +
+      "ELSE concat_ws('\\n', substr(text, 1, 40), " +
+      "CASE WHEN doc_id % 7 = 0 THEN '- bullet item one of several' " +
+      "ELSE 'plain disclaimer line for ' || source END, " +
+      "CASE WHEN doc_id % 9 = 0 THEN 'trailing thought goes on...' " +
+      "WHEN doc_id % 17 = 0 THEN '#tag #tag #tag #tag #tag #tag' " +
+      "ELSE substr(text, 41) END, " +
+      "CASE WHEN doc_id % 9 = 0 THEN 'and even the closing drifts away...' " +
+      "ELSE 'closing line with the usual words' END) END"
+  private def gopherInputDuck: String =
+    "CASE WHEN doc_id % 23 = 0 THEN '00 11 22 33 44 55 66 77 88 99' " +
+      "ELSE concat_ws(chr(10), substr(text, 1, 40), " +
+      "CASE WHEN doc_id % 7 = 0 THEN '- bullet item one of several' " +
+      "ELSE 'plain disclaimer line for ' || source END, " +
+      "CASE WHEN doc_id % 9 = 0 THEN 'trailing thought goes on...' " +
+      "WHEN doc_id % 17 = 0 THEN '#tag #tag #tag #tag #tag #tag' " +
+      "ELSE substr(text, 41) END, " +
+      "CASE WHEN doc_id % 9 = 0 THEN 'and even the closing drifts away...' " +
+      "ELSE 'closing line with the usual words' END) END"
+
+  /** Constructed pages for the C4 gate: line 2 lacks terminal punctuation
+    * (always dropped), line 3 is the javascript arm (% 11), line 4 carries
+    * the lorem-ipsum / curly-brace page-drop arms (% 13). */
+  private val C4InputExpr =
+    "concat_ws('\\n', substr(text, 1, 40) || '.', " +
+      "'standard disclaimer for ' || source, " +
+      "CASE WHEN doc_id % 11 = 0 THEN 'please enable javascript to view.' " +
+      "ELSE substr(text, 41) || '.' END, " +
+      "CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor sit amet est.' " +
+      "WHEN doc_id % 13 = 1 THEN 'config { enabled } done here.' " +
+      "ELSE 'a final closing line right here.' END)"
+  private def c4InputDuck: String =
+    "concat_ws(chr(10), substr(text, 1, 40) || '.', " +
+      "'standard disclaimer for ' || source, " +
+      "CASE WHEN doc_id % 11 = 0 THEN 'please enable javascript to view.' " +
+      "ELSE substr(text, 41) || '.' END, " +
+      "CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor sit amet est.' " +
+      "WHEN doc_id % 13 = 1 THEN 'config { enabled } done here.' " +
+      "ELSE 'a final closing line right here.' END)"
+
   /** Frozen weighted vocabulary for the unigram-LM Viterbi gate: the same
     * pieces as [[WordpieceVocab]] (so the [UNK] arm matches), with integer
     * fixed-point costs that fall with piece length — long pieces are cheap
@@ -269,6 +316,20 @@ object Training {
                                    nearBands = 63, nearRowsPerBand = 2,
                                    decontamPctTrain = E2eDecontamPct)),
     "text_shuffle_shards"    -> ((s, d) => TextOps.shuffleShards(Tables.documents(s, d))),
+    // the Gopher heuristic battery over constructed multi-line text: bullet,
+    // ellipsis, and symbol arms injected on disjoint doc_id residues so
+    // every rule trips somewhere while word-count/stop/alpha vary naturally
+    "text_gopher_rules"      -> ((s, d) => TextOps.gopherRules(
+                                   Tables.documents(s, d).withColumn("text",
+                                     org.apache.spark.sql.functions.expr(GopherInputExpr)))),
+    // C4 line/page cleaning over constructed pages: a no-terminal-punct
+    // disclaimer line, a javascript arm, and lorem-ipsum / curly-brace page
+    // drops on disjoint residues; minSentences 3 so the js pages fall to
+    // few_sentences
+    "text_c4_clean"          -> ((s, d) => TextOps.c4Clean(
+                                   Tables.documents(s, d).withColumn("text",
+                                     org.apache.spark.sql.functions.expr(C4InputExpr)),
+                                   minSentences = 3L)),
     // the datasheet report: per-shard (source, lang) composition of the
     // kept set + per-stage attrition pooled under shard -1, over the
     // DECONTAMINATING family decision (so all six drop stages can appear)
@@ -1331,6 +1392,63 @@ object Training {
        |  CAST(MAX(n_pieces) AS BIGINT) AS max_pieces_per_token,
        |  CAST(SUM(n_pieces) AS BIGINT)::DOUBLE / COUNT(*) AS pieces_per_token
        |FROM tok JOIN seg USING (word) GROUP BY doc_id""".stripMargin
+
+  /** Mirror of [[TextOps.gopherRules]]: the same integer cross-multiplied
+    * rule battery over the same constructed input. */
+  private lazy val gopherRulesSql = {
+    val stops = TextOps.GopherStops
+      .map(s => s"(CASE WHEN list_contains(wds, '$s') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH d0 AS (SELECT doc_id, $gopherInputDuck AS text FROM documents),
+       |w AS (SELECT doc_id, text,
+       |  list_filter(string_split(replace(text, chr(10), ' '), ' '), x -> x <> '') AS wds,
+       |  string_split(text, chr(10)) AS ls FROM d0),
+       |m AS (SELECT doc_id,
+       |  CAST(len(wds) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(list_sum(list_transform(wds, x -> length(x))), 0) AS BIGINT) AS sumlen,
+       |  CAST((length(text) - length(replace(text, '#', '')))
+       |    + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS sym,
+       |  CAST(len(ls) AS BIGINT) AS nl,
+       |  CAST(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS bul,
+       |  CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT) AS ell,
+       |  CAST(len(list_filter(wds, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha,
+       |  $stops AS stops
+       |FROM w),
+       |r AS (SELECT doc_id, n_words,
+       |  n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+       |  3 * n_words <= sumlen AND sumlen <= 10 * n_words AS mean_word_len_ok,
+       |  10 * sym <= n_words AS symbol_ratio_ok,
+       |  10 * bul <= nl AS bullet_ok,
+       |  10 * ell <= 3 * nl AS ellipsis_ok,
+       |  5 * alpha >= 4 * n_words AS alpha_ok,
+       |  stops >= 2 AS stop_ok FROM m)
+       |SELECT doc_id, n_words, word_count_ok, mean_word_len_ok, symbol_ratio_ok,
+       |  bullet_ok, ellipsis_ok, alpha_ok, stop_ok,
+       |  word_count_ok AND mean_word_len_ok AND symbol_ratio_ok AND bullet_ok
+       |    AND ellipsis_ok AND alpha_ok AND stop_ok AS keep
+       |FROM r""".stripMargin
+  }
+
+  /** Mirror of [[TextOps.c4Clean]] (minSentences 3) over the same
+    * constructed pages. */
+  private lazy val c4CleanSql =
+    s"""WITH d0 AS (SELECT doc_id, $c4InputDuck AS text FROM documents),
+       |k AS (SELECT doc_id, text,
+       |  list_filter(string_split(text, chr(10)), l ->
+       |    (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+       |    AND len(list_filter(string_split(l, ' '), w2 -> w2 <> '')) >= 3
+       |    AND NOT l LIKE '%javascript%') AS kept,
+       |  len(string_split(text, chr(10))) AS nl FROM d0),
+       |c AS (SELECT doc_id, text, array_to_string(kept, chr(10)) AS clean_text,
+       |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       |  CAST(nl - len(kept) AS BIGINT) AS n_lines_dropped FROM k),
+       |s AS (SELECT *, CAST(length(clean_text)
+       |  - length(regexp_replace(clean_text, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences FROM c),
+       |v AS (SELECT *, CASE WHEN text LIKE '%lorem ipsum%' THEN 'lorem_ipsum'
+       |  WHEN text LIKE '%{%' THEN 'brace'
+       |  WHEN n_sentences < 3 THEN 'few_sentences' ELSE 'keep' END AS page_reason FROM s)
+       |SELECT doc_id, clean_text, n_lines_kept, n_lines_dropped, n_sentences,
+       |  page_reason = 'keep' AS page_keep, page_reason FROM v""".stripMargin
 
   /** Mirror of [[TextOps.qualityFilterByDomain]]: the same quality chain
     * with the quantile computed PER SOURCE. */
@@ -2536,6 +2654,8 @@ object Training {
     "text_bpe_segment"       -> bpeSegmentSql,
     "text_wordpiece"         -> wordpieceSql,
     "text_unigram_segment"   -> unigramSegmentSql,
+    "text_gopher_rules"      -> gopherRulesSql,
+    "text_c4_clean"          -> c4CleanSql,
     "embed_kmeans"           -> kmeansSql,
     "embed_prototype_prune"  -> prototypePruneSql,
     "embed_cluster_sample"   -> clusterSampleSql,

@@ -627,6 +627,49 @@ class TextOpsSpec extends AnyFunSuite {
       "all domain thresholds identical — looks like a global cutoff")
   }
 
+  test("gopherRules: every rule trips on its constructed page, a good page passes all") {
+    import spark.implicits._
+    val good = ("the quick brown fox jumps over and over " * 8).trim // 64 words, stops, alpha
+    val pages = Seq(
+      (0L, good),                                          // passes everything
+      (1L, "word " * 30),                                  // word count < 50
+      (2L, good + " " + ("xx " * 40).trim),                // still alpha/stops fine
+      (3L, ("- item\n" * 9) + good),                       // 9 of 10 lines bulleted
+      (4L, (good + " dots...\n") * 5 + good),              // 5 of 6 lines ellipsis-ended
+      (5L, good + " " + ("# " * 20).trim),                 // 20 symbols vs 84 words
+      (6L, ("99 " * 60).trim),                             // numeric: alpha+stops+meanlen fail
+      (7L, ("aaa " * 30 + "the be quick " * 10).trim))     // in-range again
+      .toDF("doc_id", "text")
+    val r = TextOps.gopherRules(pages).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getBoolean(9), s"good page must keep: ${r(0L)}")
+    assert(!r(1L).getBoolean(2), "30 words must fail word_count")
+    assert(!r(3L).getBoolean(5), "bullet-dominated page must fail bullet rule")
+    assert(!r(4L).getBoolean(6), "ellipsis-dominated page must fail ellipsis rule")
+    assert(!r(5L).getBoolean(4), "symbol-heavy page must fail symbol ratio")
+    assert(!r(6L).getBoolean(7) && !r(6L).getBoolean(8) && !r(6L).getBoolean(3),
+      "numeric page must fail alpha, stop-word, and mean-word-length rules")
+    assert(r(7L).getBoolean(9), s"mixed but in-range page must keep: ${r(7L)}")
+  }
+
+  test("c4Clean: line rules and page verdicts on hand-built pages") {
+    import spark.implicits._
+    val pages = Seq(
+      (0L, "a good first sentence here.\nno terminal punct line\nshort.\nplease enable javascript now.\nanother full closing sentence right here!"),
+      (1L, "lorem ipsum dolor sit amet.\ngood sentence one two three."),
+      (2L, "object { nested } stuff.\ngood sentence one two three."),
+      (3L, "one full sentence right here.\nsecond full sentence is fine.\nthird full sentence closes it."))
+      .toDF("doc_id", "text")
+    val r = TextOps.c4Clean(pages, minSentences = 3L).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 0: kept = line1 + line5 (line2 no punct, line3 <3 words, line4 js)
+    assert(r(0L).getLong(2) == 2L && r(0L).getLong(3) == 3L, s"doc0: ${r(0L)}")
+    assert(r(0L).getString(6) == "few_sentences", "2 sentences < 3 drops the page")
+    assert(r(1L).getString(6) == "lorem_ipsum")
+    assert(r(2L).getString(6) == "brace")
+    assert(r(3L).getBoolean(5) && r(3L).getLong(4) == 3L, s"doc3 keeps: ${r(3L)}")
+  }
+
   test("shardProvenance: kept rows under real shards, attrition pooled at -1, shares sum to 1") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
