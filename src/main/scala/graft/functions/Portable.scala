@@ -224,7 +224,9 @@ object Portable {
     s"CASE WHEN length($word) = 0 THEN 0 WHEN length($word) >= 10000 THEN $UnigramUnreach " +
       s"ELSE list_reduce(list_prepend([0::BIGINT], [[CAST(j AS BIGINT)] for j in range(1, length($word) + 1)]), " +
       s"(acc, x) -> list_append(acc, coalesce(list_min(" +
-      s"[acc[CAST(x[1] - ($ls)[k] + 1 AS INT)] + ($cs)[k] * 10000 + 1 for k in range(1, ${v + 1}) " +
+      // the cost literal must multiply as BIGINT: a bare INTEGER literal
+      // overflows INT32 at cost * 10^4 for in-contract costs >= 214749
+      s"[acc[CAST(x[1] - ($ls)[k] + 1 AS INT)] + CAST(($cs)[k] AS BIGINT) * 10000 + 1 for k in range(1, ${v + 1}) " +
       s"if x[1] >= ($ls)[k] " +
       s"and acc[CAST(x[1] - ($ls)[k] + 1 AS INT)] < $UnigramUnreach " +
       s"and substr($word, CAST(x[1] - ($ls)[k] + 1 AS INT), ($ls)[k]) = ($ps)[k]]), " +

@@ -899,7 +899,10 @@ object Training {
     // + alledges) — materialize it so DuckDB's default CTE inlining does
     // not re-run the whole jaccard chain per reference (the CLAUDE.md
     // multi-referenced-CTE rule)
+    // ... and `r` gains a second reference in the provenance oracle (keptids
+    // + lab), so the whole decision chain above it would re-run twice
     val pairsKw = if (decontamPct >= 100) "" else " MATERIALIZED"
+    val rKw = if (decontamPct >= 100) "" else " MATERIALIZED"
     s"""$jaccardCtes,
        |pairs AS$pairsKw ($jaccardSelect),
        |${contCtes}k AS (SELECT md5(text) AS k, MIN(doc_id) AS g, COUNT(*) AS kc
@@ -955,7 +958,7 @@ object Training {
        |rep AS (SELECT ua.doc_id,
        |  (ua.top::DOUBLE / ua.n > 0.2 OR COALESCE(ba.top::DOUBLE / ba.n, 0.0) > 0.18) AS is_rep
        |  FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id),
-       |r AS (SELECT fam.doc_id,
+       |r AS$rKw (SELECT fam.doc_id,
        |  CASE WHEN fam.doc_id <> kp.keep_doc_id AND fam.kc > 1 THEN 'exact_dup'$contBranch
        |       WHEN fam.doc_id <> kp.keep_doc_id THEN 'near_dup'
        |       WHEN lp.lang_pred NOT IN ('en') THEN 'lang'

@@ -578,6 +578,14 @@ class TextOpsSpec extends AnyFunSuite {
         Seq((0L, "a" * 10000)).toDF("doc_id", "text"), Seq(("a", 1L))).head()
     assert(long.getAs[Long]("n_unk_tokens") == 1L && long.getAs[Long]("n_pieces") == 1L,
       s"10^4-char word must guard to [UNK]: $long")
+    // costs at the top of the [0, 10^6] contract must not overflow either
+    // dialect's packed arithmetic (the r16 review finding: a bare INTEGER
+    // cost literal overflowed INT32 at cost * 10^4 in DuckDB)
+    val big = TextOps.unigramSegment(Seq((0L, "abc")).toDF("doc_id", "text"),
+        Seq(("ab", 250000L), ("c", 300000L))).head()
+    assert(big.getAs[Long]("total_cost") == 550000L &&
+        big.getAs[Long]("n_pieces") == 2L,
+      s"top-of-contract costs must pack cleanly: $big")
   }
 
   test("unigramTrain: hard-EM learns the frequent long piece, covers its corpus, prunes junk") {
