@@ -840,13 +840,16 @@ object TextOps {
     * (the [[gopherRules]] class); the line fold is per-row bounded work. */
   def c4Clean(docs: DataFrame, minSentences: Long = 5L): DataFrame = {
     val keptE =
-      "filter(split(text, '\\n'), l -> " +
+      "filter(__l, l -> " +
         "(l like '%.' or l like '%!' or l like '%?' or l like '%\"') " +
         "and size(filter(split(l, ' '), w -> w <> '')) >= 3 " +
         "and not l like '%javascript%')"
     Scale.fanOutScan(docs)
+      // one split of the page shared by the keep-filter and the line count
+      // (r16: the line count re-split the text — a second full split pass)
+      .withColumn("__l", expr("split(text, '\\n')"))
       .withColumn("__k", expr(keptE))
-      .withColumn("__nl", expr("size(split(text, '\\n'))").cast("bigint"))
+      .withColumn("__nl", size(col("__l")).cast("bigint"))
       .withColumn("clean_text", array_join(col("__k"), "\n"))
       .withColumn("n_lines_kept", size(col("__k")).cast("bigint"))
       .withColumn("n_lines_dropped", col("__nl") - col("n_lines_kept"))

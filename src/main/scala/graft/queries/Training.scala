@@ -334,15 +334,22 @@ object Training {
     // kept set + per-stage attrition pooled under shard -1, over the
     // DECONTAMINATING family decision (so all six drop stages can appear)
     "text_shard_provenance"  -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, expr}
+      graft.plans.GraftFunctions.register(s)
       val docs = Tables.documents(s, d)
       // two consumers (kept set for sharding, the report join): materialize
       // the family decision once — lazily, so the gate's single action
       // triggers it (the e2e checkpoint rule)
       val dec = TextOps.curationDecisionsFamilies(docs, tau = JaccardTau,
         decontamPctTrain = 90).localCheckpoint(false)
-      val kept = docs.join(dec.filter(col("keep")).select("doc_id"), "doc_id")
-      TextOps.shardProvenance(docs, dec, TextOps.shuffleShards(kept))
+      // shard is a pure per-row function of doc_id (the oracle's own `sh`
+      // CTE shape): r16 deleted the docs⋈kept equi-join and the
+      // shuffleShards window — the report never reads pos_in_shard, so the
+      // window's exchange+sort and the join computed thrown-away work
+      // (guide §1.2/§2.4). Bitwise-identical report, oracle unchanged.
+      val shards = dec.filter(col("keep")).select(col("doc_id"),
+        expr(s"cast(${Portable.shuffleKeySpark("doc_id")} % 16 as int)").as("shard"))
+      TextOps.shardProvenance(docs, dec, shards)
     }),
     // the corpus has no newlines, so the gate CONSTRUCTS a 4-line document:
     // two content lines (split of the original text), one per-source
