@@ -314,12 +314,22 @@ object Dedup {
     * with the shared polynomial combiner — the band key both the self-join
     * pair path and the persisted incremental index derive from, so their
     * bucket assignments are identical by construction. Expects a `sig` array
-    * column in scope. */
-  private def bandKeyCols(bands: Int, rowsPerBand: Int): Seq[Column] =
+    * column in scope.
+    *
+    * Kept as the PORTABLE reference chain: the hot paths ride the native
+    * [[graft.plans.BandKeys]] ([[bandKeysExpr]]) since r16 — the 42-wide
+    * nested tree cost 0.33-0.44 s of eager re-analysis per banded-gate run
+    * (PlanCostProbe) — and PortableParitySpec pins native == this chain. */
+  private[graft] def bandKeyCols(bands: Int, rowsPerBand: Int): Seq[Column] =
     (0 until bands).map { j =>
       val rows = (0 until rowsPerBand).map(r => s"sig[${j * rowsPerBand + r}]")
       expr(rows.reduceLeft((acc, m) => s"(($acc * ${Portable.Mult} + $m) % ${Portable.P})"))
     }
+
+  /** The native one-node form of [[bandKeyCols]] over a `sig` column —
+    * `array<bigint>[bands]`, bit-identical fold (parity-pinned). */
+  private def bandKeysExpr(bands: Int, rowsPerBand: Int): Column =
+    expr(s"graft_band_keys(sig, $bands, $rowsPerBand)")
 
   /** (doc_id, band, bh) MinHash band-key table for a corpus: the persisted
     * currency of incremental dedup. Signature is the same one-pass native
@@ -333,7 +343,7 @@ object Dedup {
         expr(s"graft_minhash(graft_shingle_hashes(text, $n), $k)").as("sig"))
       .filter(size(col("sig")) > 0 && expr("sig[0]") =!= Long.MaxValue)
       .select(col("doc_id"),
-        posexplode(array(bandKeyCols(bands, rowsPerBand): _*)).as(Seq("band", "bh")))
+        posexplode(bandKeysExpr(bands, rowsPerBand)).as(Seq("band", "bh")))
   }
 
   /** MinHash + LSH near-dup pairs, LSH-candidates verified by exact Jaccard.
@@ -384,7 +394,7 @@ object Dedup {
         expr(s"graft_minhash(graft_shingle_hashes(text, $n), $k)").as("sig"))
       .filter(size(col("sig")) > 0 && expr("sig[0]") =!= Long.MaxValue)
     val bandsDf0 = sig.select(col("doc_id"),
-      posexplode(array(bandKeyCols(bands, rowsPerBand): _*)).as(Seq("band", "bh")))
+      posexplode(bandKeysExpr(bands, rowsPerBand)).as(Seq("band", "bh")))
     val cand0 =
       if (dfCap <= 0) {
         // guard explicitly disabled: the self-join formulation (unbounded
@@ -504,7 +514,7 @@ object Dedup {
         expr(s"graft_minhash(graft_shingle_hashes(text, $n), $k)").as("sig"))
       .filter(size(col("sig")) > 0 && expr("sig[0]") =!= Long.MaxValue)
     val bandsDf0 = sig.select(col("doc_id"), col("split"),
-      posexplode(array(bandKeyCols(bands, rowsPerBand): _*)).as(Seq("band", "bh")))
+      posexplode(bandKeysExpr(bands, rowsPerBand)).as(Seq("band", "bh")))
     val cand0 =
       if (dfCap <= 0) {
         val b = bandsDf0.persist(StorageLevel.MEMORY_AND_DISK)
@@ -577,7 +587,7 @@ object Dedup {
         expr(s"graft_minhash(graft_shingle_hashes(text, $n), $k)").as("sig"))
       .filter(size(col("sig")) > 0 && expr("sig[0]") =!= Long.MaxValue)
     val bandsDf0 = sig.select(col("doc_id"), col("anc"),
-      posexplode(array(bandKeyCols(bands, rowsPerBand): _*)).as(Seq("band", "bh")))
+      posexplode(bandKeysExpr(bands, rowsPerBand)).as(Seq("band", "bh")))
     if (dfCap <= 0) {
       val b = bandsDf0.persist(StorageLevel.MEMORY_AND_DISK)
       b.as("x").filter(col("x.anc") === "anchor")

@@ -593,6 +593,58 @@ case class MinHashSignature(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Native expression: all LSH band keys of a MinHash signature in one loop —
+  * `array<bigint>[bands]` where key j is the polynomial fold of rows
+  * `sig[j*rowsPerBand ..]`: acc = sig[first]; acc = (acc*Mult + next) % P —
+  * EXACTLY the `Dedup.bandKeyCols` expression chain (and the DuckDB oracle's
+  * replay), term for term.
+  *
+  * Motive (r16): the 42-column `array(bandKeyCols…)` projection was a
+  * 42-wide nested expression tree that every downstream Dataset
+  * transformation re-analyzed — PlanCostProbe measured 0.33-0.44 s of
+  * DRIVER-side construction per banded-gate run, ~20-25% of warm wall, on
+  * top of the per-row cost of 42 codegen'd fold chains. One flat loop per
+  * row, one function node in the plan. Signature minima sit in [0, P), so
+  * acc*Mult + m < 2^38 — no overflow. */
+case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+  extends UnaryExpression with codegen.CodegenFallback {
+  import graft.functions.Portable
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_band_keys"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if bands >= 1 && rowsPerBand >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_band_keys expects (array<bigint>, bands>=1, rowsPerBand>=1), " +
+        s"got $other / bands=$bands rows=$rowsPerBand")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    require(arr.numElements() >= bands * rowsPerBand,
+      s"graft_band_keys: signature has ${arr.numElements()} elements, " +
+        s"need ${bands * rowsPerBand}")
+    val out = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      var acc = arr.getLong(j * rowsPerBand)
+      var r = 1
+      while (r < rowsPerBand) {
+        acc = (acc * Portable.Mult + arr.getLong(j * rowsPerBand + r)) % Portable.P
+        r += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native expression: count-weighted 60-bit SimHash fingerprint of a text
   * column as `array<bigint>[2]` (the two 30-bit halves). Identical integer
   * math to the exploded token/sum-aggregate formulation (and the DuckDB
@@ -1249,6 +1301,14 @@ object GraftFunctions {
       s"graft_minhash takes (col, int literal), got $other")
   }
 
+  val bandKeysInfo = new ExpressionInfo(classOf[BandKeys].getName, "graft_band_keys")
+  val bandKeysBuilder: Seq[Expression] => Expression = {
+    case Seq(a, Literal(b: Int, IntegerType), Literal(r: Int, IntegerType)) =>
+      BandKeys(a, b, r)
+    case other => throw new IllegalArgumentException(
+      s"graft_band_keys takes (col, int literal, int literal), got $other")
+  }
+
   val simhashInfo = new ExpressionInfo(classOf[SimHashFingerprint].getName, "graft_simhash")
   val simhashBuilder: Seq[Expression] => Expression = {
     case Seq(a) => SimHashFingerprint(a)
@@ -1363,6 +1423,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_shingle_hashes", shingleBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_shingles", shingleStrBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_minhash", minhashBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_band_keys", bandKeysBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_simhash", simhashBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_tokens", tokensBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_lsh_buckets", lshBuilder, "built-in")
@@ -1388,6 +1449,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"), GraftFunctions.shingleInfo, GraftFunctions.shingleBuilder))
     ext.injectFunction((FunctionIdentifier("graft_shingles"), GraftFunctions.shingleStrInfo, GraftFunctions.shingleStrBuilder))
     ext.injectFunction((FunctionIdentifier("graft_minhash"), GraftFunctions.minhashInfo, GraftFunctions.minhashBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_band_keys"), GraftFunctions.bandKeysInfo, GraftFunctions.bandKeysBuilder))
     ext.injectFunction((FunctionIdentifier("graft_simhash"), GraftFunctions.simhashInfo, GraftFunctions.simhashBuilder))
     ext.injectFunction((FunctionIdentifier("graft_tokens"), GraftFunctions.tokensInfo, GraftFunctions.tokensBuilder))
     ext.injectFunction((FunctionIdentifier("graft_lsh_buckets"), GraftFunctions.lshInfo, GraftFunctions.lshBuilder))

@@ -49,6 +49,28 @@ class PortableParitySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_band_keys == the 42-wide bandKeyCols polynomial chain, exactly") {
+    GraftFunctions.register(spark)
+    // real signatures (the corpus path) at BOTH banding schemes the gates
+    // use: 42x3 (dedup family default) and 63x2 (the e2e chain); plus a
+    // rowsPerBand=1 scheme, whose fold is the bare sig element (no mod)
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet").limit(100)
+    Seq((42, 3), (63, 2), (4, 1)).foreach { case (bands, rows) =>
+      val k = bands * rows
+      val sig = docs.select(
+        expr(s"graft_minhash(graft_shingle_hashes(text, 3), $k)").as("sig"))
+        .filter(size(col("sig")) > 0 && expr("sig[0]") =!= Long.MaxValue)
+      val out = sig.select(
+        expr(s"graft_band_keys(sig, $bands, $rows)").as("native"),
+        array(graft.operators.Dedup.bandKeyCols(bands, rows): _*).as("portable"))
+        .collect()
+      assert(out.nonEmpty)
+      out.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"scheme ${bands}x$rows")
+      }
+    }
+  }
+
   /** Edge corpus for the multi-format parse twins: every dispatch family
     * padded and unpadded, dispatch-matching-but-unparseable values, regex
     * backtracking traps (3-digit runs, letter-run boundaries), whitespace
