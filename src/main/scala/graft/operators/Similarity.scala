@@ -227,34 +227,74 @@ object Similarity {
   def randomProject(emb: DataFrame, outDim: Int = 16): DataFrame = {
     require(outDim >= 1 && outDim <= Portable.Dim,
       s"outDim must be in [1, ${Portable.Dim}]")
+    GraftFunctions.register(emb.sparkSession)
     // deliberately NO fanOutScan here: every consumer (withNorm, the index
     // builds) fans its own scan out, and fanOutScan cannot see an upstream
     // repartition through the projection — stacking them would round-robin
     // the projected corpus a second time for nothing (the Classifier
-    // withFeats double-fanOut lesson)
+    // withFeats double-fanOut lesson).
+    // Native graft_rp_project (r16): one plan node instead of the outDim×Dim
+    // element_at chain — [[Portable.rpProjectSpark]] stays as the portable
+    // reference, PortableParitySpec pins bitwise equality
     emb.select(col("vec_id"),
-      expr(Portable.rpProjectSpark("embedding", outDim)).as("embedding"),
+      expr(s"graft_rp_project(embedding, $outDim)").as("embedding"),
       col("label"))
   }
 
   /** Recall@k of exact top-k search IN THE PROJECTED SPACE against exact
     * top-k in the original space — the evaluation that prices a JL
     * compression ratio in retrieval terms (per query: hits = |projected
-    * top-k ∩ full-space top-k|, recall = hits/k). Both legs are the
-    * oracle-pinned [[bruteForceTopK]]; evaluation cost is O(corpus x
-    * sample) per leg, never corpus². */
+    * top-k ∩ full-space top-k|, recall = hits/k).
+    *
+    * FUSED single-pass shape (r16): both legs score in ONE corpus scan —
+    * each corpus row carries its raw embedding AND its
+    * [[graft.plans.RpProject]] projection, both cosines are computed against
+    * the 20-row broadcast query side, and ONE hash aggregate folds BOTH
+    * k-bounded top-k lists (two `graft_top_k` aggregates in the same
+    * groupBy, map-side combined). Hits are then a per-row
+    * `array_intersect` over the two k-row id lists — no join of legs, no
+    * second groupBy, no left join. The arithmetic is term-for-term the
+    * two-[[bruteForceTopK]]-legs formulation (same graft_dot/norm/cosine
+    * expressions on the same values, same 'DA' fold, same tie-breaks), so
+    * the output is bitwise-identical — the oracle gate re-proves it at both
+    * SFs. Cost halves: one corpus scan instead of two (plus the dropped
+    * k-row join machinery — GateJobProbe: 19 jobs → ~8); evaluation stays
+    * O(corpus x sample), never corpus². */
   def rpRecall(emb: DataFrame, outDim: Int = 16, nQueries: Int = 20,
                k: Int = 10): DataFrame = {
-    val truth = bruteForceTopK(emb, nQueries, k).select("query_id", "neighbor_id")
-    val approx = bruteForceTopK(randomProject(emb, outDim), nQueries, k)
-      .select("query_id", "neighbor_id")
-    val hits = truth.join(approx, Seq("query_id", "neighbor_id"))
-      .groupBy("query_id").agg(count(lit(1)).as("h"))
-    truth.select("query_id").distinct()
-      .join(hits, Seq("query_id"), "left")
-      .na.fill(0L, Seq("h"))
-      .select(col("query_id"), col("h").cast("bigint").as("hits"),
-        (col("h").cast("double") / k).as("recall"))
+    require(outDim >= 1 && outDim <= Portable.Dim,
+      s"outDim must be in [1, ${Portable.Dim}]")
+    GraftFunctions.register(emb.sparkSession)
+    // one pass: raw + projected vectors and both norms, kept hot for the
+    // query-side and corpus-side consumers (the withNorm pattern, once
+    // instead of once per space)
+    val e = Scale.fanOutScan(emb).select(col("vec_id"), col("embedding"),
+        expr(s"graft_rp_project(embedding, $outDim)").as("emb_p"))
+      .select(col("vec_id"), col("embedding"), col("emb_p"),
+        sqrt(expr("graft_dot(embedding, embedding)")).as("nrm"),
+        sqrt(expr("graft_dot(emb_p, emb_p)")).as("nrm_p"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"),
+        col("emb_p").as("emb_qp"), col("nrm").as("norm_q"),
+        col("nrm_p").as("norm_qp"))
+    val v = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("emb_v"), col("emb_p").as("emb_vp"),
+      col("nrm").as("norm_v"), col("nrm_p").as("norm_vp"))
+    val scored = v.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("graft_dot(emb_q, emb_v)") / (col("norm_q") * col("norm_v")))
+          .as("cos_t"),
+        (expr("graft_dot(emb_qp, emb_vp)") / (col("norm_qp") * col("norm_vp")))
+          .as("cos_a"))
+    scored.groupBy("query_id")
+      .agg(expr(s"graft_top_k(struct(`cos_t`, `neighbor_id`), $k, 'DA')").as("t"),
+        expr(s"graft_top_k(struct(`cos_a`, `neighbor_id`), $k, 'DA')").as("a"))
+      .select(col("query_id"),
+        size(array_intersect(expr("transform(t, x -> x.neighbor_id)"),
+          expr("transform(a, x -> x.neighbor_id)"))).cast("bigint").as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / k).as("recall"))
       .orderBy("query_id")
   }
 

@@ -645,6 +645,66 @@ case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
     copy(child = newChild)
 }
 
+/** Native expression: the Johnson-Lindenstrauss ±1 random projection of an
+  * `array<float>` embedding to `outDim` components, as ONE plan node —
+  * arithmetic term-for-term identical to [[Portable.rpProjectSpark]]'s
+  * expression chain (and the DuckDB oracle's [[Portable.rpProjectDuck]]):
+  * component j is the LEFT-ASSOCIATED signed double sum over the first
+  * [[Portable.Dim]] input components with the [[Portable.rpSigns]] sign row
+  * (leading negative = IEEE unary minus), cast back to FLOAT.
+  *
+  * Motive (r16): the SQL form is an `array(...)` of outDim CAST chains with
+  * Dim `element_at` casts each — a ~2,000-node tree for 16×42 that every
+  * downstream transformation re-analyzes. GateJobProbe measured
+  * `embed_rp_recall` spending ~0.85 s/run in a DRIVER gap right after the
+  * scan (plan construction + codegen of the tree), ~45% of warm wall. Same
+  * class as [[BandKeys]]. */
+case class RpProject(child: Expression, outDim: Int)
+  extends UnaryExpression with codegen.CodegenFallback {
+  import graft.functions.Portable
+
+  private lazy val signs: Array[Array[Int]] =
+    Portable.rpSigns(outDim).map(_.toArray).toArray
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_rp_project"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if outDim >= 1 && outDim <= Portable.Dim =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_rp_project expects (array<float>, 1<=outDim<=${Portable.Dim}), " +
+        s"got $other / outDim=$outDim")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    require(v.numElements() >= Portable.Dim,
+      s"graft_rp_project: embedding has ${v.numElements()} elements, " +
+        s"need ${Portable.Dim}")
+    val out = new Array[Float](outDim)
+    var j = 0
+    while (j < outDim) {
+      val row = signs(j)
+      // leading negative is IEEE unary minus, then strict left-assoc +/- —
+      // the exact rounding order of the SQL chain in both dialects
+      var acc = if (row(0) < 0) -v.getFloat(0).toDouble else v.getFloat(0).toDouble
+      var i = 1
+      while (i < Portable.Dim) {
+        val e = v.getFloat(i).toDouble
+        acc = if (row(i) < 0) acc - e else acc + e
+        i += 1
+      }
+      out(j) = acc.toFloat
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native expression: count-weighted 60-bit SimHash fingerprint of a text
   * column as `array<bigint>[2]` (the two 30-bit halves). Identical integer
   * math to the exploded token/sum-aggregate formulation (and the DuckDB
@@ -1309,6 +1369,13 @@ object GraftFunctions {
       s"graft_band_keys takes (col, int literal, int literal), got $other")
   }
 
+  val rpProjectInfo = new ExpressionInfo(classOf[RpProject].getName, "graft_rp_project")
+  val rpProjectBuilder: Seq[Expression] => Expression = {
+    case Seq(a, Literal(d: Int, IntegerType)) => RpProject(a, d)
+    case other => throw new IllegalArgumentException(
+      s"graft_rp_project takes (col, int literal), got $other")
+  }
+
   val simhashInfo = new ExpressionInfo(classOf[SimHashFingerprint].getName, "graft_simhash")
   val simhashBuilder: Seq[Expression] => Expression = {
     case Seq(a) => SimHashFingerprint(a)
@@ -1424,6 +1491,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_shingles", shingleStrBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_minhash", minhashBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_band_keys", bandKeysBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_rp_project", rpProjectBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_simhash", simhashBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_tokens", tokensBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_lsh_buckets", lshBuilder, "built-in")
@@ -1450,6 +1518,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_shingles"), GraftFunctions.shingleStrInfo, GraftFunctions.shingleStrBuilder))
     ext.injectFunction((FunctionIdentifier("graft_minhash"), GraftFunctions.minhashInfo, GraftFunctions.minhashBuilder))
     ext.injectFunction((FunctionIdentifier("graft_band_keys"), GraftFunctions.bandKeysInfo, GraftFunctions.bandKeysBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_rp_project"), GraftFunctions.rpProjectInfo, GraftFunctions.rpProjectBuilder))
     ext.injectFunction((FunctionIdentifier("graft_simhash"), GraftFunctions.simhashInfo, GraftFunctions.simhashBuilder))
     ext.injectFunction((FunctionIdentifier("graft_tokens"), GraftFunctions.tokensInfo, GraftFunctions.tokensBuilder))
     ext.injectFunction((FunctionIdentifier("graft_lsh_buckets"), GraftFunctions.lshInfo, GraftFunctions.lshBuilder))

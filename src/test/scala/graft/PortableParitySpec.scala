@@ -71,6 +71,23 @@ class PortableParitySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_rp_project == the outDim x Dim rpProjectSpark chain, exactly") {
+    GraftFunctions.register(spark)
+    // real embeddings (the corpus path) at the gate's outDim=16, a 1-component
+    // projection (the degenerate chain), and the identity-width Dim
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet").limit(100)
+    Seq(16, 1, Portable.Dim).foreach { outDim =>
+      val out = emb.select(
+        expr(s"graft_rp_project(embedding, $outDim)").as("native"),
+        expr(Portable.rpProjectSpark("embedding", outDim)).as("portable"))
+        .collect()
+      assert(out.nonEmpty)
+      out.foreach { r =>
+        assert(r.getSeq[Float](0) == r.getSeq[Float](1), s"outDim $outDim")
+      }
+    }
+  }
+
   /** Edge corpus for the multi-format parse twins: every dispatch family
     * padded and unpadded, dispatch-matching-but-unparseable values, regex
     * backtracking traps (3-digit runs, letter-run boundaries), whitespace
