@@ -17,8 +17,10 @@ import graft.functions.Portable
   * integer grid once ([[Portable.quantVecSpark]], exact in double), and from
   * there every step is pure integer arithmetic:
   *
-  *  - assignment: unrolled BIGINT squared-L2 ([[Portable.qL2Spark]]) against
-  *    broadcast centroids, ties to the lowest cell id;
+  *  - assignment: unrolled BIGINT squared-L2 (the [[graft.plans.QL2Argmin]]
+  *    native fold of [[Portable.qL2Spark]]) against the driver-held literal
+  *    centroid grid, ties to the lowest cell id — a pure projection, zero
+  *    exchanges;
   *  - update: per-(cell, dim) BIGINT sums (order-independent), centroid
   *    components re-snapped to the grid via one IEEE division
   *    ([[Portable.qMeanSpark]]);
@@ -29,11 +31,13 @@ import graft.functions.Portable
   * a shuffled corpus makes this rare). The result is a bitwise-portable
   * k-means whose DuckDB oracle replays the identical unrolled iterations.
   *
-  * Scale shape: each iteration is one broadcast-join scan (centroids are
-  * k·Dim values) plus one (cell, dim)-keyed aggregate of k·Dim rows — no
-  * all-pairs stage, no driver-side loop over rows. Iteration count is a
-  * constant; the per-round localCheckpoint keeps lineage flat exactly like
-  * [[Dedup.connectedComponents]].
+  * Scale shape: each iteration is ONE corpus scan (literal-centroid argmin
+  * projection, zero exchanges) feeding a map-side-combined (cell, dim)
+  * aggregate whose exchange is k·Dim partial rows per task — no all-pairs
+  * stage, no corpus-sized shuffle, no driver-side loop over rows. Iteration
+  * count is a constant; the k·Dim-BIGINT centroid collect per round is the
+  * driver-bounded action that keeps lineage flat (plans are rebuilt from
+  * literals, so no checkpoint chain grows).
   */
 object Clustering {
 
@@ -53,23 +57,34 @@ object Clustering {
       .select(expr("vec_id div stride").as("cell"), col("q").as("c"))
   }
 
-  /** Nearest-centroid assignment: (vec_id, cell, dist, q); dist is the exact
-    * integer squared L2, ties to the lowest cell.
-    *
-    * The argmin folds through the k-BOUNDED [[Scale.topKPerKey]] aggregate
-    * (k = 1), not a `row_number` window: the window form would push the full
-    * corpus × k fan-out through one exchange EVERY Lloyd iteration, while the
-    * aggregate's map-side combine caps each iteration's exchange at corpus
-    * rows — the same fold [[Similarity.ivfRankCells]] uses, same
-    * (dist asc, cell asc)-to-unique-cell tie order, so the kept rows are
-    * bitwise-identical to the window twin's. */
-  private def assign(q: DataFrame, cent: DataFrame): DataFrame =
-    Scale.topKPerKey(
-        q.crossJoin(broadcast(cent))
-          .withColumn("dist", expr(Portable.qL2Spark("q", "c")))
-          .select("vec_id", "dist", "cell", "q"),
-        Seq("vec_id"), Seq(("dist", false), ("cell", false)), 1, Seq("q"))
-      .select("vec_id", "cell", "dist", "q")
+  /** Nearest-centroid assignment against a DRIVER-HELD centroid table:
+    * (vec_id, cell, dist, q) — one [[graft.plans.QL2Argmin]] projection with
+    * the k·Dim centroid grid inlined as BIGINT literals. ZERO exchanges (the
+    * map-side assignment every production k-means ships — guide §2.1,
+    * remove shuffles outright); before r16 this was crossJoin(broadcast) +
+    * a groupBy(vec_id) argmin fold, a corpus-sized hash exchange per Lloyd
+    * iteration. Same unrolled integer L2, same (dist asc, cell asc) tie
+    * rule, so the kept rows are bitwise-identical to the aggregate twin
+    * (PortableParitySpec pins native-vs-SQL-chain equality; the oracle
+    * gates re-prove the end-to-end result at both SFs). The `ac` struct is
+    * split in a SECOND projection so CollapseProject keeps the
+    * multi-referenced non-cheap argmin un-inlined (one eval per row). */
+  private def assign(q: DataFrame, cent: Seq[(Long, Seq[Long])]): DataFrame = {
+    val centsSql = cent.map(_._2.mkString("array(", "L, ", "L)"))
+      .mkString("array(", ", ", ")")
+    val cellsSql = cent.map(_._1).mkString("array(", "L, ", "L)")
+    q.select(col("vec_id"),
+        expr(s"graft_ql2_argmin(q, $centsSql, $cellsSql)").as("ac"), col("q"))
+      .select(col("vec_id"), col("ac.cell").as("cell"),
+        col("ac.dist").as("dist"), col("q"))
+  }
+
+  /** k rows × (cell, Dim grid coords) to the driver — k·Dim BIGINTs, the
+    * |domains|-sized-frame class; this collect IS the per-round action (it
+    * replaces the former eager localCheckpoint), and building the next
+    * round's plan from literals keeps lineage flat without checkpoints. */
+  private def collectCent(df: DataFrame): Seq[(Long, Seq[Long])] =
+    df.collect().toSeq.map(r => (r.getLong(0), r.getSeq[Long](1)))
 
   /** Mean-update on the integer grid: per-(cell, dim) BIGINT sums, re-snapped
     * componentwise; the array is rebuilt in dim order. k·Dim rows total —
@@ -87,10 +102,14 @@ object Clustering {
     * a float-free result that hash-checks against the DuckDB replay. */
   def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1; got k=$k iters=$iters")
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val q = quantized(emb)
-    var cent = initCentroids(q, k).localCheckpoint(true)
+    var cent = collectCent(initCentroids(q, k))
+    if (cent.isEmpty) // empty corpus: stride init found no rows
+      return q.select(col("vec_id"), col("vec_id").as("cluster"),
+        col("vec_id").as("dist"), col("vec_id").as("cluster_size"))
     for (_ <- 1 to iters)
-      cent = update(assign(q, cent)).localCheckpoint(true)
+      cent = collectCent(update(assign(q, cent)))
     val fin = assign(q, cent)
     val sizes = fin.groupBy("cell").agg(count(lit(1)).as("cluster_size"))
     fin.join(broadcast(sizes), "cell")

@@ -705,6 +705,88 @@ case class RpProject(child: Expression, outDim: Int)
     copy(child = newChild)
 }
 
+/** Native expression: nearest-centroid assignment on the integer grid —
+  * the argmin over a LITERAL centroid table of the exact unrolled BIGINT
+  * squared L2 ([[graft.functions.Portable.qL2Spark]]), ties to the lowest
+  * cell id; returns `struct(cell bigint, dist bigint)`.
+  *
+  * Motive (r16): [[graft.operators.Clustering]]'s Lloyd assignment was
+  * `crossJoin(broadcast(cent))` + a groupBy(vec_id) argmin fold — a
+  * corpus-sized hash EXCHANGE per iteration whose only job was picking the
+  * per-row minimum of k broadcast rows. With the k×Dim centroid grid (k·Dim
+  * BIGINTs — driver-bounded, the |domains|-sized-frame class) inlined as
+  * literals, the argmin is one per-row fold inside a projection: ZERO
+  * exchanges per iteration (guide §2.1, remove shuffles outright — the
+  * standard map-side k-means assignment). Pure integer arithmetic, so the
+  * value is evaluation-order independent and the assignment is bit-identical
+  * to the aggregate twin (PortableParitySpec pins it; the `(dist, cell)`
+  * lexicographic tie rule is the `topKPerKey(dist asc, cell asc, k=1)`
+  * order). Bounded per-row work: k·Dim multiplies, |q|≤1025 per coordinate
+  * so the 64-term sum stays under 2^33 — no overflow on either side. */
+case class QL2Argmin(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with codegen.CodegenFallback {
+  import graft.functions.Portable
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", LongType, nullable = false),
+    StructField("dist", LongType, nullable = false)))
+  override def prettyName: String = "graft_ql2_argmin"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(ArrayType(LongType, _), _),
+            ArrayType(LongType, _)) if second.foldable && third.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "graft_ql2_argmin expects (array<bigint>, foldable array<array<bigint>>, " +
+          s"foldable array<bigint>), got $other")
+    }
+
+  // the literal centroid table, materialized once per task, not per row
+  private lazy val cents: Array[Array[Long]] = {
+    val a = second.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(a.numElements()) { i =>
+      val c = a.getArray(i)
+      require(c.numElements() >= Portable.Dim,
+        s"graft_ql2_argmin: centroid $i has ${c.numElements()} dims, need ${Portable.Dim}")
+      c.toLongArray()
+    }
+  }
+  private lazy val cells: Array[Long] =
+    third.eval(null).asInstanceOf[ArrayData].toLongArray()
+
+  override def nullSafeEval(q: Any, c: Any, l: Any): Any = {
+    val v = q.asInstanceOf[ArrayData]
+    require(v.numElements() >= Portable.Dim,
+      s"graft_ql2_argmin: vector has ${v.numElements()} dims, need ${Portable.Dim}")
+    require(cents.length == cells.length && cents.nonEmpty,
+      s"graft_ql2_argmin: ${cents.length} centroids vs ${cells.length} cells")
+    var bestDist = Long.MaxValue
+    var bestCell = Long.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val cent = cents(j)
+      var dist = 0L
+      var i = 0
+      while (i < Portable.Dim) {
+        val d = v.getLong(i) - cent(i)
+        dist += d * d
+        i += 1
+      }
+      val cell = cells(j)
+      if (dist < bestDist || (dist == bestDist && cell < bestCell)) {
+        bestDist = dist; bestCell = cell
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bestCell, bestDist)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Native expression: count-weighted 60-bit SimHash fingerprint of a text
   * column as `array<bigint>[2]` (the two 30-bit halves). Identical integer
   * math to the exploded token/sum-aggregate formulation (and the DuckDB
@@ -1376,6 +1458,13 @@ object GraftFunctions {
       s"graft_rp_project takes (col, int literal), got $other")
   }
 
+  val ql2ArgminInfo = new ExpressionInfo(classOf[QL2Argmin].getName, "graft_ql2_argmin")
+  val ql2ArgminBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b, c) => QL2Argmin(a, b, c)
+    case other => throw new IllegalArgumentException(
+      s"graft_ql2_argmin takes (col, array<array<bigint>>, array<bigint>), got $other")
+  }
+
   val simhashInfo = new ExpressionInfo(classOf[SimHashFingerprint].getName, "graft_simhash")
   val simhashBuilder: Seq[Expression] => Expression = {
     case Seq(a) => SimHashFingerprint(a)
@@ -1492,6 +1581,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_minhash", minhashBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_band_keys", bandKeysBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_rp_project", rpProjectBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_ql2_argmin", ql2ArgminBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_simhash", simhashBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_tokens", tokensBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_lsh_buckets", lshBuilder, "built-in")
@@ -1519,6 +1609,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minhash"), GraftFunctions.minhashInfo, GraftFunctions.minhashBuilder))
     ext.injectFunction((FunctionIdentifier("graft_band_keys"), GraftFunctions.bandKeysInfo, GraftFunctions.bandKeysBuilder))
     ext.injectFunction((FunctionIdentifier("graft_rp_project"), GraftFunctions.rpProjectInfo, GraftFunctions.rpProjectBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_ql2_argmin"), GraftFunctions.ql2ArgminInfo, GraftFunctions.ql2ArgminBuilder))
     ext.injectFunction((FunctionIdentifier("graft_simhash"), GraftFunctions.simhashInfo, GraftFunctions.simhashBuilder))
     ext.injectFunction((FunctionIdentifier("graft_tokens"), GraftFunctions.tokensInfo, GraftFunctions.tokensBuilder))
     ext.injectFunction((FunctionIdentifier("graft_lsh_buckets"), GraftFunctions.lshInfo, GraftFunctions.lshBuilder))

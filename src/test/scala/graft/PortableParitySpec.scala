@@ -88,6 +88,37 @@ class PortableParitySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_ql2_argmin == the crossJoin+topKPerKey aggregate argmin, exactly") {
+    GraftFunctions.register(spark)
+    import graft.operators.Scale
+    val q = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet").limit(200)
+      .select(col("vec_id"), expr(Portable.quantVecSpark("embedding")).as("q"))
+      .localCheckpoint(true)
+    // centroids = the first 8 quantized vectors, with non-contiguous cell ids
+    // (3,5,...) so the tie rule is exercised on id order, not array order
+    val cent = q.filter(col("vec_id") < 8)
+      .select((col("vec_id") * 2 + 3).as("cell"), col("q").as("c"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val centsSql = cent.map(_._2.mkString("array(", "L, ", "L)"))
+      .mkString("array(", ", ", ")")
+    val cellsSql = cent.map(_._1).mkString("array(", "L, ", "L)")
+    val native = q.select(col("vec_id"),
+        expr(s"graft_ql2_argmin(q, $centsSql, $cellsSql)").as("ac"))
+      .select(col("vec_id"), col("ac.cell").as("cell"), col("ac.dist").as("dist"))
+    val centDf = q.sparkSession.createDataFrame(cent.toSeq.map {
+      case (cl, c) => (cl, c) }).toDF("cell", "c")
+    val agg = Scale.topKPerKey(
+        q.crossJoin(broadcast(centDf))
+          .withColumn("dist", expr(Portable.qL2Spark("q", "c")))
+          .select("vec_id", "dist", "cell"),
+        Seq("vec_id"), Seq(("dist", false), ("cell", false)), 1, Seq())
+      .select("vec_id", "cell", "dist")
+    val n = native.orderBy("vec_id").collect().toSeq
+    val a = agg.orderBy("vec_id").collect().toSeq
+    assert(n.nonEmpty && n.size == a.size)
+    assert(n == a)
+  }
+
   /** Edge corpus for the multi-format parse twins: every dispatch family
     * padded and unpadded, dispatch-matching-but-unparseable values, regex
     * backtracking traps (3-digit runs, letter-run boundaries), whitespace
