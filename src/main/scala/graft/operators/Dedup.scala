@@ -718,10 +718,15 @@ object Dedup {
                        n: Int = 3, tau: Double = 0.5, bands: Int = 42,
                        rowsPerBand: Int = 3, prefix: String = "dedup"): DataFrame = {
     val spark = batch.sparkSession
-    // distinct: appends ([[appendDedupIndex]]) may re-add an md5 the index
-    // already holds, and a duplicated key row would fan out the left join
-    val keys = lake.read(spark, s"${prefix}_keys").distinct()
-      .withColumn("is_exact", lit(true))
+    // r16: the exact-dup probe is a LEFT SEMI join, not distinct()+left-join.
+    // The old shape ran distinct() over the CORPUS-sized key table on every
+    // batch serve (appends may re-add an md5, and a duplicated key row would
+    // fan out a plain left join) — a corpus-wide exchange that broke the
+    // O(batch + candidates) serve contract. A semi join is naturally
+    // dedup-safe (at-most-once per probe row), so the corpus side needs no
+    // distinct at all; the is_exact flag rides a batch-sized self left-join
+    // (guide §2.1: shuffle the small side, never the corpus).
+    val keys = lake.read(spark, s"${prefix}_keys")
     val cBands = lake.read(spark, s"${prefix}_bands")
       .select(col("doc_id").as("corpus_doc"), col("band"), col("bh"))
     val bBands = minhashBandTable(batch, n, bands, rowsPerBand)
@@ -733,19 +738,25 @@ object Dedup {
     val cand = bBands.join(cBands, Seq("band", "bh"))
       .select("batch_doc", "corpus_doc").distinct()
       .localCheckpoint(true)
+    // candidate-doc restriction as LEFT SEMI joins (r16): the former
+    // inner-join-on-distinct-ids shape paid a distinct exchange per side
+    // just to avoid fan-out; a semi join cannot fan out by construction
     val bSets = shingleSets(
-        batch.join(cand.select(col("batch_doc").as("doc_id")).distinct(), "doc_id"), n)
+        batch.join(cand, col("doc_id") === col("batch_doc"), "left_semi"), n)
       .select(col("doc_id").as("batch_doc"), col("shingles").as("sa"), col("n_shingles").as("na"))
     val cSets = shingleSets(
-        corpusText.join(cand.select(col("corpus_doc").as("doc_id")).distinct(), "doc_id"), n)
+        corpusText.join(cand, col("doc_id") === col("corpus_doc"), "left_semi"), n)
       .select(col("doc_id").as("corpus_doc"), col("shingles").as("sb"), col("n_shingles").as("nb"))
     val near = cand.join(bSets, "batch_doc").join(cSets, "corpus_doc")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= tau)
       .select(col("batch_doc").as("doc_id")).distinct()
       .withColumn("is_near", lit(true))
-    batch.withColumn("text_md5", md5(col("text")))
-      .join(keys, Seq("text_md5"), "left")
+    val withMd5 = batch.withColumn("text_md5", md5(col("text")))
+    val exact = withMd5.join(keys, Seq("text_md5"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact", lit(true))
+    withMd5
+      .join(exact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("is_exact"), lit("exact_dup"))
