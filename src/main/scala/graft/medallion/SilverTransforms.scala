@@ -39,11 +39,18 @@ object SilverTransforms {
     * `processed_at` must be unique per pk for the result to be well-defined
     * (true for any monotone ingest stamp).
     *
-    * Physically this is `max_by(row-struct, processed_at)` — a hash
-    * aggregate, NOT the reference's ROW_NUMBER window: identical surviving
-    * rows, but partial aggregation combines duplicates map-side and no
-    * per-group sort ever runs. At 100 TB that's the difference between a
-    * shuffle of the deduped output and a full sort of the input. */
+    * Physically this is `max_by(row-struct, processed_at)`, NOT the
+    * reference's ROW_NUMBER window: identical surviving rows, but partial
+    * aggregation combines duplicates map-side so the exchange carries one
+    * row per (pk, map task), not the full input. Spark plans it as
+    * SortAggregate (the string-carrying struct buffer is immutable, so
+    * HashAggregate is unavailable) — r16 measured the tempting "fix",
+    * [[graft.operators.Scale.topKPerKey]] k=1 over the graft_top_k
+    * TypedImperativeAggregate (ObjectHashAggregate, no sorts), as ~12%
+    * SLOWER in an interleaved bit-identical A/B (tools/SilverAbProbe:
+    * min 1.59 vs 1.78 s, med 1.87 vs 2.07 s on sf0.1 lineitem): the
+    * per-row typed-buffer update costs more than the cheap binary-row
+    * sorts it removes. Keep max_by. */
   def dedupLatest(bronze: DataFrame, pkRaw: String): DataFrame = {
     val cols = bronze.columns
     bronze.filter(!col("is_duplicate_in_file"))

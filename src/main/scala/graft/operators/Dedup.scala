@@ -979,15 +979,26 @@ object Dedup {
     * hash-agg, one pair join, one label propagation, one anti-join. */
   def dedupSurvivors(docs: DataFrame, n: Int = 3, tau: Double = 0.5): DataFrame = {
     val keyed = docs.select(md5(col("text")).as("k"), col("doc_id"))
-    val keepers = keyed.groupBy("k").agg(min(col("doc_id")).as("keep"))
-    val exactRemoved = keyed.join(keepers, "k")
+    // r16: only groups of size > 1 can produce a removal (a singleton's only
+    // member IS its keeper), so the keeper table is filtered to dup groups
+    // BEFORE the probe join — tiny at any real dup rate (0.2% at sf0.1), it
+    // broadcasts, and the corpus-sized probe side needs no exchange
+    // (guide §3.1). An inner join against the filtered table drops exactly
+    // the rows the old `doc_id =!= keep` filter dropped plus the singleton
+    // self-matches that never produced output: identical removal set.
+    val dupKeepers = keyed.groupBy("k")
+      .agg(min(col("doc_id")).as("keep"), count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+    val exactRemoved = keyed.join(dupKeepers, "k")
       .filter(col("doc_id") =!= col("keep")).select("doc_id")
     // pairs via MinHash+LSH — the scale path; its verified output equals the
     // exact all-pairs result (p_miss ~2e-8), which is what the oracle computes
     val nearRemoved = connectedComponents(minhashLshPairs(docs, n, tau = tau))
       .filter(col("doc_id") =!= col("component_id")).select("doc_id")
+    // no distinct before the anti join: left_anti is insensitive to
+    // duplicate right rows, so the exchange+aggregate bought nothing (r16)
     docs.select("doc_id")
-      .join(exactRemoved.union(nearRemoved).distinct(), Seq("doc_id"), "left_anti")
+      .join(exactRemoved.union(nearRemoved), Seq("doc_id"), "left_anti")
   }
 
   /** Quality-aware survivor selection — ONE keeper per duplicate FAMILY,
@@ -1050,8 +1061,16 @@ object Dedup {
     // comparable, so such a doc is its own family of size 1: groups are
     // built over non-null keys only and keyed LEFT-joins them, null-key rows
     // coalescing to (own id, kc = 1).
+    // r16: a SINGLETON group's row is exactly the coalesce default — its g
+    // is min over one member (the doc itself) and its kc is 1 — so filtering
+    // groups to kc > 1 before the left join is bit-identical and shrinks the
+    // join side from |distinct md5| (corpus-sized) to |dup groups| (0.2% at
+    // sf0.1): it broadcasts, and the corpus probe side pays no exchange
+    // (guide §3.1). This graph feeds survivors-by-quality, the curation
+    // family stage, and the e2e chain — one corpus exchange deleted in each.
     val groups = keyed.filter(col("k").isNotNull).groupBy("k")
       .agg(min(col("doc_id")).as("g"), count(lit(1)).cast("bigint").as("kc"))
+      .filter(col("kc") > 1L)
     val ek = keyed.join(groups, Seq("k"), "left")
       .select(col("doc_id"), coalesce(col("g"), col("doc_id")).as("g"),
         coalesce(col("kc"), lit(1L)).as("kc"))
