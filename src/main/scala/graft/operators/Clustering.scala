@@ -105,9 +105,14 @@ object Clustering {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val q = quantized(emb)
     var cent = collectCent(initCentroids(q, k))
-    if (cent.isEmpty) // empty corpus: stride init found no rows
-      return q.select(col("vec_id"), col("vec_id").as("cluster"),
-        col("vec_id").as("dist"), col("vec_id").as("cluster_size"))
+    // degenerate: stride init found no rows — empty corpus, or non-contiguous
+    // vec_ids the stride filter misses entirely. Return an EMPTY frame (the
+    // pre-r16 crossJoin-with-empty-broadcast semantics); the r16 shape
+    // returned every row with vec_id garbage in dist/cluster_size (r16 ADVICE)
+    if (cent.isEmpty)
+      return q.filter(lit(false)).select(col("vec_id"),
+        col("vec_id").as("cluster"), col("vec_id").as("dist"),
+        col("vec_id").as("cluster_size"))
     for (_ <- 1 to iters)
       cent = collectCent(update(assign(q, cent)))
     val fin = assign(q, cent)

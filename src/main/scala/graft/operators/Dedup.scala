@@ -246,8 +246,14 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"), col("n_shingles").as("na"))
     val b = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb"), col("n_shingles").as("nb"))
+    // graft_opaque fence (r17): without it the tau filter is pushed into the
+    // text join's condition and the shingle intersect runs up to THREE times
+    // per candidate pair (twice in the condition, once in the projection) —
+    // guide §4.4's duplicated-expensive-expression class; same value, same
+    // rows, one intersect per pair
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     cand.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("inter", expr("graft_opaque(size(array_intersect(sa, sb)))"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= tau)
@@ -296,11 +302,14 @@ object Dedup {
     // hot shingles as a bounded array; the pairwise intersect is O(cap list)
     val hotByDoc = sh.join(broadcast(hot), Seq("s"))
       .groupBy("doc_id").agg(collect_set(col("s")).as("hs"))
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val inter = interRare
       .join(hotByDoc.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"), "left")
       .join(hotByDoc.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"), "left")
-      .withColumn("inter", col("inter_rare") +
-        coalesce(size(array_intersect(col("ha"), col("hb"))), lit(0)))
+      // graft_opaque fence: keeps the tau filter from re-inlining the
+      // hot-set intersect into the join conditions below (guide §4.4)
+      .withColumn("inter", expr(
+        "graft_opaque(inter_rare + coalesce(size(array_intersect(ha, hb)), 0))"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
@@ -470,8 +479,12 @@ object Dedup {
     val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
     near.join(ta, "doc_a").join(tb, "doc_b")
+      // graft_opaque fence (r17): without it the tauE filter is pushed into
+      // the text join's condition and the O(len_a x len_b) Levenshtein DP
+      // runs TWICE per candidate pair — the plan's `Join condition:
+      // (1.0 - levenshtein(...))` line was the evidence (guide §4.4)
       .withColumn("edit_dist",
-        levenshtein(col("text_a"), col("text_b")).cast("bigint"))
+        expr("graft_opaque(levenshtein(text_a, text_b))").cast("bigint"))
       .withColumn("edit_sim",
         lit(1.0) - col("edit_dist").cast("double") /
           greatest(length(col("text_a")), length(col("text_b"))))
@@ -658,7 +671,8 @@ object Dedup {
         evalText.join(cand.select(col("test_doc").as("doc_id")).distinct(), "doc_id"), n)
       .select(col("doc_id").as("test_doc"), col("shingles").as("sb"), col("n_shingles").as("nb"))
     cand.join(tSets, "train_doc").join(eSets, "test_doc")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      // graft_opaque fence: one intersect per candidate pair (guide §4.4)
+      .withColumn("inter", expr("graft_opaque(size(array_intersect(sa, sb)))"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= tau)
@@ -748,13 +762,18 @@ object Dedup {
         corpusText.join(cand, col("doc_id") === col("corpus_doc"), "left_semi"), n)
       .select(col("doc_id").as("corpus_doc"), col("shingles").as("sb"), col("n_shingles").as("nb"))
     val near = cand.join(bSets, "batch_doc").join(cSets, "corpus_doc")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      // graft_opaque fence: one intersect per candidate pair (guide §4.4)
+      .withColumn("inter", expr("graft_opaque(size(array_intersect(sa, sb)))"))
       .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= tau)
       .select(col("batch_doc").as("doc_id")).distinct()
       .withColumn("is_near", lit(true))
     val withMd5 = batch.withColumn("text_md5", md5(col("text")))
+    // distinct (batch-sized): a batch carrying duplicate doc_ids would
+    // otherwise fan out the flag join below — the pre-r16 md5-keyed left
+    // join against distinct keys was one-row-per-probe by construction
+    // (r16 ADVICE); the semi join is, but this frame's doc_ids are not
     val exact = withMd5.join(keys, Seq("text_md5"), "left_semi")
-      .select(col("doc_id")).withColumn("is_exact", lit(true))
+      .select(col("doc_id")).distinct().withColumn("is_exact", lit(true))
     withMd5
       .join(exact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
@@ -801,6 +820,38 @@ object Dedup {
       .withColumn("hamming", expr(Portable.hammingSpark("a1", "b1", "a2", "b2")))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** The small-graph regime both components variants share: classic path-
+    * compressing union-find over a driver-collected edge list, linking the
+    * LARGER root under the SMALLER so every root is its component's MINIMUM
+    * — exactly the distributed contract, in one pass with zero shuffles.
+    * Callers gate on `count() <= driverEdgeCap` over an already-materialized
+    * (checkpointed) Long-typed edge frame, so the count is free and the
+    * collect is budget-bounded (see the cap note at the call sites). Output
+    * rows = distinct endpoint ids of `edges` — identical to both distributed
+    * regimes, which also label only nodes that appear in the edge list. */
+  private def foldComponentsOnDriver(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    // collect primitive pairs, not Rows — the Row form would roughly
+    // triple the transient footprint at the cap
+    edges.rdd.map(r => (r.getLong(0), r.getLong(1))).collect().foreach {
+      case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.toSeq.sorted.map(k => (k, find(k)))
+      .toDF("doc_id", "component_id")
   }
 
   /** Connected components over a near-dup pair graph — the step that turns
@@ -850,28 +901,8 @@ object Dedup {
     // checkpoint-materialized).
     if (edges0.schema.fields.forall(_.dataType ==
           org.apache.spark.sql.types.LongType) &&
-        edges0.count() <= driverEdgeCap) {
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      // collect primitive pairs, not Rows — the Row form would roughly
-      // triple the transient footprint at the cap
-      edges0.rdd.map(r => (r.getLong(0), r.getLong(1))).collect().foreach {
-        case (a, b) =>
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      return parent.keys.toSeq.sorted.map(k => (k, find(k)))
-        .toDF("doc_id", "component_id")
-    }
+        edges0.count() <= driverEdgeCap)
+      return foldComponentsOnDriver(edges0)
     val edges = edges0
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -922,10 +953,26 @@ object Dedup {
     * physical shape as a min-label round — and each round's edge list is
     * localCheckpointed so plans stay O(1). Use this variant when component
     * diameter is unbounded (transitive link graphs); near-dup clusters are
-    * shallow, so [[connectedComponents]]'s simpler rounds win there. */
-  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    * shallow, so [[connectedComponents]]'s simpler rounds win there.
+    *
+    * Size-gated small-graph regime (r17, the [[connectedComponents]] /
+    * trajectory-fold precedent): when the deduped edge list fits the driver
+    * budget, fold it with [[foldComponentsOnDriver]] instead of paying
+    * O(log diameter) star rounds' shuffle + scheduling floor. Identical
+    * output: union-find links larger root -> smaller root, so every label
+    * is the component minimum, and both regimes emit exactly the distinct
+    * endpoints of the (self-loop-free) edge list. The distributed rounds
+    * remain for graphs past the cap — DedupSpec pins fold == distributed
+    * on the same graph, and ScaleRehearsalSpec keeps the deep-chain round
+    * bound on the forced-distributed path. */
+  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 30,
+                               driverEdgeCap: Long = DefaultDriverEdgeCap): DataFrame = {
     val pe = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(false)
+    if (pe.schema.fields.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType) &&
+        pe.count() <= driverEdgeCap)
+      return foldComponentsOnDriver(pe)
     val nodes = pe.select(col("u").as("id")).union(pe.select(col("v").as("id")))
       .distinct().localCheckpoint(true)
     var edges = pe
@@ -1107,8 +1154,10 @@ object Dedup {
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nrm").as("norm_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("norm_b"))
     cand.join(a, "vec_a").join(b, "vec_b")
+      // graft_opaque fence: one 64-mult dot per candidate pair — without it
+      // the tau filter re-inlines the dot into the join condition (guide §4.4)
       .withColumn("cosine",
-        expr("graft_dot(emb_a, emb_b)") / (col("norm_a") * col("norm_b")))
+        expr("graft_opaque(graft_dot(emb_a, emb_b))") / (col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= tau)
       .select("vec_a", "vec_b", "cosine")
   }
@@ -1125,8 +1174,10 @@ object Dedup {
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nrm").as("norm_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("norm_b"))
     a.join(b, col("vec_a") < col("vec_b"))
+      // graft_opaque fence: one dot per pair (guide §4.4) — the filter would
+      // otherwise fold the dot into the nested-loop join condition twice
       .withColumn("cosine",
-        expr("graft_dot(emb_a, emb_b)") / (col("norm_a") * col("norm_b")))
+        expr("graft_opaque(graft_dot(emb_a, emb_b))") / (col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= tau)
       .select("vec_a", "vec_b", "cosine")
   }

@@ -265,15 +265,19 @@ object Similarity {
     require(outDim >= 1 && outDim <= Portable.Dim,
       s"outDim must be in [1, ${Portable.Dim}]")
     GraftFunctions.register(emb.sparkSession)
-    // one pass: raw + projected vectors and both norms, kept hot for the
-    // query-side and corpus-side consumers (the withNorm pattern, once
-    // instead of once per space)
+    // one pass: raw + projected vectors and both norms, shared by the
+    // query-side and corpus-side consumers (the withNorm pattern). NOT
+    // persisted (r17): the query side's `vec_id < nQueries` filter pushes
+    // down to the scan (nQueries rows projected, row-group-prunable at
+    // scale), so the "shared" work the r16 persist saved was ~nQueries
+    // projections — while the persist itself materialized the whole corpus
+    // projection to storage, broke scan→score→agg codegen fusion, and
+    // leaked cached blocks in long-lived sessions (r16 VERDICT finding 5).
     val e = Scale.fanOutScan(emb).select(col("vec_id"), col("embedding"),
         expr(s"graft_rp_project(embedding, $outDim)").as("emb_p"))
       .select(col("vec_id"), col("embedding"), col("emb_p"),
         sqrt(expr("graft_dot(embedding, embedding)")).as("nrm"),
         sqrt(expr("graft_dot(emb_p, emb_p)")).as("nrm_p"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"),
         col("emb_p").as("emb_qp"), col("nrm").as("norm_q"),

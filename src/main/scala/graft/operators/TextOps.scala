@@ -888,15 +888,40 @@ object TextOps {
     * aggregate OF THE REPORT and broadcasts back. Nothing after the first
     * aggregate is corpus-sized. */
   def shardProvenance(docs: DataFrame, decisions: DataFrame,
-                      shards: DataFrame): DataFrame = {
-    val meta = withToks(docs).select(col("doc_id"), col("source"), col("lang"),
+                      shards: DataFrame): DataFrame =
+    provenanceReport(
+      provenanceMeta(docs).join(decisions.select(col("doc_id"), col("reason")), "doc_id")
+        .join(shards.select(col("doc_id"), col("shard")), Seq("doc_id"), "left")
+        .select(coalesce(col("shard"), lit(-1)).cast("int").as("shard"),
+          col("source"), col("lang"),
+          when(col("reason") === "keep", lit("kept")).otherwise(col("reason")).as("stage"),
+          col("n_toks")))
+
+  /** [[shardProvenance]] for the common case where a kept document's shard
+    * is a PURE per-row function of doc_id (the [[shuffleShards]] key
+    * arithmetic — every hash-sharded layout): the kept-set left join is
+    * replaced by `when(keep, shardOf).otherwise(-1)` inside the decision
+    * projection, deleting one corpus-keyed equi-join (its exchange at scale,
+    * plus a rescan of the decision checkpoint the gate's `shards` frame was
+    * derived from) — guide §2.4, remove shuffles outright. Row-for-row
+    * identical to the join form: `shards` there contains exactly the kept
+    * ids, so the left-join miss → -1 IS the otherwise branch. */
+  def shardProvenance(docs: DataFrame, decisions: DataFrame,
+                      shardOf: org.apache.spark.sql.Column): DataFrame =
+    provenanceReport(
+      provenanceMeta(docs).join(decisions.select(col("doc_id"), col("reason")), "doc_id")
+        .select(
+          when(col("reason") === "keep", shardOf).otherwise(lit(-1))
+            .cast("int").as("shard"),
+          col("source"), col("lang"),
+          when(col("reason") === "keep", lit("kept")).otherwise(col("reason")).as("stage"),
+          col("n_toks")))
+
+  private def provenanceMeta(docs: DataFrame): DataFrame =
+    withToks(docs).select(col("doc_id"), col("source"), col("lang"),
       size(col("toks")).cast("bigint").as("n_toks"))
-    val lab = meta.join(decisions.select(col("doc_id"), col("reason")), "doc_id")
-      .join(shards.select(col("doc_id"), col("shard")), Seq("doc_id"), "left")
-      .select(coalesce(col("shard"), lit(-1)).cast("int").as("shard"),
-        col("source"), col("lang"),
-        when(col("reason") === "keep", lit("kept")).otherwise(col("reason")).as("stage"),
-        col("n_toks"))
+
+  private def provenanceReport(lab: DataFrame): DataFrame = {
     val g = lab.groupBy("shard", "source", "lang", "stage")
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         sum(col("n_toks")).cast("bigint").as("n_tokens"))

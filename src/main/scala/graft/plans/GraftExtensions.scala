@@ -666,7 +666,17 @@ case class RpProject(child: Expression, outDim: Int)
   private lazy val signs: Array[Array[Int]] =
     Portable.rpSigns(outDim).map(_.toArray).toArray
 
-  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  // containsNull mirrors the input's: every component chain reads all Dim
+  // elements, so ONE null element nulls every component — exactly what the
+  // portable element_at CAST chain yields. Declaring containsNull=false
+  // over a nullable-element input was a silent native-vs-portable
+  // divergence risk (r16 ADVICE; unreachable on the current corpus, where
+  // embeddings are non-null, but the expression must not depend on that).
+  override def dataType: DataType = ArrayType(FloatType,
+    containsNull = child.dataType match {
+      case ArrayType(_, n) => n
+      case _               => true
+    })
   override def prettyName: String = "graft_rp_project"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -682,6 +692,15 @@ case class RpProject(child: Expression, outDim: Int)
     require(v.numElements() >= Portable.Dim,
       s"graft_rp_project: embedding has ${v.numElements()} elements, " +
         s"need ${Portable.Dim}")
+    // null-element pre-pass: the portable chain's left-assoc +/- over a null
+    // element is null, and every component reads all Dim elements
+    var p = 0
+    while (p < Portable.Dim) {
+      if (v.isNullAt(p))
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.fill[Any](outDim)(null))
+      p += 1
+    }
     val out = new Array[Float](outDim)
     var j = 0
     while (j < outDim) {
@@ -701,6 +720,36 @@ case class RpProject(child: Expression, outDim: Int)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Identity wrapper DECLARED non-deterministic — a PLACEMENT FENCE for an
+  * expensive deterministic expression (optimization guide §4.4): the
+  * optimizer may not push a filter through the projection that computes the
+  * wrapped value, may not duplicate it into a join condition, and may not
+  * inline it into downstream consumers — so the value is evaluated exactly
+  * once per row where the query placed it. Before r17, the banded dedup
+  * verify evaluated `size(array_intersect(sa, sb))` THREE times per
+  * candidate pair (twice inside the pushed-down join condition, once in the
+  * output projection) and editDistancePairs ran the Levenshtein DP twice —
+  * the plan's own `Join condition: (1.0 - levenshtein(...)...)` line was the
+  * evidence. Runtime is the child VERBATIM: eval and codegen both delegate,
+  * so values, types, and nullability are untouched; only planner placement
+  * changes (every consumer is oracle-gated, re-proven bitwise at both SFs).
+  * Use ONLY on genuinely deterministic children — the flag is a fence, not
+  * a semantics change. */
+case class OpaqueEval(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_opaque"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -1565,6 +1614,13 @@ object GraftFunctions {
       s"graft_top_k takes (struct col, int literal[, direction string literal]), got $other")
   }
 
+  val opaqueInfo = new ExpressionInfo(classOf[OpaqueEval].getName, "graft_opaque")
+  val opaqueBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => OpaqueEval(a)
+    case other => throw new IllegalArgumentException(
+      s"graft_opaque takes exactly 1 argument, got ${other.size}")
+  }
+
   val ql2Info = new ExpressionInfo(classOf[ArrayQL2].getName, "graft_ql2")
   val ql2Builder: Seq[Expression] => Expression = {
     case Seq(a, b) => ArrayQL2(a, b)
@@ -1597,6 +1653,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_rep_stats", repStatsBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_span_filter", spanFilterBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_bucket_counts", bucketCountsBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_opaque", opaqueBuilder, "built-in")
   }
 }
 
@@ -1625,5 +1682,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_rep_stats"), GraftFunctions.repStatsInfo, GraftFunctions.repStatsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_span_filter"), GraftFunctions.spanFilterInfo, GraftFunctions.spanFilterBuilder))
     ext.injectFunction((FunctionIdentifier("graft_bucket_counts"), GraftFunctions.bucketCountsInfo, GraftFunctions.bucketCountsBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_opaque"), GraftFunctions.opaqueInfo, GraftFunctions.opaqueBuilder))
   }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.Portable
@@ -112,16 +112,46 @@ object Silver {
   // cols are built per-dialect: only timestamp-string columns differ
   private type Cols = Dial => Seq[BCol]
 
-  /** Spark bronze frame: run the shared construction over a temp view. */
+  /** Spark bronze frame: the SAME construction the oracle's 3-branch UNION
+    * CTE encodes, built as ONE pass over the source (r17, guide §2.4/§6 —
+    * the UNION re-scanned and re-fanned the source once per surviving
+    * branch; at 100 TB that is two extra corpus scans). Each src row emits
+    * its base record, conditionally its late-reload record (k % lateMod = 0)
+    * and conditionally its in-file-duplicate record (k % junkMod = 0) via a
+    * 3-slot array + explode; slots whose branch-WHERE is false are null and
+    * dropped by a plain codegen'd IS NOT NULL AFTER the explode (the
+    * CLAUDE.md hot-path rule: never an array-filter HOF on a corpus path).
+    * Row set is identical to the UNION by construction: slot 1 = the base
+    * SELECT, slot 2 = the late SELECT under its WHERE, slot 3 = the junk
+    * SELECT under its WHERE. The base value struct is aliased (`__b`) and
+    * re-read by the junk record, so base expressions — the 9-way
+    * date_format dispatch is the expensive one — are computed once per row
+    * (multi-referenced non-cheap alias: CollapseProject keeps it). */
   private def bronzeDf(spark: SparkSession, df: DataFrame, table: String,
                        kExpr: String, cols: Cols,
                        lateMod: Int, junkMod: Int): DataFrame = {
+    val cs = cols(SparkD)
+    val names = cs.map(_.name)
     // Single-row-group test files scan as one partition; fan out so the
     // CPU-dense bronze construction + cleaner chains run at full width
     // (no-op when the scan already has enough splits — see Scale.fanOutScan).
-    graft.operators.Scale.fanOutScan(df).createOrReplaceTempView(table)
-    spark.sql("WITH " + bronzeCte(table, kExpr, cols(SparkD), lateMod, junkMod) +
-      " SELECT * FROM bronze")
+    val src = graft.operators.Scale.fanOutScan(df).withColumn("k", expr(kExpr))
+    val baseVals = struct(cs.map(c => expr(c.base).as(c.name)): _*)
+    val lateVals = struct(cs.map(c => expr(c.late.getOrElse(c.base)).as(c.name)): _*)
+    val w = src.select(col("k"), baseVals.as("__b"),
+      when(expr(s"k % $lateMod = 0"), lateVals).as("__l"))
+    def rec(v: Column, pa: Column, dup: Boolean) =
+      struct(names.map(n => v.getField(n).as(n)) :+ pa.as("processed_at") :+
+        lit(dup).as("is_duplicate_in_file"): _*)
+    val arr = array(
+      rec(col("__b"), expr("k * 4"), dup = false),
+      when(col("__l").isNotNull, rec(col("__l"), expr("k * 4 + 1"), dup = false)),
+      when(expr(s"k % $junkMod = 0"), rec(col("__b"), expr("k * 4 + 2"), dup = true)))
+    w.select(explode(arr).as("__r"))
+      .filter(col("__r").isNotNull)
+      .select(names.map(n => col(s"__r.`$n`").as(n)) :+
+        col("__r.processed_at").as("processed_at") :+
+        col("__r.is_duplicate_in_file").as("is_duplicate_in_file"): _*)
   }
 
   private val LoadedAtLit = "2026-01-01 00:00:00"

@@ -344,12 +344,11 @@ object Training {
         decontamPctTrain = 90).localCheckpoint(false)
       // shard is a pure per-row function of doc_id (the oracle's own `sh`
       // CTE shape): r16 deleted the docs⋈kept equi-join and the
-      // shuffleShards window — the report never reads pos_in_shard, so the
-      // window's exchange+sort and the join computed thrown-away work
+      // shuffleShards window; r17 deletes the kept-ids LEFT JOIN too — the
+      // shard rides the decision projection as when(keep, f(doc_id), -1)
       // (guide §1.2/§2.4). Bitwise-identical report, oracle unchanged.
-      val shards = dec.filter(col("keep")).select(col("doc_id"),
-        expr(s"cast(${Portable.shuffleKeySpark("doc_id")} % 16 as int)").as("shard"))
-      TextOps.shardProvenance(docs, dec, shards)
+      TextOps.shardProvenance(docs, dec,
+        expr(s"cast(${Portable.shuffleKeySpark("doc_id")} % 16 as int)"))
     }),
     // the corpus has no newlines, so the gate CONSTRUCTS a 4-line document:
     // two content lines (split of the original text), one per-source

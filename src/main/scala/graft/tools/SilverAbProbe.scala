@@ -38,8 +38,17 @@ object SilverAbProbe {
         .groupBy(expr("try_cast(id as bigint)").as("__pk"))
         .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), col("processed_at")).as("__row"))
         .select(cols.map(c => col(s"__row.`$c`").as(c)).toIndexedSeq: _*)
+    // the topKPerKey(k=1) shape INLINED (r16 ADVICE: delegating to
+    // dedupLatest — which kept max_by after this probe's verdict — made the
+    // committed probe A/B max_by against itself): keep-latest = top-1 by
+    // processed_at DESC, payload = every bronze column
     def newShape(): DataFrame =
-      graft.medallion.SilverTransforms.dedupLatest(bronze, "id")
+      graft.operators.Scale.topKPerKey(
+          bronze.filter(!col("is_duplicate_in_file"))
+            .withColumn("__pk", expr("try_cast(id as bigint)")),
+          keys = Seq("__pk"), order = Seq(("processed_at", true)), k = 1,
+          payload = cols.toSeq)
+        .select(cols.map(c => col(s"`$c`")).toIndexedSeq: _*)
 
     // bit-identity: same surviving rows (order-insensitive)
     val a = oldShape().orderBy("id", "product_id").collect().toSeq

@@ -107,16 +107,17 @@ class DedupSpec extends AnyFunSuite {
 
   test("star-contraction components: deep chain converges in O(log d) rounds") {
     import spark.implicits._
-    // a chain of depth 120 — min-label propagation would need 120 rounds
-    // (over the default cap); star contraction must finish within ~10
+    // a chain of depth 120 — min-label propagation would need 120 rounds;
+    // zero the driver cap so the DISTRIBUTED star rounds (the subject of
+    // this test) run instead of the r17 small-graph fold
     val chain = (0L until 120L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponentsStars(chain, maxIter = 12)
+    val got = Dedup.connectedComponentsStars(chain, maxIter = 12, driverEdgeCap = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 121)
     assert(got.values.forall(_ == 0L), "every chain node labels to the minimum (0)")
     // and two disjoint chains stay disjoint
     val two = chain.union(Seq((1000L, 1001L), (1001L, 1002L)).toDF("doc_a", "doc_b"))
-    val got2 = Dedup.connectedComponentsStars(two, maxIter = 12)
+    val got2 = Dedup.connectedComponentsStars(two, maxIter = 12, driverEdgeCap = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L to 120L).forall(got2(_) == 0L))
     assert(Seq(1000L, 1001L, 1002L).forall(got2(_) == 1000L))
@@ -129,6 +130,11 @@ class DedupSpec extends AnyFunSuite {
     val b = Dedup.connectedComponentsStars(pairsDf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
+    // regime identity (r17): the forced-DISTRIBUTED star rounds produce the
+    // same labeling as the driver fold the gate-scale path takes
+    val c = Dedup.connectedComponentsStars(pairsDf, driverEdgeCap = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == b)
   }
 
   test("dedup survivors: every removed doc has a surviving representative") {

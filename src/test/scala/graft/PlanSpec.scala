@@ -23,6 +23,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_comment"), "projection pruning lost")
   }
 
+  test("graft_opaque fence: value-identical, and the filter stays above the eval") {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    // parquet-backed, NOT a LocalRelation: ConvertToLocalRelation folds
+    // local projections row-by-row regardless of determinism, which would
+    // make this test vacuous — the fence targets pushdown on real scans
+    val dir = java.nio.file.Files.createTempDirectory("graft-opaque").toString
+    Seq(("ab", "abc"), ("x", "xyzzy"), ("same", "same")).toDF("a", "b")
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    val fenced = src.withColumn("d", expr("graft_opaque(levenshtein(a, b))"))
+    val plain = src.withColumn("d", expr("levenshtein(a, b)"))
+    assert(fenced.orderBy("a").collect().toSeq == plain.orderBy("a").collect().toSeq,
+      "graft_opaque must not change a single value")
+    // the fence's whole point: a filter on the derived column must not be
+    // pushed through the projection (which would duplicate the evaluation)
+    val ep = fenced.filter(col("d") >= 2).queryExecution.executedPlan.toString
+    assert("levenshtein".r.findAllIn(ep).length == 1,
+      s"expected exactly one levenshtein eval below the filter:\n$ep")
+  }
+
+  test("edit distance verify: the Levenshtein DP runs once per candidate pair") {
+    val p = plan("dedup_edit_distance")
+    val n = "levenshtein".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly one levenshtein eval in the plan, got $n " +
+      "(a pushed-down tau filter duplicates the DP into the join condition)")
+  }
+
+  test("banded verify: one shingle intersect per candidate pair") {
+    val p = plan("dedup_minhash_lsh")
+    val n = "array_intersect".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly one shingle intersect in the plan, got $n")
+  }
+
   test("regional revenue: broadcast dims + semi-join distinct off orders") {
     val p = plan("gold_regional_revenue")
     assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")

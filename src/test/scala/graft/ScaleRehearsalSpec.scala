@@ -161,14 +161,18 @@ class ScaleRehearsalSpec extends AnyFunSuite {
     // deeper graph where min-label propagation would need 5000. Wall-clock
     // tracks rounds x per-round cost (fixed-overhead dominated at this
     // size), nowhere near the depth ratio.
+    // driverEdgeCap = 0 forces the DISTRIBUTED star rounds — the regime
+    // under test; at these sizes the r17 fold would otherwise take over
     def chain(depth: Long) = (0L until depth).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val (tS, _) = timed("stars depth 200") {
-      val got = Dedup.connectedComponentsStars(chain(200), maxIter = 16).collect()
+      val got = Dedup.connectedComponentsStars(chain(200), maxIter = 16,
+        driverEdgeCap = 0L).collect()
       assert(got.length == 201 && got.forall(_.getLong(1) == 0L))
       got.length.toLong
     }
     val (tB, _) = timed("stars depth 5000 (25x)") {
-      val got = Dedup.connectedComponentsStars(chain(5000), maxIter = 24).collect()
+      val got = Dedup.connectedComponentsStars(chain(5000), maxIter = 24,
+        driverEdgeCap = 0L).collect()
       assert(got.length == 5001 && got.forall(_.getLong(1) == 0L))
       got.length.toLong
     }
