@@ -196,16 +196,29 @@ object Profiling {
     val cum = merged
       .withColumn("cum_before", coalesce(sum(col("cnt")).over(wcum), lit(0L)))
       .join(n, groupCols)
-    val qFrames = qs.map { q =>
-      val name = s"est_p${(q * 100).round}"
-      cum.withColumn("target", ceil(lit(q) * col("n_rows")).cast("long"))
-        .filter(col("cum_before") < col("target") &&
-          col("target") <= col("cum_before") + col("cnt"))
-        .select(groupCols.map(col) :+ (lit(lo) + lit(width) * col("bin") +
-          lit(width) * ((col("target") - col("cum_before")) / col("cnt"))).as(name): _*)
-    }
-    qFrames.foldLeft(n)((acc, f) => acc.join(f, groupCols))
+    // ONE conditional aggregate computes every quantile (r17): the former
+    // one-frame-per-q shape re-derived the merged grid + window + total per
+    // quantile and re-joined each back on the group key — 4 extra exchanges
+    // and window sorts of pure stage-count at bench scale (guide §2.4).
+    // Exactly one bin satisfies each target's half-open cum window (targets
+    // are in [1, n_rows] and the cum ranges partition it), so max(when(...))
+    // recovers the identical interpolated value; n_rows is constant per
+    // group, so max() recovers it exactly.
+    cum.groupBy(groupCols.map(col): _*)
+      .agg(max(col("n_rows")).as("n_rows"), qAggs(qs, lo, width): _*)
   }
+
+  /** The per-quantile conditional aggregates shared by both quantile folds:
+    * target rank ceil(q*N); the unique bin whose cumulative window contains
+    * it contributes the interpolated estimate. */
+  private def qAggs(qs: Seq[Double], lo: Double, width: Double): Seq[Column] =
+    qs.map { q =>
+      val name = s"est_p${(q * 100).round}"
+      val target = ceil(lit(q) * col("n_rows")).cast("long")
+      max(when(col("cum_before") < target && target <= col("cum_before") + col("cnt"),
+        lit(lo) + lit(width) * col("bin") +
+          lit(width) * ((target - col("cum_before")) / col("cnt")))).as(name)
+    }
 
   /** Fold histogram partials into interpolated quantile estimates at `qs` —
     * one output row: `n_rows, est_p<q1>, est_p<q2>, …`. For each q the
@@ -224,18 +237,18 @@ object Profiling {
     val cum = merged
       .withColumn("cum_before", coalesce(sum(col("cnt")).over(wcum), lit(0L)))
       .crossJoin(broadcast(merged.agg(sum(col("cnt")).cast("bigint").as("n_rows"))))
-    // Column-API literals throughout: a `0.95` inside SQL text parses as
-    // DECIMAL in both engines, and decimal-vs-double rank arithmetic can
-    // disagree by one at exact-multiple boundaries; lit(Double) pins DOUBLE
-    val qFrames = qs.map { q =>
-      val name = s"est_p${(q * 100).round}"
-      cum.withColumn("target", ceil(lit(q) * col("n_rows")).cast("long"))
-        .filter(col("cum_before") < col("target") &&
-          col("target") <= col("cum_before") + col("cnt"))
-        .select((lit(lo) + lit(width) * col("bin") +
-          lit(width) * ((col("target") - col("cum_before")) / col("cnt"))).as(name))
-    }
-    qFrames.foldLeft(cum.select(col("n_rows")).distinct())((acc, f) => acc.crossJoin(broadcast(f)))
+    // Column-API literals throughout ([[qAggs]]): a `0.95` inside SQL text
+    // parses as DECIMAL in both engines, and decimal-vs-double rank
+    // arithmetic can disagree by one at exact-multiple boundaries;
+    // lit(Double) pins DOUBLE. One conditional aggregate computes every
+    // quantile (r17) — the former per-q frames each re-derived merged +
+    // window + total and crossJoined back (4 extra windows in the
+    // profile_one_scan plan, pure stage-count; guide §2.4). The dummy
+    // grouping key (dropped) keeps empty-input semantics: zero partials →
+    // zero groups → zero rows, exactly the old distinct-of-empty.
+    cum.groupBy(lit(0).as("__g"))
+      .agg(max(col("n_rows")).as("n_rows"), qAggs(qs, lo, width): _*)
+      .drop("__g")
   }
 
   /** Distribution drift between two histogram-partial sets — the
