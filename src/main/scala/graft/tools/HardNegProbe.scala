@@ -32,6 +32,18 @@ object HardNegProbe {
     val nQueries = 20; val k = 10; val tauJ = 0.5
 
     timed("full_gate") { Retrieval.hardNegatives(docs, emb, nQueries, k, tauJ) }
+    // production serve shape (r17, the r16-VERDICT-requested number): the
+    // dedup stage's verified pairs are INJECTED via the `pairs` parameter,
+    // so the corpus signature pass is paid once by the dedup job, not per
+    // hardNegatives call. The pair table is materialized to parquet OUTSIDE
+    // the timed region, exactly as a pipeline hands it over.
+    val pairDir = java.nio.file.Files.createTempDirectory("graft-hn-pairs").toString
+    Dedup.minhashAnchoredPairs(docs, col("doc_id") < nQueries, 3, 42, 3, tauJ)
+      .write.mode("overwrite").parquet(pairDir)
+    timed("full_gate_injected") {
+      Retrieval.hardNegatives(docs, emb, nQueries, k, tauJ,
+        pairs = Some(spark.read.parquet(pairDir)))
+    }
     timed("anchored_pairs") {
       Dedup.minhashAnchoredPairs(docs, col("doc_id") < nQueries, 3, 42, 3, tauJ) }
     timed("exact_twin_leg") {
