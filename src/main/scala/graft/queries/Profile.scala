@@ -208,8 +208,18 @@ object Profile {
   def eventsHllOverlap(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .withColumn("shard", pmod(col("event_id"), lit(16L)))
+    // ONE corpus pass (r17): both cohorts' register partials come from a
+    // single grouped-partials aggregate, lazily checkpointed — hllOverlap
+    // reads each cohort twice (its estimate + the union sketch), so the
+    // former per-cohort builders re-scanned events FOUR times (guide §6).
+    // Row-identical: grouping by event_type on the two-type filter equals
+    // filtering per type, and the register/rank arithmetic is shared.
+    val parts = Profiling.hllPartialsBy(
+        ev.filter(col("event_type").isin("click", "view")),
+        "shard", Seq("event_type"), "user_id")
+      .localCheckpoint(false)
     def partials(t: String) =
-      Profiling.hllPartials(ev.filter(col("event_type") === t), "shard", "user_id")
+      parts.filter(col("event_type") === t).drop("event_type")
     Profiling.hllOverlap(partials("click"), partials("view"))
   }
 
@@ -245,11 +255,17 @@ object Profile {
     val toks = graft.operators.Scale.fanOutScan(Tables.documents(spark, dir))
       .select(col("source"), pmod(col("doc_id"), lit(16L)).as("shard"),
         explode(expr("graft_tokens(text)")).as("term"))
-    val top10 = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("term").asc).limit(10).select("term")
-    val grid = toks.select("source").distinct().crossJoin(top10)
+    // TWO corpus passes, not four (r17, guide §6): the truth table is the
+    // finest aggregate, so the top-10 terms RE-AGGREGATE it (integer sums —
+    // global counts exactly) and the source axis is its distinct — before,
+    // top10 and the grid's source-distinct each re-ran the corpus
+    // tokenize+explode. Checkpointed lazily: truth feeds three consumers.
     val truth = toks.groupBy("source", "term")
       .agg(count(lit(1)).cast("bigint").as("true_cnt"))
+      .localCheckpoint(false)
+    val top10 = truth.groupBy("term").agg(sum(col("true_cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(10).select("term")
+    val grid = truth.select("source").distinct().crossJoin(top10)
     val terms = grid.join(truth, Seq("source", "term"), "left")
       .na.fill(0L, Seq("true_cnt"))
     val merged = Profiling.mergeCmsBy(
