@@ -91,8 +91,13 @@ object FuzzyJoin {
     // duplication ~1.2x on varied strings) and the distinct then shuffles
     // only the surviving matches instead of every candidate pair — on the
     // sf0.1 gate ~6k rows deduped instead of ~5M.
+    graft.plans.GraftFunctions.register(a.sparkSession)
     candidates(a, b, aId, aStr, bId, bStr, maxDist, dfCap)
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      // graft_opaque fence (r17): the maxDist filter otherwise duplicates
+      // the Levenshtein DP into the candidate join's condition — twice per
+      // shared-bigram row (guide §4.4); the plan's levenshtein count is
+      // pinned by PlanSpec
+      .withColumn("dist", expr("graft_opaque(levenshtein(s_a, s_b))"))
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "s_a", "s_b", "dist")
       .distinct() // one row per matched pair, not per shared bigram

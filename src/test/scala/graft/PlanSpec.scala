@@ -52,6 +52,12 @@ class PlanSpec extends AnyFunSuite {
       "(a pushed-down tau filter duplicates the DP into the join condition)")
   }
 
+  test("fuzzy join: the Levenshtein DP runs once per shared-bigram row") {
+    val p = plan("clean_fuzzy_join")
+    val n = "levenshtein".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly one levenshtein eval in the plan, got $n")
+  }
+
   test("banded verify: one shingle intersect per candidate pair") {
     val p = plan("dedup_minhash_lsh")
     val n = "array_intersect".r.findAllIn(p).length
