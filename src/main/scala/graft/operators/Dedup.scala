@@ -302,14 +302,16 @@ object Dedup {
     // hot shingles as a bounded array; the pairwise intersect is O(cap list)
     val hotByDoc = sh.join(broadcast(hot), Seq("s"))
       .groupBy("doc_id").agg(collect_set(col("s")).as("hs"))
-    graft.plans.GraftFunctions.register(docs.sparkSession)
     val inter = interRare
       .join(hotByDoc.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"), "left")
       .join(hotByDoc.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"), "left")
-      // graft_opaque fence: keeps the tau filter from re-inlining the
-      // hot-set intersect into the join conditions below (guide §4.4)
-      .withColumn("inter", expr(
-        "graft_opaque(inter_rare + coalesce(size(array_intersect(ha, hb)), 0))"))
+      // NO graft_opaque fence here (r17 measured negative): ha/hb are
+      // BOUNDED per-doc hot-shingle sets — empty on any corpus inside the
+      // dfCap contract — so the duplicated intersect is trivially cheap and
+      // the fence only delayed the tau filter past two joins (interleaved
+      // A/B: ~5-10% slower fenced). Fence only EXPENSIVE evals (guide §4.4).
+      .withColumn("inter", col("inter_rare") +
+        coalesce(size(array_intersect(col("ha"), col("hb"))), lit(0)))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
